@@ -1,0 +1,331 @@
+"""Window dataset: enumeration, featurization, and packed batch assembly.
+
+Capability parity: reference ``src/data/AddBiomechanicsDataset.py`` —
+the same window enumeration (every start where no strided frame has a
+missing-GRF reason, ref :132-139), the same input/label semantics
+(inputs from processingPasses[0], tau/residual/comAcc labels from
+processingPasses[-1], the four GRF label groups from the FIRST pass,
+ref :174-247), the same mass-normalization split (forces/torques/
+wrenches ÷ mass, CoP untouched, ref :252-261), and the same
+contact-body canonical reordering with zero-fill (ref :233-261).
+
+TPU-first redesign: instead of the reference's per-sample
+``readFrames`` + ~18 small tensor builds (the #1 bottleneck, SURVEY.md
+§3.5), each trial is featurized ONCE into two packed float32 matrices —
+``F [T, C_in]`` (inputs, canonical concat order) and ``L [T, C_lab]``
+(labels) — concatenated across all trials. A batch of B windows is then
+a single fancy-index gather ``F_all[rows]`` producing a fixed-shape
+``[B, W, C]`` array ready for ``device_put``. Models receive the packed
+array; per-key dict views are zero-cost column slices that XLA folds
+into the consuming ops.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from inferbiomechanics_tpu.data import keys as K
+from inferbiomechanics_tpu.data.b3d import MissingGRFReason, SubjectOnDisk
+
+# ---------------------------------------------------------------------------
+# Packed channel layouts
+# ---------------------------------------------------------------------------
+
+
+def input_layout(num_dofs: int, root_history_len: int) -> List[Tuple[str, int]]:
+    widths = K.input_channel_widths(num_dofs, root_history_len)
+    return [(k, widths[k]) for k in K.INPUT_CONCAT_ORDER]
+
+
+LABEL_PACK_ORDER: List[str] = [
+    K.OutputDataKeys.TAU,
+    K.OutputDataKeys.RESIDUAL_WRENCH_IN_ROOT_FRAME,
+    K.OutputDataKeys.COM_ACC_IN_ROOT_FRAME,
+    K.OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME,
+    K.OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME,
+    K.OutputDataKeys.GROUND_CONTACT_TORQUES_IN_ROOT_FRAME,
+    K.OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME,
+    K.OutputDataKeys.CONTACT,
+]
+
+
+def label_layout(num_dofs: int, num_contact_bodies: int) -> List[Tuple[str, int]]:
+    widths = K.label_channel_widths(num_dofs, num_contact_bodies)
+    return [(k, widths[k]) for k in LABEL_PACK_ORDER]
+
+
+def _offsets(layout: Sequence[Tuple[str, int]]) -> Dict[str, Tuple[int, int]]:
+    out, off = {}, 0
+    for name, w in layout:
+        out[name] = (off, w)
+        off += w
+    return out
+
+
+def unpack(packed, layout_offsets: Dict[str, Tuple[int, int]]):
+    """Split a packed [..., C] array into a dict of column-slice views."""
+    return {k: packed[..., o:o + w] for k, (o, w) in layout_offsets.items()}
+
+
+# ---------------------------------------------------------------------------
+# Batch container
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Batch:
+    """One fixed-shape training batch (host numpy or device jax arrays)."""
+    inputs: 'np.ndarray'          # [B, W, C_in]
+    labels: 'np.ndarray'          # [B, out_frames, C_lab]
+    subject_indices: 'np.ndarray'  # [B] int32
+    trial_indices: 'np.ndarray'    # [B] int32
+
+
+class WindowDataset:
+    """Enumerates and serves fixed-length kinematic windows.
+
+    Args mirror the reference dataset's constructor
+    (AddBiomechanicsDataset.py:63-139). ``window_size`` is in raw frames;
+    a window contains ``window_size // stride`` model frames.
+    """
+
+    def __init__(self,
+                 data_path: str,
+                 window_size: int,
+                 geometry_folder: str = '',
+                 dtype: np.dtype = np.float32,
+                 testing_with_short_dataset: bool = False,
+                 stride: int = 1,
+                 output_data_format: str = 'last_frame',
+                 skip_loading_skeletons: bool = False):
+        self.stride = int(stride)
+        self.window_size = int(window_size)
+        self.output_data_format = output_data_format
+        self.geometry_folder = geometry_folder
+        self.dtype = dtype
+
+        # -- subject discovery (parity: skip files containing 'vander') ----
+        self.subject_paths: List[str] = []
+        if os.path.isdir(data_path):
+            for root, _dirs, files in os.walk(data_path):
+                for f in sorted(files):
+                    if f.endswith('.b3d') and 'vander' not in f.lower():
+                        self.subject_paths.append(os.path.join(root, f))
+        else:
+            assert data_path.endswith('.b3d')
+            self.subject_paths.append(data_path)
+        if testing_with_short_dataset:
+            self.subject_paths = self.subject_paths[11:12] or self.subject_paths[:1]
+        self.subject_indices = {p: i for i, p in enumerate(self.subject_paths)}
+
+        self.subjects: List[SubjectOnDisk] = [SubjectOnDisk(p) for p in self.subject_paths]
+
+        # -- canonical contact-body order from the first subject ------------
+        self.contact_bodies: List[str] = []
+        if self.subjects:
+            self.num_dofs = self.subjects[0].getNumDofs()
+            self.root_history_len = self.subjects[0].getRootHistoryLen()
+            for body in self.subjects[0].getGroundForceBodies():
+                if body != 'pelvis' and body not in self.contact_bodies:
+                    self.contact_bodies.append(body)
+        else:
+            self.num_dofs = 0
+            self.root_history_len = 0
+        self.num_contact_bodies = len(self.contact_bodies)
+
+        self.skeletons = []
+        if not skip_loading_skeletons:
+            for s in self.subjects:
+                try:
+                    self.skeletons.append(s.readSkel(s.getNumProcessingPasses() - 1,
+                                                     geometry_folder))
+                except ValueError:
+                    self.skeletons.append(None)
+
+        # -- packed layouts --------------------------------------------------
+        self.in_layout = input_layout(self.num_dofs, self.root_history_len)
+        self.lab_layout = label_layout(self.num_dofs, self.num_contact_bodies)
+        self.in_offsets = _offsets(self.in_layout)
+        self.lab_offsets = _offsets(self.lab_layout)
+        self.num_input_channels = sum(w for _, w in self.in_layout)
+        self.num_label_channels = sum(w for _, w in self.lab_layout)
+
+        # -- featurize every trial once; build the global window table ------
+        feats: List[np.ndarray] = []
+        labs: List[np.ndarray] = []
+        trial_row_offset: List[int] = []
+        win_ft: List[np.ndarray] = []      # flat-trial id per window
+        win_subject: List[np.ndarray] = []
+        win_trial: List[np.ndarray] = []
+        win_start: List[np.ndarray] = []
+        rows = 0
+        ft_id = 0
+        for s_idx, subject in enumerate(self.subjects):
+            mass = subject.getMassKg()
+            gfb = subject.getGroundForceBodies()
+            contact_indices = [gfb.index(b) if b in gfb else -1
+                               for b in self.contact_bodies]
+            for t_idx in range(subject.getNumTrials()):
+                F, L = self._featurize_trial(subject, t_idx, mass, contact_indices)
+                feats.append(F)
+                labs.append(L)
+                trial_row_offset.append(rows)
+                rows += F.shape[0]
+
+                starts = self._enumerate_starts(subject, t_idx)
+                if starts.size:
+                    win_ft.append(np.full(starts.shape, ft_id, np.int32))
+                    win_subject.append(np.full(starts.shape, s_idx, np.int32))
+                    win_trial.append(np.full(starts.shape, t_idx, np.int32))
+                    win_start.append(starts.astype(np.int32))
+                ft_id += 1
+
+        if feats:
+            self.features_all = np.concatenate(feats, axis=0)
+            self.labels_all = np.concatenate(labs, axis=0)
+        else:
+            self.features_all = np.zeros((0, self.num_input_channels), np.float32)
+            self.labels_all = np.zeros((0, self.num_label_channels), np.float32)
+        self.trial_row_offset = np.asarray(trial_row_offset, np.int64)
+        if win_ft:
+            self.win_ft = np.concatenate(win_ft)
+            self.win_subject = np.concatenate(win_subject)
+            self.win_trial = np.concatenate(win_trial)
+            self.win_start = np.concatenate(win_start)
+        else:
+            self.win_ft = np.zeros(0, np.int32)
+            self.win_subject = np.zeros(0, np.int32)
+            self.win_trial = np.zeros(0, np.int32)
+            self.win_start = np.zeros(0, np.int32)
+
+        self.num_model_frames = self.window_size // self.stride
+        self.num_output_frames = (self.num_model_frames
+                                  if output_data_format == 'all_frames' else 1)
+
+    # -- reference-parity window enumeration --------------------------------
+
+    def _enumerate_starts(self, subject: SubjectOnDisk, trial: int) -> np.ndarray:
+        """Vectorized version of AddBiomechanicsDataset.py:132-139."""
+        T = subject.getTrialLength(trial)
+        missing = np.asarray(
+            [int(r) != int(MissingGRFReason.notMissingGRF)
+             for r in subject.getMissingGRF(trial)], dtype=bool)
+        n_starts = max(T - self.window_size - 1, 0)
+        if n_starts == 0:
+            return np.zeros(0, np.int32)
+        # window k uses frames k + stride*[0..W/stride); a start is valid iff
+        # none of those frames is missing.
+        frame_idx = (np.arange(n_starts)[:, None] +
+                     np.arange(0, self.window_size, self.stride)[None, :])
+        bad = missing[frame_idx].any(axis=1)
+        return np.nonzero(~bad)[0].astype(np.int32)
+
+    # -- featurization (once per trial, fully vectorized) -------------------
+
+    def _featurize_trial(self, subject: SubjectOnDisk, trial: int, mass: float,
+                         contact_indices: List[int]) -> Tuple[np.ndarray, np.ndarray]:
+        kin = subject.trial_pass_matrix(trial, 0)
+        n_passes = subject.getTrialNumProcessingPasses(trial)
+        dyn = subject.trial_pass_matrix(trial, n_passes - 1)
+        offs = subject.field_offsets
+        T = kin.shape[0]
+
+        def col(mat, name):
+            o, w = offs[name]
+            return mat[:, o:o + w]
+
+        # inputs — all from the kinematics pass (ref :174,181-210)
+        F = np.empty((T, self.num_input_channels), np.float32)
+        for key, (o, w) in self.in_offsets.items():
+            F[:, o:o + w] = col(kin, key)
+
+        # labels — tau/residual/comAcc from last pass; GRF groups from the
+        # FIRST pass (ref asymmetry :214-247), reindexed + mass-normalized.
+        L = np.zeros((T, self.num_label_channels), np.float32)
+
+        def put(key, val):
+            o, w = self.lab_offsets[key]
+            L[:, o:o + w] = val
+
+        put(K.OutputDataKeys.TAU, col(dyn, 'tau'))
+        put(K.OutputDataKeys.RESIDUAL_WRENCH_IN_ROOT_FRAME,
+            col(dyn, 'residualWrenchInRootFrame'))
+        put(K.OutputDataKeys.COM_ACC_IN_ROOT_FRAME, col(dyn, 'comAccInRootFrame'))
+
+        src_wrench = col(kin, 'groundContactWrenchesInRootFrame')
+        src_cop = col(kin, 'groundContactCenterOfPressureInRootFrame')
+        src_torque = col(kin, 'groundContactTorqueInRootFrame')
+        src_force = col(kin, 'groundContactForceInRootFrame')
+        src_contact = col(kin, 'contact')
+
+        ow, _ = self.lab_offsets[K.OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME]
+        oc, _ = self.lab_offsets[K.OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME]
+        ot, _ = self.lab_offsets[K.OutputDataKeys.GROUND_CONTACT_TORQUES_IN_ROOT_FRAME]
+        of, _ = self.lab_offsets[K.OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]
+        ob, _ = self.lab_offsets[K.OutputDataKeys.CONTACT]
+        inv_mass = 1.0 / mass
+        for i, src_i in enumerate(contact_indices):
+            if src_i < 0:
+                continue
+            L[:, ow + 6 * i: ow + 6 * i + 6] = src_wrench[:, 6 * src_i:6 * src_i + 6] * inv_mass
+            L[:, oc + 3 * i: oc + 3 * i + 3] = src_cop[:, 3 * src_i:3 * src_i + 3]
+            L[:, ot + 3 * i: ot + 3 * i + 3] = src_torque[:, 3 * src_i:3 * src_i + 3] * inv_mass
+            L[:, of + 3 * i: of + 3 * i + 3] = src_force[:, 3 * src_i:3 * src_i + 3] * inv_mass
+            L[:, ob + i] = src_contact[:, src_i]
+        return F, L
+
+    # -- python Dataset protocol --------------------------------------------
+
+    def __len__(self) -> int:
+        return int(self.win_start.shape[0])
+
+    def __getitem__(self, index: int):
+        """Single-window fetch, dict form (compat path; hot path is gather)."""
+        b = self.gather(np.asarray([index]))
+        inputs = {k: b.inputs[0][..., o:o + w] for k, (o, w) in self.in_offsets.items()}
+        labels = {k: b.labels[0][..., o:o + w] for k, (o, w) in self.lab_offsets.items()}
+        return inputs, labels, int(b.subject_indices[0]), int(b.trial_indices[0])
+
+    # -- the hot path --------------------------------------------------------
+
+    def gather(self, indices: np.ndarray) -> Batch:
+        """Assemble a fixed-shape batch with two fancy-index gathers."""
+        ft = self.win_ft[indices]
+        start = self.win_start[indices]
+        base = self.trial_row_offset[ft] + start            # [B]
+        in_rows = base[:, None] + np.arange(0, self.window_size, self.stride)[None, :]
+        inputs = self.features_all[in_rows]                 # [B, W, C_in]
+        if self.output_data_format == 'all_frames':
+            lab_rows = in_rows
+        else:
+            lab_rows = (base + (self.num_model_frames - 1) * self.stride)[:, None]
+        labels = self.labels_all[lab_rows]                  # [B, out_frames, C_lab]
+        return Batch(inputs=inputs, labels=labels,
+                     subject_indices=self.win_subject[indices],
+                     trial_indices=self.win_trial[indices])
+
+    def unpack_inputs(self, packed) -> Dict[str, 'np.ndarray']:
+        return unpack(packed, self.in_offsets)
+
+    def unpack_labels(self, packed) -> Dict[str, 'np.ndarray']:
+        return unpack(packed, self.lab_offsets)
+
+    # -- epoch iteration ------------------------------------------------------
+
+    def batches(self, batch_size: int, *, shuffle: bool = True,
+                drop_last: bool = True, seed: int = 0,
+                shard_index: int = 0, num_shards: int = 1) -> Iterator[Batch]:
+        """Yield batches; with sharding this replaces DistributedSampler."""
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        order = order[shard_index::num_shards]
+        n_shard = order.shape[0]
+        stop = (n_shard // batch_size) * batch_size if drop_last else n_shard
+        for i in range(0, stop, batch_size):
+            yield self.gather(order[i:i + batch_size])

@@ -1,0 +1,180 @@
+"""Data layer tests: B3D-TPU round-trip, window enumeration, featurization."""
+
+import numpy as np
+import pytest
+
+from inferbiomechanics_tpu.data import InputDataKeys, OutputDataKeys
+from inferbiomechanics_tpu.data.b3d import (
+    MissingGRFReason, ProcessingPassType, SubjectOnDisk,
+    layout_offsets, pass_channel_layout,
+)
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.data.synthetic import (
+    standard_skeleton, write_synthetic_subject,
+)
+
+
+@pytest.fixture(scope='module')
+def subject_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp('b3d')
+    path = str(d / 'subj_0.b3d')
+    write_synthetic_subject(path, num_trials=2, trial_length=120,
+                            missing_frac=0.05, seed=0)
+    return path
+
+
+@pytest.fixture(scope='module')
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp('data')
+    for i in range(2):
+        write_synthetic_subject(str(d / f'subj_{i}.b3d'), num_trials=2,
+                                trial_length=120, missing_frac=0.05, seed=i)
+    # a file that must be skipped by discovery
+    write_synthetic_subject(str(d / 'vanderXYZ.b3d'), num_trials=1,
+                            trial_length=50, seed=9)
+    return str(d)
+
+
+def test_subject_header_roundtrip(subject_file):
+    s = SubjectOnDisk(subject_file)
+    assert s.getNumDofs() == 23
+    assert s.getNumTrials() == 2
+    assert s.getGroundForceBodies() == ['calcn_r', 'calcn_l']
+    assert s.getMassKg() == 70.0
+    assert s.getHeightM() == 1.75
+    assert s.getAgeYears() == 30
+    assert s.getNumProcessingPasses() == 2
+    assert s.getProcessingPassType(0) == ProcessingPassType.KINEMATICS
+    assert s.getProcessingPassType(1) == ProcessingPassType.DYNAMICS
+    assert s.getTrialLength(0) == 120
+    assert s.getTrialName(1) == 'trial_1'
+    assert len(s.getMissingGRF(0)) == 120
+    assert s.getRootHistoryLen() == 10
+
+
+def test_trial_pass_matrix_shape_and_mmap(subject_file):
+    s = SubjectOnDisk(subject_file)
+    layout = pass_channel_layout(23, 2, 10)
+    C = sum(w for _, w in layout)
+    m0 = s.trial_pass_matrix(0, 0)
+    m1 = s.trial_pass_matrix(0, 1)
+    assert m0.shape == (120, C)
+    assert m0.dtype == np.float32
+    # kinematics and dynamics passes differ (noise on kinematics)
+    assert not np.array_equal(m0, m1)
+    # memory-mapped: read-only view
+    assert not m0.flags.writeable
+
+
+def test_read_frames_compat(subject_file):
+    s = SubjectOnDisk(subject_file)
+    frames = s.readFrames(0, 10, 5, stride=2)
+    assert len(frames) == 5
+    f = frames[0]
+    assert len(f.processingPasses) == 2
+    assert f.processingPasses[0].pos.shape == (23,)
+    assert f.processingPasses[0].jointCentersInRootFrame.shape == (36,)
+    assert f.processingPasses[1].type == ProcessingPassType.DYNAMICS
+    # row parity with the fast path
+    m = s.trial_pass_matrix(0, 0)
+    offs = s.field_offsets
+    o, w = offs['vel']
+    np.testing.assert_array_equal(f.processingPasses[0].vel, m[10, o:o + w])
+
+
+def test_skeleton_spec(subject_file):
+    s = SubjectOnDisk(subject_file)
+    spec = s.readSkel(1)
+    assert spec.num_dofs == 23
+    assert len(spec.joints) == 12
+    assert spec.joints[0].type == 'free'
+    assert len(spec.bodies) == 12
+    assert abs(sum(b.mass for b in spec.bodies) - 70.0) > 0  # masses present
+
+
+def test_window_enumeration_masks_missing_frames(data_dir):
+    ds = WindowDataset(data_dir, window_size=20, stride=5)
+    assert len(ds) > 0
+    # every window must contain no missing-GRF frame at strided positions
+    for w in range(0, len(ds), max(1, len(ds) // 37)):
+        s_idx = int(ds.win_subject[w]); t_idx = int(ds.win_trial[w])
+        start = int(ds.win_start[w])
+        missing = ds.subjects[s_idx].getMissingGRF(t_idx)
+        for k in range(start, start + 20, 5):
+            assert missing[k] == MissingGRFReason.notMissingGRF
+        assert start + 20 < ds.subjects[s_idx].getTrialLength(t_idx)
+
+
+def test_vander_files_skipped(data_dir):
+    ds = WindowDataset(data_dir, window_size=20, stride=5,
+                       skip_loading_skeletons=True)
+    assert len(ds.subject_paths) == 2
+    assert all('vander' not in p for p in ds.subject_paths)
+
+
+def test_featurization_semantics(data_dir):
+    ds = WindowDataset(data_dir, window_size=20, stride=5)
+    inputs, labels, s_idx, t_idx = ds[0]
+    W = 20 // 5
+    assert inputs[InputDataKeys.POS].shape == (W, 23)
+    assert inputs[InputDataKeys.JOINT_CENTERS_IN_ROOT_FRAME].shape == (W, 36)
+    assert inputs[InputDataKeys.ROOT_POS_HISTORY_IN_ROOT_FRAME].shape == (W, 30)
+    # default output_data_format='last_frame': single output frame
+    assert labels[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME].shape == (1, 6)
+    assert labels[OutputDataKeys.TAU].shape == (1, 23)
+
+    # verify against the raw file: inputs come from pass 0, forces from
+    # pass 0 divided by mass, tau from last pass NOT divided
+    subject = ds.subjects[s_idx]
+    start = int(ds.win_start[0])
+    kin = subject.trial_pass_matrix(t_idx, 0)
+    dyn = subject.trial_pass_matrix(t_idx, 1)
+    offs = subject.field_offsets
+    o, w = offs['pos']
+    np.testing.assert_allclose(inputs[InputDataKeys.POS][0], kin[start, o:o + w], rtol=1e-6)
+    o, w = offs['groundContactForceInRootFrame']
+    last_row = start + 15
+    np.testing.assert_allclose(
+        labels[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME][0],
+        kin[last_row, o:o + w] / subject.getMassKg(), rtol=1e-5)
+    o, w = offs['tau']
+    np.testing.assert_allclose(labels[OutputDataKeys.TAU][0], dyn[last_row, o:o + w], rtol=1e-6)
+    # CoP is NOT mass normalized
+    o, w = offs['groundContactCenterOfPressureInRootFrame']
+    np.testing.assert_allclose(
+        labels[OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME][0],
+        kin[last_row, o:o + w], rtol=1e-5)
+
+
+def test_all_frames_output_format(data_dir):
+    ds = WindowDataset(data_dir, window_size=20, stride=5,
+                       output_data_format='all_frames')
+    _inputs, labels, _s, _t = ds[0]
+    assert labels[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME].shape == (4, 6)
+
+
+def test_batch_gather_matches_getitem(data_dir):
+    ds = WindowDataset(data_dir, window_size=20, stride=5)
+    idx = np.asarray([0, 3, 7, len(ds) - 1])
+    batch = ds.gather(idx)
+    assert batch.inputs.shape == (4, 4, ds.num_input_channels)
+    assert batch.labels.shape == (4, 1, ds.num_label_channels)
+    for b, i in enumerate(idx):
+        inputs, labels, s_idx, t_idx = ds[int(i)]
+        np.testing.assert_array_equal(
+            batch.inputs[b][..., ds.in_offsets[InputDataKeys.VEL][0]:
+                            ds.in_offsets[InputDataKeys.VEL][0] + 23],
+            inputs[InputDataKeys.VEL])
+        assert batch.subject_indices[b] == s_idx
+        assert batch.trial_indices[b] == t_idx
+
+
+def test_epoch_batches_shard_and_drop_last(data_dir):
+    ds = WindowDataset(data_dir, window_size=20, stride=5)
+    bs = 16
+    all_batches = list(ds.batches(bs, seed=1))
+    assert all(b.inputs.shape[0] == bs for b in all_batches)
+    # two shards partition the (shuffled) index space
+    sh0 = list(ds.batches(bs, seed=1, shard_index=0, num_shards=2))
+    sh1 = list(ds.batches(bs, seed=1, shard_index=1, num_shards=2))
+    assert abs(len(sh0) - len(sh1)) <= 1
