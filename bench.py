@@ -1,0 +1,120 @@
+"""Benchmark: training windows/sec on the current accelerator.
+
+Prints ONE JSON line:
+  {"metric": "train_windows_per_sec", "value": N, "unit": "windows/sec",
+   "vs_baseline": R}
+
+The baseline is the PyTorch reference's equivalent training throughput
+measured on this machine (BASELINE.md: the reference publishes no
+numbers, so the build measures its own anchor). Because nimblephysics is
+unavailable here, the torch baseline is the reference's *model compute
+path only* (same MLP, same batch size 64 — train.py:56, same optimizer)
+fwd+loss+bwd+step on CPU — an upper bound on the reference's real
+throughput, which was additionally data-bound by per-window protobuf
+decodes (SURVEY.md §3.5). Beating the generous bound understates the
+true speedup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+WINDOW, STRIDE, NUM_DOFS, RH, NB = 50, 5, 23, 10, 2
+TPU_BATCH = 4096
+TORCH_BATCH = 64          # reference default (train.py:56-57)
+STEADY_STEPS = 30
+
+
+def _make_dataset(tmp='/tmp/ib_bench_data'):
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    os.makedirs(tmp, exist_ok=True)
+    for i in range(4):
+        p = os.path.join(tmp, f's{i}.b3d')
+        if not os.path.exists(p):
+            write_synthetic_subject(p, num_trials=4, trial_length=4000, seed=i)
+    return WindowDataset(tmp, window_size=WINDOW, stride=STRIDE,
+                         skip_loading_skeletons=True)
+
+
+def bench_jax(ds) -> float:
+    import jax
+    import jax.numpy as jnp
+    from inferbiomechanics_tpu.loss import LossConfig
+    from inferbiomechanics_tpu.models import get_model
+    from inferbiomechanics_tpu.train import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    model = get_model('feedforward', num_dofs=NUM_DOFS, num_contact_bodies=NB,
+                      history_len=WINDOW, stride=STRIDE, root_history_len=RH)
+    batch = ds.gather(np.random.default_rng(0).integers(0, len(ds), TPU_BATCH))
+    x = jnp.asarray(batch.inputs)
+    y = jnp.asarray(batch.labels)
+    state = create_train_state(model, jax.random.PRNGKey(0), x,
+                               make_optimizer('rmsprop', 1e-4))
+    step = make_train_step(model, ds.lab_offsets, LossConfig())
+    rng = jax.random.PRNGKey(1)
+    # warmup / compile
+    state, m = step(state, x, y, rng)
+    jax.block_until_ready(m['loss'])
+    t0 = time.time()
+    for i in range(STEADY_STEPS):
+        state, m = step(state, x, y, jax.random.fold_in(rng, i))
+    jax.block_until_ready(m['loss'])
+    dt = time.time() - t0
+    return STEADY_STEPS * TPU_BATCH / dt
+
+
+def bench_torch_reference(ds) -> float:
+    """Reference-equivalent MLP train throughput in torch on CPU."""
+    import torch
+    torch.manual_seed(0)
+    c_in = ds.num_input_channels * (WINDOW // STRIDE)
+    out_size = NB * 15
+    model = torch.nn.Sequential(
+        torch.nn.Linear(c_in, 512), torch.nn.Sigmoid(),
+        torch.nn.Linear(512, 512), torch.nn.Sigmoid(),
+        torch.nn.Linear(512, out_size))
+    opt = torch.optim.RMSprop(model.parameters(), lr=1e-4)
+    batch = ds.gather(np.arange(TORCH_BATCH))
+    x = torch.tensor(batch.inputs.reshape(TORCH_BATCH, -1))
+    y = torch.tensor(batch.labels[:, -1, :out_size])
+    steps = 20
+    # warmup
+    for _ in range(3):
+        opt.zero_grad(); loss = ((model(x) - y) ** 2).mean(); loss.backward(); opt.step()
+    t0 = time.time()
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = ((model(x) - y) ** 2).mean()
+        loss.backward()
+        opt.step()
+    dt = time.time() - t0
+    return steps * TORCH_BATCH / dt
+
+
+def main():
+    ds = _make_dataset()
+    jax_wps = bench_jax(ds)
+    try:
+        torch_wps = bench_torch_reference(ds)
+    except Exception as e:
+        print(f'torch baseline failed: {e}', file=sys.stderr)
+        torch_wps = None
+    result = {
+        'metric': 'train_windows_per_sec',
+        'value': round(jax_wps, 1),
+        'unit': 'windows/sec',
+        'vs_baseline': round(jax_wps / torch_wps, 2) if torch_wps else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

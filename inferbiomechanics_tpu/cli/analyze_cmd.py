@@ -1,0 +1,117 @@
+"""``analyze`` subcommand.
+
+Capability parity: reference ``src/cli/analyze.py`` — evaluate the latest
+checkpoint (or the analytical baseline) over the dev split then the train
+split, append per-window rows to ``{checkpoint_dir}/dev_analysis.csv`` /
+``train_analysis.csv`` (subject, trial, per-batch metrics), print + log
+the aggregate report every 1000 batches and at the end (ref :112-240).
+Defaults mirror analyze.py:44-47: GRF loss on the vertical component
+only, everything else off.
+
+TPU note: the reference fixes batch_size=1; here ``--batch-size``
+defaults to 1 for row-level parity but any size works — rows are then
+written per batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import jax
+import numpy as np
+
+from inferbiomechanics_tpu.config import add_config_flags, config_from_args, Config
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.loss import RegressionLossEvaluator
+from inferbiomechanics_tpu.train import (
+    create_train_state, load_latest_checkpoint, make_eval_step, make_optimizer,
+)
+from inferbiomechanics_tpu.train.loop import build_model_for_dataset, loss_config_from
+from inferbiomechanics_tpu.utils.wandb_compat import MetricLogger
+
+
+class AnalyzeCommand:
+    name = 'analyze'
+
+    def register_subcommand(self, subparsers) -> None:
+        parser = subparsers.add_parser(
+            'analyze', help='Evaluate a model checkpoint over dev and train splits')
+        defaults = Config(predict_grf_components=[1],
+                          predict_cop_components=[],
+                          predict_moment_components=[],
+                          predict_wrench_components=[],
+                          batch_size=1)
+        add_config_flags(parser, defaults)
+
+    def run(self, args: argparse.Namespace) -> bool:
+        if args.command != 'analyze':
+            return False
+        config = config_from_args(args)
+        checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
+                                      config.model_type)
+
+        ml = MetricLogger(config=vars(args), enabled=not config.no_wandb)
+        lc = loss_config_from(config)
+
+        for split in ('dev', 'train'):
+            ds = WindowDataset(os.path.join(config.dataset_home, split),
+                               window_size=config.window_size,
+                               stride=config.stride,
+                               output_data_format=config.output_data_format,
+                               testing_with_short_dataset=config.short,
+                               skip_loading_skeletons=config.model_type != 'analytical')
+            if len(ds) == 0:
+                print(f'{split}: no windows, skipping')
+                continue
+            evaluator = RegressionLossEvaluator(split, lc, wandb_logger=ml)
+
+            if config.model_type == 'analytical':
+                from inferbiomechanics_tpu.models.analytical import make_analytical_fn
+                predict = make_analytical_fn(ds)
+                eval_fn = None
+            else:
+                model = build_model_for_dataset(config, ds)
+                sample = ds.gather(np.arange(min(config.batch_size, len(ds))))
+                state = create_train_state(
+                    model, jax.random.PRNGKey(0),
+                    jax.numpy.asarray(sample.inputs),
+                    make_optimizer(config.opt_type, config.learning_rate))
+                state, epoch, batch = load_latest_checkpoint(state, checkpoint_dir)
+                if epoch < 0:
+                    print(f'WARNING: no checkpoint found in {checkpoint_dir}; '
+                          f'evaluating a fresh model')
+                eval_fn = make_eval_step(model, ds.lab_offsets, lc)
+
+            csv_path = os.path.join(checkpoint_dir, f'{split}_analysis.csv')
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            with open(csv_path, 'a', newline='') as f:
+                writer = csv.writer(f)
+                for i, batch in enumerate(ds.batches(config.batch_size,
+                                                     shuffle=False, drop_last=False)):
+                    x = jax.numpy.asarray(batch.inputs)
+                    y = jax.numpy.asarray(batch.labels)
+                    if eval_fn is not None:
+                        _outputs, metrics = eval_fn(state, x, y)
+                    else:
+                        outputs = predict(x, batch.subject_indices)
+                        _, metrics = evaluator._jit_core(outputs, ds.unpack_labels(y))
+                    evaluator(x, None, None, precomputed_metrics=metrics)
+                    for b in range(batch.inputs.shape[0]):
+                        s_idx = int(batch.subject_indices[b])
+                        writer.writerow([
+                            os.path.basename(ds.subject_paths[s_idx]),
+                            ds.subjects[s_idx].getTrialName(int(batch.trial_indices[b])),
+                            float(metrics['loss']),
+                            float(metrics['force_avg_err']),
+                            float(metrics['com_acc_avg_err']),
+                        ])
+                    if i > 0 and i % 1000 == 0:
+                        print(f'[{split}] batch {i}:')
+                        evaluator.print_report(reset=False, log_to_wandb=True)
+            print(f'[{split}] final report:')
+            evaluator.print_report(log_to_wandb=True)
+            print(f'wrote {csv_path}')
+        ml.finish()
+        return True

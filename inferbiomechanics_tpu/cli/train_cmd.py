@@ -1,0 +1,72 @@
+"""``train`` subcommand.
+
+Capability parity: reference ``src/cli/train.py`` — same flags, same
+workflow (git-provenance warning, wandb init, train/dev datasets,
+model factory, resume, epoch loop). Distributed setup is implicit: the
+device mesh replaces NCCL process groups (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from inferbiomechanics_tpu.config import add_config_flags, config_from_args
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.train.loop import train
+from inferbiomechanics_tpu.utils.gitinfo import get_git_hash, has_uncommitted_changes
+from inferbiomechanics_tpu.utils.wandb_compat import MetricLogger
+
+logger = logging.getLogger(__name__)
+
+
+class TrainCommand:
+    name = 'train'
+
+    def register_subcommand(self, subparsers) -> None:
+        parser = subparsers.add_parser(
+            'train', help='Train a model on the AddBiomechanics dataset')
+        add_config_flags(parser)
+
+    def run(self, args: argparse.Namespace) -> bool:
+        if args.command != 'train':
+            return False
+        config = config_from_args(args)
+
+        if has_uncommitted_changes():
+            logger.warning('ALERT: You have uncommitted changes — runs may '
+                           'not be reproducible from the recorded git hash.')
+
+        checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
+                                      config.model_type)
+        config.checkpoint_dir = checkpoint_dir
+
+        ml = MetricLogger(
+            config={**vars(args), 'git_hash': get_git_hash()},
+            group=os.environ.get('WANDB_RUN_GROUP'),
+            enabled=not config.no_wandb)
+
+        train_ds = WindowDataset(
+            os.path.join(config.dataset_home, 'train'),
+            window_size=config.window_size, stride=config.stride,
+            output_data_format=config.output_data_format,
+            testing_with_short_dataset=config.short,
+            skip_loading_skeletons=True)
+        dev_ds = WindowDataset(
+            os.path.join(config.dataset_home, 'dev'),
+            window_size=config.window_size, stride=config.stride,
+            output_data_format=config.output_data_format,
+            testing_with_short_dataset=config.short,
+            skip_loading_skeletons=True)
+
+        if config.model_type == 'analytical':
+            print('The analytical baseline has no trainable parameters; '
+                  'use `analyze` to evaluate it.')
+            return True
+
+        result = train(config, train_ds, dev_ds, metric_logger=ml)
+        print(f'Training done: {result.epochs_run} epochs, '
+              f'{result.windows_per_sec:,.0f} windows/sec')
+        ml.finish()
+        return True

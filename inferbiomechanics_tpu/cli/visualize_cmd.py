@@ -1,0 +1,54 @@
+"""``visualize`` subcommand.
+
+Capability parity: reference ``src/cli/visualize.py`` — loads the dev
+split and the latest checkpoint, then plays windows with label (red) vs
+predicted (blue) forces and joint-center markers, served on port 8888
+(ref :123-263). TPU-native: batched prediction + HTML viewer
+(see viz/viewer.py) instead of the NimbleGUI C++ server.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from inferbiomechanics_tpu.config import add_config_flags, config_from_args
+from inferbiomechanics_tpu.cli.visualize_file_cmd import build_viz_payload
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.inference import Predictor
+from inferbiomechanics_tpu.viz.viewer import export_html, serve_file
+
+
+class VisualizeCommand:
+    name = 'visualize'
+
+    def register_subcommand(self, subparsers) -> None:
+        parser = subparsers.add_parser(
+            'visualize', help='Visualize model predictions on the dev split')
+        parser.add_argument('--subject', type=int, default=0)
+        parser.add_argument('--trial', type=int, default=0)
+        parser.add_argument('--out', type=str, default='outputs/visualize.html')
+        parser.add_argument('--serve', action='store_true')
+        parser.add_argument('--port', type=int, default=8888)
+        add_config_flags(parser)
+
+    def run(self, args: argparse.Namespace) -> bool:
+        if args.command != 'visualize':
+            return False
+        config = config_from_args(args)
+        ds = WindowDataset(os.path.join(config.dataset_home, 'dev'),
+                           window_size=config.window_size, stride=config.stride,
+                           testing_with_short_dataset=config.short,
+                           skip_loading_skeletons=True)
+        predictor = None
+        if config.model_type != 'analytical':
+            checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
+                                          config.model_type)
+            predictor = Predictor(config, checkpoint_dir, ds)
+        payload = build_viz_payload(ds, args.subject, args.trial, predictor)
+        path = export_html(args.out, payload, title=f'dev subject {args.subject} '
+                                                    f'trial {args.trial}')
+        print(f'wrote viewer: {path}')
+        if args.serve:
+            serve_file(path, args.port)
+        return True

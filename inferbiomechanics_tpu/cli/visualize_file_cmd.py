@@ -1,0 +1,107 @@
+"""``visualize-file`` subcommand.
+
+Capability parity: reference ``src/cli/visualize_file.py`` — single
+``.b3d`` viewer on port 8080: sliding-window model predictions per frame,
+label vs predicted forces at CoPs, frames with missing GRF flagged red,
+predicted forces zeroed when a foot's share of total force < 0.3
+(ref :267-277). TPU-native: all windows of the trial are predicted in one
+batched pass, then exported to the HTML viewer (optionally served).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from inferbiomechanics_tpu.config import add_config_flags, config_from_args
+from inferbiomechanics_tpu.data.b3d import MissingGRFReason
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.data.keys import OutputDataKeys
+from inferbiomechanics_tpu.inference import Predictor
+from inferbiomechanics_tpu.viz.viewer import STANDARD_BONES, export_html, serve_file
+
+
+def build_viz_payload(ds: WindowDataset, subject_index: int, trial: int,
+                      predictor=None):
+    """Assemble viewer frames for one trial (joints, forces, missing flags)."""
+    subject = ds.subjects[subject_index]
+    kin = subject.trial_pass_matrix(trial, 0)
+    offs = subject.field_offsets
+    missing = [int(r) != int(MissingGRFReason.notMissingGRF)
+               for r in subject.getMissingGRF(trial)]
+    o_jc, w_jc = offs['jointCentersInRootFrame']
+    o_cop, w_cop = offs['groundContactCenterOfPressureInRootFrame']
+    o_f, w_f = offs['groundContactForceInRootFrame']
+    mass = subject.getMassKg()
+    nb = w_f // 3
+
+    pred_f = pred_c = None
+    pred_at = {}
+    if predictor is not None:
+        pred = predictor.predict_trial(subject_index, trial)
+        if pred is not None:
+            forces, cops = predictor.predict_forces_at_frames(pred)
+            for i, fr in enumerate(pred.last_frame):
+                pred_at[int(fr)] = (forces[i], cops[i])
+
+    frames = []
+    T = kin.shape[0]
+    for i in range(T):
+        joints = kin[i, o_jc:o_jc + w_jc].reshape(12, 3).tolist()
+        label_forces = []
+        for b in range(nb):
+            cop = kin[i, o_cop + 3 * b:o_cop + 3 * b + 3]
+            f = kin[i, o_f + 3 * b:o_f + 3 * b + 3] / mass
+            label_forces.append([cop.tolist(), f.tolist()])
+        fr = {'joints': joints, 'bones': STANDARD_BONES,
+              'label_forces': label_forces, 'missing_grf': bool(missing[i])}
+        if i in pred_at:
+            pf, pc = pred_at[i]
+            pf = pf.reshape(nb, 3)
+            pc = pc.reshape(nb, 3)
+            fr['pred_forces'] = [[pc[b].tolist(), pf[b].tolist()]
+                                 for b in range(nb)]
+        frames.append(fr)
+    return {'dt': subject.getTrialTimestep(trial), 'frames': frames}
+
+
+class VisualizeFileCommand:
+    name = 'visualize-file'
+
+    def register_subcommand(self, subparsers) -> None:
+        parser = subparsers.add_parser(
+            'visualize-file', help='Visualize a single .b3d subject file')
+        parser.add_argument('--file', type=str, required=True,
+                            help='Path to the .b3d file to visualize')
+        parser.add_argument('--trial', type=int, default=0)
+        parser.add_argument('--out', type=str, default='outputs/visualize_file.html')
+        parser.add_argument('--serve', action='store_true',
+                            help='Serve the viewer on port 8080')
+        parser.add_argument('--port', type=int, default=8080)
+        parser.add_argument('--no-model', action='store_true',
+                            help='Skip model predictions (labels only)')
+        add_config_flags(parser)
+
+    def run(self, args: argparse.Namespace) -> bool:
+        if args.command != 'visualize-file':
+            return False
+        config = config_from_args(args)
+        ds = WindowDataset(args.file, window_size=config.window_size,
+                           stride=config.stride, skip_loading_skeletons=True)
+        predictor = None
+        if not args.no_model and config.model_type != 'analytical':
+            checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
+                                          config.model_type)
+            predictor = Predictor(config, checkpoint_dir, ds)
+            if predictor.epoch < 0:
+                print('WARNING: no checkpoint found; predictions come from '
+                      'an untrained model')
+        payload = build_viz_payload(ds, 0, args.trial, predictor)
+        path = export_html(args.out, payload,
+                           title=os.path.basename(args.file))
+        print(f'wrote viewer: {path}')
+        if args.serve:
+            serve_file(path, args.port)
+        return True

@@ -1,0 +1,138 @@
+"""One typed config schema shared by every entry point.
+
+The reference re-declares ~20 argparse flags per command with drifting
+defaults (SURVEY.md §5 "Config / flag system"); here a single dataclass
+carries the schema, each CLI command binds it to argparse with the
+reference's flag names (train.py:24-69), and the full config is dumped to
+the metric logger for provenance.
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field, fields
+from typing import List, Optional
+
+
+@dataclass
+class Config:
+    # data
+    dataset_home: str = '../data'
+    window_size: int = 50           # --history-len
+    stride: int = 5
+    output_data_format: str = 'last_frame'   # {all_frames, last_frame}
+    trial_filter: Optional[str] = None
+    short: bool = False
+    data_loading_workers: int = 1
+    geometry_folder: str = ''
+
+    # model
+    model_type: str = 'feedforward'  # {analytical,feedforward,groundlink,transformer,diffusion}
+    checkpoint_dir: str = '../checkpoints'
+    hidden_dims: List[int] = field(default_factory=lambda: [512, 512])
+    activation: str = 'sigmoid'
+    dropout: bool = False
+    dropout_prob: float = 0.0
+    batchnorm: bool = False
+    d_model: int = 256
+    num_layers: int = 4
+    num_heads: int = 8
+
+    # optimization
+    learning_rate: float = 1e-4
+    opt_type: str = 'rmsprop'
+    epochs: int = 10
+    batch_size: int = 64
+
+    # loss component selection (reference train.py:58-65)
+    predict_grf_components: List[int] = field(default_factory=lambda: [0, 1, 2, 3, 4, 5])
+    predict_cop_components: List[int] = field(default_factory=list)
+    predict_moment_components: List[int] = field(default_factory=list)
+    predict_wrench_components: List[int] = field(default_factory=list)
+
+    # reporting
+    no_wandb: bool = False
+    compute_report: bool = False
+    checkpoint_every_batches: int = 1000
+    log_every_batches: int = 100
+
+    # diffusion
+    diffusion_timesteps: int = 1000
+
+    # parallelism
+    model_parallel: int = 1
+
+    @property
+    def history_len(self) -> int:
+        return self.window_size
+
+
+def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config] = None) -> None:
+    """Bind the schema to argparse with the reference's flag names."""
+    d = defaults or Config()
+    parser.add_argument('--dataset-home', type=str, default=d.dataset_home,
+                        help='The path to the AddBiomechanics dataset.')
+    parser.add_argument('--model-type', type=str, default=d.model_type,
+                        choices=['analytical', 'feedforward', 'groundlink',
+                                 'transformer', 'diffusion'])
+    parser.add_argument('--output-data-format', type=str, default=d.output_data_format,
+                        choices=['all_frames', 'last_frame'])
+    parser.add_argument('--no-wandb', action='store_true', default=d.no_wandb)
+    parser.add_argument('--checkpoint-dir', type=str, default=d.checkpoint_dir)
+    parser.add_argument('--geometry-folder', type=str, default=d.geometry_folder)
+    parser.add_argument('--history-len', type=int, default=d.window_size,
+                        help='Number of frames of context (raw frames).')
+    parser.add_argument('--stride', type=int, default=d.stride)
+    parser.add_argument('--learning-rate', type=float, default=d.learning_rate)
+    parser.add_argument('--dropout', action='store_true', default=d.dropout)
+    parser.add_argument('--dropout-prob', type=float, default=d.dropout_prob)
+    parser.add_argument('--hidden-dims', type=int, nargs='+', default=d.hidden_dims)
+    parser.add_argument('--batchnorm', action='store_true', default=d.batchnorm)
+    parser.add_argument('--activation', type=str, default=d.activation)
+    parser.add_argument('--epochs', type=int, default=d.epochs)
+    parser.add_argument('--opt-type', type=str, default=d.opt_type)
+    parser.add_argument('--batch-size', type=int, default=d.batch_size)
+    parser.add_argument('--short', action='store_true', default=d.short)
+    parser.add_argument('--data-loading-workers', type=int, default=d.data_loading_workers)
+    parser.add_argument('--predict-grf-components', type=int, nargs='*',
+                        default=d.predict_grf_components)
+    parser.add_argument('--predict-cop-components', type=int, nargs='*',
+                        default=d.predict_cop_components)
+    parser.add_argument('--predict-moment-components', type=int, nargs='*',
+                        default=d.predict_moment_components)
+    parser.add_argument('--predict-wrench-components', type=int, nargs='*',
+                        default=d.predict_wrench_components)
+    parser.add_argument('--trial-filter', type=str, default=d.trial_filter)
+    parser.add_argument('--compute-report', action='store_true', default=d.compute_report)
+    parser.add_argument('--d-model', type=int, default=d.d_model)
+    parser.add_argument('--num-layers', type=int, default=d.num_layers)
+    parser.add_argument('--num-heads', type=int, default=d.num_heads)
+    parser.add_argument('--diffusion-timesteps', type=int, default=d.diffusion_timesteps)
+    parser.add_argument('--model-parallel', type=int, default=d.model_parallel)
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    cfg = Config()
+    mapping = {
+        'dataset_home': 'dataset_home', 'model_type': 'model_type',
+        'output_data_format': 'output_data_format', 'no_wandb': 'no_wandb',
+        'checkpoint_dir': 'checkpoint_dir', 'geometry_folder': 'geometry_folder',
+        'window_size': 'history_len', 'stride': 'stride',
+        'learning_rate': 'learning_rate', 'dropout': 'dropout',
+        'dropout_prob': 'dropout_prob', 'hidden_dims': 'hidden_dims',
+        'batchnorm': 'batchnorm', 'activation': 'activation',
+        'epochs': 'epochs', 'opt_type': 'opt_type', 'batch_size': 'batch_size',
+        'short': 'short', 'data_loading_workers': 'data_loading_workers',
+        'predict_grf_components': 'predict_grf_components',
+        'predict_cop_components': 'predict_cop_components',
+        'predict_moment_components': 'predict_moment_components',
+        'predict_wrench_components': 'predict_wrench_components',
+        'trial_filter': 'trial_filter', 'compute_report': 'compute_report',
+        'd_model': 'd_model', 'num_layers': 'num_layers',
+        'num_heads': 'num_heads', 'diffusion_timesteps': 'diffusion_timesteps',
+        'model_parallel': 'model_parallel',
+    }
+    for cfg_field, arg_name in mapping.items():
+        if hasattr(args, arg_name):
+            setattr(cfg, cfg_field, getattr(args, arg_name))
+    return cfg

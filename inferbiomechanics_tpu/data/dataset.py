@@ -115,9 +115,14 @@ class WindowDataset:
                 for f in sorted(files):
                     if f.endswith('.b3d') and 'vander' not in f.lower():
                         self.subject_paths.append(os.path.join(root, f))
-        else:
-            assert data_path.endswith('.b3d')
+        elif os.path.isfile(data_path):
+            if not data_path.endswith('.b3d'):
+                raise ValueError(f'{data_path}: expected a .b3d subject file')
             self.subject_paths.append(data_path)
+        else:
+            raise FileNotFoundError(
+                f'{data_path}: no such file or directory (expected a .b3d '
+                f'file or a directory containing .b3d files)')
         if testing_with_short_dataset:
             self.subject_paths = self.subject_paths[11:12] or self.subject_paths[:1]
         self.subject_indices = {p: i for i, p in enumerate(self.subject_paths)}

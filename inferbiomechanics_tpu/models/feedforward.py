@@ -1,0 +1,81 @@
+"""Feedforward MLP baseline.
+
+Capability parity: reference ``src/models/FeedForwardRegressionBaseline.py``
+— an MLP over the flattened window of all 10 input streams, configurable
+hidden dims / activation / dropout / batchnorm, emitting the 4 contact
+output groups per output frame. Differences by design:
+
+- contact-body count is generic (the reference hard-assumes 2, ref :116-120);
+- the root-history width is taken from the data's ``root_history_len``
+  (the reference inconsistently asserts ``stride*3``, ref :92-94 — a
+  latent bug SURVEY.md §2.5 says not to replicate);
+- compute runs in bf16 on the MXU with fp32 params/outputs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from inferbiomechanics_tpu.models.common import (
+    ModelInput, output_head_size, pack_inputs, slice_output_heads,
+)
+
+ACTIVATIONS = {
+    'relu': nn.relu,
+    'tanh': jnp.tanh,
+    'sigmoid': nn.sigmoid,
+    'gelu': nn.gelu,
+    'elu': nn.elu,
+}
+
+
+class FeedForwardBaseline(nn.Module):
+    num_dofs: int
+    num_contact_bodies: int
+    history_len: int                  # raw-frame window length
+    stride: int
+    root_history_len: int
+    output_data_format: str = 'last_frame'
+    activation: str = 'sigmoid'
+    hidden_dims: Sequence[int] = (512, 512)
+    batchnorm: bool = False
+    dropout: bool = False
+    dropout_prob: float = 0.0
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def num_frames(self) -> int:
+        return self.history_len // self.stride
+
+    @property
+    def num_output_frames(self) -> int:
+        return self.num_frames if self.output_data_format == 'all_frames' else 1
+
+    @nn.compact
+    def __call__(self, inputs: ModelInput, *, train: bool = False):
+        x = pack_inputs(inputs)                      # [B, T, C_in]
+        assert x.ndim == 3, f'expected (B, T, C), got {x.shape}'
+        b = x.shape[0]
+        x = x.reshape(b, -1).astype(self.compute_dtype)
+        act = ACTIVATIONS[self.activation]
+        for h in self.hidden_dims:
+            if self.dropout:
+                x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
+            if self.batchnorm:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 dtype=self.compute_dtype)(x)
+            x = nn.Dense(h, dtype=self.compute_dtype)(x)
+            x = act(x)
+        if self.dropout:
+            x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
+        if self.batchnorm:
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.compute_dtype)(x)
+        out = nn.Dense(output_head_size(self.num_contact_bodies, self.num_output_frames),
+                       dtype=self.compute_dtype)(x)
+        out = out.astype(jnp.float32)
+        return slice_output_heads(out, self.num_contact_bodies, self.num_output_frames)

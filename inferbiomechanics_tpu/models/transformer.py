@@ -1,0 +1,114 @@
+"""Transformer sequence regressor — the flagship learned model.
+
+Capability: the reference ships a bit-rotted ``TransformerBaseline``
+(src/models/TransformerBaseline.py — self-attention encoder with learned
+temporal embedding) written against a long-dead key schema and not
+reachable from its model factory (SURVEY.md §2.8). This module implements
+that *capability* against the current schema: a pre-LN transformer encoder
+over the window's frames with a learned temporal embedding, emitting the
+4 contact output groups per frame (or last frame only), plus optional
+auxiliary heads for tau / COM-acc / contact — the quantities
+BASELINE.json's config #3 calls for ("transformer sequence model
+predicting GRF + joint torques on 50-frame windows").
+
+TPU notes: bf16 compute; all matmuls are [B*T, D]-shaped MXU work; window
+lengths are short (10-50 frames) so flash-attention kernels are not the
+bottleneck — batch size is. Sequence length stays a config knob.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from inferbiomechanics_tpu.data import keys as K
+from inferbiomechanics_tpu.models.common import (
+    ModelInput, output_head_size, pack_inputs, slice_output_heads,
+)
+
+
+class EncoderBlock(nn.Module):
+    d_model: int
+    num_heads: int
+    mlp_ratio: int = 4
+    dropout: float = 0.0
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        y = nn.LayerNorm(dtype=self.compute_dtype)(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.compute_dtype,
+            dropout_rate=self.dropout, deterministic=not train)(y, y)
+        x = x + y
+        y = nn.LayerNorm(dtype=self.compute_dtype)(x)
+        y = nn.Dense(self.d_model * self.mlp_ratio, dtype=self.compute_dtype)(y)
+        y = nn.gelu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.Dense(self.d_model, dtype=self.compute_dtype)(y)
+        return x + y
+
+
+class TransformerRegressor(nn.Module):
+    num_dofs: int
+    num_contact_bodies: int
+    history_len: int
+    stride: int
+    output_data_format: str = 'last_frame'
+    d_model: int = 256
+    num_layers: int = 4
+    num_heads: int = 8
+    mlp_ratio: int = 4
+    dropout: float = 0.0
+    predict_tau: bool = True
+    predict_com_acc: bool = True
+    predict_contact: bool = True
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def num_frames(self) -> int:
+        return self.history_len // self.stride
+
+    @property
+    def num_output_frames(self) -> int:
+        return self.num_frames if self.output_data_format == 'all_frames' else 1
+
+    @nn.compact
+    def __call__(self, inputs: ModelInput, *, train: bool = False) -> Dict[str, jax.Array]:
+        x = pack_inputs(inputs)                      # [B, T, C_in]
+        assert x.ndim == 3, f'expected (B, T, C), got {x.shape}'
+        t = x.shape[1]
+        x = nn.Dense(self.d_model, dtype=self.compute_dtype)(x.astype(self.compute_dtype))
+        # learned temporal embedding (capability of ref TransformerBaseline.py:93-96)
+        pos = self.param('temporal_embedding',
+                         nn.initializers.normal(0.02), (t, self.d_model))
+        x = x + pos.astype(self.compute_dtype)[None]
+        for _ in range(self.num_layers):
+            x = EncoderBlock(self.d_model, self.num_heads, self.mlp_ratio,
+                             self.dropout, self.compute_dtype)(x, train=train)
+        x = nn.LayerNorm(dtype=self.compute_dtype)(x)
+
+        if self.output_data_format != 'all_frames':
+            x = x[:, -1:, :]
+
+        per_frame = output_head_size(self.num_contact_bodies, 1)
+        main = nn.Dense(per_frame, dtype=self.compute_dtype,
+                        name='contact_head')(x).astype(jnp.float32)
+        out = slice_output_heads(main, self.num_contact_bodies, main.shape[1])
+
+        if self.predict_tau:
+            out[K.OutputDataKeys.TAU] = nn.Dense(
+                self.num_dofs, dtype=self.compute_dtype,
+                name='tau_head')(x).astype(jnp.float32)
+        if self.predict_com_acc:
+            out[K.OutputDataKeys.COM_ACC_IN_ROOT_FRAME] = nn.Dense(
+                3, dtype=self.compute_dtype,
+                name='com_acc_head')(x).astype(jnp.float32)
+        if self.predict_contact:
+            out[K.OutputDataKeys.CONTACT] = nn.Dense(
+                self.num_contact_bodies, dtype=self.compute_dtype,
+                name='contact_cls_head')(x).astype(jnp.float32)
+        return out

