@@ -65,7 +65,12 @@ class AnalyzeCommand:
             if len(ds) == 0:
                 print(f'{split}: no windows, skipping')
                 continue
-            evaluator = RegressionLossEvaluator(split, lc, wandb_logger=ml)
+            tau_fn = None
+            if config.compute_report:
+                from inferbiomechanics_tpu.loss.tau_report import make_tau_report_fn
+                tau_fn = make_tau_report_fn(ds)
+            evaluator = RegressionLossEvaluator(split, lc, tau_fn=tau_fn,
+                                                wandb_logger=ml)
 
             if config.model_type == 'analytical':
                 from inferbiomechanics_tpu.models.analytical import make_analytical_fn
@@ -93,11 +98,18 @@ class AnalyzeCommand:
                     x = jax.numpy.asarray(batch.inputs)
                     y = jax.numpy.asarray(batch.labels)
                     if eval_fn is not None:
-                        _outputs, metrics = eval_fn(state, x, y)
+                        outputs, metrics = eval_fn(state, x, y)
                     else:
                         outputs = predict(x, batch.subject_indices)
+                        if config.output_data_format != 'all_frames':
+                            # analytical predicts every window frame; compare
+                            # on the label frame(s) only
+                            outputs = {k: v[:, -1:, :] for k, v in outputs.items()}
                         _, metrics = evaluator._jit_core(outputs, ds.unpack_labels(y))
-                    evaluator(x, None, None, precomputed_metrics=metrics)
+                    evaluator(x, outputs, ds.unpack_labels(y),
+                              batch.subject_indices,
+                              compute_report=config.compute_report,
+                              precomputed_metrics=metrics)
                     for b in range(batch.inputs.shape[0]):
                         s_idx = int(batch.subject_indices[b])
                         writer.writerow([

@@ -112,8 +112,13 @@ def train(config: Config,
     train_step = make_train_step(model, train_ds.lab_offsets, lc)
     eval_step = make_eval_step(model, train_ds.lab_offsets, lc)
 
+    tau_fn = None
+    if config.compute_report and dev_ds is not None:
+        from inferbiomechanics_tpu.loss.tau_report import make_tau_report_fn
+        tau_fn = make_tau_report_fn(dev_ds)
     train_eval = RegressionLossEvaluator('train', lc, wandb_logger=metric_logger)
-    dev_eval = RegressionLossEvaluator('dev', lc, wandb_logger=metric_logger)
+    dev_eval = RegressionLossEvaluator('dev', lc, tau_fn=tau_fn,
+                                       wandb_logger=metric_logger)
 
     train_loader = PrefetchLoader(train_ds, config.batch_size, sharding=sharding,
                                   shard_index=jax.process_index(),
@@ -133,8 +138,12 @@ def train(config: Config,
         # -- dev eval before the epoch (ref train.py:207-226) --------------
         if dev_loader is not None:
             for batch in dev_loader.epoch(seed=epoch):
-                _outputs, metrics = eval_step(state, batch.inputs, batch.labels)
-                dev_eval(batch.inputs, None, None, precomputed_metrics=metrics)
+                outputs, metrics = eval_step(state, batch.inputs, batch.labels)
+                dev_eval(batch.inputs, outputs,
+                         dev_ds.unpack_labels(batch.labels),
+                         batch.subject_indices,
+                         compute_report=config.compute_report,
+                         precomputed_metrics=metrics)
             print(f'[epoch {epoch}] dev report:')
             final_dev = dev_eval.print_report(log_to_wandb=metric_logger is not None)
 
