@@ -65,7 +65,11 @@ class TrainCommand:
                   'use `analyze` to evaluate it.')
             return True
 
-        result = train(config, train_ds, dev_ds, metric_logger=ml)
+        if config.model_type == 'diffusion':
+            from inferbiomechanics_tpu.train.diffusion_loop import train_diffusion
+            result = train_diffusion(config, train_ds, dev_ds, metric_logger=ml)
+        else:
+            result = train(config, train_ds, dev_ds, metric_logger=ml)
         print(f'Training done: {result.epochs_run} epochs, '
               f'{result.windows_per_sec:,.0f} windows/sec')
         ml.finish()

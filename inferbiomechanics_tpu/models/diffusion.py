@@ -1,0 +1,206 @@
+"""Conditional diffusion denoiser over motion windows (DDPM).
+
+Capability: BASELINE.json config #4 — "diffusion denoiser (transformer
+backbone, DDPM schedule) training + sampling on motion windows". The
+reference repo only attests this model via its gitignored launch script
+(src/.gitignore:9, SURVEY.md §7.6); no source exists, so this is built
+to the spec: a transformer backbone that denoises the per-frame physics
+outputs (CoPs / forces / torques / wrenches) conditioned on the window's
+kinematic input features and a sinusoidal timestep embedding.
+
+TPU notes: the sampling loop is a ``lax.scan`` over schedule steps (one
+compiled program regardless of step count); bf16 compute everywhere; the
+cosine alpha-bar schedule is precomputed host-side into constants.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from inferbiomechanics_tpu.models.common import ModelInput, pack_inputs, slice_output_heads
+from inferbiomechanics_tpu.models.transformer import EncoderBlock
+
+
+# ---------------------------------------------------------------------------
+# Noise schedule
+# ---------------------------------------------------------------------------
+
+class DDPMSchedule:
+    """Precomputed DDPM constants (cosine schedule, Nichol & Dhariwal)."""
+
+    def __init__(self, timesteps: int = 1000, s: float = 0.008):
+        self.timesteps = timesteps
+        t = np.linspace(0, timesteps, timesteps + 1)
+        f = np.cos((t / timesteps + s) / (1 + s) * np.pi / 2) ** 2
+        alpha_bar = f / f[0]
+        betas = np.clip(1 - alpha_bar[1:] / alpha_bar[:-1], 0, 0.999)
+        self.betas = jnp.asarray(betas, jnp.float32)
+        self.alphas = 1.0 - self.betas
+        self.alpha_bars = jnp.asarray(alpha_bar[1:], jnp.float32)
+
+    def q_sample(self, x0: jax.Array, t: jax.Array, noise: jax.Array) -> jax.Array:
+        """Forward process: x_t = √ᾱ_t x0 + √(1−ᾱ_t) ε. t: [B] ints."""
+        ab = self.alpha_bars[t][:, None, None]
+        return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * noise
+
+
+def timestep_embedding(t: jax.Array, dim: int) -> jax.Array:
+    """Sinusoidal embedding of integer timesteps [B] -> [B, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(-np.log(10000.0) * jnp.arange(half) / half)
+    args = t[:, None].astype(jnp.float32) * freqs[None]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Denoiser network
+# ---------------------------------------------------------------------------
+
+class DiffusionDenoiser(nn.Module):
+    num_dofs: int
+    num_contact_bodies: int
+    history_len: int
+    stride: int
+    d_model: int = 256
+    num_layers: int = 4
+    num_heads: int = 8
+    mlp_ratio: int = 4
+    timesteps: int = 1000
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def num_frames(self) -> int:
+        return self.history_len // self.stride
+
+    @property
+    def target_channels(self) -> int:
+        # per-frame [CoPs 3nb | forces 3nb | torques 3nb | wrenches 6nb]
+        return self.num_contact_bodies * (3 * 3 + 6)
+
+    @nn.compact
+    def __call__(self, noisy_targets: jax.Array, t: jax.Array,
+                 cond_inputs: ModelInput, *, train: bool = False) -> jax.Array:
+        """Predict the noise ε given x_t, timestep, and motion conditioning."""
+        cond = pack_inputs(cond_inputs)                  # [B, T, C_in]
+        assert noisy_targets.ndim == 3
+        x = nn.Dense(self.d_model, dtype=self.compute_dtype,
+                     name='target_proj')(noisy_targets.astype(self.compute_dtype))
+        c = nn.Dense(self.d_model, dtype=self.compute_dtype,
+                     name='cond_proj')(cond.astype(self.compute_dtype))
+        te = timestep_embedding(t, self.d_model)
+        te = nn.Dense(self.d_model, dtype=self.compute_dtype, name='t_mlp1')(
+            te.astype(self.compute_dtype))
+        te = nn.gelu(te)
+        te = nn.Dense(self.d_model, dtype=self.compute_dtype, name='t_mlp2')(te)
+        pos = self.param('temporal_embedding', nn.initializers.normal(0.02),
+                         (self.num_frames, self.d_model))
+        h = x + c + te[:, None, :] + pos.astype(self.compute_dtype)[None]
+        for _ in range(self.num_layers):
+            h = EncoderBlock(self.d_model, self.num_heads, self.mlp_ratio,
+                             0.0, self.compute_dtype)(h, train=train)
+        h = nn.LayerNorm(dtype=self.compute_dtype)(h)
+        eps = nn.Dense(self.target_channels, dtype=self.compute_dtype,
+                       name='eps_head')(h)
+        return eps.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Training + sampling
+# ---------------------------------------------------------------------------
+
+def diffusion_targets_from_labels(packed_labels: jax.Array,
+                                  lab_offsets: Dict[str, Tuple[int, int]],
+                                  num_contact_bodies: int) -> jax.Array:
+    """[B, T, C_lab] -> [B, T, target_channels] in head-slice order."""
+    from inferbiomechanics_tpu.data.keys import OutputDataKeys as O
+    parts = []
+    for key in (O.GROUND_CONTACT_COPS_IN_ROOT_FRAME,
+                O.GROUND_CONTACT_FORCES_IN_ROOT_FRAME,
+                O.GROUND_CONTACT_TORQUES_IN_ROOT_FRAME,
+                O.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME):
+        o, w = lab_offsets[key]
+        parts.append(packed_labels[..., o:o + w])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def make_diffusion_train_step(model: DiffusionDenoiser,
+                              lab_offsets: Dict[str, Tuple[int, int]],
+                              schedule: Optional[DDPMSchedule] = None,
+                              donate: bool = True):
+    """Jitted ε-prediction MSE step. Labels must be all_frames format."""
+    sched = schedule or DDPMSchedule(model.timesteps)
+
+    def step(state, batch_inputs, batch_labels, rng):
+        x0 = diffusion_targets_from_labels(batch_labels, lab_offsets,
+                                           model.num_contact_bodies)
+        b = x0.shape[0]
+        rng_t, rng_n = jax.random.split(rng)
+        t = jax.random.randint(rng_t, (b,), 0, sched.timesteps)
+        noise = jax.random.normal(rng_n, x0.shape, x0.dtype)
+        x_t = sched.q_sample(x0, t, noise)
+
+        def loss_fn(params):
+            eps = model.apply({'params': params}, x_t, t, batch_inputs,
+                              train=True)
+            loss = jnp.mean((eps - noise) ** 2)
+            return loss, {'loss': loss}
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sampler(model: DiffusionDenoiser,
+                 schedule: Optional[DDPMSchedule] = None,
+                 num_steps: Optional[int] = None,
+                 eta: float = 0.0):
+    """Build ``sample(params, cond_inputs, rng) -> outputs dict``.
+
+    DDIM sampling over an evenly-spaced subset of the schedule
+    (``num_steps``; defaults to the full schedule → DDPM-like when
+    eta=1.0). The loop is a single ``lax.scan``.
+    """
+    sched = schedule or DDPMSchedule(model.timesteps)
+    n = num_steps or sched.timesteps
+    ts = np.linspace(sched.timesteps - 1, 0, n).round().astype(np.int32)
+    ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+
+    def sample(params, cond_inputs, rng):
+        cond = pack_inputs(cond_inputs)
+        b, T = cond.shape[0], cond.shape[1]
+        c_out = model.target_channels
+        rng, rng0 = jax.random.split(rng)
+        x = jax.random.normal(rng0, (b, T, c_out), jnp.float32)
+
+        def body(carry, t_pair):
+            x, rng = carry
+            t, t_prev = t_pair
+            tb = jnp.full((b,), t, jnp.int32)
+            eps = model.apply({'params': params}, x, tb, cond, train=False)
+            ab_t = sched.alpha_bars[t]
+            ab_prev = jnp.where(t_prev >= 0, sched.alpha_bars[jnp.maximum(t_prev, 0)], 1.0)
+            x0_pred = (x - jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(ab_t)
+            # keep x0 in the physical range of kg-normalized targets
+            # (forces ~ ±30 N/kg, CoPs ~ ±2 m) to stop early-step blowups
+            x0_pred = jnp.clip(x0_pred, -50.0, 50.0)
+            sigma = eta * jnp.sqrt((1 - ab_prev) / (1 - ab_t)) * \
+                jnp.sqrt(1 - ab_t / ab_prev)
+            dir_xt = jnp.sqrt(jnp.maximum(1 - ab_prev - sigma ** 2, 0.0)) * eps
+            rng, rng_z = jax.random.split(rng)
+            z = jax.random.normal(rng_z, x.shape, x.dtype)
+            x_next = jnp.sqrt(ab_prev) * x0_pred + dir_xt + \
+                jnp.where(t_prev >= 0, sigma, 0.0) * z
+            return (x_next, rng), None
+
+        (x, _), _ = jax.lax.scan(body, (x, rng),
+                                 (jnp.asarray(ts), jnp.asarray(ts_prev)))
+        return slice_output_heads(x, model.num_contact_bodies, T)
+
+    return jax.jit(sample)

@@ -1,0 +1,130 @@
+"""Training loop for the diffusion denoiser (BASELINE config #4).
+
+Same epoch structure as the regression loop (dev-eval-before-epoch,
+periodic checkpoints), but the step is ε-prediction MSE and the dev
+evaluation SAMPLES the model (fast DDIM subset) and scores the samples
+with the standard regression metric engine — so diffusion runs report
+the same Force/CoP/COM-acc schema as every other model.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inferbiomechanics_tpu.config import Config
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.data.loader import PrefetchLoader
+from inferbiomechanics_tpu.loss import RegressionLossEvaluator
+from inferbiomechanics_tpu.models.diffusion import (
+    DDPMSchedule, DiffusionDenoiser, make_diffusion_train_step, make_sampler,
+)
+from inferbiomechanics_tpu.parallel import make_mesh, batch_sharding, replicate
+from inferbiomechanics_tpu.train.checkpoint import (
+    load_latest_checkpoint, save_checkpoint,
+)
+from inferbiomechanics_tpu.train.loop import TrainResult, loss_config_from
+from inferbiomechanics_tpu.train.optimizers import make_optimizer
+from inferbiomechanics_tpu.train.state import TrainState, num_params
+
+logger = logging.getLogger(__name__)
+
+EVAL_SAMPLE_STEPS = 50   # DDIM steps for dev-set sampling
+
+
+def train_diffusion(config: Config,
+                    train_ds: WindowDataset,
+                    dev_ds: Optional[WindowDataset] = None,
+                    metric_logger=None,
+                    max_batches_per_epoch: Optional[int] = None) -> TrainResult:
+    if config.output_data_format != 'all_frames':
+        raise ValueError('diffusion training requires --output-data-format '
+                         'all_frames (the denoiser models whole windows)')
+    mesh = make_mesh(model_parallel=config.model_parallel)
+    sharding = batch_sharding(mesh)
+
+    model = DiffusionDenoiser(
+        num_dofs=train_ds.num_dofs,
+        num_contact_bodies=train_ds.num_contact_bodies,
+        history_len=config.window_size, stride=config.stride,
+        d_model=config.d_model, num_layers=config.num_layers,
+        num_heads=config.num_heads, timesteps=config.diffusion_timesteps)
+    sched = DDPMSchedule(config.diffusion_timesteps)
+    lc = loss_config_from(config)
+
+    sample_b = train_ds.gather(np.arange(min(config.batch_size, len(train_ds))))
+    x_cond = jnp.asarray(sample_b.inputs)
+    x0 = jnp.zeros((x_cond.shape[0], x_cond.shape[1], model.target_channels))
+    t0 = jnp.zeros((x_cond.shape[0],), jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({'params': rng}, x0, t0, x_cond, train=False)
+    tx = make_optimizer(config.opt_type, config.learning_rate)
+    state = TrainState(step=jnp.asarray(0, jnp.int32),
+                       params=variables['params'],
+                       opt_state=tx.init(variables['params']),
+                       batch_stats={}, tx=tx, apply_fn=model.apply)
+    logger.info('diffusion model: %d params', num_params(state))
+
+    state, ckpt_epoch, _ = load_latest_checkpoint(state, config.checkpoint_dir)
+    start_epoch = ckpt_epoch + 1
+    state = replicate(mesh, state)
+
+    step = make_diffusion_train_step(model, train_ds.lab_offsets, sched)
+    sampler = make_sampler(model, sched, num_steps=EVAL_SAMPLE_STEPS)
+    dev_eval = RegressionLossEvaluator('dev', lc, wandb_logger=metric_logger)
+
+    train_loader = PrefetchLoader(train_ds, config.batch_size, sharding=sharding,
+                                  shard_index=jax.process_index(),
+                                  num_shards=jax.process_count())
+    dev_loader = (PrefetchLoader(dev_ds, config.batch_size, shuffle=False,
+                                 sharding=sharding,
+                                 shard_index=jax.process_index(),
+                                 num_shards=jax.process_count())
+                  if dev_ds is not None and len(dev_ds) >= config.batch_size else None)
+
+    windows_seen, compute_time = 0, 0.0
+    final_dev: Dict[str, float] = {}
+    last_loss = float('nan')
+    epochs_run = 0
+
+    for epoch in range(start_epoch, config.epochs):
+        if dev_loader is not None:
+            for batch in dev_loader.epoch(seed=epoch):
+                outputs = sampler(state.params, batch.inputs,
+                                  jax.random.fold_in(rng, 777 + epoch))
+                dev_eval(batch.inputs, None, None,
+                         precomputed_metrics=dev_eval._jit_core(
+                             outputs, dev_ds.unpack_labels(batch.labels))[1])
+            print(f'[epoch {epoch}] dev report (sampled, {EVAL_SAMPLE_STEPS} steps):')
+            final_dev = dev_eval.print_report(log_to_wandb=metric_logger is not None)
+
+        for batch_idx, batch in enumerate(train_loader.epoch(seed=epoch)):
+            if max_batches_per_epoch is not None and batch_idx >= max_batches_per_epoch:
+                break
+            t_step = time.time()
+            state, metrics = step(state, batch.inputs, batch.labels,
+                                  jax.random.fold_in(rng, epoch * 1_000_000 + batch_idx))
+            last_loss = float(metrics['loss'])
+            if batch_idx % config.log_every_batches == 0:
+                if metric_logger is not None:
+                    metric_logger.log({'train/diffusion_loss': last_loss,
+                                       'epoch': epoch, 'batch': batch_idx})
+                logger.info('epoch %d batch %d eps-mse %.6f', epoch, batch_idx, last_loss)
+            if batch_idx > 0 and batch_idx % config.checkpoint_every_batches == 0:
+                save_checkpoint(config.checkpoint_dir, state, epoch, batch_idx)
+            compute_time += time.time() - t_step
+            windows_seen += config.batch_size
+        epochs_run += 1
+        print(f'[epoch {epoch}] eps-mse {last_loss:.6f}')
+        save_checkpoint(config.checkpoint_dir, state, epoch, 0)
+
+    wps = windows_seen / compute_time if compute_time > 0 else 0.0
+    return TrainResult(epochs_run=epochs_run,
+                       final_train_metrics={'eps_mse': last_loss},
+                       final_dev_metrics=final_dev,
+                       windows_per_sec=wps)

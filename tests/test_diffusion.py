@@ -1,0 +1,103 @@
+"""Diffusion denoiser tests: schedule, training step, sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.data.keys import OutputDataKeys
+from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+from inferbiomechanics_tpu.models.diffusion import (
+    DDPMSchedule, DiffusionDenoiser, diffusion_targets_from_labels,
+    make_diffusion_train_step, make_sampler,
+)
+from inferbiomechanics_tpu.train.state import TrainState
+from inferbiomechanics_tpu.train.optimizers import make_optimizer
+
+
+@pytest.fixture(scope='module')
+def ds(tmp_path_factory):
+    d = tmp_path_factory.mktemp('diffdata')
+    write_synthetic_subject(str(d / 's.b3d'), num_trials=1, trial_length=200, seed=0)
+    return WindowDataset(str(d), window_size=20, stride=5,
+                         output_data_format='all_frames',
+                         skip_loading_skeletons=True)
+
+
+def _model(ds, timesteps=64):
+    return DiffusionDenoiser(num_dofs=ds.num_dofs,
+                             num_contact_bodies=ds.num_contact_bodies,
+                             history_len=20, stride=5, d_model=64,
+                             num_layers=2, num_heads=4, timesteps=timesteps)
+
+
+def _state(model, ds):
+    batch = ds.gather(np.arange(8))
+    x_cond = jnp.asarray(batch.inputs)
+    x0 = jnp.zeros((8, 4, model.target_channels))
+    t = jnp.zeros((8,), jnp.int32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x0, t, x_cond)
+    tx = make_optimizer('adam', 1e-3)
+    return TrainState(step=jnp.asarray(0, jnp.int32), params=variables['params'],
+                      opt_state=tx.init(variables['params']), batch_stats={},
+                      tx=tx, apply_fn=model.apply), batch
+
+
+def test_schedule_monotone_alpha_bar():
+    s = DDPMSchedule(100)
+    ab = np.asarray(s.alpha_bars)
+    assert ab.shape == (100,)
+    assert (np.diff(ab) < 0).all()          # strictly decreasing
+    assert 0 < ab[-1] < ab[0] <= 1.0
+    # q_sample at t=0 is nearly clean; at t=T-1 nearly pure noise
+    x0 = jnp.ones((2, 3, 4))
+    noise = jnp.zeros((2, 3, 4))
+    x_t0 = s.q_sample(x0, jnp.zeros(2, jnp.int32), noise)
+    np.testing.assert_allclose(np.asarray(x_t0), np.sqrt(ab[0]), rtol=1e-5)
+
+
+def test_targets_extraction(ds):
+    batch = ds.gather(np.arange(4))
+    x0 = diffusion_targets_from_labels(jnp.asarray(batch.labels),
+                                       ds.lab_offsets, ds.num_contact_bodies)
+    assert x0.shape == (4, 4, 30)
+    labels = ds.unpack_labels(batch.labels)
+    np.testing.assert_allclose(
+        np.asarray(x0[..., :6]),
+        np.asarray(labels[OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME]))
+    np.testing.assert_allclose(
+        np.asarray(x0[..., 6:12]),
+        np.asarray(labels[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]))
+
+
+def test_train_step_reduces_eps_mse(ds):
+    model = _model(ds)
+    state, batch = _state(model, ds)
+    step = make_diffusion_train_step(model, ds.lab_offsets,
+                                     DDPMSchedule(model.timesteps), donate=False)
+    x = jnp.asarray(batch.inputs)
+    y = jnp.asarray(batch.labels)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(40):
+        state, m = step(state, x, y, jax.random.fold_in(rng, i))
+        losses.append(float(m['loss']))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_sampler_shapes_and_determinism(ds):
+    model = _model(ds)
+    state, batch = _state(model, ds)
+    sampler = make_sampler(model, DDPMSchedule(model.timesteps), num_steps=8)
+    out = sampler(state.params, jnp.asarray(batch.inputs), jax.random.PRNGKey(0))
+    assert out[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME].shape == (8, 4, 6)
+    assert out[OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME].shape == (8, 4, 12)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+    # eta=0 DDIM is deterministic given the same rng
+    out2 = sampler(state.params, jnp.asarray(batch.inputs), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(out[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]),
+        np.asarray(out2[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]),
+        atol=1e-6)
