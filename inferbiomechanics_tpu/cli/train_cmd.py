@@ -34,6 +34,12 @@ class TrainCommand:
             return False
         config = config_from_args(args)
 
+        if os.environ.get('IB_MULTIHOST'):
+            # multi-host pod slice: discover topology from the TPU runtime
+            # (replaces the reference's torchrun/NCCL process groups)
+            import jax
+            jax.distributed.initialize()
+
         if has_uncommitted_changes():
             logger.warning('ALERT: You have uncommitted changes — runs may '
                            'not be reproducible from the recorded git hash.')

@@ -62,6 +62,10 @@ class Config:
     # parallelism
     model_parallel: int = 1
 
+    # profiling (SURVEY.md §5: reference has none; rebuild adds JAX profiler)
+    profile: bool = False
+    profile_dir: str = 'outputs/profile'
+
     @property
     def history_len(self) -> int:
         return self.window_size
@@ -109,6 +113,9 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
     parser.add_argument('--num-heads', type=int, default=d.num_heads)
     parser.add_argument('--diffusion-timesteps', type=int, default=d.diffusion_timesteps)
     parser.add_argument('--model-parallel', type=int, default=d.model_parallel)
+    parser.add_argument('--profile', action='store_true', default=d.profile,
+                        help='Capture a JAX profiler trace of the first epoch')
+    parser.add_argument('--profile-dir', type=str, default=d.profile_dir)
 
 
 def config_from_args(args: argparse.Namespace) -> Config:
@@ -131,6 +138,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'd_model': 'd_model', 'num_layers': 'num_layers',
         'num_heads': 'num_heads', 'diffusion_timesteps': 'diffusion_timesteps',
         'model_parallel': 'model_parallel',
+        'profile': 'profile', 'profile_dir': 'profile_dir',
     }
     for cfg_field, arg_name in mapping.items():
         if hasattr(args, arg_name):

@@ -298,17 +298,19 @@ class WindowDataset:
     # -- the hot path --------------------------------------------------------
 
     def gather(self, indices: np.ndarray) -> Batch:
-        """Assemble a fixed-shape batch with two fancy-index gathers."""
+        """Assemble a fixed-shape batch; native C++ threaded gather when the
+        library is built (native/ib_native.cpp), numpy otherwise."""
+        from inferbiomechanics_tpu.data import native
         ft = self.win_ft[indices]
         start = self.win_start[indices]
         base = self.trial_row_offset[ft] + start            # [B]
-        in_rows = base[:, None] + np.arange(0, self.window_size, self.stride)[None, :]
-        inputs = self.features_all[in_rows]                 # [B, W, C_in]
+        frames = self.num_model_frames
+        inputs = native.gather_windows(self.features_all, base, frames, self.stride)
         if self.output_data_format == 'all_frames':
-            lab_rows = in_rows
+            labels = native.gather_windows(self.labels_all, base, frames, self.stride)
         else:
-            lab_rows = (base + (self.num_model_frames - 1) * self.stride)[:, None]
-        labels = self.labels_all[lab_rows]                  # [B, out_frames, C_lab]
+            last = base + (frames - 1) * self.stride
+            labels = native.gather_windows(self.labels_all, last, 1, 1)
         return Batch(inputs=inputs, labels=labels,
                      subject_indices=self.win_subject[indices],
                      trial_indices=self.win_trial[indices])

@@ -134,6 +134,14 @@ def train(config: Config,
     final_dev: Dict[str, float] = {}
     epochs_run = 0
 
+    profiling = False
+    if config.profile:
+        import os as _os
+        _os.makedirs(config.profile_dir, exist_ok=True)
+        jax.profiler.start_trace(config.profile_dir)
+        profiling = True
+        logger.info('JAX profiler trace -> %s', config.profile_dir)
+
     for epoch in range(start_epoch, config.epochs):
         # -- dev eval before the epoch (ref train.py:207-226) --------------
         if dev_loader is not None:
@@ -167,6 +175,11 @@ def train(config: Config,
             compute_time += time.time() - t0
             windows_seen += config.batch_size
         epochs_run += 1
+        if profiling:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info('profiler trace written to %s', config.profile_dir)
         print(f'[epoch {epoch}] train report ({time.time() - t_epoch:.1f}s):')
         train_metrics = train_eval.print_report(log_to_wandb=metric_logger is not None)
         save_checkpoint(config.checkpoint_dir, state, epoch, 0)
