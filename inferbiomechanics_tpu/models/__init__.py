@@ -34,7 +34,8 @@ def get_model(model_type: str,
               dropout_prob: float = 0.0,
               d_model: int = 256,
               num_layers: int = 4,
-              num_heads: int = 8):
+              num_heads: int = 8,
+              use_pallas: bool = False):
     """Build a model by name. 'analytical' has no learnable parameters and is
     served by :mod:`inferbiomechanics_tpu.models.analytical` instead."""
     if model_type == 'feedforward':
@@ -44,7 +45,8 @@ def get_model(model_type: str,
             root_history_len=root_history_len,
             output_data_format=output_data_format, activation=activation,
             hidden_dims=tuple(hidden_dims), batchnorm=batchnorm,
-            dropout=dropout, dropout_prob=dropout_prob)
+            dropout=dropout, dropout_prob=dropout_prob,
+            use_pallas=use_pallas)
     if model_type == 'groundlink':
         return Groundlink(
             num_dofs=num_dofs, num_contact_bodies=num_contact_bodies,
