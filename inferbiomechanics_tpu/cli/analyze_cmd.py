@@ -61,6 +61,7 @@ class AnalyzeCommand:
                                stride=config.stride,
                                output_data_format=config.output_data_format,
                                testing_with_short_dataset=config.short,
+                               trial_filter=config.trial_filter,
                                skip_loading_skeletons=config.model_type != 'analytical')
             if len(ds) == 0:
                 print(f'{split}: no windows, skipping')

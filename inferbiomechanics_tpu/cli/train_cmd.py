@@ -58,12 +58,14 @@ class TrainCommand:
             window_size=config.window_size, stride=config.stride,
             output_data_format=config.output_data_format,
             testing_with_short_dataset=config.short,
+            trial_filter=config.trial_filter,
             skip_loading_skeletons=True)
         dev_ds = WindowDataset(
             os.path.join(config.dataset_home, 'dev'),
             window_size=config.window_size, stride=config.stride,
             output_data_format=config.output_data_format,
             testing_with_short_dataset=config.short,
+            trial_filter=config.trial_filter,
             skip_loading_skeletons=True)
 
         if config.model_type == 'analytical':

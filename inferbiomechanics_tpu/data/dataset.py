@@ -101,10 +101,12 @@ class WindowDataset:
                  testing_with_short_dataset: bool = False,
                  stride: int = 1,
                  output_data_format: str = 'last_frame',
-                 skip_loading_skeletons: bool = False):
+                 skip_loading_skeletons: bool = False,
+                 trial_filter: Optional[str] = None):
         self.stride = int(stride)
         self.window_size = int(window_size)
         self.output_data_format = output_data_format
+        self.trial_filter = trial_filter
         self.geometry_folder = geometry_folder
         self.dtype = dtype
 
@@ -175,6 +177,11 @@ class WindowDataset:
             contact_indices = [gfb.index(b) if b in gfb else -1
                                for b in self.contact_bodies]
             for t_idx in range(subject.getNumTrials()):
+                # --trial-filter parity: only trials whose name contains the
+                # filter substring participate (reference train.py:67-68)
+                if (self.trial_filter and
+                        self.trial_filter not in subject.getTrialName(t_idx)):
+                    continue
                 F, L = self._featurize_trial(subject, t_idx, mass, contact_indices)
                 feats.append(F)
                 labs.append(L)

@@ -134,8 +134,10 @@ class RegressionLossEvaluator:
         self.tau_reported_metrics: List[float] = []
 
     def _accumulate(self, metrics: Dict[str, jax.Array]) -> None:
+        # keep device arrays — no host sync per batch; conversion happens
+        # lazily at report time (the reference syncs eagerly every batch)
         for k, v in metrics.items():
-            self.metric_history.setdefault(k, []).append(np.asarray(v))
+            self.metric_history.setdefault(k, []).append(v)
 
     def __call__(self,
                  inputs,
@@ -197,7 +199,7 @@ class RegressionLossEvaluator:
         return float(np.mean([np.asarray(h) for h in hist])) if hist else None
 
     def print_report(self, reset: bool = True, log_to_wandb: bool = False) -> Dict[str, float]:
-        means = {k: np.mean(np.stack(v), axis=0)
+        means = {k: np.mean(np.stack([np.asarray(x) for x in v]), axis=0)
                  for k, v in self.metric_history.items()}
         tau = (float(np.mean(self.tau_reported_metrics))
                if self.tau_reported_metrics else None)
