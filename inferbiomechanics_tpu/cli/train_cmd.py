@@ -48,6 +48,9 @@ class TrainCommand:
                                       config.model_type)
         config.checkpoint_dir = checkpoint_dir
 
+        from inferbiomechanics_tpu.utils.geometry import ensure_geometry
+        config.geometry_folder = ensure_geometry(config.geometry_folder)
+
         ml = MetricLogger(
             config={**vars(args), 'git_hash': get_git_hash()},
             group=os.environ.get('WANDB_RUN_GROUP'),

@@ -218,6 +218,24 @@ class WindowDataset:
         self.num_output_frames = (self.num_model_frames
                                   if output_data_format == 'all_frames' else 1)
 
+    def inspect_dof_indices(self) -> None:
+        """Assert the 23-DOF standard skeleton layout is identical across
+        subjects (parity: AddBiomechanicsDataset.py:141-156)."""
+        from collections import defaultdict
+        index_to_dof = defaultdict(list)
+        for i, subject in enumerate(self.subjects):
+            names = subject.getDofNames()
+            print(f'Subject {i + 1}/{len(self.subjects)}: {len(names)} DOFs')
+            for j, name in enumerate(names):
+                index_to_dof[j].append(name)
+        assert len(index_to_dof) == 23, \
+            f'{len(index_to_dof)} unique dof indices found, expected 23'
+        for key, val in index_to_dof.items():
+            assert len(val) == len(self.subjects), \
+                f'{len(val)} entries at dof index {key}, expected {len(self.subjects)}'
+            assert len(set(val)) == 1, \
+                f'{len(set(val))} distinct dof names at index {key}, expected 1'
+
     # -- reference-parity window enumeration --------------------------------
 
     def _enumerate_starts(self, subject: SubjectOnDisk, trial: int) -> np.ndarray:
