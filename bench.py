@@ -1,8 +1,13 @@
-"""Benchmark: training windows/sec on the current accelerator.
+"""Benchmark: end-to-end training throughput on the current accelerator.
 
 Prints ONE JSON line:
   {"metric": "train_windows_per_sec", "value": N, "unit": "windows/sec",
    "vs_baseline": R}
+
+Measured quantity: full training pipeline windows/sec on the feedforward
+baseline over a real (synthetic-subject) dataset — per-epoch shuffled
+window indices, on-device window gather (train/device_data.py), forward
++ loss + metrics + backward + optimizer update, bf16 on the MXU.
 
 The baseline is the PyTorch reference's equivalent training throughput
 measured on this machine (BASELINE.md: the reference publishes no
@@ -26,8 +31,8 @@ import numpy as np
 
 WINDOW, STRIDE, NUM_DOFS, RH, NB = 50, 5, 23, 10, 2
 TPU_BATCH = 4096
+SCAN_STEPS = 8            # train steps fused per dispatch
 TORCH_BATCH = 64          # reference default (train.py:56-57)
-STEADY_STEPS = 30
 
 
 def _make_dataset(tmp='/tmp/ib_bench_data'):
@@ -47,28 +52,33 @@ def bench_jax(ds) -> float:
     import jax.numpy as jnp
     from inferbiomechanics_tpu.loss import LossConfig
     from inferbiomechanics_tpu.models import get_model
-    from inferbiomechanics_tpu.train import (
-        create_train_state, make_optimizer, make_train_step,
+    from inferbiomechanics_tpu.train import create_train_state, make_optimizer
+    from inferbiomechanics_tpu.train.device_data import (
+        DeviceResidentData, make_device_epoch_runner,
     )
 
     model = get_model('feedforward', num_dofs=NUM_DOFS, num_contact_bodies=NB,
                       history_len=WINDOW, stride=STRIDE, root_history_len=RH)
-    batch = ds.gather(np.random.default_rng(0).integers(0, len(ds), TPU_BATCH))
-    x = jnp.asarray(batch.inputs)
-    y = jnp.asarray(batch.labels)
-    state = create_train_state(model, jax.random.PRNGKey(0), x,
+    sample = ds.gather(np.arange(TPU_BATCH))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(sample.inputs),
                                make_optimizer('rmsprop', 1e-4))
-    step = make_train_step(model, ds.lab_offsets, LossConfig())
+    data = DeviceResidentData(ds)
+    run_epoch = make_device_epoch_runner(model, data, LossConfig(), TPU_BATCH)
     rng = jax.random.PRNGKey(1)
+    n_steps = len(ds) // TPU_BATCH
+    windows_per_epoch = n_steps * TPU_BATCH
+
     # warmup / compile
-    state, m = step(state, x, y, rng)
+    state, m = run_epoch(state, rng)
     jax.block_until_ready(m['loss'])
+
+    epochs = 10
     t0 = time.time()
-    for i in range(STEADY_STEPS):
-        state, m = step(state, x, y, jax.random.fold_in(rng, i))
+    for epoch in range(epochs):
+        state, m = run_epoch(state, jax.random.fold_in(rng, epoch))
     jax.block_until_ready(m['loss'])
-    dt = time.time() - t0
-    return STEADY_STEPS * TPU_BATCH / dt
+    return epochs * windows_per_epoch / (time.time() - t0)
 
 
 def bench_torch_reference(ds) -> float:
@@ -86,7 +96,6 @@ def bench_torch_reference(ds) -> float:
     x = torch.tensor(batch.inputs.reshape(TORCH_BATCH, -1))
     y = torch.tensor(batch.labels[:, -1, :out_size])
     steps = 20
-    # warmup
     for _ in range(3):
         opt.zero_grad(); loss = ((model(x) - y) ** 2).mean(); loss.backward(); opt.step()
     t0 = time.time()

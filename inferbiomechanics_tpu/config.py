@@ -62,6 +62,12 @@ class Config:
     # parallelism
     model_parallel: int = 1
 
+    # data placement: 'auto' puts the packed dataset in HBM and gathers
+    # windows on-device when it fits (train/device_data.py); 'off' forces
+    # the host PrefetchLoader path; 'on' requires HBM residency.
+    device_data: str = 'auto'
+    device_data_max_bytes: int = 4_000_000_000
+
     # profiling (SURVEY.md §5: reference has none; rebuild adds JAX profiler)
     profile: bool = False
     profile_dir: str = 'outputs/profile'
@@ -116,6 +122,9 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
     parser.add_argument('--profile', action='store_true', default=d.profile,
                         help='Capture a JAX profiler trace of the first epoch')
     parser.add_argument('--profile-dir', type=str, default=d.profile_dir)
+    parser.add_argument('--device-data', type=str, default=d.device_data,
+                        choices=['auto', 'on', 'off'],
+                        help='HBM-resident dataset with on-device window gather')
 
 
 def config_from_args(args: argparse.Namespace) -> Config:
@@ -139,6 +148,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'num_heads': 'num_heads', 'diffusion_timesteps': 'diffusion_timesteps',
         'model_parallel': 'model_parallel',
         'profile': 'profile', 'profile_dir': 'profile_dir',
+        'device_data': 'device_data',
     }
     for cfg_field, arg_name in mapping.items():
         if hasattr(args, arg_name):

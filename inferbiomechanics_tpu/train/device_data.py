@@ -1,0 +1,174 @@
+"""Device-resident data path: window assembly inside the train step.
+
+TPU-first design: when the packed feature/label matrices fit in HBM
+(45 MB per 64k frames at 177 channels — a v5e chip holds hours of
+motion), the whole dataset is ``device_put`` once and every training
+batch is gathered ON DEVICE inside the jitted step. Per-step
+host→device traffic drops from the full batch (tens of MB) to one
+``[B]`` int32 index vector, eliminating the host data bottleneck the
+reference suffered (SURVEY.md §3.5) entirely instead of merely hiding
+it behind prefetch.
+
+On a data-parallel mesh the matrices are replicated (they're small) and
+the gathered batch is resharded across the data axis by XLA; for
+datasets larger than HBM, fall back to the PrefetchLoader host path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inferbiomechanics_tpu.data.dataset import WindowDataset, unpack
+from inferbiomechanics_tpu.loss.evaluator import LossConfig, loss_and_metrics
+from inferbiomechanics_tpu.train.state import TrainState
+
+
+class DeviceResidentData:
+    """The dataset's packed arrays + window table, resident in HBM."""
+
+    def __init__(self, ds: WindowDataset, sharding=None,
+                 feature_dtype=jnp.bfloat16):
+        """``feature_dtype=bfloat16`` halves HBM footprint and gather
+        bandwidth; models cast inputs to bf16 anyway so compute is
+        unchanged. Labels stay float32 (loss runs in f32)."""
+        put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+            else jax.device_put
+        self.features_all = put(jnp.asarray(ds.features_all).astype(feature_dtype))
+        self.labels_all = put(jnp.asarray(ds.labels_all))
+        base = ds.trial_row_offset[ds.win_ft] + ds.win_start
+        self.win_base = put(jnp.asarray(base, jnp.int32))
+        self.num_windows = int(base.shape[0])
+        self.window_size = ds.window_size
+        self.stride = ds.stride
+        self.num_model_frames = ds.num_model_frames
+        self.output_data_format = ds.output_data_format
+        self.lab_offsets = ds.lab_offsets
+        self.hbm_bytes = (ds.features_all.nbytes + ds.labels_all.nbytes +
+                          base.nbytes)
+
+    def gather_in_jit(self, idx: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """[B] window indices -> (inputs [B,W,C_in], labels [B,F,C_lab]).
+        Traced code — call inside a jitted function."""
+        base = self.win_base[idx]                                # [B]
+        offs = jnp.arange(0, self.window_size, self.stride)      # [W]
+        rows = base[:, None] + offs[None, :]
+        inputs = jnp.take(self.features_all, rows, axis=0)
+        if self.output_data_format == 'all_frames':
+            labels = jnp.take(self.labels_all, rows, axis=0)
+        else:
+            last = base + (self.num_model_frames - 1) * self.stride
+            labels = jnp.take(self.labels_all, last[:, None], axis=0)
+        return inputs, labels
+
+
+def make_device_train_step(model, data: DeviceResidentData,
+                           loss_config: LossConfig,
+                           donate: bool = True) -> Callable:
+    """``step(state, idx, rng) -> (state, metrics)`` — gather fused in."""
+
+    def step(state: TrainState, idx: jax.Array, dropout_rng: jax.Array):
+        batch_inputs, batch_labels = data.gather_in_jit(idx)
+        labels = unpack(batch_labels, data.lab_offsets)
+        mutable = ['batch_stats'] if state.batch_stats else []
+
+        def loss_fn(params):
+            variables = {'params': params}
+            if state.batch_stats:
+                variables['batch_stats'] = state.batch_stats
+            if mutable:
+                outputs, new_ms = model.apply(variables, batch_inputs,
+                                              train=True,
+                                              rngs={'dropout': dropout_rng},
+                                              mutable=mutable)
+            else:
+                outputs = model.apply(variables, batch_inputs, train=True,
+                                      rngs={'dropout': dropout_rng})
+                new_ms = {}
+            loss, metrics = loss_and_metrics(outputs, labels, loss_config)
+            return loss, (metrics, new_ms)
+
+        grads, (metrics, new_ms) = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        if mutable:
+            state = state.replace(batch_stats=new_ms['batch_stats'])
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_device_epoch_step(model, data: DeviceResidentData,
+                           loss_config: LossConfig,
+                           batch_size: int,
+                           steps_per_call: int = 8) -> Callable:
+    """``run(state, idx_chunk [K,B], rng) -> (state, mean_metrics)``.
+
+    Rolls ``steps_per_call`` train steps into ONE jit program with
+    ``lax.scan`` — amortizing per-step dispatch overhead; with the data
+    already in HBM there is nothing for the host to do between steps.
+    """
+
+    def one(carry, xs):
+        state, rng = carry
+        idx = xs
+        rng, sub = jax.random.split(rng)
+        batch_inputs, batch_labels = data.gather_in_jit(idx)
+        labels = unpack(batch_labels, data.lab_offsets)
+
+        def loss_fn(params):
+            outputs = model.apply({'params': params}, batch_inputs,
+                                  train=True, rngs={'dropout': sub})
+            loss, metrics = loss_and_metrics(outputs, labels, loss_config)
+            return loss, metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return (state, rng), metrics
+
+    def run(state: TrainState, idx_chunk: jax.Array, rng: jax.Array):
+        (state, _), metrics = jax.lax.scan(one, (state, rng), idx_chunk)
+        return state, jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def make_device_epoch_runner(model, data: DeviceResidentData,
+                             loss_config: LossConfig,
+                             batch_size: int) -> Callable:
+    """``run_epoch(state, rng) -> (state, mean_metrics)`` — a WHOLE epoch
+    in one jit program: the shuffle (``jax.random.permutation`` over the
+    window table), every gather, and every train step run on device.
+    Host traffic per epoch: one dispatch, zero data.
+    """
+    n_steps = data.num_windows // batch_size
+    if n_steps == 0:
+        raise ValueError(f'dataset has {data.num_windows} windows < '
+                         f'batch_size {batch_size}')
+
+    def one(carry, idx):
+        state, rng = carry
+        rng, sub = jax.random.split(rng)
+        batch_inputs, batch_labels = data.gather_in_jit(idx)
+        labels = unpack(batch_labels, data.lab_offsets)
+
+        def loss_fn(params):
+            outputs = model.apply({'params': params}, batch_inputs,
+                                  train=True, rngs={'dropout': sub})
+            loss, metrics = loss_and_metrics(outputs, labels, loss_config)
+            return loss, metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return (state, rng), metrics
+
+    def run_epoch(state: TrainState, rng: jax.Array):
+        perm_rng, step_rng = jax.random.split(rng)
+        perm = jax.random.permutation(perm_rng, data.num_windows)
+        idx = perm[:n_steps * batch_size].reshape(n_steps, batch_size)
+        (state, _), metrics = jax.lax.scan(one, (state, step_rng), idx)
+        return state, jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+
+    return jax.jit(run_epoch, donate_argnums=(0,))

@@ -109,6 +109,24 @@ def train(config: Config,
     start_epoch = ckpt_epoch + 1
     state = replicate(mesh, state)
 
+    # device-resident data path: HBM dataset + on-device window gather,
+    # per-step host traffic = one [B] int32 index vector
+    data_bytes = train_ds.features_all.nbytes + train_ds.labels_all.nbytes
+    use_device_data = (config.device_data == 'on' or
+                       (config.device_data == 'auto' and
+                        data_bytes < config.device_data_max_bytes))
+    device_data = None
+    device_step = None
+    if use_device_data:
+        from inferbiomechanics_tpu.parallel.mesh import replicated
+        from inferbiomechanics_tpu.train.device_data import (
+            DeviceResidentData, make_device_train_step,
+        )
+        device_data = DeviceResidentData(train_ds, sharding=replicated(mesh))
+        device_step = make_device_train_step(model, device_data, lc)
+        logger.info('device-resident data: %.0f MB in HBM',
+                    device_data.hbm_bytes / 1e6)
+
     train_step = make_train_step(model, train_ds.lab_offsets, lc)
     eval_step = make_eval_step(model, train_ds.lab_offsets, lc)
 
@@ -157,13 +175,29 @@ def train(config: Config,
 
         # -- train epoch ----------------------------------------------------
         t_epoch = time.time()
-        for batch_idx, batch in enumerate(train_loader.epoch(seed=epoch)):
+        if use_device_data:
+            # per-epoch shuffle sharded across hosts, indices sent per step
+            perm = np.random.default_rng(epoch).permutation(len(train_ds))
+            perm = perm[jax.process_index()::jax.process_count()]
+            n_steps = perm.shape[0] // config.batch_size
+            batch_iter = (
+                (k, jax.numpy.asarray(
+                    perm[k * config.batch_size:(k + 1) * config.batch_size],
+                    jax.numpy.int32))
+                for k in range(n_steps))
+        else:
+            batch_iter = enumerate(train_loader.epoch(seed=epoch))
+        for batch_idx, batch in batch_iter:
             if max_batches_per_epoch is not None and batch_idx >= max_batches_per_epoch:
                 break
             t0 = time.time()
-            state, metrics = train_step(state, batch.inputs, batch.labels,
-                                        jax.random.fold_in(rng, epoch * 1_000_000 + batch_idx))
-            train_eval(batch.inputs, None, None, precomputed_metrics=metrics)
+            step_rng = jax.random.fold_in(rng, epoch * 1_000_000 + batch_idx)
+            if use_device_data:
+                state, metrics = device_step(state, batch, step_rng)
+            else:
+                state, metrics = train_step(state, batch.inputs, batch.labels,
+                                            step_rng)
+            train_eval(None, None, None, precomputed_metrics=metrics)
             if batch_idx % config.log_every_batches == 0:
                 loss = float(metrics['loss'])
                 if metric_logger is not None:
