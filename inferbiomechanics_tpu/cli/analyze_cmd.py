@@ -77,6 +77,43 @@ class AnalyzeCommand:
                 from inferbiomechanics_tpu.models.analytical import make_analytical_fn
                 predict = make_analytical_fn(ds)
                 eval_fn = None
+            elif config.model_type == 'diffusion':
+                # evaluate by SAMPLING the denoiser and scoring with the
+                # standard regression metrics (see train/diffusion_loop.py)
+                import jax.numpy as jnp
+                from inferbiomechanics_tpu.models.diffusion import (
+                    DDPMSchedule, DiffusionDenoiser, make_sampler,
+                )
+                from inferbiomechanics_tpu.train.state import TrainState
+                if config.output_data_format != 'all_frames':
+                    raise ValueError('analyze --model-type diffusion requires '
+                                     '--output-data-format all_frames')
+                model = DiffusionDenoiser(
+                    num_dofs=ds.num_dofs,
+                    num_contact_bodies=ds.num_contact_bodies,
+                    history_len=config.window_size, stride=config.stride,
+                    d_model=config.d_model, num_layers=config.num_layers,
+                    num_heads=config.num_heads,
+                    timesteps=config.diffusion_timesteps)
+                sample_b = ds.gather(np.arange(min(config.batch_size, len(ds))))
+                x_cond = jax.numpy.asarray(sample_b.inputs)
+                x0 = jnp.zeros((x_cond.shape[0], x_cond.shape[1],
+                                model.target_channels))
+                t0 = jnp.zeros((x_cond.shape[0],), jnp.int32)
+                variables = model.init({'params': jax.random.PRNGKey(0)},
+                                       x0, t0, x_cond)
+                tx = make_optimizer(config.opt_type, config.learning_rate)
+                state = TrainState(step=jnp.asarray(0, jnp.int32),
+                                   params=variables['params'],
+                                   opt_state=tx.init(variables['params']),
+                                   batch_stats={}, tx=tx, apply_fn=model.apply)
+                state, epoch, _b = load_latest_checkpoint(state, checkpoint_dir)
+                if epoch < 0:
+                    print(f'WARNING: no checkpoint found in {checkpoint_dir}')
+                sampler = make_sampler(model, DDPMSchedule(config.diffusion_timesteps),
+                                       num_steps=50)
+                predict = lambda x, _s: sampler(state.params, x, jax.random.PRNGKey(7))
+                eval_fn = None
             else:
                 model = build_model_for_dataset(config, ds)
                 sample = ds.gather(np.arange(min(config.batch_size, len(ds))))

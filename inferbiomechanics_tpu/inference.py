@@ -53,8 +53,13 @@ class Predictor:
             self.state, checkpoint_dir)
         lc = loss_config_from(config)
 
+        batch_stats = self.state.batch_stats
+
         def fwd(params, x, y_packed):
-            out = self.model.apply({'params': params}, x, train=False)
+            variables = {'params': params}
+            if batch_stats:
+                variables['batch_stats'] = batch_stats
+            out = self.model.apply(variables, x, train=False)
             labels = self.ds.unpack_labels(y_packed)
             # per-window loss: vmap the loss core over the batch dim
             def one(o, l):

@@ -81,16 +81,23 @@ def load_latest_checkpoint(state: TrainState,
     epoch, batch, path = ckpts[-1]
     with open(path, 'rb') as f:
         blob = f.read()
-    template = {
-        'step': jax.device_get(state.step),
-        'params': jax.device_get(state.params),
-        'opt_state': jax.device_get(state.opt_state),
-        'batch_stats': jax.device_get(state.batch_stats),
-        'epoch': np.asarray(0, np.int64),
-        'batch': np.asarray(0, np.int64),
-    }
-    restored = serialization.from_bytes(template, blob)
-    state = state.replace(step=restored['step'], params=restored['params'],
-                          opt_state=restored['opt_state'],
-                          batch_stats=restored['batch_stats'])
+    raw = serialization.msgpack_restore(blob)
+    params = serialization.from_state_dict(jax.device_get(state.params),
+                                           raw['params'])
+    batch_stats = serialization.from_state_dict(
+        jax.device_get(state.batch_stats), raw.get('batch_stats', {}))
+    state = state.replace(step=np.asarray(raw['step']), params=params,
+                          batch_stats=batch_stats)
+    # optimizer state only restores when the optimizer matches the one the
+    # checkpoint was written with; eval paths built with a different
+    # --opt-type keep a fresh opt_state (params are what matter there)
+    try:
+        opt_state = serialization.from_state_dict(
+            jax.device_get(state.opt_state), raw['opt_state'])
+        state = state.replace(opt_state=opt_state)
+    except (ValueError, KeyError) as e:
+        import logging
+        logging.getLogger(__name__).warning(
+            'checkpoint %s: optimizer state not restored (%s); '
+            'parameters restored, optimizer starts fresh', path, e)
     return state, epoch, batch
