@@ -45,16 +45,15 @@ def shard_params_for_mesh(mesh: Mesh, state):
     # replicate scalars, shard matching leaves by shape.
     params = put_tree(state.params)
 
-    param_shardings = {id(l): s.sharding for l, s in zip(
-        jax.tree_util.tree_leaves(state.params),
-        jax.tree_util.tree_leaves(params))}
+    shape_to_sharding = {}
+    for p_old, p_new in zip(jax.tree_util.tree_leaves(state.params),
+                            jax.tree_util.tree_leaves(params)):
+        shape_to_sharding.setdefault(p_old.shape, p_new.sharding)
 
     def put_opt(leaf):
         # match per-param moment tensors to their param's sharding by shape
-        for p_old, p_new in zip(jax.tree_util.tree_leaves(state.params),
-                                jax.tree_util.tree_leaves(params)):
-            if leaf.shape == p_old.shape and leaf.ndim >= 2:
-                return jax.device_put(leaf, p_new.sharding)
+        if leaf.ndim >= 2 and leaf.shape in shape_to_sharding:
+            return jax.device_put(leaf, shape_to_sharding[leaf.shape])
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     opt_state = jax.tree_util.tree_map(put_opt, state.opt_state)
