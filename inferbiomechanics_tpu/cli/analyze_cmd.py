@@ -44,6 +44,10 @@ class AnalyzeCommand:
                           predict_wrench_components=[],
                           batch_size=1)
         add_config_flags(parser, defaults)
+        parser.add_argument('--plot-errors', action='store_true',
+                            help='Write per-component GRF error PNGs '
+                                 '(ref analyze=True path)')
+        parser.add_argument('--plot-path-root', type=str, default='outputs/plots')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'analyze':
@@ -148,6 +152,11 @@ class AnalyzeCommand:
                               batch.subject_indices,
                               compute_report=config.compute_report,
                               precomputed_metrics=metrics)
+                    if getattr(args, 'plot_errors', False) and i == 0:
+                        for p in evaluator.plot_errors(
+                                outputs, ds.unpack_labels(y),
+                                args.plot_path_root, tag=split):
+                            print(f'wrote {p}')
                     for b in range(batch.inputs.shape[0]):
                         s_idx = int(batch.subject_indices[b])
                         writer.writerow([

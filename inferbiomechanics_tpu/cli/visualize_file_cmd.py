@@ -34,6 +34,8 @@ def build_viz_payload(ds: WindowDataset, subject_index: int, trial: int,
     o_jc, w_jc = offs['jointCentersInRootFrame']
     o_cop, w_cop = offs['groundContactCenterOfPressureInRootFrame']
     o_f, w_f = offs['groundContactForceInRootFrame']
+    o_rv, _ = offs['rootLinearVelInRootFrame']
+    o_rh, w_rh = offs['rootPosHistoryInRootFrame']
     mass = subject.getMassKg()
     nb = w_f // 3
 
@@ -56,7 +58,11 @@ def build_viz_payload(ds: WindowDataset, subject_index: int, trial: int,
             f = kin[i, o_f + 3 * b:o_f + 3 * b + 3] / mass
             label_forces.append([cop.tolist(), f.tolist()])
         fr = {'joints': joints, 'bones': STANDARD_BONES,
-              'label_forces': label_forces, 'missing_grf': bool(missing[i])}
+              'label_forces': label_forces, 'missing_grf': bool(missing[i]),
+              # parity with visualize.py:218-253: root velocity line +
+              # root position-history markers, both in the root frame
+              'root_vel': kin[i, o_rv:o_rv + 3].tolist(),
+              'root_history': kin[i, o_rh:o_rh + w_rh].reshape(-1, 3).tolist()}
         if i in pred_at:
             pf, pc = pred_at[i]
             pf = pf.reshape(nb, 3)

@@ -194,6 +194,33 @@ class RegressionLossEvaluator:
                    f'Avg Err (Nm per kg)'] = tau_metric
         return report
 
+    def plot_errors(self, outputs: Dict[str, jax.Array],
+                    labels: Dict[str, jax.Array],
+                    plot_path_root: str = 'outputs/plots',
+                    tag: str = 'batch') -> List[str]:
+        """Per-component squared-error PNGs for the selected GRF components
+        (parity: ref ``analyze=True`` path, RegressionLossEvaluator.py:314-321)."""
+        import os
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+
+        os.makedirs(plot_path_root, exist_ok=True)
+        k = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+        err = np.asarray(outputs[k] - labels[k]) ** 2
+        err = err[:, -1, :].reshape(-1, err.shape[-1])
+        written = []
+        for i in self.config.predict_grf_components:
+            plt.clf()
+            plt.plot(err[:, i])
+            plt.ylabel(f'squared error {COMPONENTS[i]}')
+            path = os.path.join(plot_path_root,
+                                f'{tag}_grferror{COMPONENTS[i]}.png')
+            plt.savefig(path)
+            written.append(path)
+        plt.close('all')
+        return written
+
     def mean_metric(self, key: str) -> Optional[float]:
         hist = self.metric_history.get(key)
         return float(np.mean([np.asarray(h) for h in hist])) if hist else None

@@ -50,6 +50,10 @@ function draw(){
   line([-2,0,0],[2,0,0],'#333',1);
   for (const j of f.joints) dot(j, 4, '#ddd');
   if (f.bones) for (const b of f.bones) line(f.joints[b[0]], f.joints[b[1]], '#888', 2);
+  if (f.root_vel) line(f.joints[0],
+    [f.joints[0][0]+f.root_vel[0]*0.3, f.joints[0][1]+f.root_vel[1]*0.3,
+     f.joints[0][2]+f.root_vel[2]*0.3], '#5d5', 2);
+  if (f.root_history) for (const h of f.root_history) dot(h, 2, '#777');
   const FS = 0.2;  // force draw scale (parity: visualize_file.py:263)
   for (const [cop, v] of (f.label_forces || []))
     line(cop, [cop[0]+v[0]*FS, cop[1]+v[1]*FS, cop[2]+v[2]*FS], '#f55', 3);
