@@ -322,20 +322,24 @@ class WindowDataset:
 
     # -- the hot path --------------------------------------------------------
 
-    def gather(self, indices: np.ndarray) -> Batch:
+    def gather(self, indices: np.ndarray, n_threads: Optional[int] = None) -> Batch:
         """Assemble a fixed-shape batch; native C++ threaded gather when the
-        library is built (native/ib_native.cpp), numpy otherwise."""
+        library is built (native/ib_native.cpp), numpy otherwise.
+        ``n_threads`` maps the reference's --data-loading-workers knob."""
         from inferbiomechanics_tpu.data import native
         ft = self.win_ft[indices]
         start = self.win_start[indices]
         base = self.trial_row_offset[ft] + start            # [B]
         frames = self.num_model_frames
-        inputs = native.gather_windows(self.features_all, base, frames, self.stride)
+        inputs = native.gather_windows(self.features_all, base, frames,
+                                       self.stride, n_threads=n_threads)
         if self.output_data_format == 'all_frames':
-            labels = native.gather_windows(self.labels_all, base, frames, self.stride)
+            labels = native.gather_windows(self.labels_all, base, frames,
+                                           self.stride, n_threads=n_threads)
         else:
             last = base + (frames - 1) * self.stride
-            labels = native.gather_windows(self.labels_all, last, 1, 1)
+            labels = native.gather_windows(self.labels_all, last, 1, 1,
+                                           n_threads=n_threads)
         return Batch(inputs=inputs, labels=labels,
                      subject_indices=self.win_subject[indices],
                      trial_indices=self.win_trial[indices])
@@ -350,7 +354,8 @@ class WindowDataset:
 
     def batches(self, batch_size: int, *, shuffle: bool = True,
                 drop_last: bool = True, seed: int = 0,
-                shard_index: int = 0, num_shards: int = 1) -> Iterator[Batch]:
+                shard_index: int = 0, num_shards: int = 1,
+                n_threads: Optional[int] = None) -> Iterator[Batch]:
         """Yield batches; with sharding this replaces DistributedSampler."""
         n = len(self)
         order = np.arange(n)
@@ -360,4 +365,4 @@ class WindowDataset:
         n_shard = order.shape[0]
         stop = (n_shard // batch_size) * batch_size if drop_last else n_shard
         for i in range(0, stop, batch_size):
-            yield self.gather(order[i:i + batch_size])
+            yield self.gather(order[i:i + batch_size], n_threads=n_threads)

@@ -33,7 +33,8 @@ class PrefetchLoader:
                  prefetch: int = 2,
                  sharding=None,
                  shard_index: int = 0,
-                 num_shards: int = 1):
+                 num_shards: int = 1,
+                 n_threads: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -42,6 +43,7 @@ class PrefetchLoader:
         self.sharding = sharding
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self.n_threads = n_threads
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.num_shards
@@ -57,7 +59,8 @@ class PrefetchLoader:
                 for host_batch in self.dataset.batches(
                         self.batch_size, shuffle=self.shuffle,
                         drop_last=self.drop_last, seed=seed,
-                        shard_index=self.shard_index, num_shards=self.num_shards):
+                        shard_index=self.shard_index, num_shards=self.num_shards,
+                        n_threads=self.n_threads):
                     if stop.is_set():
                         return
                     if self.sharding is not None:

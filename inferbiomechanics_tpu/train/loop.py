@@ -140,7 +140,8 @@ def train(config: Config,
 
     train_loader = PrefetchLoader(train_ds, config.batch_size, sharding=sharding,
                                   shard_index=jax.process_index(),
-                                  num_shards=jax.process_count())
+                                  num_shards=jax.process_count(),
+                                  n_threads=config.data_loading_workers)
     dev_loader = (PrefetchLoader(dev_ds, config.batch_size, shuffle=False,
                                  sharding=sharding,
                                  shard_index=jax.process_index(),

@@ -178,3 +178,20 @@ def test_epoch_batches_shard_and_drop_last(data_dir):
     sh0 = list(ds.batches(bs, seed=1, shard_index=0, num_shards=2))
     sh1 = list(ds.batches(bs, seed=1, shard_index=1, num_shards=2))
     assert abs(len(sh0) - len(sh1)) <= 1
+
+
+def test_featurization_golden_checksum(tmp_path):
+    """Lock featurization semantics: any change to window enumeration,
+    column ordering, mass normalization, or contact reindexing changes
+    these digests and must be deliberate."""
+    import hashlib
+    path = str(tmp_path / 'golden.b3d')
+    write_synthetic_subject(path, num_trials=1, trial_length=100, seed=42,
+                            missing_frac=0.1)
+    ds = WindowDataset(path, window_size=20, stride=5, skip_loading_skeletons=True)
+    h_feat = hashlib.sha256(np.ascontiguousarray(ds.features_all).tobytes()).hexdigest()[:16]
+    h_lab = hashlib.sha256(np.ascontiguousarray(ds.labels_all).tobytes()).hexdigest()[:16]
+    h_win = hashlib.sha256(np.ascontiguousarray(ds.win_start).tobytes()).hexdigest()[:16]
+    assert (h_feat, h_lab, h_win) == (
+        '455c3992ef12e523', '782cbfbc3c5a56fd', '92e394613f70467f'), \
+        (h_feat, h_lab, h_win)
