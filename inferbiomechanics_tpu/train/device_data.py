@@ -135,6 +135,33 @@ def make_device_epoch_step(model, data: DeviceResidentData,
     return jax.jit(run, donate_argnums=(0,))
 
 
+def make_device_eval_runner(model, data: DeviceResidentData,
+                            loss_config: LossConfig,
+                            batch_size: int) -> Callable:
+    """``run_eval(state) -> mean_metrics`` — the whole eval split scanned
+    in one jit program (sequential order, no shuffle), metrics averaged
+    over batches exactly like the host-side evaluator accumulation."""
+    n_steps = data.num_windows // batch_size
+    if n_steps == 0:
+        raise ValueError(f'eval split has {data.num_windows} windows < '
+                         f'batch_size {batch_size}')
+    idx_all = jnp.arange(n_steps * batch_size, dtype=jnp.int32).reshape(
+        n_steps, batch_size)
+
+    def one(state, idx):
+        batch_inputs, batch_labels = data.gather_in_jit(idx)
+        labels = unpack(batch_labels, data.lab_offsets)
+        outputs = model.apply({'params': state.params}, batch_inputs, train=False)
+        _, metrics = loss_and_metrics(outputs, labels, loss_config)
+        return state, metrics
+
+    def run_eval(state: TrainState):
+        _, metrics = jax.lax.scan(one, state, idx_all)
+        return jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+
+    return jax.jit(run_eval)
+
+
 def make_device_epoch_runner(model, data: DeviceResidentData,
                              loss_config: LossConfig,
                              batch_size: int) -> Callable:

@@ -117,15 +117,21 @@ def train(config: Config,
                         data_bytes < config.device_data_max_bytes))
     device_data = None
     device_step = None
+    device_eval = None
     if use_device_data:
         from inferbiomechanics_tpu.parallel.mesh import replicated
         from inferbiomechanics_tpu.train.device_data import (
-            DeviceResidentData, make_device_train_step,
+            DeviceResidentData, make_device_eval_runner, make_device_train_step,
         )
         device_data = DeviceResidentData(train_ds, sharding=replicated(mesh))
         device_step = make_device_train_step(model, device_data, lc)
         logger.info('device-resident data: %.0f MB in HBM',
                     device_data.hbm_bytes / 1e6)
+        if (dev_ds is not None and len(dev_ds) >= config.batch_size
+                and not state.batch_stats and not config.compute_report):
+            dev_device_data = DeviceResidentData(dev_ds, sharding=replicated(mesh))
+            device_eval = make_device_eval_runner(model, dev_device_data, lc,
+                                                  config.batch_size)
 
     train_step = make_train_step(model, train_ds.lab_offsets, lc)
     eval_step = make_eval_step(model, train_ds.lab_offsets, lc)
@@ -163,7 +169,12 @@ def train(config: Config,
 
     for epoch in range(start_epoch, config.epochs):
         # -- dev eval before the epoch (ref train.py:207-226) --------------
-        if dev_loader is not None:
+        if device_eval is not None:
+            metrics = device_eval(state)
+            dev_eval(None, None, None, precomputed_metrics=metrics)
+            print(f'[epoch {epoch}] dev report:')
+            final_dev = dev_eval.print_report(log_to_wandb=metric_logger is not None)
+        elif dev_loader is not None:
             for batch in dev_loader.epoch(seed=epoch):
                 outputs, metrics = eval_step(state, batch.inputs, batch.labels)
                 dev_eval(batch.inputs, outputs,
