@@ -147,7 +147,7 @@ class AnalyzeCommand:
                             # analytical predicts every window frame; compare
                             # on the label frame(s) only
                             outputs = {k: v[:, -1:, :] for k, v in outputs.items()}
-                        _, metrics = evaluator._jit_core(outputs, ds.unpack_labels(y))
+                        metrics = evaluator.compute_metrics(outputs, ds.unpack_labels(y))
                     evaluator(x, outputs, ds.unpack_labels(y),
                               batch.subject_indices,
                               compute_report=config.compute_report,

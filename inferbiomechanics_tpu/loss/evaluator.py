@@ -133,6 +133,12 @@ class RegressionLossEvaluator:
         self.metric_history: Dict[str, List[np.ndarray]] = {}
         self.tau_reported_metrics: List[float] = []
 
+    def compute_metrics(self, outputs: Dict[str, jax.Array],
+                        labels: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """Jit-compiled loss+metric computation without accumulation."""
+        _, metrics = self._jit_core(outputs, labels)
+        return metrics
+
     def _accumulate(self, metrics: Dict[str, jax.Array]) -> None:
         # keep device arrays — no host sync per batch; conversion happens
         # lazily at report time (the reference syncs eagerly every batch)

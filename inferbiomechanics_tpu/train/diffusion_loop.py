@@ -98,8 +98,8 @@ def train_diffusion(config: Config,
                 outputs = sampler(state.params, batch.inputs,
                                   jax.random.fold_in(rng, 777 + epoch))
                 dev_eval(batch.inputs, None, None,
-                         precomputed_metrics=dev_eval._jit_core(
-                             outputs, dev_ds.unpack_labels(batch.labels))[1])
+                         precomputed_metrics=dev_eval.compute_metrics(
+                             outputs, dev_ds.unpack_labels(batch.labels)))
             print(f'[epoch {epoch}] dev report (sampled, {EVAL_SAMPLE_STEPS} steps):')
             final_dev = dev_eval.print_report(log_to_wandb=metric_logger is not None)
 
