@@ -1,0 +1,104 @@
+"""Device-resident data path tests (CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+from inferbiomechanics_tpu.loss import LossConfig
+from inferbiomechanics_tpu.models import get_model
+from inferbiomechanics_tpu.train import create_train_state, make_optimizer, make_train_step
+from inferbiomechanics_tpu.train.device_data import (
+    DeviceResidentData, make_device_epoch_runner, make_device_eval_runner,
+    make_device_train_step,
+)
+
+
+@pytest.fixture(scope='module')
+def ds(tmp_path_factory):
+    d = tmp_path_factory.mktemp('dev_data')
+    write_synthetic_subject(str(d / 's.b3d'), num_trials=2, trial_length=300, seed=3)
+    return WindowDataset(str(d), window_size=20, stride=5,
+                         skip_loading_skeletons=True)
+
+
+def _state(ds, model):
+    b = ds.gather(np.arange(16))
+    return create_train_state(model, jax.random.PRNGKey(0),
+                              jnp.asarray(b.inputs),
+                              make_optimizer('adam', 1e-3)), b
+
+
+def test_gather_in_jit_matches_host_gather(ds):
+    data = DeviceResidentData(ds, feature_dtype=jnp.float32)
+    idx = np.asarray([0, 5, 17, len(ds) - 1])
+    bi, bl = jax.jit(data.gather_in_jit)(jnp.asarray(idx, jnp.int32))
+    host = ds.gather(idx)
+    np.testing.assert_allclose(np.asarray(bi), host.inputs, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(bl), host.labels, rtol=1e-6)
+
+
+def test_device_step_matches_host_step(ds):
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5, root_history_len=ds.root_history_len)
+    state, batch = _state(ds, model)
+    data = DeviceResidentData(ds, feature_dtype=jnp.float32)
+    dstep = make_device_train_step(model, data, LossConfig(), donate=False)
+    hstep = make_train_step(model, ds.lab_offsets, LossConfig(), donate=False)
+    rng = jax.random.PRNGKey(1)
+    idx = jnp.asarray(np.arange(16), jnp.int32)
+    s_d, m_d = dstep(state, idx, rng)
+    s_h, m_h = hstep(state, jnp.asarray(batch.inputs), jnp.asarray(batch.labels), rng)
+    np.testing.assert_allclose(float(m_d['loss']), float(m_h['loss']), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_d.params),
+                    jax.tree_util.tree_leaves(s_h.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_epoch_runner_trains(ds):
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5, root_history_len=ds.root_history_len)
+    state, _ = _state(ds, model)
+    data = DeviceResidentData(ds)
+    run = make_device_epoch_runner(model, data, LossConfig(), batch_size=32)
+    rng = jax.random.PRNGKey(0)
+    # NOTE: the runner donates its state argument — always chain
+    state, m0 = run(state, rng)
+    for e in range(5):
+        state, m = run(state, jax.random.fold_in(rng, e))
+    assert float(m['loss']) < float(m0['loss'])
+
+
+def test_eval_runner_matches_host_eval(ds):
+    from inferbiomechanics_tpu.train import make_eval_step
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5, root_history_len=ds.root_history_len)
+    state, _ = _state(ds, model)
+    data = DeviceResidentData(ds, feature_dtype=jnp.float32)
+    bs = 32
+    run_eval = make_device_eval_runner(model, data, LossConfig(), bs)
+    metrics_d = run_eval(state)
+
+    eval_step = make_eval_step(model, ds.lab_offsets, LossConfig())
+    accum = []
+    n_steps = len(ds) // bs
+    for k in range(n_steps):
+        b = ds.gather(np.arange(k * bs, (k + 1) * bs))
+        _, m = eval_step(state, jnp.asarray(b.inputs), jnp.asarray(b.labels))
+        accum.append(float(m['loss']))
+    np.testing.assert_allclose(float(metrics_d['loss']), np.mean(accum), rtol=1e-5)
+
+
+def test_epoch_runner_rejects_tiny_dataset(ds):
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5, root_history_len=ds.root_history_len)
+    data = DeviceResidentData(ds)
+    with pytest.raises(ValueError):
+        make_device_epoch_runner(model, data, LossConfig(),
+                                 batch_size=len(ds) + 1)
