@@ -72,7 +72,8 @@ class ReviewFileCommand:
         if os.path.exists(out_csv):
             with open(out_csv) as f:
                 for row in csv.reader(f):
-                    if len(row) >= 4:
+                    # skip the header and any malformed rows
+                    if len(row) >= 4 and row[0].lstrip('-').isdigit():
                         existing[(int(row[0]), int(row[1]), int(row[2]))] = row[3]
 
         with open(out_csv, 'w', newline='') as f:
@@ -83,10 +84,6 @@ class ReviewFileCommand:
                 pred = predictor.predict_trial(0, trial)
                 if pred is None:
                     continue
-                # map window losses onto their predicted (last) frames
-                T = ds.subjects[0].getTrialLength(trial)
-                per_frame = np.zeros(T)
-                per_frame[pred.last_frame] = pred.per_window_loss
                 segments = find_suspicious_segments(
                     pred.per_window_loss, args.threshold_ratio)
                 for (s, e) in segments:

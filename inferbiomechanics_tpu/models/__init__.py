@@ -5,9 +5,7 @@ Capability parity: reference ``src/cli/abstract_command.py:44-84``
 code there) and the diffusion denoiser (BASELINE.json config #4).
 """
 
-from __future__ import annotations
-
-from typing import Optional, Sequence
+from typing import Sequence
 
 from inferbiomechanics_tpu.models.common import (
     pack_inputs, slice_output_heads, output_head_size,
