@@ -30,19 +30,54 @@ from inferbiomechanics_tpu.models.common import (
 )
 
 
+class ShortWindowAttention(nn.Module):
+    """Multi-head self-attention specialized for SHORT sequences (T≈10).
+
+    Batched [T, d_head]x[d_head, T] matmuls put 10x10 tiles on the MXU —
+    <1% tile utilization. Here scores and the weighted sum are computed as
+    broadcast-multiply + reduce, which XLA lowers onto the VPU with the
+    huge batch dim in the lanes. FLOP-equivalent to standard attention;
+    far better hardware mapping when T*T << 128*128.
+    """
+    num_heads: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, d = x.shape
+        dh = d // self.num_heads
+        qkv = nn.Dense(3 * d, dtype=self.compute_dtype, name='qkv')(x)
+        q, k, v = jnp.split(qkv.reshape(b, t, 3, self.num_heads, dh), 3, axis=2)
+        q = q[:, :, 0] * (dh ** -0.5)        # [B, T, H, dh]
+        k = k[:, :, 0]
+        v = v[:, :, 0]
+        # scores [B, Tq, Tk, H] via elementwise mul + reduce (VPU)
+        scores = (q[:, :, None] * k[:, None, :]).sum(-1)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=2)
+        probs = probs.astype(self.compute_dtype)
+        out = (probs[..., None] * v[:, None, :, :, :]).sum(2)   # [B, Tq, H, dh]
+        out = out.reshape(b, t, d)
+        return nn.Dense(d, dtype=self.compute_dtype, name='proj')(out)
+
+
 class EncoderBlock(nn.Module):
     d_model: int
     num_heads: int
     mlp_ratio: int = 4
     dropout: float = 0.0
     compute_dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = 'flax'   # 'flax' (MXU batched matmul) | 'vpu' (short-T)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         y = nn.LayerNorm(dtype=self.compute_dtype)(x)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.compute_dtype,
-            dropout_rate=self.dropout, deterministic=not train)(y, y)
+        if self.attn_impl == 'vpu':
+            y = ShortWindowAttention(self.num_heads, self.compute_dtype)(y)
+            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        else:
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, dtype=self.compute_dtype,
+                dropout_rate=self.dropout, deterministic=not train)(y, y)
         x = x + y
         y = nn.LayerNorm(dtype=self.compute_dtype)(x)
         y = nn.Dense(self.d_model * self.mlp_ratio, dtype=self.compute_dtype)(y)
@@ -67,6 +102,7 @@ class TransformerRegressor(nn.Module):
     predict_com_acc: bool = True
     predict_contact: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = 'vpu'   # short windows: VPU attention maps far better
 
     @property
     def num_frames(self) -> int:
@@ -88,7 +124,8 @@ class TransformerRegressor(nn.Module):
         x = x + pos.astype(self.compute_dtype)[None]
         for _ in range(self.num_layers):
             x = EncoderBlock(self.d_model, self.num_heads, self.mlp_ratio,
-                             self.dropout, self.compute_dtype)(x, train=train)
+                             self.dropout, self.compute_dtype,
+                             self.attn_impl)(x, train=train)
         x = nn.LayerNorm(dtype=self.compute_dtype)(x)
 
         if self.output_data_format != 'all_frames':

@@ -104,3 +104,45 @@ def test_jit_forward():
     f = jax.jit(lambda v, x: model.apply(v, x, train=False))
     out = f(variables, x)
     assert out[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME].shape == (4, 1, 6)
+
+
+def test_short_window_attention_matches_reference_math():
+    """VPU attention == standard softmax(QK^T/sqrt(dh))V with shared weights."""
+    from inferbiomechanics_tpu.models.transformer import ShortWindowAttention
+    rng = np.random.default_rng(0)
+    B, T, D, H = 8, 10, 64, 4
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    attn = ShortWindowAttention(num_heads=H, compute_dtype=jnp.float32)
+    v = attn.init(jax.random.PRNGKey(0), x)
+    out = attn.apply(v, x)
+    # reference computation from the same qkv/proj params
+    Wqkv = np.asarray(v['params']['qkv']['kernel'])
+    bqkv = np.asarray(v['params']['qkv']['bias'])
+    Wp = np.asarray(v['params']['proj']['kernel'])
+    bp = np.asarray(v['params']['proj']['bias'])
+    qkv = np.asarray(x) @ Wqkv + bqkv
+    qkv = qkv.reshape(B, T, 3, H, D // H)
+    q, k, vv = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    scores = np.einsum('bqhd,bkhd->bhqk', q, k) / np.sqrt(D // H)
+    probs = np.exp(scores - scores.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    ref = np.einsum('bhqk,bkhd->bqhd', probs, vv).reshape(B, T, D) @ Wp + bp
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_transformer_attn_impls_agree():
+    x = _packed_batch()
+    from inferbiomechanics_tpu.models.transformer import TransformerRegressor
+    kw = dict(num_dofs=NUM_DOFS, num_contact_bodies=NB, history_len=HIST,
+              stride=STRIDE, compute_dtype=jnp.float32)
+    m_vpu = TransformerRegressor(attn_impl='vpu', **kw)
+    v = m_vpu.init(jax.random.PRNGKey(0), x, train=False)
+    out = m_vpu.apply(v, x, train=False)
+    k = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    assert out[k].shape == (4, 1, 6)
+    assert np.isfinite(np.asarray(out[k])).all()
+    # flax impl still constructible and runs (different param structure)
+    m_flax = TransformerRegressor(attn_impl='flax', **kw)
+    v2 = m_flax.init(jax.random.PRNGKey(0), x, train=False)
+    out2 = m_flax.apply(v2, x, train=False)
+    assert out2[k].shape == (4, 1, 6)
