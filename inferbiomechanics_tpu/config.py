@@ -56,6 +56,11 @@ class Config:
     checkpoint_every_batches: int = 1000
     log_every_batches: int = 100
 
+    # auxiliary-head supervision (transformer tau/COM-acc/contact heads)
+    aux_tau_weight: float = 0.0
+    aux_com_acc_weight: float = 0.0
+    aux_contact_weight: float = 0.0
+
     # diffusion
     diffusion_timesteps: int = 1000
 
@@ -118,6 +123,10 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
     parser.add_argument('--num-layers', type=int, default=d.num_layers)
     parser.add_argument('--num-heads', type=int, default=d.num_heads)
     parser.add_argument('--diffusion-timesteps', type=int, default=d.diffusion_timesteps)
+    parser.add_argument('--aux-tau-weight', type=float, default=d.aux_tau_weight,
+                        help='Weight of the joint-torque aux loss (transformer)')
+    parser.add_argument('--aux-com-acc-weight', type=float, default=d.aux_com_acc_weight)
+    parser.add_argument('--aux-contact-weight', type=float, default=d.aux_contact_weight)
     parser.add_argument('--model-parallel', type=int, default=d.model_parallel)
     parser.add_argument('--profile', action='store_true', default=d.profile,
                         help='Capture a JAX profiler trace of the first epoch')
@@ -144,6 +153,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'predict_moment_components': 'predict_moment_components',
         'predict_wrench_components': 'predict_wrench_components',
         'trial_filter': 'trial_filter', 'compute_report': 'compute_report',
+        'aux_tau_weight': 'aux_tau_weight',
+        'aux_com_acc_weight': 'aux_com_acc_weight',
+        'aux_contact_weight': 'aux_contact_weight',
         'd_model': 'd_model', 'num_layers': 'num_layers',
         'num_heads': 'num_heads', 'diffusion_timesteps': 'diffusion_timesteps',
         'model_parallel': 'model_parallel',

@@ -54,6 +54,12 @@ class LossConfig:
     predict_moment_components: Tuple[int, ...] = ()
     predict_wrench_components: Tuple[int, ...] = ()
     cop_force_threshold_newtons: float = 10.0
+    # auxiliary-head weights (models that predict tau / COM-acc / contact,
+    # e.g. the transformer — BASELINE config #3 "GRF + joint torques").
+    # Applied only when the model's outputs contain the key.
+    aux_tau_weight: float = 0.0
+    aux_com_acc_weight: float = 0.0
+    aux_contact_weight: float = 0.0
 
 
 def loss_and_metrics(outputs: Dict[str, jax.Array],
@@ -88,6 +94,23 @@ def loss_and_metrics(outputs: Dict[str, jax.Array],
             sel(cop_loss, config.predict_cop_components) +
             sel(moment_loss, config.predict_moment_components) +
             sel(wrench_loss, config.predict_wrench_components))
+
+    # auxiliary heads: supervise tau / COM-acc / contact when the model
+    # emits them and the corresponding weight is non-zero
+    if config.aux_tau_weight > 0 and OutputDataKeys.TAU in outputs:
+        loss = loss + config.aux_tau_weight * jnp.mean(
+            (outputs[OutputDataKeys.TAU] - labels[OutputDataKeys.TAU]) ** 2)
+    if (config.aux_com_acc_weight > 0
+            and OutputDataKeys.COM_ACC_IN_ROOT_FRAME in outputs):
+        loss = loss + config.aux_com_acc_weight * jnp.mean(
+            (outputs[OutputDataKeys.COM_ACC_IN_ROOT_FRAME]
+             - labels[OutputDataKeys.COM_ACC_IN_ROOT_FRAME]) ** 2)
+    if config.aux_contact_weight > 0 and OutputDataKeys.CONTACT in outputs:
+        logits = outputs[OutputDataKeys.CONTACT]
+        target = labels[OutputDataKeys.CONTACT]
+        bce = jnp.maximum(logits, 0) - logits * target + \
+            jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        loss = loss + config.aux_contact_weight * jnp.mean(bce)
 
     # Reported metrics (no grad needed; everything is already inside the
     # same XLA program and will be fused).

@@ -53,6 +53,9 @@ def loss_config_from(config: Config) -> LossConfig:
         predict_cop_components=tuple(config.predict_cop_components),
         predict_moment_components=tuple(config.predict_moment_components),
         predict_wrench_components=tuple(config.predict_wrench_components),
+        aux_tau_weight=config.aux_tau_weight,
+        aux_com_acc_weight=config.aux_com_acc_weight,
+        aux_contact_weight=config.aux_contact_weight,
     )
 
 

@@ -184,3 +184,33 @@ def test_wandb_report_key_schema(ds):
             'dev/reports/Moment Avg Err (Nm per kg)',
             'dev/reports/COM Acc Avg Err (m per s^2)',
             'dev/reports/Wrench Avg Err (N+Nm per kg)'} <= keys, keys
+
+
+def test_aux_head_supervision_trains_tau(ds):
+    """With aux_tau_weight the transformer's tau head learns."""
+    from inferbiomechanics_tpu.data.keys import OutputDataKeys
+    model = get_model('transformer', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5, root_history_len=ds.root_history_len,
+                      d_model=64, num_layers=2)
+    batch = ds.gather(np.arange(16))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(batch.inputs),
+                               make_optimizer('adam', 1e-3))
+    lc = LossConfig(aux_tau_weight=1.0, aux_com_acc_weight=1.0,
+                    aux_contact_weight=0.1)
+    step = make_train_step(model, ds.lab_offsets, lc, donate=False)
+    eval_step = make_eval_step(model, ds.lab_offsets, lc)
+    x, y = jnp.asarray(batch.inputs), jnp.asarray(batch.labels)
+
+    def tau_mse(state):
+        outputs, _ = eval_step(state, x, y)
+        labels = ds.unpack_labels(y)
+        return float(np.mean((np.asarray(outputs[OutputDataKeys.TAU])
+                              - np.asarray(labels[OutputDataKeys.TAU])) ** 2))
+
+    before = tau_mse(state)
+    for i in range(60):
+        state, _ = step(state, x, y, jax.random.fold_in(jax.random.PRNGKey(1), i))
+    after = tau_mse(state)
+    assert after < 0.5 * before, (before, after)
