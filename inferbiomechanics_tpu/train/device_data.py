@@ -135,6 +135,53 @@ def make_device_epoch_step(model, data: DeviceResidentData,
     return jax.jit(run, donate_argnums=(0,))
 
 
+def make_device_diffusion_epoch_runner(model, data: DeviceResidentData,
+                                       schedule, batch_size: int) -> Callable:
+    """Whole-epoch diffusion (ε-prediction) training in one jit program.
+
+    Same shape as :func:`make_device_epoch_runner` but the step is the
+    DDPM objective (models/diffusion.py): sample t and noise, q_sample the
+    packed all-frames targets, regress the noise.
+    """
+    from inferbiomechanics_tpu.models.diffusion import (
+        diffusion_targets_from_labels,
+    )
+    if data.output_data_format != 'all_frames':
+        raise ValueError('diffusion requires all_frames labels')
+    n_steps = data.num_windows // batch_size
+    if n_steps == 0:
+        raise ValueError(f'dataset has {data.num_windows} windows < '
+                         f'batch_size {batch_size}')
+
+    def one(carry, idx):
+        state, rng = carry
+        rng, rng_t, rng_n = jax.random.split(rng, 3)
+        batch_inputs, batch_labels = data.gather_in_jit(idx)
+        x0 = diffusion_targets_from_labels(batch_labels, data.lab_offsets,
+                                           model.num_contact_bodies)
+        t = jax.random.randint(rng_t, (batch_size,), 0, schedule.timesteps)
+        noise = jax.random.normal(rng_n, x0.shape, x0.dtype)
+        x_t = schedule.q_sample(x0, t, noise)
+
+        def loss_fn(params):
+            eps = model.apply({'params': params}, x_t, t, batch_inputs,
+                              train=True)
+            return jnp.mean((eps - noise) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return (state, rng), {'loss': loss}
+
+    def run_epoch(state: TrainState, rng: jax.Array):
+        perm_rng, step_rng = jax.random.split(rng)
+        perm = jax.random.permutation(perm_rng, data.num_windows)
+        idx = perm[:n_steps * batch_size].reshape(n_steps, batch_size)
+        (state, _), metrics = jax.lax.scan(one, (state, step_rng), idx)
+        return state, jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+
+    return jax.jit(run_epoch, donate_argnums=(0,))
+
+
 def make_device_eval_runner(model, data: DeviceResidentData,
                             loss_config: LossConfig,
                             batch_size: int) -> Callable:

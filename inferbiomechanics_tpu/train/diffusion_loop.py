@@ -74,6 +74,24 @@ def train_diffusion(config: Config,
     start_epoch = ckpt_epoch + 1
     state = replicate(mesh, state)
 
+    # device-resident fast path: whole epoch (shuffle+gather+eps-steps) in
+    # one jit program when the packed dataset fits HBM
+    data_bytes = train_ds.features_all.nbytes + train_ds.labels_all.nbytes
+    epoch_runner = None
+    if (config.device_data != 'off'
+            and data_bytes < config.device_data_max_bytes
+            and len(train_ds) >= config.batch_size
+            and max_batches_per_epoch is None):
+        from inferbiomechanics_tpu.parallel.mesh import replicated
+        from inferbiomechanics_tpu.train.device_data import (
+            DeviceResidentData, make_device_diffusion_epoch_runner,
+        )
+        device_data = DeviceResidentData(train_ds, sharding=replicated(mesh))
+        epoch_runner = make_device_diffusion_epoch_runner(
+            model, device_data, sched, config.batch_size)
+        logger.info('diffusion device-resident data: %.0f MB in HBM',
+                    device_data.hbm_bytes / 1e6)
+
     step = make_diffusion_train_step(model, train_ds.lab_offsets, sched)
     sampler = make_sampler(model, sched, num_steps=EVAL_SAMPLE_STEPS)
     dev_eval = RegressionLossEvaluator('dev', lc, wandb_logger=metric_logger)
@@ -103,22 +121,35 @@ def train_diffusion(config: Config,
             print(f'[epoch {epoch}] dev report (sampled, {EVAL_SAMPLE_STEPS} steps):')
             final_dev = dev_eval.print_report(log_to_wandb=metric_logger is not None)
 
-        for batch_idx, batch in enumerate(train_loader.epoch(seed=epoch)):
-            if max_batches_per_epoch is not None and batch_idx >= max_batches_per_epoch:
-                break
+        if epoch_runner is not None:
             t_step = time.time()
-            state, metrics = step(state, batch.inputs, batch.labels,
-                                  jax.random.fold_in(rng, epoch * 1_000_000 + batch_idx))
+            state, metrics = epoch_runner(state, jax.random.fold_in(rng, epoch))
             last_loss = float(metrics['loss'])
-            if batch_idx % config.log_every_batches == 0:
-                if metric_logger is not None:
-                    metric_logger.log({'train/diffusion_loss': last_loss,
-                                       'epoch': epoch, 'batch': batch_idx})
-                logger.info('epoch %d batch %d eps-mse %.6f', epoch, batch_idx, last_loss)
-            if batch_idx > 0 and batch_idx % config.checkpoint_every_batches == 0:
-                save_checkpoint(config.checkpoint_dir, state, epoch, batch_idx)
+            n_steps = len(train_ds) // config.batch_size
+            if metric_logger is not None:
+                metric_logger.log({'train/diffusion_loss': last_loss,
+                                   'epoch': epoch})
             compute_time += time.time() - t_step
-            windows_seen += config.batch_size
+            windows_seen += n_steps * config.batch_size
+        else:
+            for batch_idx, batch in enumerate(train_loader.epoch(seed=epoch)):
+                if (max_batches_per_epoch is not None
+                        and batch_idx >= max_batches_per_epoch):
+                    break
+                t_step = time.time()
+                state, metrics = step(state, batch.inputs, batch.labels,
+                                      jax.random.fold_in(rng, epoch * 1_000_000 + batch_idx))
+                last_loss = float(metrics['loss'])
+                if batch_idx % config.log_every_batches == 0:
+                    if metric_logger is not None:
+                        metric_logger.log({'train/diffusion_loss': last_loss,
+                                           'epoch': epoch, 'batch': batch_idx})
+                    logger.info('epoch %d batch %d eps-mse %.6f',
+                                epoch, batch_idx, last_loss)
+                if batch_idx > 0 and batch_idx % config.checkpoint_every_batches == 0:
+                    save_checkpoint(config.checkpoint_dir, state, epoch, batch_idx)
+                compute_time += time.time() - t_step
+                windows_seen += config.batch_size
         epochs_run += 1
         print(f'[epoch {epoch}] eps-mse {last_loss:.6f}')
         save_checkpoint(config.checkpoint_dir, state, epoch, 0)

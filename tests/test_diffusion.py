@@ -101,3 +101,20 @@ def test_sampler_shapes_and_determinism(ds):
         np.asarray(out[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]),
         np.asarray(out2[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]),
         atol=1e-6)
+
+
+def test_device_diffusion_epoch_runner(ds):
+    from inferbiomechanics_tpu.train.device_data import (
+        DeviceResidentData, make_device_diffusion_epoch_runner,
+    )
+    model = _model(ds)
+    state, _ = _state(model, ds)
+    data = DeviceResidentData(ds)
+    run = make_device_diffusion_epoch_runner(model, data, DDPMSchedule(model.timesteps),
+                                             batch_size=16)
+    rng = jax.random.PRNGKey(0)
+    state, m0 = run(state, rng)   # runner donates state: always chain
+    for e in range(4):
+        state, m = run(state, jax.random.fold_in(rng, e))
+    assert np.isfinite(float(m['loss']))
+    assert float(m['loss']) < float(m0['loss'])
