@@ -122,10 +122,40 @@ class TransformerRegressor(nn.Module):
         pos = self.param('temporal_embedding',
                          nn.initializers.normal(0.02), (t, self.d_model))
         x = x + pos.astype(self.compute_dtype)[None]
-        for _ in range(self.num_layers):
-            x = EncoderBlock(self.d_model, self.num_heads, self.mlp_ratio,
-                             self.dropout, self.compute_dtype,
-                             self.attn_impl)(x, train=train)
+        if self.attn_impl == 'pallas':
+            # fully fused encoder layers (ops/pallas_encoder.py); dropout
+            # unsupported inside the kernel
+            assert self.dropout == 0.0, 'pallas encoder does not support dropout'
+            from inferbiomechanics_tpu.ops.pallas_encoder import (
+                PARAM_NAMES, fused_encoder_layer,
+            )
+            d, m = self.d_model, self.d_model * self.mlp_ratio
+            shapes = {'ln1_scale': (d,), 'ln1_bias': (d,),
+                      'wqkv': (d, 3 * d), 'bqkv': (3 * d,),
+                      'wproj': (d, d), 'bproj': (d,),
+                      'ln2_scale': (d,), 'ln2_bias': (d,),
+                      'wmlp1': (d, m), 'bmlp1': (m,),
+                      'wmlp2': (m, d), 'bmlp2': (d,)}
+
+            def init_for(name):
+                if name.startswith('w'):
+                    return nn.initializers.lecun_normal()
+                if name.endswith('scale'):
+                    return nn.initializers.ones_init()
+                return nn.initializers.zeros_init()
+
+            x = x.astype(jnp.float32)
+            for li in range(self.num_layers):
+                layer_params = tuple(
+                    self.param(f'enc{li}_{name}', init_for(name), shapes[name])
+                    for name in PARAM_NAMES)
+                x = fused_encoder_layer(x, layer_params, self.num_heads)
+            x = x.astype(self.compute_dtype)
+        else:
+            for _ in range(self.num_layers):
+                x = EncoderBlock(self.d_model, self.num_heads, self.mlp_ratio,
+                                 self.dropout, self.compute_dtype,
+                                 self.attn_impl)(x, train=train)
         x = nn.LayerNorm(dtype=self.compute_dtype)(x)
 
         if self.output_data_format != 'all_frames':
