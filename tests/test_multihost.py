@@ -1,0 +1,100 @@
+"""Multi-process (multi-host-style) distributed training test.
+
+Spawns two REAL processes that form a jax.distributed cluster over
+localhost (CPU backend, 2 virtual devices each → a 4-device global
+mesh). Each process loads its own window shard (the DistributedSampler
+replacement) and runs data-parallel train steps; the test asserts both
+processes observe identical losses and parameters — the actual guarantee
+multi-host SPMD must provide (SURVEY.md §2.10 / BASELINE config #5).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r'''
+import os, sys, json
+proc_id = int(sys.argv[1]); num_procs = int(sys.argv[2])
+coord = sys.argv[3]; data_dir = sys.argv[4]
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.distributed.initialize(coordinator_address=coord,
+                           num_processes=num_procs, process_id=proc_id,
+                           local_device_ids=[0, 1])
+assert jax.process_count() == num_procs
+assert len(jax.devices()) == num_procs * 2
+
+import jax.numpy as jnp, numpy as np
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.loss import LossConfig
+from inferbiomechanics_tpu.models import get_model
+from inferbiomechanics_tpu.parallel import make_mesh, batch_sharding, replicate
+from inferbiomechanics_tpu.train import create_train_state, make_optimizer, make_train_step
+
+ds = WindowDataset(data_dir, window_size=20, stride=5, skip_loading_skeletons=True)
+mesh = make_mesh()
+model = get_model('feedforward', num_dofs=ds.num_dofs,
+                  num_contact_bodies=ds.num_contact_bodies,
+                  history_len=20, stride=5, root_history_len=ds.root_history_len)
+B = 16
+sample = ds.gather(np.arange(B))
+state = create_train_state(model, jax.random.PRNGKey(0),
+                           jnp.asarray(sample.inputs), make_optimizer('adam', 1e-3))
+state = replicate(mesh, state)
+step = make_train_step(model, ds.lab_offsets, LossConfig(), donate=False)
+sh = batch_sharding(mesh)
+
+losses = []
+for k, host_batch in enumerate(ds.batches(B, seed=0, shard_index=0, num_shards=1)):
+    if k >= 3:
+        break
+    # each process holds its LOCAL half of the global batch
+    n_local = B // num_procs
+    lo = proc_id * n_local
+    x = jax.make_array_from_process_local_data(sh, host_batch.inputs[lo:lo+n_local])
+    y = jax.make_array_from_process_local_data(sh, host_batch.labels[lo:lo+n_local])
+    state, m = step(state, x, y, jax.random.PRNGKey(k))
+    losses.append(float(m['loss']))
+
+psum = float(np.sum([np.asarray(x).sum() for x in
+                     jax.tree_util.tree_leaves(jax.device_get(
+                         jax.tree_util.tree_map(
+                             lambda a: a.addressable_data(0), state.params)))]))
+print(json.dumps({'proc': proc_id, 'losses': losses, 'param_sum': psum}))
+'''
+
+
+def test_two_process_distributed_training(tmp_path):
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    data_dir = str(tmp_path / 'data')
+    os.makedirs(data_dir)
+    write_synthetic_subject(os.path.join(data_dir, 's.b3d'),
+                            num_trials=1, trial_length=200, seed=0)
+    worker_py = str(tmp_path / 'worker.py')
+    with open(worker_py, 'w') as f:
+        f.write(WORKER)
+
+    coord = 'localhost:53421'
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker_py, str(i), '2', coord, data_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=560)
+        assert p.returncode == 0, f'worker failed:\n{err[-3000:]}'
+        outs.append(out.strip().splitlines()[-1])
+
+    import json
+    r0, r1 = (json.loads(o) for o in outs)
+    # both processes must observe identical losses and parameters
+    np.testing.assert_allclose(r0['losses'], r1['losses'], rtol=1e-6)
+    np.testing.assert_allclose(r0['param_sum'], r1['param_sum'], rtol=1e-6)
+    assert len(r0['losses']) == 3
