@@ -63,7 +63,15 @@ class PrefetchLoader:
                         n_threads=self.n_threads):
                     if stop.is_set():
                         return
-                    if self.sharding is not None:
+                    if self.sharding is not None and jax.process_count() > 1:
+                        # multi-host: this process holds its LOCAL shard of
+                        # the global batch (device_put cannot address other
+                        # hosts' devices)
+                        inputs = jax.make_array_from_process_local_data(
+                            self.sharding, host_batch.inputs)
+                        labels = jax.make_array_from_process_local_data(
+                            self.sharding, host_batch.labels)
+                    elif self.sharding is not None:
                         inputs = jax.device_put(host_batch.inputs, self.sharding)
                         labels = jax.device_put(host_batch.labels, self.sharding)
                     else:

@@ -57,14 +57,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sh):
+    """device_put that is multi-host safe: on multi-process clusters the
+    caller's array is its process-local shard (or a replicated copy)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+    return jax.device_put(x, sh)
+
+
 def shard_batch(mesh: Mesh, *arrays):
-    """device_put host batch arrays with the batch dim split on `data`."""
+    """Place host batch arrays with the batch dim split on `data`."""
     sh = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+    out = tuple(_put(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / train state) across the mesh."""
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: _put(x, sh), tree)

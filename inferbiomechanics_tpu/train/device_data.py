@@ -34,9 +34,18 @@ class DeviceResidentData:
                  feature_dtype=jnp.bfloat16):
         """``feature_dtype=bfloat16`` halves HBM footprint and gather
         bandwidth; models cast inputs to bf16 anyway so compute is
-        unchanged. Labels stay float32 (loss runs in f32)."""
-        put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
-            else jax.device_put
+        unchanged. Labels stay float32 (loss runs in f32).
+
+        Multi-host: every process must construct this from the SAME
+        dataset files (replicated data plane); global arrays are built
+        from process-local copies."""
+        if sharding is not None and jax.process_count() > 1:
+            put = lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        elif sharding is not None:
+            put = lambda x: jax.device_put(x, sharding)
+        else:
+            put = jax.device_put
         self.features_all = put(jnp.asarray(ds.features_all).astype(feature_dtype))
         self.labels_all = put(jnp.asarray(ds.labels_all))
         base = ds.trial_row_offset[ds.win_ft] + ds.win_start

@@ -31,6 +31,7 @@ assert len(jax.devices()) == num_procs * 2
 
 import jax.numpy as jnp, numpy as np
 from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.data.loader import PrefetchLoader
 from inferbiomechanics_tpu.loss import LossConfig
 from inferbiomechanics_tpu.models import get_model
 from inferbiomechanics_tpu.parallel import make_mesh, batch_sharding, replicate
@@ -41,24 +42,22 @@ mesh = make_mesh()
 model = get_model('feedforward', num_dofs=ds.num_dofs,
                   num_contact_bodies=ds.num_contact_bodies,
                   history_len=20, stride=5, root_history_len=ds.root_history_len)
-B = 16
+B = 8   # per-process (DDP semantics: global batch = num_procs * B)
 sample = ds.gather(np.arange(B))
 state = create_train_state(model, jax.random.PRNGKey(0),
                            jnp.asarray(sample.inputs), make_optimizer('adam', 1e-3))
-state = replicate(mesh, state)
+state = replicate(mesh, state)   # multi-host-safe replicate
 step = make_train_step(model, ds.lab_offsets, LossConfig(), donate=False)
-sh = batch_sharding(mesh)
 
+# THE REAL PIPELINE: per-process loader shard -> global sharded arrays
+loader = PrefetchLoader(ds, B, sharding=batch_sharding(mesh),
+                        shard_index=proc_id, num_shards=num_procs)
 losses = []
-for k, host_batch in enumerate(ds.batches(B, seed=0, shard_index=0, num_shards=1)):
+for k, batch in enumerate(loader.epoch(seed=0)):
     if k >= 3:
         break
-    # each process holds its LOCAL half of the global batch
-    n_local = B // num_procs
-    lo = proc_id * n_local
-    x = jax.make_array_from_process_local_data(sh, host_batch.inputs[lo:lo+n_local])
-    y = jax.make_array_from_process_local_data(sh, host_batch.labels[lo:lo+n_local])
-    state, m = step(state, x, y, jax.random.PRNGKey(k))
+    assert batch.inputs.shape[0] == num_procs * B  # global batch
+    state, m = step(state, batch.inputs, batch.labels, jax.random.PRNGKey(k))
     losses.append(float(m['loss']))
 
 psum = float(np.sum([np.asarray(x).sum() for x in
