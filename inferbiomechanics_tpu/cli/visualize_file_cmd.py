@@ -13,12 +13,9 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 from inferbiomechanics_tpu.config import add_config_flags, config_from_args
 from inferbiomechanics_tpu.data.b3d import MissingGRFReason
 from inferbiomechanics_tpu.data.dataset import WindowDataset
-from inferbiomechanics_tpu.data.keys import OutputDataKeys
 from inferbiomechanics_tpu.inference import Predictor
 from inferbiomechanics_tpu.viz.viewer import STANDARD_BONES, export_html, serve_file
 

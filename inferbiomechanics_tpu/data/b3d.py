@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import json
 import mmap
-import os
 import struct
 from dataclasses import dataclass, field
 from enum import IntEnum

@@ -12,11 +12,11 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Iterator, List
+from typing import List
 
 import numpy as np
 
-from inferbiomechanics_tpu.data.dataset import Batch, WindowDataset, input_layout, label_layout, _offsets
+from inferbiomechanics_tpu.data.dataset import WindowDataset, input_layout, label_layout, _offsets
 
 
 class PickledDataset:

@@ -12,7 +12,7 @@ mass-normalization, loss semantics, training convergence).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

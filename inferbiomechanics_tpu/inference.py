@@ -20,7 +20,7 @@ import numpy as np
 from inferbiomechanics_tpu.config import Config
 from inferbiomechanics_tpu.data.dataset import WindowDataset
 from inferbiomechanics_tpu.data.keys import OutputDataKeys
-from inferbiomechanics_tpu.loss import LossConfig, loss_and_metrics
+from inferbiomechanics_tpu.loss import loss_and_metrics
 from inferbiomechanics_tpu.train import (
     create_train_state, load_latest_checkpoint, make_optimizer,
 )

@@ -12,7 +12,7 @@ jitted ID program over the whole batch.
 
 from __future__ import annotations
 
-from typing import Callable, List
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

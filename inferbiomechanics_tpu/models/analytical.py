@@ -21,8 +21,6 @@ from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from inferbiomechanics_tpu.data import keys as K
 from inferbiomechanics_tpu.data.dataset import WindowDataset
 from inferbiomechanics_tpu.ops.skeleton import GRAVITY, CompiledSkeleton, compile_skeleton

@@ -14,9 +14,8 @@ output groups per output frame. Differences by design:
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -15,7 +15,6 @@ edge-pad so the conv itself is VALID.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from inferbiomechanics_tpu.models.common import (

@@ -18,7 +18,7 @@ bottleneck — batch size is. Sequence length stays a config knob.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

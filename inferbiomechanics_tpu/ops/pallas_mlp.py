@@ -21,7 +21,6 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _ACTS = {
     'relu': lambda x: jnp.maximum(x, 0),

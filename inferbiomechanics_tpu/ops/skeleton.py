@@ -27,7 +27,7 @@ import numpy as np
 
 from inferbiomechanics_tpu.data.b3d import SkeletonSpec
 from inferbiomechanics_tpu.ops.spatial import (
-    axis_angle_to_matrix, euler_xyz_to_matrix, skew, unskew,
+    axis_angle_to_matrix, euler_xyz_to_matrix, unskew,
 )
 
 GRAVITY = jnp.array([0.0, -9.81, 0.0])

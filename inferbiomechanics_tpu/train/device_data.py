@@ -16,7 +16,7 @@ datasets larger than HBM, fall back to the PrefetchLoader host path.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

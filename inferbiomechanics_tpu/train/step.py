@@ -14,11 +14,9 @@ train.py:175).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from inferbiomechanics_tpu.data.dataset import unpack
 from inferbiomechanics_tpu.loss.evaluator import LossConfig, loss_and_metrics

@@ -16,7 +16,7 @@ import http.server
 import json
 import os
 import socketserver
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 _TEMPLATE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>__TITLE__</title>
