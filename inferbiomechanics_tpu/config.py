@@ -132,7 +132,7 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                         help='Capture a JAX profiler trace of the first epoch')
     parser.add_argument('--profile-dir', type=str, default=d.profile_dir)
     parser.add_argument('--device-data', type=str, default=d.device_data,
-                        choices=['auto', 'on', 'off'],
+                        choices=['auto', 'on', 'off', 'stream'],
                         help='HBM-resident dataset with on-device window gather')
 
 

@@ -121,6 +121,19 @@ def train(config: Config,
     device_data = None
     device_step = None
     device_eval = None
+    streaming_epoch = None
+    if config.device_data == 'stream':
+        # out-of-core tier: trials packed into HBM-budget segments
+        # (train/streaming_data.py); epoch-granular logging/checkpoints
+        from inferbiomechanics_tpu.train.streaming_data import (
+            StreamingPlan, make_streaming_epoch,
+        )
+        use_device_data = False
+        plan = StreamingPlan(train_ds, config.device_data_max_bytes)
+        streaming_epoch = make_streaming_epoch(model, train_ds, plan, lc,
+                                               config.batch_size)
+        logger.info('streaming data: %d segments of %d rows',
+                    len(plan.segments), plan.rows_pad)
     if use_device_data:
         from inferbiomechanics_tpu.parallel.mesh import replicated
         from inferbiomechanics_tpu.train.device_data import (
@@ -190,6 +203,21 @@ def train(config: Config,
 
         # -- train epoch ----------------------------------------------------
         t_epoch = time.time()
+        if streaming_epoch is not None:
+            t0 = time.time()
+            state, metrics = streaming_epoch(state, jax.random.fold_in(rng, epoch))
+            if metrics:
+                train_eval(None, None, None, precomputed_metrics=metrics)
+                if metric_logger is not None:
+                    metric_logger.log({'train/loss': float(metrics['loss']),
+                                       'epoch': epoch})
+            compute_time += time.time() - t0
+            windows_seen += (len(train_ds) // config.batch_size) * config.batch_size
+            epochs_run += 1
+            print(f'[epoch {epoch}] train report ({time.time() - t_epoch:.1f}s):')
+            train_metrics = train_eval.print_report(log_to_wandb=metric_logger is not None)
+            save_checkpoint(config.checkpoint_dir, state, epoch, 0)
+            continue
         if use_device_data:
             # per-epoch shuffle sharded across hosts, indices sent per step
             perm = np.random.default_rng(epoch).permutation(len(train_ds))

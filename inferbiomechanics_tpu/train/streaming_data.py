@@ -1,0 +1,152 @@
+"""Streaming device data: training when the dataset exceeds HBM.
+
+Complements ``train/device_data.py`` (whole dataset resident): trials are
+packed into fixed-size SEGMENTS that fit an HBM budget; each epoch visits
+segments in shuffled order, uploads one segment's packed rows, and runs
+all of that segment's windows as scanned train steps in one jit program
+per segment (segments are padded to a common row count, so ONE compiled
+executable serves every segment). Shuffling is hierarchical — segments
+shuffled globally, windows shuffled within a segment — the standard
+locality-constrained shuffle for out-of-core training.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inferbiomechanics_tpu.data.dataset import WindowDataset, unpack
+from inferbiomechanics_tpu.loss.evaluator import LossConfig, loss_and_metrics
+from inferbiomechanics_tpu.train.state import TrainState
+
+
+@dataclass
+class Segment:
+    feature_rows: np.ndarray      # [R_pad, C_in]  (zero-padded)
+    label_rows: np.ndarray        # [R_pad, C_lab]
+    win_base: np.ndarray          # [W_seg] window starts, segment-local rows
+
+
+class StreamingPlan:
+    """Pack trials into equal-row segments under ``hbm_budget_bytes``."""
+
+    def __init__(self, ds: WindowDataset, hbm_budget_bytes: int):
+        bytes_per_row = (ds.features_all.shape[1] + ds.labels_all.shape[1]) * 4
+        budget_rows = max(1, hbm_budget_bytes // bytes_per_row)
+        n_trials = ds.trial_row_offset.shape[0]
+        trial_ends = np.append(ds.trial_row_offset[1:], ds.features_all.shape[0])
+
+        self.ds = ds
+        self.segments: List[Segment] = []
+        cur_trials: List[int] = []
+        cur_rows = 0
+
+        def flush():
+            nonlocal cur_trials, cur_rows
+            if not cur_trials:
+                return
+            row_chunks, base_chunks = [], []
+            row_off = 0
+            for ti in cur_trials:
+                lo, hi = int(ds.trial_row_offset[ti]), int(trial_ends[ti])
+                row_chunks.append((lo, hi))
+                mask = ds.win_ft == ti
+                base_chunks.append(ds.win_start[mask].astype(np.int64)
+                                   + row_off)
+                row_off += hi - lo
+            feats = np.concatenate([ds.features_all[lo:hi] for lo, hi in row_chunks])
+            labs = np.concatenate([ds.labels_all[lo:hi] for lo, hi in row_chunks])
+            self.segments.append(Segment(
+                feature_rows=feats, label_rows=labs,
+                win_base=np.concatenate(base_chunks) if base_chunks else
+                np.zeros(0, np.int64)))
+            cur_trials, cur_rows = [], 0
+
+        for ti in range(n_trials):
+            rows = int(trial_ends[ti]) - int(ds.trial_row_offset[ti])
+            if rows > budget_rows:
+                raise ValueError(
+                    f'trial {ti} has {rows} rows > segment budget {budget_rows}; '
+                    f'raise hbm_budget_bytes')
+            if cur_rows + rows > budget_rows:
+                flush()
+            cur_trials.append(ti)
+            cur_rows += rows
+        flush()
+
+        # pad all segments to a common row count -> one compiled executable
+        self.rows_pad = max(s.feature_rows.shape[0] for s in self.segments)
+        for s in self.segments:
+            pad = self.rows_pad - s.feature_rows.shape[0]
+            if pad:
+                s.feature_rows = np.pad(s.feature_rows, ((0, pad), (0, 0)))
+                s.label_rows = np.pad(s.label_rows, ((0, pad), (0, 0)))
+
+
+def make_streaming_epoch(model, ds: WindowDataset, plan: StreamingPlan,
+                         loss_config: LossConfig, batch_size: int,
+                         feature_dtype=jnp.bfloat16) -> Callable:
+    """Build ``run_epoch(state, rng) -> (state, mean_metrics)``.
+
+    One jit program per SEGMENT shape (shared across segments); per
+    segment the host uploads the padded rows once and scans that
+    segment's shuffled windows.
+    """
+    frames = ds.num_model_frames
+    stride = ds.stride
+    offs = jnp.arange(0, ds.window_size, stride)
+    last_frame = ds.output_data_format != 'all_frames'
+
+    def seg_runner(state, feats, labs, idx_chunks, rng):
+        def one(carry, idx):
+            state, rng = carry
+            rng, sub = jax.random.split(rng)
+            rows = idx[:, None] + offs[None, :]
+            bi = jnp.take(feats, rows, axis=0)
+            if last_frame:
+                bl = jnp.take(labs, idx[:, None] + (frames - 1) * stride, axis=0)
+            else:
+                bl = jnp.take(labs, rows, axis=0)
+            labels = unpack(bl, ds.lab_offsets)
+
+            def loss_fn(params):
+                outputs = model.apply({'params': params}, bi, train=True,
+                                      rngs={'dropout': sub})
+                loss, metrics = loss_and_metrics(outputs, labels, loss_config)
+                return loss, metrics
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+            return (state.apply_gradients(grads=grads), rng), metrics
+
+        (state, _), metrics = jax.lax.scan(one, (state, rng), idx_chunks)
+        return state, jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+
+    seg_runner = jax.jit(seg_runner, donate_argnums=(0,))
+
+    def run_epoch(state: TrainState, rng: jax.Array):
+        host_rng = np.random.default_rng(int(jax.device_get(
+            jax.random.randint(rng, (), 0, 2**31 - 1))))
+        order = host_rng.permutation(len(plan.segments))
+        all_metrics = []
+        for si in order:
+            seg = plan.segments[si]
+            if seg.win_base.shape[0] < batch_size:
+                continue
+            idx = host_rng.permutation(seg.win_base)
+            n_steps = idx.shape[0] // batch_size
+            idx = idx[:n_steps * batch_size].reshape(n_steps, batch_size)
+            feats = jnp.asarray(seg.feature_rows).astype(feature_dtype)
+            labs = jnp.asarray(seg.label_rows)
+            state, metrics = seg_runner(state, feats, labs,
+                                        jnp.asarray(idx, jnp.int32),
+                                        jax.random.fold_in(rng, int(si)))
+            all_metrics.append(jax.tree_util.tree_map(np.asarray, metrics))
+        mean = ({k: np.mean(np.stack([m[k] for m in all_metrics]), axis=0)
+                 for k in all_metrics[0]} if all_metrics else {})
+        return state, mean
+
+    return run_epoch
