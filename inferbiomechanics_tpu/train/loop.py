@@ -107,9 +107,18 @@ def train(config: Config,
     state = create_train_state(model, rng, jax.numpy.asarray(sample_inputs), tx)
     logger.info('model %s: %d params', config.model_type, num_params(state))
 
-    # resume (parity: abstract_command.py:86-120; restart at epoch+1)
-    state, ckpt_epoch, _ckpt_batch = load_latest_checkpoint(state, config.checkpoint_dir)
-    start_epoch = ckpt_epoch + 1
+    # resume (parity: abstract_command.py:86-120). The reference parses the
+    # mid-epoch batch index but restarts at epoch+1 anyway; here a mid-epoch
+    # checkpoint resumes INSIDE its epoch — batch order is a deterministic
+    # function of the epoch seed, so skipping the consumed prefix replays
+    # the exact remaining stream.
+    state, ckpt_epoch, ckpt_batch = load_latest_checkpoint(state, config.checkpoint_dir)
+    if ckpt_batch > 0:
+        start_epoch = ckpt_epoch
+        skip_batches = ckpt_batch
+    else:
+        start_epoch = ckpt_epoch + 1
+        skip_batches = 0
     state = replicate(mesh, state)
 
     # device-resident data path: HBM dataset + on-device window gather,
@@ -233,6 +242,8 @@ def train(config: Config,
         for batch_idx, batch in batch_iter:
             if max_batches_per_epoch is not None and batch_idx >= max_batches_per_epoch:
                 break
+            if epoch == start_epoch and batch_idx < skip_batches:
+                continue   # mid-epoch resume: prefix already consumed
             t0 = time.time()
             step_rng = jax.random.fold_in(rng, epoch * 1_000_000 + batch_idx)
             if use_device_data:

@@ -212,3 +212,38 @@ def test_mask_stops_gradient():
     g = jax.grad(loss)(jnp.ones((1, 1, 3)) * 2.0)
     # Gradient flows through l but not through the mask itself.
     np.testing.assert_allclose(np.asarray(g), np.ones((1, 1, 3)), rtol=1e-6)
+
+
+# ---- property-style checks -------------------------------------------------
+
+def test_squared_diff_symmetry_and_shift_invariance():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(5, 4, 6)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(5, 4, 6)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(squared_diff_mean_vector(a, b)),
+                               np.asarray(squared_diff_mean_vector(b, a)),
+                               rtol=1e-6)
+    c = jnp.asarray(rng.normal(size=(1, 1, 6)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(squared_diff_mean_vector(a + c, b + c)),
+                               np.asarray(squared_diff_mean_vector(a, b)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mask_by_threes_idempotent_and_binary():
+    rng = np.random.default_rng(1)
+    t = jnp.asarray(rng.normal(size=(3, 4, 12)).astype(np.float32))
+    m = mask_by_threes(t, threshold=0.5)
+    vals = np.unique(np.asarray(m))
+    assert set(vals.tolist()) <= {0.0, 1.0}
+    # masking a mask with threshold below 1 returns the same mask
+    np.testing.assert_array_equal(np.asarray(mask_by_threes(m, threshold=0.5)),
+                                  np.asarray(m))
+
+
+def test_mean_norm_error_scale_equivariance():
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.normal(size=(4, 3, 6)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(4, 3, 6)).astype(np.float32))
+    e1 = float(mean_norm_error(a, b))
+    e2 = float(mean_norm_error(3.0 * a, 3.0 * b))
+    assert np.isclose(e2, 3.0 * e1, rtol=1e-5)

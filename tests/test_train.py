@@ -214,3 +214,30 @@ def test_aux_head_supervision_trains_tau(ds):
         state, _ = step(state, x, y, jax.random.fold_in(jax.random.PRNGKey(1), i))
     after = tau_mse(state)
     assert after < 0.5 * before, (before, after)
+
+
+def test_mid_epoch_resume_skips_consumed_prefix(ds, tmp_path, capsys):
+    """A checkpoint at (epoch e, batch k>0) resumes inside epoch e."""
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.train.loop import train
+
+    ckpt = str(tmp_path / 'resume')
+    cfg = Config(window_size=20, stride=5, model_type='feedforward',
+                 checkpoint_dir=ckpt, epochs=2, batch_size=16,
+                 opt_type='adam', learning_rate=1e-3, device_data='off',
+                 checkpoint_every_batches=3, log_every_batches=1000)
+    # run one partial epoch then simulate a crash by training 1 epoch only
+    cfg1 = Config(**{**vars(cfg), 'epochs': 1})
+    train(cfg1, ds, None, max_batches_per_epoch=5)
+    from inferbiomechanics_tpu.train.checkpoint import list_checkpoints
+    ckpts = list_checkpoints(ckpt)
+    # mid-epoch ckpt at batch 3 exists plus the end-of-epoch one
+    assert (0, 3) in [(e, b) for e, b, _ in ckpts]
+    # remove the end-of-epoch checkpoint to simulate a crash at batch 3
+    import os as _os
+    for e, b, path in ckpts:
+        if b == 0:
+            _os.remove(path)
+    result = train(cfg, ds, None, max_batches_per_epoch=5)
+    # epochs 0 (resumed mid-way) and 1 both complete
+    assert result.epochs_run == 2
