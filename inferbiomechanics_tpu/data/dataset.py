@@ -102,11 +102,18 @@ class WindowDataset:
                  stride: int = 1,
                  output_data_format: str = 'last_frame',
                  skip_loading_skeletons: bool = False,
-                 trial_filter: Optional[str] = None):
+                 trial_filter: Optional[str] = None,
+                 materialize_features: bool = True):
+        """``materialize_features=False`` keeps input features ON DISK:
+        windows are gathered straight from the mmap'd kinematics-pass
+        matrices with a fused column-select (native ib_gather_columns),
+        so host RAM holds only the (small) label matrix — the low-memory
+        mode for datasets far beyond RAM."""
         self.stride = int(stride)
         self.window_size = int(window_size)
         self.output_data_format = output_data_format
         self.trial_filter = trial_filter
+        self.materialize_features = materialize_features
         self.geometry_folder = geometry_folder
         self.dtype = dtype
 
@@ -161,9 +168,21 @@ class WindowDataset:
         self.num_input_channels = sum(w for _, w in self.in_layout)
         self.num_label_channels = sum(w for _, w in self.lab_layout)
 
+        # source-column map for on-demand featurization: packed input
+        # layout -> kinematics-pass columns (identical across subjects)
+        self.feature_col_idx = None
+        if self.subjects:
+            src_offs = self.subjects[0].field_offsets
+            cols = []
+            for key, _w in self.in_layout:
+                o, w = src_offs[key]
+                cols.extend(range(o, o + w))
+            self.feature_col_idx = np.asarray(cols, np.int64)
+
         # -- featurize every trial once; build the global window table ------
         feats: List[np.ndarray] = []
         labs: List[np.ndarray] = []
+        self.ft_to_subject_trial: List[Tuple[int, int]] = []
         trial_row_offset: List[int] = []
         win_ft: List[np.ndarray] = []      # flat-trial id per window
         win_subject: List[np.ndarray] = []
@@ -182,11 +201,14 @@ class WindowDataset:
                 if (self.trial_filter and
                         self.trial_filter not in subject.getTrialName(t_idx)):
                     continue
-                F, L = self._featurize_trial(subject, t_idx, mass, contact_indices)
-                feats.append(F)
+                F, L = self._featurize_trial(subject, t_idx, mass, contact_indices,
+                                             build_features=self.materialize_features)
+                if F is not None:
+                    feats.append(F)
                 labs.append(L)
+                self.ft_to_subject_trial.append((s_idx, t_idx))
                 trial_row_offset.append(rows)
-                rows += F.shape[0]
+                rows += L.shape[0]
 
                 starts = self._enumerate_starts(subject, t_idx)
                 if starts.size:
@@ -196,8 +218,9 @@ class WindowDataset:
                     win_start.append(starts.astype(np.int32))
                 ft_id += 1
 
-        if feats:
-            self.features_all = np.concatenate(feats, axis=0)
+        if labs:
+            self.features_all = (np.concatenate(feats, axis=0)
+                                 if self.materialize_features else None)
             self.labels_all = np.concatenate(labs, axis=0)
         else:
             self.features_all = np.zeros((0, self.num_input_channels), np.float32)
@@ -257,7 +280,9 @@ class WindowDataset:
     # -- featurization (once per trial, fully vectorized) -------------------
 
     def _featurize_trial(self, subject: SubjectOnDisk, trial: int, mass: float,
-                         contact_indices: List[int]) -> Tuple[np.ndarray, np.ndarray]:
+                         contact_indices: List[int],
+                         build_features: bool = True
+                         ) -> Tuple[Optional[np.ndarray], np.ndarray]:
         kin = subject.trial_pass_matrix(trial, 0)
         n_passes = subject.getTrialNumProcessingPasses(trial)
         dyn = subject.trial_pass_matrix(trial, n_passes - 1)
@@ -269,9 +294,11 @@ class WindowDataset:
             return mat[:, o:o + w]
 
         # inputs — all from the kinematics pass (ref :174,181-210)
-        F = np.empty((T, self.num_input_channels), np.float32)
-        for key, (o, w) in self.in_offsets.items():
-            F[:, o:o + w] = col(kin, key)
+        F = None
+        if build_features:
+            F = np.empty((T, self.num_input_channels), np.float32)
+            for key, (o, w) in self.in_offsets.items():
+                F[:, o:o + w] = col(kin, key)
 
         # labels — tau/residual/comAcc from last pass; GRF groups from the
         # FIRST pass (ref asymmetry :214-247), reindexed + mass-normalized.
@@ -331,8 +358,22 @@ class WindowDataset:
         start = self.win_start[indices]
         base = self.trial_row_offset[ft] + start            # [B]
         frames = self.num_model_frames
-        inputs = native.gather_windows(self.features_all, base, frames,
-                                       self.stride, n_threads=n_threads)
+        if self.features_all is not None:
+            inputs = native.gather_windows(self.features_all, base, frames,
+                                           self.stride, n_threads=n_threads)
+        else:
+            # on-demand mode: fused column gather from the mmap'd
+            # kinematics pass, grouped per trial
+            inputs = np.empty((indices.shape[0], frames,
+                               self.num_input_channels), np.float32)
+            ones = np.ones(self.feature_col_idx.shape[0], np.float32)
+            for f in np.unique(ft):
+                sel = np.nonzero(ft == f)[0]
+                s_idx, t_idx = self.ft_to_subject_trial[int(f)]
+                kin = self.subjects[s_idx].trial_pass_matrix(t_idx, 0)
+                inputs[sel] = native.gather_columns(
+                    kin, start[sel].astype(np.int64), frames, self.stride,
+                    self.feature_col_idx, ones, n_threads=n_threads)
         if self.output_data_format == 'all_frames':
             labels = native.gather_windows(self.labels_all, base, frames,
                                            self.stride, n_threads=n_threads)

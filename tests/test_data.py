@@ -195,3 +195,18 @@ def test_featurization_golden_checksum(tmp_path):
     assert (h_feat, h_lab, h_win) == (
         '455c3992ef12e523', '782cbfbc3c5a56fd', '92e394613f70467f'), \
         (h_feat, h_lab, h_win)
+
+
+def test_on_demand_featurization_matches_materialized(data_dir):
+    ds_m = WindowDataset(data_dir, window_size=20, stride=5,
+                         skip_loading_skeletons=True)
+    ds_o = WindowDataset(data_dir, window_size=20, stride=5,
+                         skip_loading_skeletons=True,
+                         materialize_features=False)
+    assert ds_o.features_all is None
+    assert len(ds_o) == len(ds_m)
+    idx = np.asarray([0, 7, len(ds_m) // 2, len(ds_m) - 1])
+    b_m = ds_m.gather(idx)
+    b_o = ds_o.gather(idx)
+    np.testing.assert_array_equal(b_o.inputs, b_m.inputs)
+    np.testing.assert_array_equal(b_o.labels, b_m.labels)
