@@ -146,3 +146,17 @@ def test_sharding_rules_tp_partition():
     assert any('model' in str(s) for s in specs.values()), specs
     bias_specs = [s for n, s in specs.items() if n.endswith('bias')]
     assert all('model' not in str(s) for s in bias_specs)
+
+
+def test_all_ten_commands_registered():
+    """The reference's full command surface exists (main.py:16-26 parity)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'ib_main', os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), 'main.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = {c.name for c in mod.build_commands()}
+    assert names == {'train', 'visualize', 'visualize-file', 'create-splits',
+                     'analyze', 'sanity-check', 'make-plots', 'review-file',
+                     'pickle-data', 'save-prediction-csv'}
