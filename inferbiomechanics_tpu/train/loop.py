@@ -122,11 +122,18 @@ def train(config: Config,
     state = replicate(mesh, state)
 
     # device-resident data path: HBM dataset + on-device window gather,
-    # per-step host traffic = one [B] int32 index vector
-    data_bytes = train_ds.features_all.nbytes + train_ds.labels_all.nbytes
-    use_device_data = (config.device_data == 'on' or
-                       (config.device_data == 'auto' and
-                        data_bytes < config.device_data_max_bytes))
+    # per-step host traffic = one [B] int32 index vector. Requires
+    # materialized features (on-demand mode streams from disk instead).
+    if train_ds.features_all is not None:
+        data_bytes = train_ds.features_all.nbytes + train_ds.labels_all.nbytes
+        use_device_data = (config.device_data == 'on' or
+                           (config.device_data == 'auto' and
+                            data_bytes < config.device_data_max_bytes))
+    else:
+        if config.device_data == 'on':
+            raise ValueError('--device-data on requires materialized features '
+                             '(dataset was built with materialize_features=False)')
+        use_device_data = False
     device_data = None
     device_step = None
     device_eval = None
@@ -272,6 +279,8 @@ def train(config: Config,
         train_metrics = train_eval.print_report(log_to_wandb=metric_logger is not None)
         save_checkpoint(config.checkpoint_dir, state, epoch, 0)
 
+    if profiling:   # e.g. every epoch took the streaming early-continue
+        jax.profiler.stop_trace()
     wps = windows_seen / compute_time if compute_time > 0 else 0.0
     return TrainResult(epochs_run=epochs_run,
                        final_train_metrics=train_metrics if epochs_run else {},

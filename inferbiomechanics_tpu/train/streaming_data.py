@@ -35,6 +35,9 @@ class StreamingPlan:
     """Pack trials into equal-row segments under ``hbm_budget_bytes``."""
 
     def __init__(self, ds: WindowDataset, hbm_budget_bytes: int):
+        if ds.features_all is None:
+            raise ValueError('streaming requires materialize_features=True '
+                             '(segments are packed from the featurized matrix)')
         bytes_per_row = (ds.features_all.shape[1] + ds.labels_all.shape[1]) * 4
         budget_rows = max(1, hbm_budget_bytes // bytes_per_row)
         n_trials = ds.trial_row_offset.shape[0]

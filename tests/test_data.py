@@ -210,3 +210,20 @@ def test_on_demand_featurization_matches_materialized(data_dir):
     b_o = ds_o.gather(idx)
     np.testing.assert_array_equal(b_o.inputs, b_m.inputs)
     np.testing.assert_array_equal(b_o.labels, b_m.labels)
+
+
+def test_on_demand_mode_trains_via_host_loader(data_dir):
+    """device_data='auto' gracefully falls back when features are on disk."""
+    import jax
+    import jax.numpy as jnp
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.train.loop import train
+    ds = WindowDataset(data_dir, window_size=20, stride=5,
+                       skip_loading_skeletons=True, materialize_features=False)
+    cfg = Config(window_size=20, stride=5, model_type='feedforward',
+                 checkpoint_dir='/tmp/ondemand_ckpt_test', epochs=1,
+                 batch_size=16, opt_type='adam')
+    import shutil
+    shutil.rmtree('/tmp/ondemand_ckpt_test', ignore_errors=True)
+    result = train(cfg, ds, None, max_batches_per_epoch=3)
+    assert result.epochs_run == 1
