@@ -75,10 +75,13 @@ def train_diffusion(config: Config,
     state = replicate(mesh, state)
 
     # device-resident fast path: whole epoch (shuffle+gather+eps-steps) in
-    # one jit program when the packed dataset fits HBM
-    data_bytes = train_ds.features_all.nbytes + train_ds.labels_all.nbytes
+    # one jit program when the packed dataset fits HBM (requires
+    # materialized features; on-demand datasets use the host loader)
+    data_bytes = (train_ds.features_all.nbytes + train_ds.labels_all.nbytes
+                  if train_ds.features_all is not None else None)
     epoch_runner = None
     if (config.device_data != 'off'
+            and data_bytes is not None
             and data_bytes < config.device_data_max_bytes
             and len(train_ds) >= config.batch_size
             and max_batches_per_epoch is None):
