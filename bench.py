@@ -109,13 +109,35 @@ def bench_torch_reference(ds) -> float:
 
 
 def main():
-    ds = _make_dataset()
-    jax_wps = bench_jax(ds)
-    try:
-        torch_wps = bench_torch_reference(ds)
-    except Exception as e:
-        print(f'torch baseline failed: {e}', file=sys.stderr)
-        torch_wps = None
+    # watchdog: the (experimental) axon TPU backend has been observed to
+    # hang compiles for hours; rather than hang the driver, emit a
+    # parseable failure line if the measurement doesn't finish in time.
+    import threading
+    deadline_s = int(os.environ.get('IB_BENCH_DEADLINE_S', '540'))
+    result_box = {}
+
+    def measure():
+        ds = _make_dataset()
+        result_box['jax'] = bench_jax(ds)
+        try:
+            result_box['torch'] = bench_torch_reference(ds)
+        except Exception as e:
+            print(f'torch baseline failed: {e}', file=sys.stderr)
+            result_box['torch'] = None
+
+    t = threading.Thread(target=measure, daemon=True)
+    t.start()
+    t.join(deadline_s)
+    if 'jax' not in result_box:
+        print(json.dumps({
+            'metric': 'train_windows_per_sec', 'value': None,
+            'unit': 'windows/sec', 'vs_baseline': None,
+            'error': f'TPU backend unresponsive (> {deadline_s}s); '
+                     f'see BENCH_NOTES.md for last good measurements',
+        }))
+        os._exit(1)
+    jax_wps = result_box['jax']
+    torch_wps = result_box.get('torch')
     result = {
         'metric': 'train_windows_per_sec',
         'value': round(jax_wps, 1),
