@@ -227,3 +227,31 @@ def test_on_demand_mode_trains_via_host_loader(data_dir):
     shutil.rmtree('/tmp/ondemand_ckpt_test', ignore_errors=True)
     result = train(cfg, ds, None, max_batches_per_epoch=3)
     assert result.epochs_run == 1
+
+
+def test_single_pass_subject_roundtrip(tmp_path):
+    """Kinematics-only subjects (the reference's TrialRaw scenario,
+    make_plots.py:1623-1733) flow through dataset + stats."""
+    from inferbiomechanics_tpu.data.b3d import (
+        ProcessingPassType, TrialData, write_subject,
+    )
+    from inferbiomechanics_tpu.data.synthetic import synthetic_trial
+    t = synthetic_trial('raw_trial', 80, rng=np.random.default_rng(0))
+    t_single = TrialData(name=t.name, timestep=t.timestep,
+                         passes=[t.passes[0]],
+                         pass_types=[int(ProcessingPassType.KINEMATICS)],
+                         missing_grf_reasons=t.missing_grf_reasons)
+    path = str(tmp_path / 'raw.b3d')
+    write_subject(path, num_dofs=23, ground_force_bodies=['calcn_r', 'calcn_l'],
+                  root_history_len=10, trials=[t_single])
+    s = SubjectOnDisk(path)
+    assert s.getNumProcessingPasses() == 1
+    ds = WindowDataset(path, window_size=20, stride=5, skip_loading_skeletons=True)
+    assert len(ds) > 0
+    inputs, labels, _s, _t = ds[0]
+    # with one pass, labels fall back to the same (kinematics) pass
+    assert np.isfinite(labels[OutputDataKeys.TAU]).all()
+    # stats engine copes too
+    from inferbiomechanics_tpu.cli.make_plots_cmd import collect_stats
+    stats = collect_stats([path])
+    assert stats['num_trials'] == 1
