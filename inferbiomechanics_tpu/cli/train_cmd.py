@@ -28,6 +28,11 @@ class TrainCommand:
         parser = subparsers.add_parser(
             'train', help='Train a model on the AddBiomechanics dataset')
         add_config_flags(parser)
+        parser.add_argument('--use-pickled', action='store_true',
+                            help='Load pre-materialized {split}_pickled/ '
+                                 'blocks (pickle-data output) instead of '
+                                 'featurizing .b3d files — the capability '
+                                 'the reference left unwired (SURVEY §2.4)')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'train':
@@ -56,20 +61,32 @@ class TrainCommand:
             group=os.environ.get('WANDB_RUN_GROUP'),
             enabled=not config.no_wandb)
 
-        train_ds = WindowDataset(
-            os.path.join(config.dataset_home, 'train'),
-            window_size=config.window_size, stride=config.stride,
-            output_data_format=config.output_data_format,
-            testing_with_short_dataset=config.short,
-            trial_filter=config.trial_filter,
-            skip_loading_skeletons=True)
-        dev_ds = WindowDataset(
-            os.path.join(config.dataset_home, 'dev'),
-            window_size=config.window_size, stride=config.stride,
-            output_data_format=config.output_data_format,
-            testing_with_short_dataset=config.short,
-            trial_filter=config.trial_filter,
-            skip_loading_skeletons=True)
+        if getattr(args, 'use_pickled', False):
+            from inferbiomechanics_tpu.data.pickled import PickledDataset
+            train_ds = PickledDataset(os.path.join(config.dataset_home,
+                                                   'train_pickled'))
+            try:
+                dev_ds = PickledDataset(os.path.join(config.dataset_home,
+                                                     'dev_pickled'))
+            except FileNotFoundError:
+                dev_ds = None
+            config.window_size = train_ds.window_size
+            config.stride = train_ds.stride
+        else:
+            train_ds = WindowDataset(
+                os.path.join(config.dataset_home, 'train'),
+                window_size=config.window_size, stride=config.stride,
+                output_data_format=config.output_data_format,
+                testing_with_short_dataset=config.short,
+                trial_filter=config.trial_filter,
+                skip_loading_skeletons=True)
+            dev_ds = WindowDataset(
+                os.path.join(config.dataset_home, 'dev'),
+                window_size=config.window_size, stride=config.stride,
+                output_data_format=config.output_data_format,
+                testing_with_short_dataset=config.short,
+                trial_filter=config.trial_filter,
+                skip_loading_skeletons=True)
 
         if config.model_type == 'analytical':
             print('The analytical baseline has no trainable parameters; '
