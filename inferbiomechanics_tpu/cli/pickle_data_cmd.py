@@ -48,13 +48,22 @@ class PickleDataCommand:
             for block_i, start in enumerate(range(0, max(n, 1), BLOCK)):
                 idx = np.arange(start, min(start + BLOCK, n))
                 path = os.path.join(out_dir, f'{split}_{block_i}.npz')
-                np.savez_compressed(
-                    path,
-                    features_all=ds.features_all,
-                    labels_all=ds.labels_all,
+                arrays = dict(
                     trial_row_offset=ds.trial_row_offset,
                     win_ft=ds.win_ft[idx], win_subject=ds.win_subject[idx],
                     win_trial=ds.win_trial[idx], win_start=ds.win_start[idx],
-                    window_size=args.history_len, stride=args.stride)
+                    window_size=args.history_len, stride=args.stride,
+                    num_dofs=ds.num_dofs,
+                    root_history_len=ds.root_history_len,
+                    num_contact_bodies=len(ds.contact_bodies),
+                    output_data_format=ds.output_data_format)
+                if block_i == 0:
+                    # the full packed matrices go in block 0 only; later
+                    # blocks carry just their window-table slice (the
+                    # round-1 writer re-stored the matrices per block,
+                    # multiplying disk cost by block count for no reader)
+                    arrays['features_all'] = ds.features_all
+                    arrays['labels_all'] = ds.labels_all
+                np.savez_compressed(path, **arrays)
                 print(f'wrote {path} ({idx.size} windows)')
         return True

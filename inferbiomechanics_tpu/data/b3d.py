@@ -419,7 +419,17 @@ class SubjectOnDisk:
         return len(self.header['trials'][trial]['pass_types'])
 
     def getProcessingPassType(self, index: int) -> ProcessingPassType:
-        return ProcessingPassType(self.header['trials'][0]['pass_types'][index])
+        # pass lists are per-trial and may have different lengths; the
+        # subject-level pass type at `index` is defined by whichever trials
+        # reach that index — and must agree across them
+        seen = {t['pass_types'][index] for t in self.header['trials']
+                if index < len(t['pass_types'])}
+        if not seen:
+            raise IndexError(f'no trial has a processing pass {index}')
+        if len(seen) > 1:
+            raise ValueError(
+                f'trials disagree on processing pass {index}: {sorted(seen)}')
+        return ProcessingPassType(seen.pop())
 
     def getMassKg(self) -> float:
         return float(self.header['subject']['mass_kg'])

@@ -402,6 +402,14 @@ class WindowDataset:
         order = np.arange(n)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        # Equalize shards: truncate to a multiple of num_shards so every
+        # process yields an IDENTICAL batch count per epoch. Uneven shards
+        # (up to +1 window) can floor-divide to one extra train step on one
+        # host, and under SPMD that extra pjit dispatch is a collective the
+        # other hosts never join — a multi-host deadlock. The reference's
+        # DistributedSampler pads to equal length; we truncate instead
+        # (drops < num_shards windows per epoch, reshuffled each epoch).
+        order = order[:(n // num_shards) * num_shards]
         order = order[shard_index::num_shards]
         n_shard = order.shape[0]
         stop = (n_shard // batch_size) * batch_size if drop_last else n_shard

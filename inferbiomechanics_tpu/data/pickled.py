@@ -24,12 +24,18 @@ class PickledDataset:
 
     def __init__(self, pickled_dir: str, num_dofs: int = 23,
                  root_history_len: int = 10, num_contact_bodies: int = 2):
-        paths = sorted(glob.glob(os.path.join(pickled_dir, '*.npz')))
+        # numeric block order: lexicographic sort would put block 10
+        # before block 2 and scramble the window table
+        def _block_key(p):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            head, _, idx = stem.rpartition('_')
+            return (head, int(idx)) if idx.isdigit() else (stem, -1)
+
+        paths = sorted(glob.glob(os.path.join(pickled_dir, '*.npz')),
+                       key=_block_key)
         if not paths:
             raise FileNotFoundError(f'no .npz blocks in {pickled_dir}')
         feats, labs, fts, subs, trs, starts = [], [], [], [], [], []
-        row_offset = 0
-        ft_offset = 0
         self.window_size = None
         self.stride = None
         trial_offsets = []
@@ -38,11 +44,25 @@ class PickledDataset:
             if self.window_size is None:
                 self.window_size = int(z['window_size'])
                 self.stride = int(z['stride'])
-                # all blocks share the same matrices in the current writer;
-                # only the first block's arrays are loaded once
+                # the packed matrices live in block 0 only (blocks written
+                # by an older layout may repeat them; extra copies ignored)
                 feats.append(z['features_all'])
                 labs.append(z['labels_all'])
                 trial_offsets = z['trial_row_offset']
+                # layout metadata: stored by the current writer; validate
+                # against the caller's expectation instead of silently
+                # mis-slicing label columns on a mismatched dataset
+                if 'num_dofs' in z.files:
+                    stored = {'num_dofs': num_dofs,
+                              'root_history_len': root_history_len,
+                              'num_contact_bodies': num_contact_bodies}
+                    for key, expect in stored.items():
+                        got = int(z[key])
+                        if got != expect:
+                            raise ValueError(
+                                f'{p}: stored {key}={got} does not match '
+                                f'requested {key}={expect}')
+                    self.output_data_format = str(z['output_data_format'])
             fts.append(z['win_ft'])
             subs.append(z['win_subject'])
             trs.append(z['win_trial'])
@@ -65,7 +85,7 @@ class PickledDataset:
         self.num_input_channels = self.features_all.shape[1]
         self.num_label_channels = self.labels_all.shape[1]
         self.num_model_frames = self.window_size // self.stride
-        self.output_data_format = 'last_frame'
+        self.output_data_format = getattr(self, 'output_data_format', 'last_frame')
         self.num_output_frames = 1
         self.subjects: List = []
         self.subject_paths: List[str] = []

@@ -36,12 +36,18 @@ def make_tau_report_fn(ds: WindowDataset) -> Callable:
     skel = compile_skeleton(spec)
     contact_indices = [skel.body_index[b] for b in ds.contact_bodies
                        if b in skel.body_index]
-    mass = float(np.mean([s.getMassKg() for s in ds.subjects])) if ds.subjects else 70.0
+    # per-subject mass, indexed by batch_subject_indices (ref uses each
+    # item's own skel.getMass(); the round-1 dataset-mean was wrong for
+    # multi-subject datasets with differing masses)
+    subject_masses = (np.asarray([s.getMassKg() for s in ds.subjects],
+                                 dtype=np.float32)
+                      if ds.subjects else np.asarray([70.0], np.float32))
+    mean_mass = float(np.mean(subject_masses))
     o_pos, w_pos = ds.in_offsets[K.InputDataKeys.POS]
     o_vel, _ = ds.in_offsets[K.InputDataKeys.VEL]
     o_acc, _ = ds.in_offsets[K.InputDataKeys.ACC]
 
-    def one(q, dq, ddq, wrenches_per_kg, tau_label):
+    def one(q, dq, ddq, wrenches_per_kg, tau_label, mass):
         tau = skel.inverse_dynamics_from_predictions(
             q, dq, ddq, contact_indices, wrenches_per_kg * mass)
         err = tau - tau_label
@@ -57,6 +63,11 @@ def make_tau_report_fn(ds: WindowDataset) -> Callable:
         wrenches = jnp.asarray(
             outputs[K.OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME])[:, -1, :]
         tau_label = jnp.asarray(labels[K.OutputDataKeys.TAU])[:, -1, :]
-        return float(jnp.mean(batched(q, dq, ddq, wrenches, tau_label)))
+        if batch_subject_indices is not None:
+            mass = jnp.asarray(
+                subject_masses[np.asarray(batch_subject_indices)])
+        else:
+            mass = jnp.full((q.shape[0],), mean_mass, jnp.float32)
+        return float(jnp.mean(batched(q, dq, ddq, wrenches, tau_label, mass)))
 
     return tau_fn

@@ -45,6 +45,7 @@ class TrainResult:
     final_train_metrics: Dict[str, float]
     final_dev_metrics: Dict[str, float]
     windows_per_sec: float
+    windows_seen: int = 0
 
 
 def loss_config_from(config: Config) -> LossConfig:
@@ -114,8 +115,13 @@ def train(config: Config,
     # the exact remaining stream.
     state, ckpt_epoch, ckpt_batch = load_latest_checkpoint(state, config.checkpoint_dir)
     if ckpt_batch > 0:
+        # Mid-epoch checkpoints are written AFTER the step at ckpt_batch
+        # runs, so its gradient update is already in the state: resume at
+        # ckpt_batch + 1 or the checkpointed batch would be applied twice.
+        # (If ckpt_batch was the epoch's last step, the resumed epoch
+        # simply replays zero batches and falls through to epoch end.)
         start_epoch = ckpt_epoch
-        skip_batches = ckpt_batch
+        skip_batches = ckpt_batch + 1
     else:
         start_epoch = ckpt_epoch + 1
         skip_batches = 0
@@ -237,7 +243,11 @@ def train(config: Config,
         if use_device_data:
             # per-epoch shuffle sharded across hosts, indices sent per step
             perm = np.random.default_rng(epoch).permutation(len(train_ds))
-            perm = perm[jax.process_index()::jax.process_count()]
+            # equalize host shards (see WindowDataset.batches): all
+            # processes must yield identical step counts per epoch
+            n_proc = jax.process_count()
+            perm = perm[:(perm.shape[0] // n_proc) * n_proc]
+            perm = perm[jax.process_index()::n_proc]
             n_steps = perm.shape[0] // config.batch_size
             batch_iter = (
                 (k, jax.numpy.asarray(
@@ -285,4 +295,5 @@ def train(config: Config,
     return TrainResult(epochs_run=epochs_run,
                        final_train_metrics=train_metrics if epochs_run else {},
                        final_dev_metrics=final_dev,
-                       windows_per_sec=wps)
+                       windows_per_sec=wps,
+                       windows_seen=windows_seen)

@@ -255,3 +255,75 @@ def test_single_pass_subject_roundtrip(tmp_path):
     from inferbiomechanics_tpu.cli.make_plots_cmd import collect_stats
     stats = collect_stats([path])
     assert stats['num_trials'] == 1
+
+
+def test_processing_pass_type_heterogeneous_trials(tmp_path):
+    """Pass type at index i comes from whichever trials reach i.
+
+    Round-1 bug: getProcessingPassType read trials[0] only, wrong when
+    trials carry different-length pass lists (the format allows it).
+    """
+    from inferbiomechanics_tpu.data import b3d as B
+
+    path = str(tmp_path / 'het.b3d')
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    write_synthetic_subject(path, num_trials=2, trial_length=60, seed=0)
+    sub = B.SubjectOnDisk(path)
+    # truncate trial 0's pass list in the parsed header to simulate a
+    # kinematics-only first trial
+    sub.header['trials'][0]['pass_types'] = sub.header['trials'][0]['pass_types'][:1]
+    assert sub.getProcessingPassType(0) == B.ProcessingPassType.KINEMATICS
+    # index 1 only exists on trial 1 — must come from there, not trials[0]
+    assert sub.getProcessingPassType(1) == B.ProcessingPassType.DYNAMICS
+    import pytest
+    with pytest.raises(IndexError):
+        sub.getProcessingPassType(2)
+    # disagreement at a shared index is an error, not a silent pick
+    sub.header['trials'][0]['pass_types'] = [int(B.ProcessingPassType.DYNAMICS)]
+    with pytest.raises(ValueError):
+        sub.getProcessingPassType(0)
+
+
+def test_pickle_data_roundtrip_multiblock(tmp_path, monkeypatch):
+    """pickle-data blocks: matrices stored once, metadata validated on load.
+
+    Capability parity: reference src/cli/pickle_data.py:52-79 +
+    src/data/PickledDataset.py (block store → same batch interface).
+    """
+    import argparse
+    from inferbiomechanics_tpu.cli import pickle_data_cmd as P
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.pickled import PickledDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+
+    src = tmp_path / 'train'
+    src.mkdir()
+    write_synthetic_subject(str(src / 's.b3d'), num_trials=2,
+                            trial_length=80, seed=0)
+    monkeypatch.setattr(P, 'BLOCK', 8)   # force several blocks
+    cmd = P.PickleDataCommand()
+    args = argparse.Namespace(command='pickle-data',
+                              dataset_home=str(tmp_path),
+                              history_len=20, stride=5, geometry_folder='')
+    assert cmd.run(args)
+
+    import glob
+    import numpy as np
+    blocks = sorted(glob.glob(str(tmp_path / 'train_pickled' / '*.npz')))
+    assert len(blocks) > 1
+    # the packed matrices live in block 0 ONLY
+    assert 'features_all' in np.load(blocks[0]).files
+    for b in blocks[1:]:
+        assert 'features_all' not in np.load(b).files
+
+    ds = WindowDataset(str(src), window_size=20, stride=5)
+    pk = PickledDataset(str(tmp_path / 'train_pickled'))
+    assert len(pk) == len(ds)
+    idx = np.arange(len(ds))
+    a, b = ds.gather(idx), pk.gather(idx)
+    np.testing.assert_array_equal(a.inputs, b.inputs)
+    np.testing.assert_array_equal(a.labels, b.labels)
+    # layout metadata mismatch must raise, not silently mis-slice
+    import pytest
+    with pytest.raises(ValueError):
+        PickledDataset(str(tmp_path / 'train_pickled'), num_dofs=17)

@@ -243,3 +243,36 @@ def test_tau_report_hook(tmp_path):
                np.zeros((4, 1, 12), np.float32)}
     err = tau_fn(batch.inputs, outputs, labels)
     assert np.isfinite(err) and err >= 0.0
+
+
+def test_tau_report_uses_per_item_mass(tmp_path):
+    """Items from subjects with different masses get different tau scaling.
+
+    Parity: the reference indexes batch_subject_indices and uses each
+    item's own skel.getMass() (RegressionLossEvaluator.py:271-285).
+    """
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    from inferbiomechanics_tpu.loss.tau_report import make_tau_report_fn
+    from inferbiomechanics_tpu.data.keys import OutputDataKeys
+
+    write_synthetic_subject(str(tmp_path / 'a_light.b3d'), num_trials=1,
+                            trial_length=120, seed=0, mass_kg=50.0)
+    write_synthetic_subject(str(tmp_path / 'b_heavy.b3d'), num_trials=1,
+                            trial_length=120, seed=1, mass_kg=100.0)
+    ds = WindowDataset(str(tmp_path), window_size=20, stride=5)
+    assert [s.getMassKg() for s in ds.subjects] == [50.0, 100.0]
+    tau_fn = make_tau_report_fn(ds)
+    batch = ds.gather(np.arange(4))
+    labels = ds.unpack_labels(batch.labels)
+    outputs = {OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME:
+               np.zeros((4, 1, 12), np.float32)}
+    # same inputs, but attribute all items to the light vs heavy subject:
+    # with zero predicted wrenches tau is mass-independent, so the
+    # /mass normalization must make the reports differ by exactly 2x
+    light = tau_fn(batch.inputs, outputs, labels,
+                   batch_subject_indices=np.zeros(4, np.int64))
+    heavy = tau_fn(batch.inputs, outputs, labels,
+                   batch_subject_indices=np.full(4, 1, np.int64))
+    assert light > 0.0
+    np.testing.assert_allclose(light, 2.0 * heavy, rtol=1e-5)

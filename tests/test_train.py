@@ -241,3 +241,7 @@ def test_mid_epoch_resume_skips_consumed_prefix(ds, tmp_path, capsys):
     result = train(cfg, ds, None, max_batches_per_epoch=5)
     # epochs 0 (resumed mid-way) and 1 both complete
     assert result.epochs_run == 2
+    # the ckpt at batch 3 was saved AFTER that step ran, so the resume must
+    # replay only batch 4 of epoch 0 (not batch 3 again — double update),
+    # then all 5 batches of epoch 1
+    assert result.windows_seen == (1 + 5) * cfg.batch_size
