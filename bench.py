@@ -69,15 +69,18 @@ def bench_jax(ds) -> float:
     n_steps = len(ds) // TPU_BATCH
     windows_per_epoch = n_steps * TPU_BATCH
 
-    # warmup / compile
+    # warmup / compile. NOTE: a scalar readback (float()) is the only
+    # reliable completion sync on the axon runtime — block_until_ready has
+    # been observed to return before execution finishes, yielding
+    # physically impossible timings (BENCH_NOTES.md "measurement rules").
     state, m = run_epoch(state, rng)
-    jax.block_until_ready(m['loss'])
+    float(m['loss'])
 
     epochs = 10
     t0 = time.time()
     for epoch in range(epochs):
         state, m = run_epoch(state, jax.random.fold_in(rng, epoch))
-    jax.block_until_ready(m['loss'])
+    float(m['loss'])
     return epochs * windows_per_epoch / (time.time() - t0)
 
 

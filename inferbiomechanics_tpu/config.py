@@ -37,6 +37,9 @@ class Config:
     d_model: int = 256
     num_layers: int = 4
     num_heads: int = 8
+    # 'vpu' (broadcast-reduce attention, 2.9x faster than 'flax' at T=10 on
+    # TPU v5e — BENCH_NOTES.md) | 'flax' (nn.MultiHeadDotProductAttention)
+    attn_impl: str = 'vpu'
 
     # optimization
     learning_rate: float = 1e-4
@@ -122,6 +125,9 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
     parser.add_argument('--d-model', type=int, default=d.d_model)
     parser.add_argument('--num-layers', type=int, default=d.num_layers)
     parser.add_argument('--num-heads', type=int, default=d.num_heads)
+    parser.add_argument('--attn-impl', type=str, default=d.attn_impl,
+                        choices=['vpu', 'flax', 'pallas'],
+                        help='Transformer attention implementation')
     parser.add_argument('--diffusion-timesteps', type=int, default=d.diffusion_timesteps)
     parser.add_argument('--aux-tau-weight', type=float, default=d.aux_tau_weight,
                         help='Weight of the joint-torque aux loss (transformer)')
@@ -157,7 +163,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'aux_com_acc_weight': 'aux_com_acc_weight',
         'aux_contact_weight': 'aux_contact_weight',
         'd_model': 'd_model', 'num_layers': 'num_layers',
-        'num_heads': 'num_heads', 'diffusion_timesteps': 'diffusion_timesteps',
+        'num_heads': 'num_heads', 'attn_impl': 'attn_impl',
+        'diffusion_timesteps': 'diffusion_timesteps',
         'model_parallel': 'model_parallel',
         'profile': 'profile', 'profile_dir': 'profile_dir',
         'device_data': 'device_data',

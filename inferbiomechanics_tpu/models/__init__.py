@@ -33,7 +33,8 @@ def get_model(model_type: str,
               d_model: int = 256,
               num_layers: int = 4,
               num_heads: int = 8,
-              use_pallas: bool = False):
+              use_pallas: bool = False,
+              attn_impl: str = 'vpu'):
     """Build a model by name. 'analytical' has no learnable parameters and is
     served by :mod:`inferbiomechanics_tpu.models.analytical` instead."""
     if model_type == 'feedforward':
@@ -56,7 +57,8 @@ def get_model(model_type: str,
             history_len=history_len, stride=stride,
             output_data_format=output_data_format,
             d_model=d_model, num_layers=num_layers, num_heads=num_heads,
-            dropout=dropout_prob if dropout else 0.0)
+            dropout=dropout_prob if dropout else 0.0,
+            attn_impl=attn_impl)
     if model_type == 'diffusion':
         from inferbiomechanics_tpu.models.diffusion import DiffusionDenoiser
         return DiffusionDenoiser(

@@ -160,10 +160,21 @@ def encoder_layer_pallas(x: jax.Array, params: Tuple[jax.Array, ...],
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def fused_encoder_layer(x, params, num_heads):
     """Trainable fused layer: pallas forward on TPU, jnp on CPU;
-    backward recomputes through the jnp reference."""
+    backward recomputes through the jnp reference.
+
+    KNOWN LIMITATION (round 2, measured on real TPU v5e): the kernel's
+    5-D attention reshapes are rejected by Mosaic ("infer-vector-layout:
+    unsupported shape cast"), so this path currently compiles only in
+    interpret mode / on CPU. On TPU use ``attn_impl='vpu'``, which is
+    within ~2.5x of the sustained-rate FLOP floor (BENCH_NOTES.md) —
+    the fused kernel's remaining headroom is small because backward
+    dominates the train step and runs through XLA either way."""
     if jax.default_backend() == 'cpu':
         return encoder_layer_reference(x, params, num_heads)
-    return encoder_layer_pallas(x, params, num_heads)
+    raise NotImplementedError(
+        "attn_impl='pallas' does not compile on real TPU Mosaic yet "
+        "(5-D vector reshape unsupported); use attn_impl='vpu' (default, "
+        "2.9x faster than 'flax' at T=10) — see ops/pallas_encoder.py")
 
 
 def _fwd(x, params, num_heads):

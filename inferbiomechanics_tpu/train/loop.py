@@ -77,6 +77,7 @@ def build_model_for_dataset(config: Config, ds: WindowDataset):
         d_model=config.d_model,
         num_layers=config.num_layers,
         num_heads=config.num_heads,
+        attn_impl=config.attn_impl,
     )
 
 

@@ -1,0 +1,74 @@
+"""TPU micro-benchmark: transformer encoder variants, end-to-end train step.
+
+Times `make_device_train_step` (gather + fwd + loss + bwd + update, donated
+state chain so dispatches serialize) for attn_impl in {flax, vpu, pallas}.
+Addresses the round-1 finding that the flagship transformer ran at
+40 ms/step (B=4096) vs a ~2 ms FLOP floor (BENCH_NOTES.md).
+
+Run foreground on the TPU:  python scripts/bench_transformer.py [B] [LAYERS]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    layers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    impls = sys.argv[3].split(',') if len(sys.argv) > 3 else ['flax', 'vpu', 'pallas']
+
+    import jax
+    import jax.numpy as jnp
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    from inferbiomechanics_tpu.loss import LossConfig
+    from inferbiomechanics_tpu.models import get_model
+    from inferbiomechanics_tpu.train import create_train_state, make_optimizer
+    from inferbiomechanics_tpu.train.device_data import (
+        DeviceResidentData, make_device_train_step,
+    )
+
+    tmp = '/tmp/ib_bench_tf'
+    os.makedirs(tmp, exist_ok=True)
+    p = os.path.join(tmp, 's.b3d')
+    if not os.path.exists(p):
+        write_synthetic_subject(p, num_trials=4, trial_length=4000, seed=0)
+    ds = WindowDataset(tmp, window_size=50, stride=5,
+                       skip_loading_skeletons=True)
+    data = DeviceResidentData(ds)
+    idx = jnp.asarray(np.random.default_rng(0).integers(
+        0, data.num_windows, size=B), jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    sample = ds.gather(np.arange(min(B, 256)))
+
+    for impl in impls:
+        model = get_model('transformer', num_dofs=23, num_contact_bodies=2,
+                          history_len=50, stride=5, root_history_len=10,
+                          num_layers=layers, attn_impl=impl)
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   jnp.asarray(sample.inputs),
+                                   make_optimizer('adam', 1e-4))
+        step = make_device_train_step(model, data, LossConfig())
+        t0 = time.time()
+        state, m = step(state, idx, rng)
+        _ = float(m['loss'])   # scalar readback: the ONLY reliable sync on axon
+        compile_s = time.time() - t0
+        # steady state: donated-state chain + final scalar readback
+        n = 30
+        t0 = time.time()
+        for _ in range(n):
+            state, m = step(state, idx, rng)
+        _ = float(m['loss'])
+        dt = (time.time() - t0) / n
+        print(f'{impl:8s} B={B} L={layers}: {dt*1e3:8.2f} ms/step '
+              f'({B/dt/1e3:9.1f}k windows/s)  compile {compile_s:.0f}s',
+              flush=True)
+
+
+if __name__ == '__main__':
+    main()
