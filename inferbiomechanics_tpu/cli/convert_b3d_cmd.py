@@ -1,0 +1,75 @@
+"""``convert-b3d`` subcommand.
+
+Beyond-parity utility: batch-convert legacy AddBiomechanics protobuf
+``.b3d`` subjects to B3D-TPU (the one-time decode that makes every later
+training window a zero-decode mmap slice — data/b3d.py docstring). The
+reference had no converter because nimblephysics decoded per window at
+train time (SURVEY.md §3.5, the pipeline bottleneck this framework
+removes); ``WindowDataset`` also auto-converts on first touch, so running
+this explicitly is only needed to pre-warm a dataset or control output
+placement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+class ConvertB3dCommand:
+    name = 'convert-b3d'
+
+    def register_subcommand(self, subparsers) -> None:
+        parser = subparsers.add_parser(
+            'convert-b3d',
+            help='Convert legacy protobuf .b3d subjects to B3D-TPU')
+        parser.add_argument('input', type=str,
+                            help='A legacy .b3d file or a directory tree')
+        parser.add_argument('--out-dir', type=str, default='',
+                            help='Output directory (default: beside sources, '
+                                 'suffix .b3dtpu)')
+        parser.add_argument('--force', action='store_true',
+                            help='Reconvert even if an up-to-date output exists')
+
+    def run(self, args: argparse.Namespace) -> bool:
+        if args.command != 'convert-b3d':
+            return False
+        from inferbiomechanics_tpu.data.b3d_legacy import (
+            convert_to_tpu, is_legacy_b3d,
+        )
+
+        paths = []
+        if os.path.isdir(args.input):
+            for root, _dirs, files in os.walk(args.input):
+                for f in sorted(files):
+                    if f.endswith('.b3d'):
+                        paths.append(os.path.join(root, f))
+        else:
+            paths.append(args.input)
+
+        converted = skipped = 0
+        for path in paths:
+            if not is_legacy_b3d(path):
+                print(f'skip (already B3D-TPU): {path}')
+                skipped += 1
+                continue
+            if args.out_dir:
+                rel = os.path.relpath(path, args.input) \
+                    if os.path.isdir(args.input) else os.path.basename(path)
+                out = os.path.join(args.out_dir, rel)
+                os.makedirs(os.path.dirname(out) or '.', exist_ok=True)
+            else:
+                out = path + 'tpu'
+            if (not args.force and os.path.exists(out)
+                    and os.path.getmtime(out) >= os.path.getmtime(path)):
+                print(f'skip (up to date): {out}')
+                skipped += 1
+                continue
+            t0 = time.time()
+            convert_to_tpu(path, out)
+            print(f'converted {path} -> {out} '
+                  f'({os.path.getsize(out) / 1e6:.1f} MB, {time.time() - t0:.1f}s)')
+            converted += 1
+        print(f'{converted} converted, {skipped} skipped')
+        return True

@@ -68,8 +68,16 @@ class MissingGRFReason(IntEnum):
     missingImpact = 6
     missingBlip = 7
     shiftGRF = 8
-    manualReview = 9
-    interpolatedClippedGRF = 10
+    interpolatedClippedGRF = 9
+    manualReview = 10
+    footContactDetectedButNoForce = 11
+    tooHighMarkerRMS = 12
+    hasInputOutliers = 13
+    hasNoForcePlateData = 14
+    velocitiesStillTooHighAfterFiltering = 15
+    copOutsideConvexFootError = 16
+    zeroForceFrame = 17
+    extendedToNearestPeakForce = 18
 
 
 # ---------------------------------------------------------------------------
@@ -480,13 +488,8 @@ class SubjectOnDisk:
 
     @staticmethod
     def from_nimble(nimble_path: str, out_path: str) -> None:
-        """Convert a nimblephysics protobuf .b3d to B3D-TPU (requires nimble)."""
-        try:
-            import nimblephysics as nimble  # type: ignore
-        except ImportError as e:
-            raise ImportError(
-                'nimblephysics is required to convert legacy .b3d files; '
-                'it is not installed in this environment') from e
-        raise NotImplementedError(
-            'Legacy conversion requires nimblephysics at runtime; '
-            'wire up when the dependency is available.')
+        """Convert a legacy protobuf .b3d to B3D-TPU — no nimblephysics
+        needed: :mod:`inferbiomechanics_tpu.data.b3d_legacy` parses the
+        length-prefixed protobuf wire format directly (SURVEY.md §7 step 1)."""
+        from inferbiomechanics_tpu.data.b3d_legacy import convert_to_tpu
+        convert_to_tpu(nimble_path, out_path)

@@ -1,0 +1,638 @@
+"""Legacy AddBiomechanics ``.b3d`` (length-prefixed protobuf) support.
+
+Capability parity: ``nimble.biomechanics.SubjectOnDisk`` constructed on a
+*legacy* protobuf subject file, as the reference consumes it
+(src/data/AddBiomechanicsDataset.py:104-139,161-172 — header-only open,
+``readFrames(trial, start, n, stride, includeProcessingPasses=True)``
+returning per-frame ``processingPasses[i].<field>`` arrays), WITHOUT any
+nimblephysics dependency (SURVEY.md §7 step 1 names this the #1 hard part).
+
+Three layers, smallest-trust-surface first:
+
+1. A minimal **protobuf wire-format codec** (varints, 64-bit fields,
+   length-delimited submessages, packed repeated scalars). ~100 lines, no
+   ``google.protobuf`` runtime needed, fully unit-tested.
+2. A **schema table** mapping semantic field names -> protobuf field
+   numbers, reconstructed from the public nimblephysics schema
+   (``dart/proto/SubjectOnDisk.proto``). The numbering below is this
+   project's documented reconstruction: exact byte-parity against files
+   written by a specific nimblephysics release can only be validated with
+   a real fixture, which this offline environment cannot provide
+   (BASELINE.md). All format knowledge is concentrated in the ``_H/_TH/
+   _PH/_F/_PF`` tables — when a real file disagrees, ONLY those tables
+   (and at most the framing constants) need to change.
+3. ``LegacySubjectOnDisk`` (random-access window reader with nimble's
+   access profile: per-window seek + protobuf decode) and
+   ``convert_to_tpu`` (one-shot sequential decode -> B3D-TPU matrices),
+   plus ``write_legacy_subject`` so fixtures and round-trip tests exist
+   without nimblephysics.
+
+File framing (little-endian)::
+
+    bytes 0..8   u64 header_proto_length
+    ...          SubjectOnDiskHeader proto
+    per frame    u64 frame_proto_length + SubjectOnDiskFrame proto,
+                 trials concatenated in order, frames in order
+
+Random access: the trial header records every frame record's byte size
+(``frame_bytes``), so ``readFrames`` computes exact offsets — O(1) seek +
+O(window) decode, matching nimble's design of seekable frames.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from inferbiomechanics_tpu.data.b3d import (
+    MissingGRFReason, ProcessingPassType, SkeletonSpec, TrialData,
+    layout_offsets, layout_total, pass_channel_layout, write_subject,
+)
+
+# ---------------------------------------------------------------------------
+# 1. Protobuf wire-format codec
+# ---------------------------------------------------------------------------
+
+_VARINT = 0
+_I64 = 1
+_LEN = 2
+_I32 = 5
+
+
+def encode_varint(value: int) -> bytes:
+    if value < 0:
+        value &= (1 << 64) - 1  # two's-complement, 64-bit, like protobuf
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_varint(buf, pos: int) -> Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift >= 70:
+            raise ValueError('malformed varint')
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return encode_varint((field << 3) | wire)
+
+
+def enc_int(field: int, value: int) -> bytes:
+    return _tag(field, _VARINT) + encode_varint(int(value))
+
+
+def enc_double(field: int, value: float) -> bytes:
+    return _tag(field, _I64) + struct.pack('<d', float(value))
+
+
+def enc_bytes(field: int, data: bytes) -> bytes:
+    return _tag(field, _LEN) + encode_varint(len(data)) + data
+
+
+def enc_str(field: int, s: str) -> bytes:
+    return enc_bytes(field, s.encode('utf-8'))
+
+
+def enc_packed_doubles(field: int, values: Sequence[float]) -> bytes:
+    arr = np.ascontiguousarray(values, dtype='<f8')
+    return enc_bytes(field, arr.tobytes())
+
+
+def enc_packed_ints(field: int, values: Sequence[int]) -> bytes:
+    payload = b''.join(encode_varint(int(v)) for v in values)
+    return enc_bytes(field, payload)
+
+
+def enc_message(field: int, body: bytes) -> bytes:
+    return enc_bytes(field, body)
+
+
+def parse_message(buf) -> Dict[int, List[Tuple[int, object]]]:
+    """Decode one message into {field_number: [(wire_type, raw_value), ...]}.
+
+    varint -> int, 64-bit -> float (double), length-delimited -> memoryview,
+    32-bit -> float. Unknown fields are preserved (forward compatibility).
+    """
+    view = memoryview(buf)
+    fields: Dict[int, List[Tuple[int, object]]] = {}
+    pos, end = 0, len(view)
+    while pos < end:
+        key, pos = decode_varint(view, pos)
+        field, wire = key >> 3, key & 7
+        if wire == _VARINT:
+            val, pos = decode_varint(view, pos)
+        elif wire == _I64:
+            val = struct.unpack_from('<d', view, pos)[0]
+            pos += 8
+        elif wire == _LEN:
+            ln, pos = decode_varint(view, pos)
+            val = view[pos:pos + ln]
+            pos += ln
+        elif wire == _I32:
+            val = struct.unpack_from('<f', view, pos)[0]
+            pos += 4
+        else:
+            raise ValueError(f'unsupported wire type {wire} (field {field})')
+        fields.setdefault(field, []).append((wire, val))
+    return fields
+
+
+def get_int(fields, num: int, default: int = 0) -> int:
+    vals = fields.get(num)
+    return int(vals[-1][1]) if vals else default
+
+
+def get_double(fields, num: int, default: float = 0.0) -> float:
+    vals = fields.get(num)
+    return float(vals[-1][1]) if vals else default
+
+
+def get_str(fields, num: int, default: str = '') -> str:
+    vals = fields.get(num)
+    return bytes(vals[-1][1]).decode('utf-8') if vals else default
+
+
+def get_strs(fields, num: int) -> List[str]:
+    return [bytes(v).decode('utf-8') for _, v in fields.get(num, [])]
+
+
+def get_packed_doubles(fields, num: int) -> np.ndarray:
+    """Packed (one LEN record) or non-packed (repeated I64) doubles."""
+    chunks = []
+    for wire, v in fields.get(num, []):
+        if wire == _LEN:
+            chunks.append(np.frombuffer(bytes(v), dtype='<f8'))
+        else:
+            chunks.append(np.array([v], dtype=np.float64))
+    return np.concatenate(chunks) if chunks else np.zeros(0, np.float64)
+
+
+def get_packed_ints(fields, num: int) -> List[int]:
+    """Packed (LEN) or repeated varints."""
+    out: List[int] = []
+    for wire, v in fields.get(num, []):
+        if wire == _LEN:
+            pos, end = 0, len(v)
+            while pos < end:
+                val, pos = decode_varint(v, pos)
+                out.append(val)
+        else:
+            out.append(int(v))
+    return out
+
+
+def get_messages(fields, num: int) -> List[Dict[int, List[Tuple[int, object]]]]:
+    return [parse_message(v) for wire, v in fields.get(num, []) if wire == _LEN]
+
+
+# ---------------------------------------------------------------------------
+# 2. Schema tables (reconstructed from nimblephysics' public proto)
+# ---------------------------------------------------------------------------
+
+# SubjectOnDiskHeader
+_H = dict(num_dofs=1, num_joints=2, ground_force_body=3, trial_header=4,
+          processing_pass_header=5, biological_sex=6, mass_kg=7, height_m=8,
+          age_years=9, dof_name=10, joint_name=11, subject_tags=12, href=13,
+          notes=14, version=15)
+
+# SubjectOnDiskPassHeader (subject-level processing pass)
+_PH = dict(type=1, model_osim_text=2, skeleton_json=3)
+
+# SubjectOnDiskTrialHeader
+_TH = dict(name=1, trial_length=2, trial_timestep=3, missing_grf_reason=4,
+           trial_pass_type=5, frame_bytes=6, trial_tags=7,
+           original_trial_name=8, split_index=9)
+
+# SubjectOnDiskFrame
+_F = dict(missing_grf_reason=1, processing_pass=2,
+          raw_force_plate_forces=3, raw_force_plate_cops=4)
+
+# SubjectOnDiskPassFrame: field number = 1 + index into pass_channel_layout,
+# so the wire schema and the B3D-TPU channel layout can never drift apart.
+_PF_FIELDS: List[str] = [name for name, _ in pass_channel_layout(1, 1, 1)]
+_PF = {name: i + 1 for i, name in enumerate(_PF_FIELDS)}
+_PF_CONTACT_FIELD = _PF['contact']  # contact flags are packed ints, not doubles
+
+
+# ---------------------------------------------------------------------------
+# 3a. Writer (fixtures / round-trip tests / export)
+# ---------------------------------------------------------------------------
+
+def _encode_pass_frame(row: np.ndarray,
+                       offsets: Dict[str, Tuple[int, int]]) -> bytes:
+    parts = []
+    for name, field_num in _PF.items():
+        off, width = offsets[name]
+        vals = row[off:off + width]
+        if field_num == _PF_CONTACT_FIELD:
+            parts.append(enc_packed_ints(field_num, [int(v) for v in vals]))
+        else:
+            parts.append(enc_packed_doubles(field_num, vals))
+    return b''.join(parts)
+
+
+def write_legacy_subject(path: str,
+                         *,
+                         num_dofs: int,
+                         ground_force_bodies: List[str],
+                         root_history_len: int,
+                         trials: List[TrialData],
+                         skeleton: Optional[SkeletonSpec] = None,
+                         mass_kg: float = 70.0,
+                         height_m: float = 1.75,
+                         age_years: int = 30,
+                         biological_sex: str = 'unknown',
+                         dof_names: Optional[List[str]] = None,
+                         joint_names: Optional[List[str]] = None,
+                         num_force_plates: int = 2) -> None:
+    """Serialize a subject in the legacy length-prefixed protobuf format.
+
+    Same argument surface as :func:`b3d.write_subject` so tests can write
+    the same subject in both formats and diff the decoded values.
+    """
+    nb = len([b for b in ground_force_bodies if b != 'pelvis'])
+    layout = pass_channel_layout(num_dofs, nb, root_history_len)
+    offsets = layout_offsets(layout)
+    total_c = layout_total(layout)
+
+    import json as _json
+    skeleton_json = _json.dumps(skeleton.to_json()) if skeleton else ''
+
+    # frames (encoded first: trial headers need per-frame byte sizes)
+    trial_frames: List[List[bytes]] = []
+    for t_idx, trial in enumerate(trials):
+        frames: List[bytes] = []
+        for mat in trial.passes:
+            if mat.shape != (trial.length, total_c):
+                raise ValueError(
+                    f'trial {t_idx}: expected {(trial.length, total_c)}, '
+                    f'got {mat.shape}')
+        for k in range(trial.length):
+            body = [enc_int(_F['missing_grf_reason'],
+                            trial.missing_grf_reasons[k])]
+            for mat in trial.passes:
+                body.append(enc_message(_F['processing_pass'],
+                                        _encode_pass_frame(mat[k], offsets)))
+            # raw force-plate channels: world-frame force/CoP per plate
+            # (the layout's world-frame contact fields, one plate per body)
+            f_off, f_w = offsets['groundContactForce']
+            c_off, c_w = offsets['groundContactCenterOfPressure']
+            raw_f = trial.passes[0][k, f_off:f_off + f_w]
+            raw_c = trial.passes[0][k, c_off:c_off + c_w]
+            body.append(enc_packed_doubles(_F['raw_force_plate_forces'], raw_f))
+            body.append(enc_packed_doubles(_F['raw_force_plate_cops'], raw_c))
+            frames.append(b''.join(body))
+        trial_frames.append(frames)
+
+    # header
+    hparts = [
+        enc_int(_H['num_dofs'], num_dofs),
+        enc_int(_H['num_joints'], len(joint_names) if joint_names else 12),
+        enc_str(_H['biological_sex'], biological_sex),
+        enc_double(_H['mass_kg'], mass_kg),
+        enc_double(_H['height_m'], height_m),
+        enc_int(_H['age_years'], age_years),
+        enc_int(_H['version'], 1),
+    ]
+    for b in ground_force_bodies:
+        hparts.append(enc_str(_H['ground_force_body'], b))
+    for n in (dof_names or [f'dof_{i}' for i in range(num_dofs)]):
+        hparts.append(enc_str(_H['dof_name'], n))
+    for n in (joint_names or [f'joint_{i}' for i in range(12)]):
+        hparts.append(enc_str(_H['joint_name'], n))
+    n_passes = max(len(t.pass_types) for t in trials)
+    for p in range(n_passes):
+        ptype = next(t.pass_types[p] for t in trials if p < len(t.pass_types))
+        ph = enc_int(_PH['type'], ptype)
+        if skeleton_json:
+            ph += enc_str(_PH['skeleton_json'], skeleton_json)
+        hparts.append(enc_message(_H['processing_pass_header'], ph))
+    for t_idx, trial in enumerate(trials):
+        th = b''.join([
+            enc_str(_TH['name'], trial.name),
+            enc_int(_TH['trial_length'], trial.length),
+            enc_double(_TH['trial_timestep'], trial.timestep),
+            enc_packed_ints(_TH['missing_grf_reason'],
+                            trial.missing_grf_reasons),
+            enc_packed_ints(_TH['trial_pass_type'], trial.pass_types),
+            enc_packed_ints(_TH['frame_bytes'],
+                            [len(f) + 8 for f in trial_frames[t_idx]]),
+        ])
+        hparts.append(enc_message(_H['trial_header'], th))
+    header = b''.join(hparts)
+
+    with open(path, 'wb') as f:
+        f.write(struct.pack('<Q', len(header)))
+        f.write(header)
+        for frames in trial_frames:
+            for frame in frames:
+                f.write(struct.pack('<Q', len(frame)))
+                f.write(frame)
+
+
+# ---------------------------------------------------------------------------
+# 3b. Reader
+# ---------------------------------------------------------------------------
+
+class LegacyFramePass:
+    """One processing pass of one frame: nimble FramePass attribute surface."""
+    __slots__ = ('_fields', 'type')
+
+    def __init__(self, fields, pass_type: int):
+        self._fields = fields
+        self.type = ProcessingPassType(pass_type)
+
+    def __getattr__(self, name: str) -> np.ndarray:
+        try:
+            num = _PF[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+        if num == _PF_CONTACT_FIELD:
+            return np.asarray(get_packed_ints(self._fields, num), np.float64)
+        return get_packed_doubles(self._fields, num)
+
+
+class LegacyFrame:
+    """nimble Frame surface: processingPasses + missingGRFReason + raw plates."""
+    __slots__ = ('processingPasses', 'missingGRFReason', 'trial', 'index',
+                 'rawForcePlateForces', 'rawForcePlateCenterOfPressures')
+
+    def __init__(self, passes, missing, trial, index, raw_f, raw_c):
+        self.processingPasses = passes
+        self.missingGRFReason = missing
+        self.trial = trial
+        self.index = index
+        self.rawForcePlateForces = raw_f
+        self.rawForcePlateCenterOfPressures = raw_c
+
+
+class LegacySubjectOnDisk:
+    """Header-only open + random-access window reads of a legacy .b3d.
+
+    Mirrors nimble's access profile — construction decodes only the header;
+    every ``readFrames`` seeks and protobuf-decodes the requested frames
+    (the per-window decode cost SURVEY.md §3.5 identifies as the reference
+    pipeline's bottleneck; this class is also the honest-baseline cost
+    model for BASELINE.md).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, 'rb') as f:
+            prefix = f.read(8)
+            if len(prefix) < 8:
+                raise ValueError(f'{path}: truncated legacy .b3d')
+            hlen, = struct.unpack('<Q', prefix)
+            fsize = os.fstat(f.fileno()).st_size
+            if hlen == 0 or hlen > fsize - 8:
+                raise ValueError(
+                    f'{path}: implausible legacy header length {hlen}')
+            h = parse_message(f.read(hlen))
+        self._frames_start = 8 + hlen
+        self.num_dofs = get_int(h, _H['num_dofs'])
+        self.num_joints = get_int(h, _H['num_joints'])
+        self.ground_force_bodies = get_strs(h, _H['ground_force_body'])
+        self.biological_sex = get_str(h, _H['biological_sex'], 'unknown')
+        self.mass_kg = get_double(h, _H['mass_kg'])
+        self.height_m = get_double(h, _H['height_m'])
+        self.age_years = get_int(h, _H['age_years'])
+        self.dof_names = get_strs(h, _H['dof_name'])
+        self.joint_names = get_strs(h, _H['joint_name'])
+        self.href = get_str(h, _H['href'])
+        self.notes = get_str(h, _H['notes'])
+
+        self.pass_types: List[int] = []
+        self.skeleton_specs: List[Optional[SkeletonSpec]] = []
+        self.model_osim_texts: List[str] = []
+        for ph in get_messages(h, _H['processing_pass_header']):
+            self.pass_types.append(get_int(ph, _PH['type']))
+            self.model_osim_texts.append(get_str(ph, _PH['model_osim_text']))
+            sk = get_str(ph, _PH['skeleton_json'])
+            if sk:
+                import json as _json
+                self.skeleton_specs.append(SkeletonSpec.from_json(_json.loads(sk)))
+            else:
+                self.skeleton_specs.append(None)
+
+        self.trials: List[dict] = []
+        offset = self._frames_start
+        for th in get_messages(h, _H['trial_header']):
+            length = get_int(th, _TH['trial_length'])
+            frame_bytes = get_packed_ints(th, _TH['frame_bytes'])
+            if len(frame_bytes) != length:
+                raise ValueError(
+                    f'{path}: trial frame index has {len(frame_bytes)} '
+                    f'entries for {length} frames')
+            starts = offset + np.concatenate(
+                [[0], np.cumsum(frame_bytes[:-1])]).astype(np.int64) \
+                if length else np.zeros(0, np.int64)
+            self.trials.append({
+                'name': get_str(th, _TH['name']),
+                'length': length,
+                'timestep': get_double(th, _TH['trial_timestep']),
+                'missing_grf': get_packed_ints(th, _TH['missing_grf_reason']),
+                'pass_types': get_packed_ints(th, _TH['trial_pass_type'])
+                              or list(self.pass_types),
+                'frame_starts': starts,
+                'frame_bytes': frame_bytes,
+            })
+            offset += int(sum(frame_bytes))
+        self._file = open(path, 'rb')
+
+    def close(self) -> None:
+        self._file.close()
+
+    # -- nimble SubjectOnDisk parity surface --------------------------------
+
+    def getNumDofs(self) -> int:
+        return self.num_dofs
+
+    def getNumJoints(self) -> int:
+        return self.num_joints
+
+    def getNumTrials(self) -> int:
+        return len(self.trials)
+
+    def getTrialLength(self, trial: int) -> int:
+        return self.trials[trial]['length']
+
+    def getTrialTimestep(self, trial: int) -> float:
+        return self.trials[trial]['timestep']
+
+    def getTrialName(self, trial: int) -> str:
+        return self.trials[trial]['name']
+
+    def getMissingGRF(self, trial: int) -> List[MissingGRFReason]:
+        return [MissingGRFReason(r) for r in self.trials[trial]['missing_grf']]
+
+    def getGroundForceBodies(self) -> List[str]:
+        return list(self.ground_force_bodies)
+
+    def getNumProcessingPasses(self) -> int:
+        return len(self.pass_types) or max(
+            (len(t['pass_types']) for t in self.trials), default=0)
+
+    def getTrialNumProcessingPasses(self, trial: int) -> int:
+        return len(self.trials[trial]['pass_types'])
+
+    def getProcessingPassType(self, index: int) -> ProcessingPassType:
+        if self.pass_types:
+            return ProcessingPassType(self.pass_types[index])
+        seen = {t['pass_types'][index] for t in self.trials
+                if index < len(t['pass_types'])}
+        if len(seen) != 1:
+            raise ValueError(f'ambiguous pass type at {index}: {sorted(seen)}')
+        return ProcessingPassType(seen.pop())
+
+    def getMassKg(self) -> float:
+        return self.mass_kg
+
+    def getHeightM(self) -> float:
+        return self.height_m
+
+    def getAgeYears(self) -> int:
+        return self.age_years
+
+    def getBiologicalSex(self) -> str:
+        return self.biological_sex
+
+    def getDofNames(self) -> List[str]:
+        return list(self.dof_names)
+
+    def readSkel(self, processing_pass: int,
+                 geometry_folder: str = '') -> SkeletonSpec:
+        spec = self.skeleton_specs[processing_pass] \
+            if processing_pass < len(self.skeleton_specs) else None
+        if spec is None:
+            raise ValueError(
+                f'{self.path}: pass {processing_pass} carries no skeleton '
+                f'spec (OSIM-only legacy file — convert with an explicit '
+                f'skeleton via convert_to_tpu(skeleton=...))')
+        return spec
+
+    def _decode_frame(self, trial: int, index: int) -> LegacyFrame:
+        t = self.trials[trial]
+        self._file.seek(int(t['frame_starts'][index]))
+        rec = self._file.read(int(t['frame_bytes'][index]))
+        ln, = struct.unpack('<Q', rec[:8])
+        fields = parse_message(rec[8:8 + ln])
+        types = t['pass_types']
+        passes = [LegacyFramePass(pf, types[i] if i < len(types) else 0)
+                  for i, pf in enumerate(get_messages(fields, _F['processing_pass']))]
+        return LegacyFrame(
+            passes,
+            MissingGRFReason(get_int(fields, _F['missing_grf_reason'])),
+            trial, index,
+            get_packed_doubles(fields, _F['raw_force_plate_forces']),
+            get_packed_doubles(fields, _F['raw_force_plate_cops']))
+
+    def readFrames(self, trial: int, startFrame: int, numFramesToRead: int,
+                   stride: int = 1, includeSensorData: bool = False,
+                   includeProcessingPasses: bool = True,
+                   contactThreshold: float = 1.0) -> List[LegacyFrame]:
+        del includeSensorData, includeProcessingPasses, contactThreshold
+        return [self._decode_frame(trial, startFrame + k * stride)
+                for k in range(numFramesToRead)]
+
+
+# ---------------------------------------------------------------------------
+# 3c. Conversion legacy -> B3D-TPU
+# ---------------------------------------------------------------------------
+
+def is_legacy_b3d(path: str) -> bool:
+    """True if `path` is a legacy protobuf .b3d (vs B3D-TPU, magic b'B3DT')."""
+    with open(path, 'rb') as f:
+        return f.read(4) != b'B3DT'
+
+
+def convert_to_tpu(legacy_path: str, out_path: str,
+                   skeleton: Optional[SkeletonSpec] = None) -> None:
+    """Decode a legacy .b3d once, sequentially, into B3D-TPU matrices.
+
+    This is the ``SubjectOnDisk.from_nimble`` capability without nimble:
+    after conversion the training pipeline never pays per-window protobuf
+    decodes again (the B3D-TPU design premise, data/b3d.py docstring).
+    """
+    subj = LegacySubjectOnDisk(legacy_path)
+    try:
+        nb = len([b for b in subj.ground_force_bodies if b != 'pelvis'])
+        # root_history_len from the first frame's history channel width
+        rh = 0
+        for t_idx, t in enumerate(subj.trials):
+            if t['length'] > 0 and subj.getTrialNumProcessingPasses(t_idx) > 0:
+                f0 = subj._decode_frame(t_idx, 0)
+                rh = len(f0.processingPasses[0].rootPosHistoryInRootFrame) // 3
+                break
+        layout = pass_channel_layout(subj.num_dofs, nb, rh)
+        offsets = layout_offsets(layout)
+        total_c = layout_total(layout)
+
+        trials: List[TrialData] = []
+        for t_idx, t in enumerate(subj.trials):
+            n_passes = subj.getTrialNumProcessingPasses(t_idx)
+            mats = [np.zeros((t['length'], total_c), np.float32)
+                    for _ in range(n_passes)]
+            for k in range(t['length']):
+                frame = subj._decode_frame(t_idx, k)
+                for p, fp in enumerate(frame.processingPasses[:n_passes]):
+                    row = mats[p][k]
+                    for name, (off, width) in offsets.items():
+                        vals = getattr(fp, name)
+                        row[off:off + min(width, len(vals))] = vals[:width]
+            trials.append(TrialData(
+                name=t['name'], timestep=t['timestep'], passes=mats,
+                pass_types=list(t['pass_types'][:n_passes]),
+                missing_grf_reasons=list(t['missing_grf'])))
+
+        sk = skeleton
+        if sk is None:
+            for cand in subj.skeleton_specs:
+                if cand is not None:
+                    sk = cand
+                    break
+        write_subject(
+            out_path, num_dofs=subj.num_dofs,
+            ground_force_bodies=subj.ground_force_bodies,
+            root_history_len=rh, trials=trials, skeleton=sk,
+            mass_kg=subj.mass_kg, height_m=subj.height_m,
+            age_years=subj.age_years, biological_sex=subj.biological_sex,
+            dof_names=subj.dof_names or None,
+            joint_names=subj.joint_names or None)
+    finally:
+        subj.close()
+
+
+def ensure_tpu_format(path: str, cache_dir: Optional[str] = None) -> str:
+    """Return a B3D-TPU path for `path`, converting legacy files on demand.
+
+    Converted files land next to the source (``<name>.b3dtpu``) or in
+    `cache_dir`, and are reused when newer than the source.
+    """
+    if not is_legacy_b3d(path):
+        return path
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        out = os.path.join(cache_dir, os.path.basename(path) + 'tpu')
+    else:
+        out = path + 'tpu'
+    if (not os.path.exists(out)
+            or os.path.getmtime(out) < os.path.getmtime(path)):
+        convert_to_tpu(path, out)
+    return out

@@ -136,7 +136,13 @@ class WindowDataset:
             self.subject_paths = self.subject_paths[11:12] or self.subject_paths[:1]
         self.subject_indices = {p: i for i, p in enumerate(self.subject_paths)}
 
-        self.subjects: List[SubjectOnDisk] = [SubjectOnDisk(p) for p in self.subject_paths]
+        # Legacy (nimble protobuf) .b3d files are auto-converted to B3D-TPU
+        # once, next to the source, then mmap'd like native files — a
+        # reference user can point this at an AddBiomechanics download
+        # unchanged (data/b3d_legacy.py).
+        from inferbiomechanics_tpu.data.b3d_legacy import ensure_tpu_format
+        open_paths = [ensure_tpu_format(p) for p in self.subject_paths]
+        self.subjects: List[SubjectOnDisk] = [SubjectOnDisk(p) for p in open_paths]
 
         # -- canonical contact-body order from the first subject ------------
         self.contact_bodies: List[str] = []

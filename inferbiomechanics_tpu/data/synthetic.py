@@ -199,6 +199,40 @@ def synthetic_trial(name: str,
     )
 
 
+def write_synthetic_legacy_subject(path: str,
+                                   *,
+                                   num_trials: int = 2,
+                                   trial_length: int = 300,
+                                   num_dofs: int = 23,
+                                   root_history_len: int = 10,
+                                   mass_kg: float = 70.0,
+                                   missing_frac: float = 0.0,
+                                   seed: int = 0) -> None:
+    """Write the same synthetic subject in the LEGACY protobuf .b3d format
+    (fixture generator for the no-nimble ingestion path, data/b3d_legacy.py)."""
+    from inferbiomechanics_tpu.data.b3d_legacy import write_legacy_subject
+    rng = np.random.default_rng(seed)
+    skel = standard_skeleton() if num_dofs == 23 else None
+    trials = [
+        synthetic_trial(f'trial_{i}', trial_length, num_dofs=num_dofs,
+                        root_history_len=root_history_len, mass_kg=mass_kg,
+                        gait_hz=0.8 + 0.2 * i, missing_frac=missing_frac, rng=rng)
+        for i in range(num_trials)
+    ]
+    write_legacy_subject(
+        path,
+        num_dofs=num_dofs,
+        ground_force_bodies=CONTACT_BODIES,
+        root_history_len=root_history_len,
+        trials=trials,
+        skeleton=skel,
+        mass_kg=mass_kg,
+        height_m=1.75,
+        age_years=30,
+        biological_sex='male' if seed % 2 == 0 else 'female',
+    )
+
+
 def write_synthetic_subject(path: str,
                             *,
                             num_trials: int = 2,

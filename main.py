@@ -30,6 +30,7 @@ def build_commands():
     from inferbiomechanics_tpu.cli.visualize_file_cmd import VisualizeFileCommand
     from inferbiomechanics_tpu.cli.review_file_cmd import ReviewFileCommand
     from inferbiomechanics_tpu.cli.save_prediction_csv_cmd import SavePredictionCsvCommand
+    from inferbiomechanics_tpu.cli.convert_b3d_cmd import ConvertB3dCommand
     return [
         TrainCommand(),
         VisualizeCommand(),
@@ -41,6 +42,7 @@ def build_commands():
         ReviewFileCommand(),
         PickleDataCommand(),
         SavePredictionCsvCommand(),
+        ConvertB3dCommand(),
     ]
 
 

@@ -157,6 +157,7 @@ def test_all_ten_commands_registered():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     names = {c.name for c in mod.build_commands()}
+    # the reference's 10 commands, plus the beyond-parity legacy converter
     assert names == {'train', 'visualize', 'visualize-file', 'create-splits',
                      'analyze', 'sanity-check', 'make-plots', 'review-file',
-                     'pickle-data', 'save-prediction-csv'}
+                     'pickle-data', 'save-prediction-csv', 'convert-b3d'}
