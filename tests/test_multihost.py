@@ -64,7 +64,33 @@ psum = float(np.sum([np.asarray(x).sum() for x in
                      jax.tree_util.tree_leaves(jax.device_get(
                          jax.tree_util.tree_map(
                              lambda a: a.addressable_data(0), state.params)))]))
-print(json.dumps({'proc': proc_id, 'losses': losses, 'param_sum': psum}))
+
+# DEVICE-RESIDENT HBM branch (train/device_data.py:42-48): under
+# process_count()>1 the packed matrices go through
+# make_array_from_process_local_data. Same fixed window indices through
+# (a) the host gather and (b) the on-device gather must give identical
+# losses from identical states.
+from inferbiomechanics_tpu.train.device_data import (
+    DeviceResidentData, make_device_train_step,
+)
+data = DeviceResidentData(ds, sharding=replicate(mesh, jnp.zeros(())).sharding)
+idx = np.arange(num_procs * B)
+host_batch = ds.gather(idx)
+state_h = create_train_state(model, jax.random.PRNGKey(5),
+                             jnp.asarray(sample.inputs), make_optimizer('adam', 1e-3))
+state_h = replicate(mesh, state_h)
+state_d = create_train_state(model, jax.random.PRNGKey(5),
+                             jnp.asarray(sample.inputs), make_optimizer('adam', 1e-3))
+state_d = replicate(mesh, state_d)
+host_step = make_train_step(model, ds.lab_offsets, LossConfig(), donate=False)
+dev_step = make_device_train_step(model, data, LossConfig(), donate=False)
+_, mh = host_step(state_h, jnp.asarray(host_batch.inputs),
+                  jnp.asarray(host_batch.labels), jax.random.PRNGKey(9))
+_, md = dev_step(state_d, jnp.asarray(idx, jnp.int32), jax.random.PRNGKey(9))
+device_pair = [float(mh['loss']), float(md['loss'])]
+
+print(json.dumps({'proc': proc_id, 'losses': losses, 'param_sum': psum,
+                  'device_pair': device_pair}))
 '''
 
 
@@ -97,3 +123,8 @@ def test_two_process_distributed_training(tmp_path):
     np.testing.assert_allclose(r0['losses'], r1['losses'], rtol=1e-6)
     np.testing.assert_allclose(r0['param_sum'], r1['param_sum'], rtol=1e-6)
     assert len(r0['losses']) == 3
+    # device-resident HBM gather == host gather, on both processes
+    for r in (r0, r1):
+        host_loss, dev_loss = r['device_pair']
+        np.testing.assert_allclose(host_loss, dev_loss, rtol=2e-3)
+    np.testing.assert_allclose(r0['device_pair'], r1['device_pair'], rtol=1e-6)
