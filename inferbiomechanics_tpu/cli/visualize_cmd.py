@@ -29,6 +29,9 @@ class VisualizeCommand:
         parser.add_argument('--trial', type=int, default=0)
         parser.add_argument('--out', type=str, default='outputs/visualize.html')
         parser.add_argument('--serve', action='store_true')
+        parser.add_argument('--live', action='store_true',
+                            help='Live model-in-the-loop WebSocket viewer '
+                                 '(parity with the reference per-tick GUI)')
         parser.add_argument('--port', type=int, default=8888)
         add_config_flags(parser)
 
@@ -45,6 +48,19 @@ class VisualizeCommand:
             checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
                                           config.model_type)
             predictor = Predictor(config, checkpoint_dir, ds)
+        if args.live:
+            from inferbiomechanics_tpu.loss.evaluator import (
+                RegressionLossEvaluator,
+            )
+            from inferbiomechanics_tpu.train.loop import loss_config_from
+            from inferbiomechanics_tpu.utils.geometry import ensure_geometry
+            from inferbiomechanics_tpu.viz.live_model import serve_live
+            evaluator = RegressionLossEvaluator(
+                'dev', loss_config_from(config)) if predictor else None
+            serve_live(ds, predictor, evaluator,
+                       geometry_folder=ensure_geometry(config.geometry_folder),
+                       title='dev split (live)', port=args.port)
+            return True
         payload = build_viz_payload(ds, args.subject, args.trial, predictor)
         path = export_html(args.out, payload, title=f'dev subject {args.subject} '
                                                     f'trial {args.trial}')

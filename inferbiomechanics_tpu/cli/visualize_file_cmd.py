@@ -82,6 +82,8 @@ class VisualizeFileCommand:
         parser.add_argument('--out', type=str, default='outputs/visualize_file.html')
         parser.add_argument('--serve', action='store_true',
                             help='Serve the viewer on port 8080')
+        parser.add_argument('--live', action='store_true',
+                            help='Live model-in-the-loop WebSocket viewer')
         parser.add_argument('--port', type=int, default=8080)
         parser.add_argument('--no-model', action='store_true',
                             help='Skip model predictions (labels only)')
@@ -101,6 +103,16 @@ class VisualizeFileCommand:
             if predictor.epoch < 0:
                 print('WARNING: no checkpoint found; predictions come from '
                       'an untrained model')
+        if args.live:
+            import numpy as np
+            from inferbiomechanics_tpu.utils.geometry import ensure_geometry
+            from inferbiomechanics_tpu.viz.live_model import serve_live
+            win_idx = np.nonzero((ds.win_subject == 0)
+                                 & (ds.win_trial == args.trial))[0]
+            serve_live(ds, predictor, None, window_indices=win_idx,
+                       geometry_folder=ensure_geometry(config.geometry_folder),
+                       title=os.path.basename(args.file), port=args.port)
+            return True
         payload = build_viz_payload(ds, 0, args.trial, predictor)
         path = export_html(args.out, payload,
                            title=os.path.basename(args.file))

@@ -72,6 +72,16 @@ class Predictor:
 
         self._fwd = jax.jit(fwd)
 
+    def predict_windows(self, idx: np.ndarray):
+        """Forward pass on specific window indices (the live viewer's
+        model-in-the-loop tick, parity visualize.py:157-180).
+        Returns (outputs, labels, per_window_loss) as host arrays."""
+        batch = self.ds.gather(np.asarray(idx))
+        o, l, pw = self._fwd(self.state.params,
+                             jnp.asarray(batch.inputs),
+                             jnp.asarray(batch.labels))
+        return jax.device_get(o), jax.device_get(l), np.asarray(pw)
+
     def predict_trial(self, subject_index: int, trial_index: int,
                       batch_size: int = 512) -> Optional[TrialPredictions]:
         """Predict every enumerated window of one trial."""

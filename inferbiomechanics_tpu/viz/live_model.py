@@ -1,0 +1,132 @@
+"""Model-in-the-loop live viewer session over a WindowDataset.
+
+Glue between the data/model layers and viz/live.py, replicating the
+reference's per-tick GUI loop (visualize.py:157-263): each tick gathers
+ONE window, runs the current checkpoint forward, accumulates the loss
+evaluator, prints the report every 100 frames (and on 'r'), and streams
+joint centers, root velocity/history, red label / blue predicted force
+lines, plus FK-posed Geometry meshes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from inferbiomechanics_tpu.data import keys as K
+from inferbiomechanics_tpu.viz.live import LiveSession, LiveViewerServer
+from inferbiomechanics_tpu.viz.mesh import load_body_meshes
+from inferbiomechanics_tpu.viz.viewer import STANDARD_BONES
+
+
+def build_live_session(ds, predictor=None, evaluator=None,
+                       window_indices: Optional[np.ndarray] = None,
+                       geometry_folder: str = '',
+                       report_every: int = 100):
+    """Returns (LiveSession, init_payload) for a dataset / one trial.
+
+    `window_indices` restricts playback (visualize-file plays one trial's
+    windows); default plays the whole dataset like visualize.py:131.
+    """
+    idx = (np.asarray(window_indices)
+           if window_indices is not None else np.arange(len(ds)))
+    in_offs = ds.in_offsets
+    lab_offs = ds.lab_offsets
+    nb = ds.num_contact_bodies
+
+    # FK body transforms for mesh posing (root zeroed like
+    # visualize.py:215-216: pos_in_root_frame[0:6] = 0)
+    fk_fn = None
+    body_names = []
+    meshes = {}
+    try:
+        spec = ds.subjects[0].readSkel(
+            ds.subjects[0].getNumProcessingPasses() - 1, geometry_folder)
+        from inferbiomechanics_tpu.ops.skeleton import compile_skeleton
+        import jax
+        skel = compile_skeleton(spec)
+        body_names = skel.body_names
+        fk_fn = jax.jit(skel.fk)
+        meshes = load_body_meshes(geometry_folder, body_names)
+    except (ValueError, KeyError):
+        pass  # no skeleton in header: joints + forces still render
+
+    tick_count = [0]
+
+    def packet_for_frame(frame: int) -> dict:
+        wi = idx[frame % len(idx)]
+        batch = ds.gather(np.asarray([wi]))
+        x = batch.inputs[0]                       # [T, C_in]
+        o_pos, w_pos = in_offs[K.InputDataKeys.POS]
+        o_jc, w_jc = in_offs[K.InputDataKeys.JOINT_CENTERS_IN_ROOT_FRAME]
+        o_rv, _ = in_offs[K.InputDataKeys.ROOT_LINEAR_VEL_IN_ROOT_FRAME]
+        o_rh, w_rh = in_offs[K.InputDataKeys.ROOT_POS_HISTORY_IN_ROOT_FRAME]
+        packet: dict = {
+            'joints': x[-1, o_jc:o_jc + w_jc].reshape(-1, 3).tolist(),
+            'root_vel': x[0, o_rv:o_rv + 3].tolist(),
+            'root_history': x[0, o_rh:o_rh + w_rh].reshape(-1, 3).tolist(),
+        }
+        lab = batch.labels[0, -1]
+        o_f, _ = lab_offs[K.OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]
+        o_c, _ = lab_offs[K.OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME]
+        packet['label_forces'] = [
+            [lab[o_c + 3 * b:o_c + 3 * b + 3].tolist(),
+             lab[o_f + 3 * b:o_f + 3 * b + 3].tolist()] for b in range(nb)]
+
+        if predictor is not None:
+            outputs, labels, _ = predictor.predict_windows(np.asarray([wi]))
+            if evaluator is not None:
+                evaluator(None, outputs, labels)
+                tick_count[0] += 1
+                if report_every and tick_count[0] % report_every == 0:
+                    print(f'Results on Frame {tick_count[0]}')
+                    evaluator.print_report(reset=False)
+            pf = np.asarray(
+                outputs[K.OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME])[0, -1]
+            pc = np.asarray(
+                outputs[K.OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME])[0, -1]
+            packet['pred_forces'] = [
+                [pc[3 * b:3 * b + 3].tolist(), pf[3 * b:3 * b + 3].tolist()]
+                for b in range(nb)]
+            loss = evaluator.mean_metric('loss') if evaluator else None
+            if loss is not None:
+                packet['hud'] = f'running loss: {loss:.4f}'
+
+        if fk_fn is not None:
+            q = np.array(x[-1, o_pos:o_pos + w_pos], np.float64)
+            q[:6] = 0.0
+            Rs, ps = fk_fn(q)
+            Rs = np.asarray(Rs)
+            ps = np.asarray(ps)
+            packet['bodies'] = {
+                name: {'R': Rs[i].reshape(-1).round(4).tolist(),
+                       'p': ps[i].round(4).tolist()}
+                for i, name in enumerate(body_names) if name in meshes}
+        return packet
+
+    session = LiveSession(len(idx), packet_for_frame,
+                          on_report=(lambda: evaluator.print_report(reset=False))
+                          if evaluator else None)
+    init = {
+        'bones': STANDARD_BONES,
+        'meshes': {name: {'v': v.round(4).tolist(), 'e': e.tolist()}
+                   for name, (v, e) in meshes.items()},
+    }
+    return session, init
+
+
+def serve_live(ds, predictor=None, evaluator=None, window_indices=None,
+               geometry_folder: str = '', title: str = 'inferbiomechanics',
+               port: int = 8888, block: bool = True,
+               tick_interval: float = 0.04) -> LiveViewerServer:
+    session, init = build_live_session(ds, predictor, evaluator,
+                                       window_indices, geometry_folder)
+    server = LiveViewerServer(session, init, title=title, port=port,
+                              tick_interval=tick_interval)
+    bound = server.start()
+    print(f'live viewer serving on http://localhost:{bound} '
+          f'(space: play/pause, e/a: step, r: report)')
+    if block:
+        server.block()
+    return server

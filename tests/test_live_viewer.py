@@ -1,0 +1,218 @@
+"""Live viewer stack: WebSocket framing, mesh parsing, end-to-end server.
+
+Parity surface: reference visualize.py:123-263 (per-tick GUI with
+transport keys) / visualize_file.py:174-292, NimbleGUI replaced by
+viz/ws.py + viz/live.py + viz/mesh.py.
+"""
+
+import json
+import os
+import socket
+import time
+
+import numpy as np
+
+from inferbiomechanics_tpu.viz import ws
+from inferbiomechanics_tpu.viz.live import LiveSession, LiveViewerServer
+from inferbiomechanics_tpu.viz.mesh import (
+    decimate, load_body_meshes, parse_obj, parse_ply_ascii,
+)
+
+
+# -- RFC 6455 framing ---------------------------------------------------------
+
+def test_accept_key_rfc_vector():
+    # the worked example from RFC 6455 §1.3
+    assert ws.accept_key('dGhlIHNhbXBsZSBub25jZQ==') == \
+        's3pPLMBiTxaQ9kYGzzhZRbK+xOo='
+
+
+def test_frame_roundtrip_sizes():
+    for n in [0, 1, 125, 126, 300, 70000]:
+        payload = bytes(i % 251 for i in range(n))
+        server_frame = ws.encode_frame(payload)
+        msgs, rest = ws.decode_frames(server_frame)
+        assert rest == b'' and msgs == [(ws.OP_TEXT, payload)]
+        client_frame = ws.encode_client_frame(payload)
+        msgs, rest = ws.decode_frames(client_frame)
+        assert rest == b'' and msgs == [(ws.OP_TEXT, payload)]
+
+
+def test_partial_and_concatenated_frames():
+    a = ws.encode_client_frame(b'first')
+    b = ws.encode_client_frame(b'second', opcode=ws.OP_PING)
+    msgs, rest = ws.decode_frames(a + b[:3])
+    assert msgs == [(ws.OP_TEXT, b'first')] and rest == b[:3]
+    msgs2, rest2 = ws.decode_frames(rest + b[3:])
+    assert msgs2 == [(ws.OP_PING, b'second')] and rest2 == b''
+
+
+# -- mesh parsing -------------------------------------------------------------
+
+OBJ = """# tiny tetra
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 0 0 1
+f 1 2 3
+f 1 2 4
+f 1/1 3/2 4/3
+"""
+
+PLY = """ply
+format ascii 1.0
+element vertex 3
+property float x
+property float y
+property float z
+element face 1
+property list uchar int vertex_indices
+end_header
+0 0 0
+1 0 0
+0 1 0
+3 0 1 2
+"""
+
+
+def test_parse_obj(tmp_path):
+    p = tmp_path / 'm.obj'
+    p.write_text(OBJ)
+    verts, edges = parse_obj(str(p))
+    assert verts.shape == (4, 3)
+    assert len(edges) == 6  # tetra minus one face's unique edges
+    assert edges.max() == 3
+
+
+def test_parse_ply(tmp_path):
+    p = tmp_path / 'm.ply'
+    p.write_text(PLY)
+    verts, edges = parse_ply_ascii(str(p))
+    assert verts.shape == (3, 3)
+    assert len(edges) == 3
+
+
+def test_decimate_compacts_vertices():
+    verts = np.arange(30, dtype=np.float32).reshape(10, 3)
+    edges = np.array([[0, 9], [1, 8], [2, 7], [3, 6]], np.int32)
+    v2, e2 = decimate((verts, edges), max_edges=2)
+    assert len(e2) == 2
+    assert len(v2) == len(np.unique(e2))
+
+
+def test_load_body_meshes_name_matching(tmp_path):
+    (tmp_path / 'pelvis.obj').write_text(OBJ)
+    (tmp_path / 'femur.obj').write_text(OBJ)
+    meshes = load_body_meshes(str(tmp_path), ['pelvis', 'femur_l', 'femur_r',
+                                              'missing'])
+    assert set(meshes) == {'pelvis', 'femur_l', 'femur_r'}
+    # left-side fallback mirrors z
+    assert np.allclose(meshes['femur_l'][0][:, 2], -meshes['femur_r'][0][:, 2])
+
+
+# -- session transport semantics (visualize.py:139-154) -----------------------
+
+def test_session_transport():
+    seen = []
+    s = LiveSession(20, lambda f: {'f': f}, on_report=lambda: seen.append(1))
+    assert s.tick()['frame'] == 0 and s.frame == 1   # playing advances
+    s.key(' ')
+    assert not s.playing
+    assert s.tick()['frame'] == 1 and s.frame == 1   # paused holds
+    s.key('e'); assert s.frame == 2
+    s.key('a'); assert s.frame == 1
+    s.key('r'); assert seen == [1]
+    s.frame = 14                                     # wrap at num_frames-5
+    s.key('e'); assert s.frame == 0
+    s.key('a'); assert s.frame == 14
+
+
+# -- end-to-end server --------------------------------------------------------
+
+def _ws_client(port):
+    """Minimal stdlib WebSocket client: handshake + framed socket."""
+    c = socket.create_connection(('127.0.0.1', port), timeout=10)
+    c.sendall(b'GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n'
+              b'Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n'
+              b'Sec-WebSocket-Version: 13\r\n\r\n')
+    buf = b''
+    while b'\r\n\r\n' not in buf:
+        buf += c.recv(4096)
+    head, buf = buf.split(b'\r\n\r\n', 1)
+    assert b'101' in head.split(b'\r\n')[0]
+    assert b's3pPLMBiTxaQ9kYGzzhZRbK+xOo=' in head
+    return c, buf
+
+
+def _recv_messages(c, buf, n, timeout=15):
+    msgs = []
+    deadline = time.time() + timeout
+    while len(msgs) < n and time.time() < deadline:
+        got, buf = ws.decode_frames(buf)
+        msgs.extend(json.loads(p) for op, p in got if op == ws.OP_TEXT)
+        if len(msgs) >= n:
+            break
+        try:
+            chunk = c.recv(65536)
+        except socket.timeout:
+            continue
+        if not chunk:
+            break
+        buf += chunk
+    assert len(msgs) >= n, f'got {len(msgs)} messages'
+    return msgs, buf
+
+
+def test_live_server_end_to_end(tmp_path):
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    from inferbiomechanics_tpu.viz.live_model import build_live_session
+
+    d = tmp_path / 'data'
+    d.mkdir()
+    write_synthetic_subject(str(d / 's.b3d'), num_trials=1, trial_length=60,
+                            seed=0)
+    geom = tmp_path / 'Geometry'
+    geom.mkdir()
+    (geom / 'pelvis.obj').write_text(OBJ)
+    ds = WindowDataset(str(d), window_size=20, stride=5)
+    session, init = build_live_session(ds, geometry_folder=str(geom))
+    server = LiveViewerServer(session, init, title='test', port=0,
+                              tick_interval=0.02)
+    port = server.start()
+    try:
+        # plain HTTP GET serves the client page
+        h = socket.create_connection(('127.0.0.1', port), timeout=10)
+        h.sendall(b'GET / HTTP/1.1\r\nHost: x\r\n\r\n')
+        page = b''
+        while b'</html>' not in page:
+            chunk = h.recv(65536)
+            if not chunk:
+                break
+            page += chunk
+        assert b'WebSocket' in page
+        h.close()
+
+        c, buf = _ws_client(port)
+        msgs, buf = _recv_messages(c, buf, 3)
+        assert msgs[0]['type'] == 'init'
+        assert 'pelvis' in msgs[0]['meshes']
+        assert msgs[0]['bones']
+        frames = [m for m in msgs if m['type'] == 'frame']
+        assert frames, 'no frame packets received'
+        f = frames[0]
+        assert len(f['joints']) == 12
+        assert len(f['label_forces']) == 2
+        assert 'bodies' in f and 'pelvis' in f['bodies']
+        assert len(f['bodies']['pelvis']['R']) == 9
+
+        # key event: pause playback server-side
+        c.sendall(ws.encode_client_frame(
+            json.dumps({'type': 'key', 'key': ' '}).encode()))
+        deadline = time.time() + 5
+        while session.playing and time.time() < deadline:
+            time.sleep(0.02)
+        assert not session.playing
+        c.close()
+    finally:
+        server.stop()
