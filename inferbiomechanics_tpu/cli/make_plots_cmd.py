@@ -4,9 +4,13 @@ Capability parity: reference ``src/cli/make_plots.py`` (1,842 LoC) — the
 paper-figure engine: per-trial validity filtering (kinematics pass ∧
 dynamics pass ∧ notMissingGRF, ref :1476), histograms of trial lengths /
 speeds / contact distribution / max GRF (ref :1200-1223), the contact
-pie chart (ref :1225-1240), demographics aggregation (age/sex/BMI,
-ref :1000-1052), error-vs-frequency curves (RMSE between kinematics-pass
-COM acc and GRF/mass after Butterworth low-pass filtering at cutoffs
+pie chart (ref :1225-1240), demographics aggregation with per-dataset
+overrides and split-file dedup (age/sex/BMI, ref :1000-1052), the full
+ScatterPlots matrix set (per-DOF joint pos/acc/tau vs COM-acc / total
+GRF / first-contact / GRF-distribution, COM-acc vs GRF components, joint
+centers vs GRF, root velocities/accelerations vs GRF — ref :560-616,
+907-985,1735-1820), the ``TrialRaw`` kinematics-only variant (``--raw``,
+ref :1623-1733), error-vs-frequency curves (Butterworth low-pass at
 0..30 Hz, ref :420-444,1245-1260), and pickle caches replayable via
 ``make-plots-from-cache`` (ref :1331-1383). Computation is vectorized
 over whole trial matrices instead of per-frame Python loops.
@@ -17,7 +21,7 @@ from __future__ import annotations
 import argparse
 import os
 import pickle
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -31,13 +35,20 @@ FREQ_CUTOFFS = list(range(0, 31, 3))   # ref :1245 — [0, 3, ..., 30] Hz
 # the reference's exact per-dataset tables are data-specific, so the rebuild
 # ships keyword rules with the same class vocabulary).
 MOTION_CLASSES = {
-    'walk': ('walk', 'gait', 'tread'),
-    'run': ('run', 'jog', 'sprint'),
+    'walking': ('walk', 'gait', 'tread'),
+    'running': ('run', 'jog', 'sprint'),
     'stairs': ('stair', 'step'),
     'jump': ('jump', 'hop', 'land'),
     'squat': ('squat', 'sts', 'sit'),
     'other': (),
 }
+CLASS_COLORS = {'walking': '#346beb', 'running': '#e0544f',
+                'stairs': '#52b06d', 'jump': '#c87ae0', 'squat': '#e0a33e',
+                'other': '#8a94a3', 'unknown': '#8a94a3'}
+
+# Datasets shipping one subject split across several .b3d files — their
+# demographics must be counted once per unique subject (ref :626,1040-1052).
+DATASETS_WITH_SPLITS = ('Camargo2021', 'Carter2023', 'Han2023')
 
 
 def classify_motion(trial_name: str) -> str:
@@ -46,6 +57,38 @@ def classify_motion(trial_name: str) -> str:
         if any(k in name for k in keywords):
             return cls
     return 'other'
+
+
+def apply_demographic_overrides(subj_path: str, subj_id: str, age: int,
+                                sex: str, demo_csv: Optional[Dict] = None):
+    """Per-dataset demographic fixes (ref :1007-1026): Fregly sexes are
+    encoded in the file name; Carter2023 ages/sexes come from a
+    demographics CSV (``Participant_code``/``Age (years)``/``Sex``)."""
+    if 'Fregly' in subj_path:
+        if '3GC' in subj_path:
+            sex = 'female'
+        elif '4GC' in subj_path or '6GC' in subj_path:
+            sex = 'male'
+    elif 'Carter2023' in subj_path and demo_csv:
+        code = subj_id.split('_')[0]
+        row = demo_csv.get(code)
+        if row:
+            age = int(float(row.get('Age (years)', age) or age))
+            sex = row.get('Sex', sex) or sex
+    return age, sex
+
+
+def load_demographics_csv(data_path: str) -> Optional[Dict]:
+    """Find a Carter2023-style demographics CSV under the data root."""
+    import csv
+    for root, _dirs, files in os.walk(data_path):
+        for f in files:
+            if f.lower().endswith('.csv') and 'demo' in f.lower():
+                with open(os.path.join(root, f)) as fh:
+                    rows = list(csv.DictReader(fh))
+                if rows and 'Participant_code' in rows[0]:
+                    return {r['Participant_code']: r for r in rows}
+    return None
 
 
 def estimate_mass(total_grf: 'np.ndarray', com_acc: 'np.ndarray',
@@ -65,8 +108,7 @@ def estimate_mass(total_grf: 'np.ndarray', com_acc: 'np.ndarray',
 def stance_speed(root_vel: 'np.ndarray', contact: 'np.ndarray',
                  valid: 'np.ndarray') -> float:
     """Treadmill-aware mean speed: sagittal root speed averaged over
-    stance frames only (capability parity: ref :253-281 — on a treadmill
-    the belt speed shows up as root-relative speed during stance)."""
+    stance frames only (capability parity: ref :253-281)."""
     stance = (contact.sum(axis=1) > 0) & valid
     if not stance.any():
         return float('nan')
@@ -82,12 +124,73 @@ def _butter_lowpass(signal: np.ndarray, cutoff_hz: float, fs: float) -> np.ndarr
     return filtfilt(b, a, signal, axis=0)
 
 
-def collect_stats(subject_paths: List[str], short: bool = False) -> Dict:
-    """One pass over all subjects -> the plot-data cache dict."""
+# ---------------------------------------------------------------------------
+# ScatterPlots matrix set (ref :560-616 definitions, :907-985 updates)
+# ---------------------------------------------------------------------------
+
+# (figure name, y sample key, x sample key, corr type, y in degrees)
+PER_DOF_MATRICES = [
+    ('jointacc_vs_comacc', 'joint_acc', 'comacc_y', 'pearson', False),
+    ('jointacc_vs_totgrf', 'joint_acc', 'totgrf_y', 'pearson', False),
+    ('jointacc_vs_firstcontact', 'joint_acc', 'contact_first', 'biserial', False),
+    ('jointacc_vs_firstdist', 'joint_acc', 'grf_dist_y', 'pearson', False),
+    ('jointpos_vs_comacc', 'joint_pos', 'comacc_y', 'pearson', True),
+    ('jointpos_vs_totgrf', 'joint_pos', 'totgrf_y', 'pearson', True),
+    ('jointpos_vs_firstcontact', 'joint_pos', 'contact_first', 'biserial', True),
+    ('jointpos_vs_firstdist', 'joint_pos', 'grf_dist_y', 'pearson', True),
+    ('jointpos_vs_totgrf_norm', 'joint_pos', 'totgrf_norm', 'pearson', True),
+    ('jointtau_vs_comacc', 'joint_tau', 'comacc_y', 'pearson', False),
+    ('jointtau_vs_totgrf', 'joint_tau', 'totgrf_y', 'pearson', False),
+    ('jointtau_vs_firstcontact', 'joint_tau', 'contact_first', 'biserial', False),
+    ('jointtau_vs_firstdist', 'joint_tau', 'grf_dist_y', 'pearson', False),
+]
+
+SINGLE_PLOTS = [
+    ('comacc_vs_totgrf_x', 'comacc_kin_x', 'totgrf_x', 'pearson'),
+    ('comacc_vs_totgrf_y', 'comacc_kin_y', 'totgrf_y', 'pearson'),
+    ('comacc_vs_totgrf_z', 'comacc_kin_z', 'totgrf_z', 'pearson'),
+    ('comacc_vs_firstcontact', 'comacc_kin_y', 'contact_first', 'biserial'),
+    ('comacc_vs_firstdist', 'comacc_kin_y', 'grf_dist_y', 'pearson'),
+    ('root_lin_vel_vs_totgrf', 'root_lin_vel_y', 'totgrf_y', 'pearson'),
+    ('root_ang_vel_vs_totgrf', 'root_ang_vel_y', 'totgrf_y', 'pearson'),
+    ('root_lin_acc_vs_totgrf', 'root_lin_acc_y', 'totgrf_y', 'pearson'),
+    ('root_ang_acc_vs_totgrf', 'root_ang_acc_y', 'totgrf_y', 'pearson'),
+    # the CVPR-paper hip-adduction singles (ref :979-985): DOF 7 = right
+    # hip adduction, DOF 14 = left, in the rajagopal_no_arms DOF order
+    ('jointpos_vs_firstdist_add_r', ('joint_pos', 7), 'grf_dist_y', 'pearson'),
+    ('jointpos_vs_firstdist_add_l', ('joint_pos', 14), 'grf_dist_y', 'pearson'),
+]
+
+
+def correlation(x: np.ndarray, y: np.ndarray) -> float:
+    """Pearson r (point-biserial is pearson with a binary x, ref :1781-1787;
+    nan -> 0 like ref :1790)."""
+    if x.size < 3 or np.std(x) == 0 or np.std(y) == 0:
+        return 0.0
+    r = float(np.corrcoef(x, y)[0, 1])
+    return 0.0 if np.isnan(r) else r
+
+
+def collect_stats(subject_paths: List[str], short: bool = False,
+                  raw: bool = False, downsample: int = 200,
+                  demo_csv: Optional[Dict] = None) -> Dict:
+    """One pass over all subjects -> the plot-data cache dict.
+
+    ``raw=True`` is the TrialRaw variant (ref :1623-1733): kinematics-pass
+    only — trials without a dynamics pass are still included, and the
+    dynamics-dependent products (tau matrices, mass estimation,
+    error-vs-frequency) are skipped.
+    """
+    sf_keys = ['comacc_y', 'totgrf_x', 'totgrf_y', 'totgrf_z', 'totgrf_norm',
+               'contact_first', 'grf_dist_y', 'comacc_kin_x', 'comacc_kin_y',
+               'comacc_kin_z', 'root_lin_vel_y', 'root_ang_vel_y',
+               'root_lin_acc_y', 'root_ang_acc_y']
     stats: Dict = {
+        'raw': raw,
         'trial_lengths_s': [], 'speeds_m_s': [], 'max_grf_n_kg': [],
         'contact_counts': {'flight': 0, 'single': 0, 'double': 0},
         'ages': [], 'sexes': [], 'bmis': [], 'masses': [], 'heights': [],
+        'dataset_n': {}, 'num_valid_subjs': 0,
         'freq_cutoffs': FREQ_CUTOFFS,
         'freq_rmse': {c: [] for c in FREQ_CUTOFFS},
         'num_subjects': 0, 'num_trials': 0, 'total_frames': 0,
@@ -95,31 +198,42 @@ def collect_stats(subject_paths: List[str], short: bool = False) -> Dict:
         'motion_class_hours': {c: 0.0 for c in MOTION_CLASSES},
         'estimated_masses': [],
         'stance_speeds_m_s': [],
-        # scatter-matrix samples: (joint acc norm, total GRF norm/mass,
-        # COM acc norm, grf distribution L share) per subsampled frame
+        'dof_names': [], 'joint_names': [],
+        'scatter_frames': {k: [] for k in sf_keys},
+        'scatter_class': [],
+        'joint_pos': [], 'joint_acc': [], 'joint_tau': [],
+        'joint_centers_y': [],
+        # legacy summary kept for cache compatibility
         'scatter': {'joint_acc': [], 'total_grf': [], 'com_acc': [],
                     'grf_dist': []},
         'scatter_correlations': {},
     }
     if short:
         subject_paths = subject_paths[:2]
+    seen_split_subjects = set()
     for path in subject_paths:
         s = SubjectOnDisk(path)
+        subj_id = os.path.splitext(os.path.basename(path))[0]
+        dataset_name = os.path.basename(os.path.dirname(path)) or 'unknown'
         mass = s.getMassKg()
         height = s.getHeightM()
         stats['num_subjects'] += 1
-        stats['ages'].append(s.getAgeYears())
-        stats['sexes'].append(s.getBiologicalSex())
-        stats['masses'].append(mass)
-        stats['heights'].append(height)
-        stats['bmis'].append(mass / max(height * height, 1e-6))
+        if not stats['dof_names']:
+            stats['dof_names'] = s.getDofNames()
+            stats['joint_names'] = list(s.header.get(
+                'joint_names', [f'joint_{i}' for i in range(12)]))
         offs = s.field_offsets
 
         def col(mat, name):
             o, w = offs[name]
             return mat[:, o:o + w]
 
+        subj_valid_trials = 0
         for trial in range(s.getNumTrials()):
+            n_passes = s.getTrialNumProcessingPasses(trial)
+            if not raw and n_passes < 2:
+                continue   # validity filter: needs a dynamics pass (ref :1476)
+            subj_valid_trials += 1
             stats['num_trials'] += 1
             T = s.getTrialLength(trial)
             dt = s.getTrialTimestep(trial)
@@ -128,10 +242,11 @@ def collect_stats(subject_paths: List[str], short: bool = False) -> Dict:
             stats['total_frames'] += T
             stats['total_hours'] += T * dt / 3600.0
             kin = s.trial_pass_matrix(trial, 0)
-            n_passes = s.getTrialNumProcessingPasses(trial)
-            dyn = s.trial_pass_matrix(trial, n_passes - 1)
+            dyn = kin if raw else s.trial_pass_matrix(trial, n_passes - 1)
             valid = np.asarray([int(r) == int(MissingGRFReason.notMissingGRF)
                                 for r in s.getMissingGRF(trial)])
+            if raw:
+                valid = np.ones(T, bool)  # TrialRaw keeps all frames
             stats['valid_frames'] += int(valid.sum())
 
             # forward speed from root linear velocity (sagittal magnitude)
@@ -155,59 +270,165 @@ def collect_stats(subject_paths: List[str], short: bool = False) -> Dict:
             stats['contact_counts']['double'] += int((n_contact[valid] >= 2).sum())
 
             # error-vs-frequency: kinematics COM acc vs GRF/mass - g
-            com_acc_kin = col(kin, 'comAcc')
-            grf_acc = total_grf / mass
-            grf_acc = grf_acc + np.array([0.0, -GRAVITY_MAG, 0.0])[None, :]
-            if valid.sum() > 30:
-                for c in FREQ_CUTOFFS:
-                    filt = _butter_lowpass(com_acc_kin, c, fs) if c > 0 else \
-                        np.zeros_like(com_acc_kin)
-                    err = filt[valid] - grf_acc[valid]
-                    stats['freq_rmse'][c].append(
-                        float(np.sqrt((err ** 2).mean())))
+            if not raw:
+                com_acc_kin = col(kin, 'comAcc')
+                grf_acc = total_grf / mass
+                grf_acc = grf_acc + np.array([0.0, -GRAVITY_MAG, 0.0])[None, :]
+                if valid.sum() > 30:
+                    for c in FREQ_CUTOFFS:
+                        filt = _butter_lowpass(com_acc_kin, c, fs) if c > 0 \
+                            else np.zeros_like(com_acc_kin)
+                        err = filt[valid] - grf_acc[valid]
+                        stats['freq_rmse'][c].append(
+                            float(np.sqrt((err ** 2).mean())))
 
             # motion classification by trial name (ref :661-785)
             cls = classify_motion(s.getTrialName(trial))
             stats['motion_class_hours'][cls] += T * dt / 3600.0
 
-            # mass estimation from dynamics (ref :371-418)
-            m_est = estimate_mass(total_grf, col(dyn, 'comAcc'), valid)
-            if np.isfinite(m_est):
-                stats['estimated_masses'].append(m_est)
+            if not raw:
+                # mass estimation from dynamics (ref :371-418)
+                m_est = estimate_mass(total_grf, col(dyn, 'comAcc'), valid)
+                if np.isfinite(m_est):
+                    stats['estimated_masses'].append(m_est)
 
             # treadmill-aware stance-phase speed (ref :253-281)
             sp = stance_speed(v, contact > 0.5, valid)
             if np.isfinite(sp):
                 stats['stance_speeds_m_s'].append(sp)
 
-            # scatter samples (ref ScatterPlots matrices :560-616,907-985)
+            # scatter samples (downsampled like ref downsample_size)
             if valid.any():
-                idx = np.nonzero(valid)[0][::max(1, int(valid.sum()) // 200)]
-                acc_q = col(kin, 'acc')
-                fmag = np.linalg.norm(total_grf[idx], axis=1) / mass
-                lmag = np.linalg.norm(grf_vecs[idx, 0], axis=1)
-                tmag = np.linalg.norm(grf_vecs[idx], axis=2).sum(axis=1)
+                idx = np.nonzero(valid)[0][::max(1, int(valid.sum()) // downsample)]
+                tg = total_grf[idx] / mass
+                first = grf_vecs[idx, 0]
                 with np.errstate(invalid='ignore', divide='ignore'):
-                    dist = np.where(tmag > 1e-6, lmag / np.maximum(tmag, 1e-6), 0.5)
-                stats['scatter']['joint_acc'] += np.linalg.norm(acc_q[idx], axis=1).tolist()
-                stats['scatter']['total_grf'] += fmag.tolist()
+                    dist_y = np.where(np.abs(total_grf[idx, 1]) > 1e-6,
+                                      first[:, 1] / np.maximum(
+                                          total_grf[idx, 1], 1e-6), 0.0)
+                sf = stats['scatter_frames']
+                sf['comacc_y'] += col(dyn, 'comAcc')[idx, 1].tolist()
+                sf['totgrf_x'] += tg[:, 0].tolist()
+                sf['totgrf_y'] += tg[:, 1].tolist()
+                sf['totgrf_z'] += tg[:, 2].tolist()
+                sf['totgrf_norm'] += np.linalg.norm(tg, axis=1).tolist()
+                sf['contact_first'] += (contact[idx, 0] > 0.5).astype(
+                    float).tolist()
+                sf['grf_dist_y'] += dist_y.tolist()
+                ca_kin = col(kin, 'comAcc')[idx]
+                sf['comacc_kin_x'] += ca_kin[:, 0].tolist()
+                sf['comacc_kin_y'] += ca_kin[:, 1].tolist()
+                sf['comacc_kin_z'] += ca_kin[:, 2].tolist()
+                sf['root_lin_vel_y'] += col(kin, 'rootLinearVelInRootFrame')[idx, 1].tolist()
+                sf['root_ang_vel_y'] += col(kin, 'rootAngularVelInRootFrame')[idx, 1].tolist()
+                sf['root_lin_acc_y'] += col(kin, 'rootLinearAccInRootFrame')[idx, 1].tolist()
+                sf['root_ang_acc_y'] += col(kin, 'rootAngularAccInRootFrame')[idx, 1].tolist()
+                stats['scatter_class'] += [cls] * len(idx)
+                stats['joint_pos'] += col(kin, 'pos')[idx].tolist()
+                stats['joint_acc'] += col(kin, 'acc')[idx].tolist()
+                stats['joint_tau'] += col(dyn, 'tau')[idx].tolist()
+                stats['joint_centers_y'] += col(
+                    kin, 'jointCentersInRootFrame')[idx].reshape(
+                        len(idx), -1, 3)[:, :, 1].tolist()
+
+                # legacy summary samples
+                stats['scatter']['joint_acc'] += np.linalg.norm(
+                    col(kin, 'acc')[idx], axis=1).tolist()
+                stats['scatter']['total_grf'] += np.linalg.norm(tg, axis=1).tolist()
                 stats['scatter']['com_acc'] += np.linalg.norm(
                     col(dyn, 'comAcc')[idx], axis=1).tolist()
-                stats['scatter']['grf_dist'] += dist.tolist()
+                stats['scatter']['grf_dist'] += dist_y.tolist()
 
-    # Pearson correlations between scatter dimensions (ref :1778-1789)
+        # Demographics only for subjects with ≥1 valid trial, dedup'd for
+        # split datasets (ref :1000-1052)
+        if subj_valid_trials >= 1:
+            age = s.getAgeYears()
+            sex = s.getBiologicalSex()
+            age, sex = apply_demographic_overrides(path, subj_id, age, sex,
+                                                   demo_csv)
+            sex_int = {'male': 0, 'female': 1}.get(sex.lower(), 2)
+            bmi = mass / max(height * height, 1e-6)
+            count_it = True
+            if any(d in path for d in DATASETS_WITH_SPLITS):
+                unique = subj_id.split('_')[0]
+                if unique in seen_split_subjects:
+                    count_it = False
+                seen_split_subjects.add(unique)
+            if count_it:
+                stats['num_valid_subjs'] += 1
+                stats['dataset_n'][dataset_name] = \
+                    stats['dataset_n'].get(dataset_name, 0) + 1
+                stats['ages'].append(age)
+                stats['sexes'].append(sex_int)
+                stats['bmis'].append(bmi)
+                stats['masses'].append(mass)
+                stats['heights'].append(height)
+
+    # Pearson correlations between legacy scatter dims (ref :1778-1789)
     sc = {k: np.asarray(v) for k, v in stats['scatter'].items()}
     keys = list(sc.keys())
     for i in range(len(keys)):
         for j in range(i + 1, len(keys)):
-            a, b = sc[keys[i]], sc[keys[j]]
-            if a.size > 2 and np.std(a) > 0 and np.std(b) > 0:
-                r = float(np.corrcoef(a, b)[0, 1])
-                stats['scatter_correlations'][f'{keys[i]}~{keys[j]}'] = r
+            stats['scatter_correlations'][f'{keys[i]}~{keys[j]}'] = \
+                correlation(sc[keys[i]], sc[keys[j]])
     return stats
 
 
-def render_plots(stats: Dict, out_dir: str) -> List[str]:
+def _render_scatter_matrix(plt, stats, name, ykey, xkey, corr_type,
+                           in_degrees, out_dir, written, max_cols=4):
+    x = np.asarray(stats['scatter_frames'][xkey])
+    if isinstance(ykey, tuple):
+        base, dof = ykey
+        Y = np.asarray(stats[base])
+        if Y.ndim != 2 or Y.shape[1] <= dof:
+            return
+        Y = Y[:, dof:dof + 1]
+        labels = [stats['dof_names'][dof] if dof < len(stats['dof_names'])
+                  else f'dof_{dof}']
+    elif ykey in ('joint_pos', 'joint_acc', 'joint_tau'):
+        Y = np.asarray(stats[ykey])
+        labels = stats['dof_names']
+    elif ykey == 'joint_centers_y':
+        Y = np.asarray(stats[ykey])
+        labels = stats['joint_names']
+    else:
+        Y = np.asarray(stats['scatter_frames'][ykey]).reshape(-1, 1)
+        labels = ['']
+    if Y.size == 0 or x.size == 0 or len(x) != len(Y):
+        return
+    classes = np.asarray(stats.get('scatter_class', ['other'] * len(x)))
+    n = Y.shape[1]
+    if n == 1:
+        fig, axs = plt.subplots(figsize=(5, 4.2))
+        axs = np.array([axs])
+    else:
+        rows = -(-n // max_cols)
+        fig, axs = plt.subplots(rows, max_cols,
+                                figsize=(3.2 * max_cols, 2.6 * rows),
+                                constrained_layout=True)
+        axs = np.asarray(axs).reshape(-1)
+    for i in range(n):
+        y = np.degrees(Y[:, i]) if in_degrees else Y[:, i]
+        ax = axs[i]
+        for cls in sorted(set(classes)):
+            m = classes == cls
+            ax.scatter(x[m], y[m], s=3, alpha=0.25,
+                       color=CLASS_COLORS.get(cls, '#8a94a3'), label=cls)
+        r = correlation(x, y)
+        label = labels[i] if i < len(labels) else str(i)
+        ax.set_title(f'{label}  ({corr_type} r={r:.2f})', fontsize=8)
+        ax.tick_params(labelsize=6)
+    for j in range(n, len(axs)):
+        axs[j].axis('off')
+    fig.suptitle(name, fontsize=10)
+    path = os.path.join(out_dir, f'scatter_{name}.png')
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    written.append(path)
+
+
+def render_plots(stats: Dict, out_dir: str,
+                 scatter_matrices: bool = True) -> List[str]:
     """Render the figure set to PNG files."""
     import matplotlib
     matplotlib.use('Agg')
@@ -231,7 +452,7 @@ def render_plots(stats: Dict, out_dir: str) -> List[str]:
                              ('estimated_masses', 'Estimated masses', 'kg'),
                              ('bmis', 'BMI', 'kg/m^2')]:
         data = stats.get(key, [])
-        if data:
+        if len(data):
             plt.figure(figsize=(5, 4))
             plt.hist(data, bins=min(30, max(5, len(data))), color='#346beb')
             plt.title(title)
@@ -255,6 +476,31 @@ def render_plots(stats: Dict, out_dir: str) -> List[str]:
         plt.ylabel('hours')
         save('activity_bars.png')
 
+    dn = stats.get('dataset_n', {})
+    if dn:
+        plt.figure(figsize=(6, 4))
+        plt.bar(list(dn.keys()), list(dn.values()), color='#52b06d')
+        plt.title('Valid subjects per dataset')
+        plt.ylabel('subjects')
+        plt.xticks(rotation=30, ha='right', fontsize=7)
+        save('dataset_subjects.png')
+
+    # full ScatterPlots matrix set (ref :560-616,907-985)
+    if scatter_matrices and stats.get('scatter_frames', {}).get('totgrf_y'):
+        matrices = [m for m in PER_DOF_MATRICES
+                    if not (stats.get('raw') and m[1] == 'joint_tau')]
+        for name, ykey, xkey, corr_type, in_deg in matrices:
+            _render_scatter_matrix(plt, stats, name, ykey, xkey, corr_type,
+                                   in_deg, out_dir, written)
+        _render_scatter_matrix(plt, stats, 'jointcenters_vs_totgrf',
+                               'joint_centers_y', 'totgrf_y', 'pearson',
+                               False, out_dir, written, max_cols=3)
+        for name, ykey, xkey, corr_type in SINGLE_PLOTS:
+            _render_scatter_matrix(plt, stats, name, ykey, xkey, corr_type,
+                                   name.startswith('jointpos'), out_dir,
+                                   written)
+
+    # legacy 4-pair summary figure
     sc = {k: np.asarray(v) for k, v in stats.get('scatter', {}).items()}
     pairs = [('joint_acc', 'total_grf'), ('com_acc', 'total_grf'),
              ('total_grf', 'grf_dist'), ('joint_acc', 'com_acc')]
@@ -298,6 +544,11 @@ class MakePlotsCommand:
         parser.add_argument('--use-cache', action='store_true',
                             help='Replay an existing cache instead of rescanning')
         parser.add_argument('--short', action='store_true')
+        parser.add_argument('--raw', action='store_true',
+                            help='TrialRaw variant: kinematics-only stats, '
+                                 'no dynamics pass required (ref :1623-1733)')
+        parser.add_argument('--no-scatter', action='store_true',
+                            help='Skip the per-DOF scatter matrix figures')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'make-plots':
@@ -313,7 +564,8 @@ class MakePlotsCommand:
                     if fname.endswith('.b3d') and 'vander' not in fname.lower():
                         paths.append(os.path.join(root, fname))
             print(f'scanning {len(paths)} subjects...')
-            stats = collect_stats(paths, short=args.short)
+            stats = collect_stats(paths, short=args.short, raw=args.raw,
+                                  demo_csv=load_demographics_csv(args.data_path))
             os.makedirs(os.path.dirname(os.path.abspath(args.cache)), exist_ok=True)
             with open(args.cache, 'wb') as f:
                 pickle.dump(stats, f)
@@ -321,7 +573,10 @@ class MakePlotsCommand:
 
         print(f"subjects={stats['num_subjects']} trials={stats['num_trials']} "
               f"hours={stats['total_hours']:.2f} "
-              f"valid_frames={stats['valid_frames']}/{stats['total_frames']}")
-        for path in render_plots(stats, args.out_dir):
+              f"valid_frames={stats['valid_frames']}/{stats['total_frames']} "
+              f"valid_subjects={stats.get('num_valid_subjs', 0)} "
+              f"datasets={stats.get('dataset_n', {})}")
+        for path in render_plots(stats, args.out_dir,
+                                 scatter_matrices=not args.no_scatter):
             print(f'wrote {path}')
         return True

@@ -1,5 +1,7 @@
 """Unit tests for the make-plots / review-file analytic helpers."""
 
+import os
+
 import numpy as np
 
 from inferbiomechanics_tpu.cli.make_plots_cmd import (
@@ -9,9 +11,9 @@ from inferbiomechanics_tpu.cli.review_file_cmd import find_suspicious_segments
 
 
 def test_classify_motion_keywords():
-    assert classify_motion('Treadmill_2ms') == 'walk'
-    assert classify_motion('overground_walking_01') == 'walk'
-    assert classify_motion('Sprint_Max') == 'run'
+    assert classify_motion('Treadmill_2ms') == 'walking'
+    assert classify_motion('overground_walking_01') == 'walking'
+    assert classify_motion('Sprint_Max') == 'running'
     assert classify_motion('stair_ascent') == 'stairs'
     assert classify_motion('DropJump3') == 'jump'
     assert classify_motion('STS_chair') == 'squat'
@@ -64,3 +66,78 @@ def test_find_suspicious_segments_merging():
     assert segs == [(3, 6), (10, 11), (15, 17)]
     assert find_suspicious_segments(np.ones(5)) == []
     assert find_suspicious_segments(np.zeros(0)) == []
+
+
+def test_demographic_overrides():
+    from inferbiomechanics_tpu.cli.make_plots_cmd import (
+        apply_demographic_overrides,
+    )
+    # Fregly sexes come from the file name (ref make_plots.py:1011-1017)
+    assert apply_demographic_overrides('/d/Fregly_3GC/s.b3d', 's', 40,
+                                       'unknown')[1] == 'female'
+    assert apply_demographic_overrides('/d/Fregly_4GC/s.b3d', 's', 40,
+                                       'unknown')[1] == 'male'
+    # Carter2023 from the demographics CSV (ref :1007-1009,1019-1020)
+    csv = {'P01': {'Age (years)': '31', 'Sex': 'female'}}
+    age, sex = apply_demographic_overrides('/d/Carter2023/x.b3d',
+                                           'P01_split3', 7, 'unknown', csv)
+    assert (age, sex) == (31, 'female')
+    # other datasets: untouched
+    assert apply_demographic_overrides('/d/Other/s.b3d', 's', 25,
+                                       'male') == (25, 'male')
+
+
+def test_make_plots_full_scatter_set(tmp_path):
+    """The complete ScatterPlots figure set renders (ref :560-616,907-985):
+    13 per-DOF matrices + joint centers + 11 singles."""
+    from inferbiomechanics_tpu.cli.make_plots_cmd import (
+        PER_DOF_MATRICES, SINGLE_PLOTS, collect_stats, render_plots,
+    )
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    p = str(tmp_path / 's.b3d')
+    write_synthetic_subject(p, num_trials=1, trial_length=120, seed=0)
+    stats = collect_stats([p])
+    assert len(stats['joint_pos']) > 0
+    assert len(stats['scatter_class']) == len(stats['joint_pos'])
+    written = render_plots(stats, str(tmp_path / 'out'))
+    names = {os.path.basename(w) for w in written}
+    for name, *_ in PER_DOF_MATRICES:
+        assert f'scatter_{name}.png' in names, name
+    for name, *_ in SINGLE_PLOTS:
+        assert f'scatter_{name}.png' in names, name
+    assert 'scatter_jointcenters_vs_totgrf.png' in names
+
+
+def test_make_plots_split_dataset_dedup(tmp_path):
+    """Split-dataset subjects are counted once (ref :1040-1052)."""
+    from inferbiomechanics_tpu.cli.make_plots_cmd import collect_stats
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    d = tmp_path / 'Carter2023'
+    d.mkdir()
+    for split in range(3):
+        write_synthetic_subject(str(d / f'P01_{split}.b3d'), num_trials=1,
+                                trial_length=60, seed=split)
+    write_synthetic_subject(str(d / 'P02_0.b3d'), num_trials=1,
+                            trial_length=60, seed=9)
+    stats = collect_stats([str(d / f) for f in sorted(os.listdir(d))])
+    assert stats['num_subjects'] == 4       # files
+    assert stats['num_valid_subjs'] == 2    # unique P01, P02
+    assert stats['dataset_n'] == {'Carter2023': 2}
+
+
+def test_make_plots_raw_mode(tmp_path):
+    """TrialRaw variant: kinematics-only, no tau figures (ref :1623-1733)."""
+    from inferbiomechanics_tpu.cli.make_plots_cmd import (
+        collect_stats, render_plots,
+    )
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    p = str(tmp_path / 's.b3d')
+    write_synthetic_subject(p, num_trials=1, trial_length=100, seed=1)
+    stats = collect_stats([p], raw=True)
+    assert stats['raw'] and stats['num_trials'] == 1
+    assert stats['estimated_masses'] == []          # dynamics-only product
+    assert all(not v for v in stats['freq_rmse'].values())
+    written = render_plots(stats, str(tmp_path / 'out'))
+    names = {os.path.basename(w) for w in written}
+    assert not any('jointtau' in n for n in names)  # tau skipped in raw
+    assert 'scatter_jointpos_vs_totgrf.png' in names

@@ -251,9 +251,12 @@ def test_single_pass_subject_roundtrip(tmp_path):
     inputs, labels, _s, _t = ds[0]
     # with one pass, labels fall back to the same (kinematics) pass
     assert np.isfinite(labels[OutputDataKeys.TAU]).all()
-    # stats engine copes too
+    # stats engine: processed mode skips dynamics-less trials like the
+    # reference's has_dynamics filter (make_plots.py:990-995); the TrialRaw
+    # variant (--raw, ref :1623-1733) ingests kinematics-only data
     from inferbiomechanics_tpu.cli.make_plots_cmd import collect_stats
-    stats = collect_stats([path])
+    assert collect_stats([path])['num_trials'] == 0
+    stats = collect_stats([path], raw=True)
     assert stats['num_trials'] == 1
 
 
