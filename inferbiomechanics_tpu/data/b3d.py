@@ -175,7 +175,7 @@ class SkeletonSpec:
 
     @property
     def num_dofs(self) -> int:
-        w = {'free': 6, 'ball': 3, 'revolute': 1}
+        w = {'free': 6, 'ball': 3, 'revolute': 1, 'fixed': 0}
         return sum(w[j.type] for j in self.joints)
 
     def dof_names(self) -> List[str]:
@@ -186,8 +186,9 @@ class SkeletonSpec:
                 names += [f'{j.name}_t{a}' for a in 'xyz']
             elif j.type == 'ball':
                 names += [f'{j.name}_{a}' for a in 'xyz']
-            else:
+            elif j.type == 'revolute':
                 names.append(j.name)
+            # 'fixed' joints contribute no DOFs
         return names
 
     def to_json(self) -> dict:

@@ -261,7 +261,8 @@ def write_legacy_subject(path: str,
                          biological_sex: str = 'unknown',
                          dof_names: Optional[List[str]] = None,
                          joint_names: Optional[List[str]] = None,
-                         num_force_plates: int = 2) -> None:
+                         num_force_plates: int = 2,
+                         model_osim_text: str = '') -> None:
     """Serialize a subject in the legacy length-prefixed protobuf format.
 
     Same argument surface as :func:`b3d.write_subject` so tests can write
@@ -321,6 +322,8 @@ def write_legacy_subject(path: str,
     for p in range(n_passes):
         ptype = next(t.pass_types[p] for t in trials if p < len(t.pass_types))
         ph = enc_int(_PH['type'], ptype)
+        if model_osim_text:
+            ph += enc_str(_PH['model_osim_text'], model_osim_text)
         if skeleton_json:
             ph += enc_str(_PH['skeleton_json'], skeleton_json)
         hparts.append(enc_message(_H['processing_pass_header'], ph))
@@ -520,11 +523,21 @@ class LegacySubjectOnDisk:
                  geometry_folder: str = '') -> SkeletonSpec:
         spec = self.skeleton_specs[processing_pass] \
             if processing_pass < len(self.skeleton_specs) else None
+        if spec is None and processing_pass < len(self.model_osim_texts) \
+                and self.model_osim_texts[processing_pass]:
+            # real nimble files carry the scaled OpenSim model XML here
+            from inferbiomechanics_tpu.data.osim import parse_osim
+            spec, warnings = parse_osim(self.model_osim_texts[processing_pass])
+            for w in warnings:
+                import logging
+                logging.getLogger(__name__).warning('%s: osim: %s',
+                                                    self.path, w)
+            self.skeleton_specs[processing_pass] = spec
         if spec is None:
             raise ValueError(
                 f'{self.path}: pass {processing_pass} carries no skeleton '
-                f'spec (OSIM-only legacy file — convert with an explicit '
-                f'skeleton via convert_to_tpu(skeleton=...))')
+                f'spec or osim model (convert with an explicit skeleton '
+                f'via convert_to_tpu(skeleton=...))')
         return spec
 
     def _decode_frame(self, trial: int, index: int) -> LegacyFrame:
@@ -603,10 +616,12 @@ def convert_to_tpu(legacy_path: str, out_path: str,
 
         sk = skeleton
         if sk is None:
-            for cand in subj.skeleton_specs:
-                if cand is not None:
-                    sk = cand
+            for p in range(len(subj.skeleton_specs)):
+                try:
+                    sk = subj.readSkel(p)
                     break
+                except ValueError:
+                    continue
         write_subject(
             out_path, num_dofs=subj.num_dofs,
             ground_force_bodies=subj.ground_force_bodies,

@@ -61,7 +61,7 @@ class CompiledSkeleton:
         off = 0
         for j in spec.joints:
             self.dof_offsets.append(off)
-            off += {'free': 6, 'ball': 3, 'revolute': 1}[j.type]
+            off += {'free': 6, 'ball': 3, 'revolute': 1, 'fixed': 0}[j.type]
         self.num_dofs = off
         self.body_names = [b.name for b in spec.bodies]
         self.body_index = {b.name: i for i, b in enumerate(spec.bodies)}
@@ -90,9 +90,12 @@ class CompiledSkeleton:
                 Rj = euler_xyz_to_matrix(q[off:off + 3])
                 Rc = Rp @ Rj
                 pc = pp + Rp @ t
-            else:  # revolute
+            elif joint.type == 'revolute':
                 Rj = axis_angle_to_matrix(self.joint_axes[ji], q[off])
                 Rc = Rp @ Rj
+                pc = pp + Rp @ t
+            else:  # fixed (0 DOF, e.g. OpenSim WeldJoint)
+                Rc = Rp
                 pc = pp + Rp @ t
             Rs[joint.child_body] = Rc
             ps[joint.child_body] = pc
