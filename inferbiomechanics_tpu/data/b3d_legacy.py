@@ -597,18 +597,41 @@ def convert_to_tpu(legacy_path: str, out_path: str,
         offsets = layout_offsets(layout)
         total_c = layout_total(layout)
 
+        # field-number -> (column, width) tables for the C decoder
+        max_field = max(_PF.values())
+        field_col = np.zeros(max_field + 1, np.int64)
+        field_width = np.zeros(max_field + 1, np.int64)
+        for name, fnum in _PF.items():
+            field_col[fnum], field_width[fnum] = offsets[name]
+
         trials: List[TrialData] = []
         for t_idx, t in enumerate(subj.trials):
             n_passes = subj.getTrialNumProcessingPasses(t_idx)
-            mats = [np.zeros((t['length'], total_c), np.float32)
-                    for _ in range(n_passes)]
-            for k in range(t['length']):
-                frame = subj._decode_frame(t_idx, k)
-                for p, fp in enumerate(frame.processingPasses[:n_passes]):
-                    row = mats[p][k]
-                    for name, (off, width) in offsets.items():
-                        vals = getattr(fp, name)
-                        row[off:off + min(width, len(vals))] = vals[:width]
+            mats = None
+            if t['length'] > 0:
+                # native C decoder (multithreaded varint/packed-double
+                # parse, native/ib_native.cpp); None -> Python fallback
+                from inferbiomechanics_tpu.data.native import (
+                    decode_legacy_trial,
+                )
+                start = int(t['frame_starts'][0]) if t['length'] else 0
+                blob_len = int(sum(t['frame_bytes']))
+                subj._file.seek(start)
+                blob = subj._file.read(blob_len)
+                rel_offsets = np.asarray(t['frame_starts'], np.int64) - start
+                mats = decode_legacy_trial(
+                    blob, rel_offsets, field_col, field_width,
+                    _PF_CONTACT_FIELD, n_passes, total_c)
+            if mats is None:
+                mats = [np.zeros((t['length'], total_c), np.float32)
+                        for _ in range(n_passes)]
+                for k in range(t['length']):
+                    frame = subj._decode_frame(t_idx, k)
+                    for p, fp in enumerate(frame.processingPasses[:n_passes]):
+                        row = mats[p][k]
+                        for name, (off, width) in offsets.items():
+                            vals = getattr(fp, name)
+                            row[off:off + min(width, len(vals))] = vals[:width]
             trials.append(TrialData(
                 name=t['name'], timestep=t['timestep'], passes=mats,
                 pass_types=list(t['pass_types'][:n_passes]),

@@ -25,6 +25,7 @@ _CANDIDATES = [
 
 _f32p = ctypes.POINTER(ctypes.c_float)
 _i64p = ctypes.POINTER(ctypes.c_int64)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -44,6 +45,13 @@ def _load() -> Optional[ctypes.CDLL]:
                     _f32p, ctypes.c_int64, ctypes.c_int64,
                     _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                     _i64p, _f32p, ctypes.c_int64, _f32p, ctypes.c_int]
+                if hasattr(lib, 'ib_decode_legacy_trial'):
+                    lib.ib_decode_legacy_trial.argtypes = [
+                        _u8p, ctypes.c_int64, _i64p, ctypes.c_int64,
+                        _i64p, _i64p, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.POINTER(_f32p), ctypes.c_int64,
+                        ctypes.c_int64, ctypes.c_int]
+                    lib.ib_decode_legacy_trial.restype = ctypes.c_int64
                 _LIB = lib
                 break
             except OSError:
@@ -100,3 +108,32 @@ def gather_columns(src: np.ndarray, starts: np.ndarray, frames: int,
         idx64.ctypes.data_as(_i64p), scale32.ctypes.data_as(_f32p), k,
         out.ctypes.data_as(_f32p), n_threads or default_threads())
     return out
+
+
+def decode_legacy_trial(frames_blob: bytes, frame_offsets: np.ndarray,
+                        field_col: np.ndarray, field_width: np.ndarray,
+                        contact_field: int, n_passes: int, row_cols: int,
+                        n_threads: Optional[int] = None):
+    """Decode a legacy trial's frame records into n_passes [T, C] float32
+    matrices with the C decoder. Returns None if the native lib (or the
+    symbol) is unavailable — callers fall back to the Python codec."""
+    lib = _load()
+    if lib is None or not hasattr(lib, 'ib_decode_legacy_trial'):
+        return None
+    n_frames = frame_offsets.shape[0]
+    blob = np.frombuffer(frames_blob, np.uint8)
+    offs = np.ascontiguousarray(frame_offsets, np.int64)
+    cols = np.ascontiguousarray(field_col, np.int64)
+    widths = np.ascontiguousarray(field_width, np.int64)
+    mats = [np.zeros((n_frames, row_cols), np.float32)
+            for _ in range(n_passes)]
+    out_ptrs = (_f32p * n_passes)(*[m.ctypes.data_as(_f32p) for m in mats])
+    decoded = lib.ib_decode_legacy_trial(
+        blob.ctypes.data_as(_u8p), blob.shape[0],
+        offs.ctypes.data_as(_i64p), n_frames,
+        cols.ctypes.data_as(_i64p), widths.ctypes.data_as(_i64p),
+        len(cols), contact_field, out_ptrs, n_passes, row_cols,
+        n_threads or default_threads())
+    if decoded != n_frames:
+        return None  # truncated/odd file: let the Python path report it
+    return mats

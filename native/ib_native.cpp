@@ -119,4 +119,126 @@ void ib_gather_columns(const float* src, int64_t src_rows, int64_t src_cols,
   });
 }
 
+// ---------------------------------------------------------------------------
+// Legacy protobuf .b3d frame decoding (data/b3d_legacy.py's hot loop in C).
+//
+// Decodes one trial's length-prefixed SubjectOnDiskFrame records into
+// per-pass [T, C] float32 matrices. The schema knowledge stays in Python
+// (b3d_legacy schema tables): the caller passes the per-field column
+// offset/width table indexed by pass-frame field number, plus the field
+// number whose payload is packed varints (`contact`) rather than doubles.
+// Top-level field 2 = processing_pass submessage (b3d_legacy._F).
+// ---------------------------------------------------------------------------
+
+static inline uint64_t read_varint(const uint8_t*& p, const uint8_t* end) {
+  uint64_t v = 0;
+  int shift = 0;
+  while (p < end) {
+    uint8_t b = *p++;
+    v |= static_cast<uint64_t>(b & 0x7F) << shift;
+    if (!(b & 0x80)) return v;
+    shift += 7;
+    if (shift >= 70) break;
+  }
+  return v;
+}
+
+// Decode one pass-frame submessage into `row` (length row_cols).
+static void decode_pass_frame(const uint8_t* p, const uint8_t* end,
+                              const int64_t* field_col,
+                              const int64_t* field_width,
+                              int64_t n_fields, int64_t contact_field,
+                              float* row, int64_t row_cols) {
+  while (p < end) {
+    uint64_t key = read_varint(p, end);
+    int64_t field = static_cast<int64_t>(key >> 3);
+    int wire = static_cast<int>(key & 7);
+    if (wire == 2) {
+      uint64_t len = read_varint(p, end);
+      const uint8_t* payload_end = p + len;
+      if (payload_end > end) return;  // truncated
+      if (field < n_fields && field_width[field] > 0) {
+        int64_t col = field_col[field];
+        int64_t width = field_width[field];
+        if (field == contact_field) {
+          const uint8_t* q = p;
+          for (int64_t i = 0; i < width && q < payload_end; ++i) {
+            row[col + i] = static_cast<float>(read_varint(q, payload_end));
+          }
+        } else {
+          int64_t n = static_cast<int64_t>(len / 8);
+          if (n > width) n = width;
+          for (int64_t i = 0; i < n; ++i) {
+            double d;
+            std::memcpy(&d, p + i * 8, 8);
+            row[col + i] = static_cast<float>(d);
+          }
+        }
+      }
+      p = payload_end;
+    } else if (wire == 0) {
+      read_varint(p, end);
+    } else if (wire == 1) {
+      p += 8;
+    } else if (wire == 5) {
+      p += 4;
+    } else {
+      return;  // unknown wire type: bail on this frame
+    }
+  }
+}
+
+// frames_blob: the trial's concatenated [u64 length][frame proto] records.
+// frame_offsets[t]: byte offset of frame t's record within frames_blob.
+// out: n_passes pointers to [n_frames, row_cols] float32 (zero-initialized
+// by the caller). Returns frames decoded.
+int64_t ib_decode_legacy_trial(const uint8_t* frames_blob, int64_t blob_len,
+                               const int64_t* frame_offsets, int64_t n_frames,
+                               const int64_t* field_col,
+                               const int64_t* field_width, int64_t n_fields,
+                               int64_t contact_field,
+                               float** out, int64_t n_passes,
+                               int64_t row_cols, int n_threads) {
+  std::atomic<int64_t> decoded{0};
+  parallel_for(n_frames, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) {
+      const uint8_t* rec = frames_blob + frame_offsets[k];
+      if (frame_offsets[k] + 8 > blob_len) continue;
+      uint64_t len;
+      std::memcpy(&len, rec, 8);
+      const uint8_t* p = rec + 8;
+      const uint8_t* end = p + len;
+      if (end > frames_blob + blob_len) continue;
+      int64_t pass = 0;
+      while (p < end) {
+        uint64_t key = read_varint(p, end);
+        int64_t field = static_cast<int64_t>(key >> 3);
+        int wire = static_cast<int>(key & 7);
+        if (wire == 2) {
+          uint64_t sublen = read_varint(p, end);
+          const uint8_t* sub_end = p + sublen;
+          if (sub_end > end) break;
+          if (field == 2 && pass < n_passes) {  // processing_pass
+            decode_pass_frame(p, sub_end, field_col, field_width, n_fields,
+                              contact_field, out[pass] + k * row_cols,
+                              row_cols);
+            ++pass;
+          }
+          p = sub_end;
+        } else if (wire == 0) {
+          read_varint(p, end);
+        } else if (wire == 1) {
+          p += 8;
+        } else if (wire == 5) {
+          p += 4;
+        } else {
+          break;
+        }
+      }
+      decoded.fetch_add(1, std::memory_order_relaxed);
+    }
+  });
+  return decoded.load();
+}
+
 }  // extern "C"

@@ -312,3 +312,32 @@ def test_checked_in_fixture_known_values():
     tau1 = np.asarray(f[0].processingPasses[1].tau)
     assert tau1[0] == pytest.approx(1000 + 20 + 69 / 100.0)
     s.close()
+
+
+def test_native_decoder_matches_python(tmp_path, legacy_subject):
+    """The C decoder (native/ib_native.cpp::ib_decode_legacy_trial) and the
+    Python wire codec produce identical matrices."""
+    from inferbiomechanics_tpu.data import native
+    if not native.available():
+        pytest.skip('native library not built')
+    out_native = str(tmp_path / 'n.b3d')
+    L.convert_to_tpu(legacy_subject, out_native)   # uses native when loaded
+
+    # force the pure-Python path by asking for a decoder on a lib-less call
+    import inferbiomechanics_tpu.data.native as nat
+    orig = nat.decode_legacy_trial
+    nat.decode_legacy_trial = lambda *a, **k: None
+    try:
+        out_py = str(tmp_path / 'p.b3d')
+        L.convert_to_tpu(legacy_subject, out_py)
+    finally:
+        nat.decode_legacy_trial = orig
+
+    a = SubjectOnDisk(out_native)
+    b = SubjectOnDisk(out_py)
+    for t in range(a.getNumTrials()):
+        for p in range(a.getTrialNumProcessingPasses(t)):
+            np.testing.assert_array_equal(a.trial_pass_matrix(t, p),
+                                          b.trial_pass_matrix(t, p),
+                                          err_msg=f'trial {t} pass {p}')
+    a.close(); b.close()
