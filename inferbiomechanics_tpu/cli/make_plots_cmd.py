@@ -212,7 +212,9 @@ def collect_stats(subject_paths: List[str], short: bool = False,
         subject_paths = subject_paths[:2]
     seen_split_subjects = set()
     for path in subject_paths:
-        s = SubjectOnDisk(path)
+        # legacy protobuf files convert on first touch like WindowDataset
+        from inferbiomechanics_tpu.data.b3d_legacy import ensure_tpu_format
+        s = SubjectOnDisk(ensure_tpu_format(path))
         subj_id = os.path.splitext(os.path.basename(path))[0]
         dataset_name = os.path.basename(os.path.dirname(path)) or 'unknown'
         mass = s.getMassKg()
@@ -302,10 +304,14 @@ def collect_stats(subject_paths: List[str], short: bool = False,
                 idx = np.nonzero(valid)[0][::max(1, int(valid.sum()) // downsample)]
                 tg = total_grf[idx] / mass
                 first = grf_vecs[idx, 0]
+                # share of vertical GRF on the first body; only meaningful
+                # when total vertical GRF is positive (weight-bearing)
+                tot_y = total_grf[idx, 1]
                 with np.errstate(invalid='ignore', divide='ignore'):
-                    dist_y = np.where(np.abs(total_grf[idx, 1]) > 1e-6,
-                                      first[:, 1] / np.maximum(
-                                          total_grf[idx, 1], 1e-6), 0.0)
+                    dist_y = np.where(tot_y > 1e-6,
+                                      first[:, 1] / np.where(tot_y > 1e-6,
+                                                             tot_y, 1.0),
+                                      0.0)
                 sf = stats['scatter_frames']
                 sf['comacc_y'] += col(dyn, 'comAcc')[idx, 1].tolist()
                 sf['totgrf_x'] += tg[:, 0].tolist()

@@ -477,6 +477,14 @@ class SubjectOnDisk:
         mats = [self.trial_pass_matrix(trial, p) for p in range(n_passes)]
         types = self.header['trials'][trial]['pass_types']
         missing = self.header['trials'][trial]['missing_grf']
+        # clamp to the trial end like nimble's readFrames (short read, not
+        # an IndexError, when the window runs past the last frame)
+        T = self.getTrialLength(trial)
+        if startFrame < T:
+            numFramesToRead = min(numFramesToRead,
+                                  (T - 1 - startFrame) // max(stride, 1) + 1)
+        else:
+            numFramesToRead = 0
         frames = []
         for k in range(numFramesToRead):
             idx = startFrame + k * stride

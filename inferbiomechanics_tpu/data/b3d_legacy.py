@@ -561,6 +561,12 @@ class LegacySubjectOnDisk:
                    includeProcessingPasses: bool = True,
                    contactThreshold: float = 1.0) -> List[LegacyFrame]:
         del includeSensorData, includeProcessingPasses, contactThreshold
+        # short read at the trial end, like nimble (no IndexError)
+        T = self.trials[trial]['length']
+        if startFrame >= T:
+            return []
+        numFramesToRead = min(numFramesToRead,
+                              (T - 1 - startFrame) // max(stride, 1) + 1)
         return [self._decode_frame(trial, startFrame + k * stride)
                 for k in range(numFramesToRead)]
 
@@ -672,5 +678,16 @@ def ensure_tpu_format(path: str, cache_dir: Optional[str] = None) -> str:
         out = path + 'tpu'
     if (not os.path.exists(out)
             or os.path.getmtime(out) < os.path.getmtime(path)):
-        convert_to_tpu(path, out)
+        # atomic publish: convert into a per-process temp file and
+        # os.replace, so an interrupted conversion can never leave a
+        # torn .b3dtpu that later runs mmap, and concurrent multi-host
+        # processes racing on a shared filesystem each publish a
+        # complete file (last writer wins, all writers identical)
+        tmp = f'{out}.tmp.{os.getpid()}'
+        try:
+            convert_to_tpu(path, tmp)
+            os.replace(tmp, out)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     return out

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -22,8 +22,14 @@ from inferbiomechanics_tpu.data.dataset import WindowDataset, input_layout, labe
 class PickledDataset:
     """Load `{split}_{i}.npz` blocks from a `*_pickled` directory."""
 
-    def __init__(self, pickled_dir: str, num_dofs: int = 23,
-                 root_history_len: int = 10, num_contact_bodies: int = 2):
+    def __init__(self, pickled_dir: str, num_dofs: Optional[int] = None,
+                 root_history_len: Optional[int] = None,
+                 num_contact_bodies: Optional[int] = None):
+        """Layout metadata (num_dofs / root_history_len /
+        num_contact_bodies) is ADOPTED from the blocks when stored by the
+        writer; explicit arguments only override (and are validated
+        against) stored values. Blocks from the pre-metadata layout fall
+        back to the rajagopal_no_arms defaults (23/10/2)."""
         # numeric block order: lexicographic sort would put block 10
         # before block 2 and scramble the window table
         def _block_key(p):
@@ -49,19 +55,22 @@ class PickledDataset:
                 feats.append(z['features_all'])
                 labs.append(z['labels_all'])
                 trial_offsets = z['trial_row_offset']
-                # layout metadata: stored by the current writer; validate
-                # against the caller's expectation instead of silently
-                # mis-slicing label columns on a mismatched dataset
+                # layout metadata: adopt the writer's stored values; an
+                # explicit caller argument must agree (a mismatched
+                # expectation would silently mis-slice label columns)
                 if 'num_dofs' in z.files:
-                    stored = {'num_dofs': num_dofs,
-                              'root_history_len': root_history_len,
-                              'num_contact_bodies': num_contact_bodies}
-                    for key, expect in stored.items():
+                    for key, requested in (
+                            ('num_dofs', num_dofs),
+                            ('root_history_len', root_history_len),
+                            ('num_contact_bodies', num_contact_bodies)):
                         got = int(z[key])
-                        if got != expect:
+                        if requested is not None and got != requested:
                             raise ValueError(
                                 f'{p}: stored {key}={got} does not match '
-                                f'requested {key}={expect}')
+                                f'requested {key}={requested}')
+                    num_dofs = int(z['num_dofs'])
+                    root_history_len = int(z['root_history_len'])
+                    num_contact_bodies = int(z['num_contact_bodies'])
                     self.output_data_format = str(z['output_data_format'])
             fts.append(z['win_ft'])
             subs.append(z['win_subject'])
@@ -75,9 +84,12 @@ class PickledDataset:
         self.win_trial = np.concatenate(trs)
         self.win_start = np.concatenate(starts)
 
-        self.num_dofs = num_dofs
-        self.root_history_len = root_history_len
-        self.num_contact_bodies = num_contact_bodies
+        # pre-metadata blocks: fall back to the rajagopal_no_arms defaults
+        self.num_dofs = num_dofs = 23 if num_dofs is None else num_dofs
+        self.root_history_len = root_history_len = \
+            10 if root_history_len is None else root_history_len
+        self.num_contact_bodies = num_contact_bodies = \
+            2 if num_contact_bodies is None else num_contact_bodies
         self.in_layout = input_layout(num_dofs, root_history_len)
         self.lab_layout = label_layout(num_dofs, num_contact_bodies)
         self.in_offsets = _offsets(self.in_layout)

@@ -82,8 +82,17 @@ def load_latest_checkpoint(state: TrainState,
     with open(path, 'rb') as f:
         blob = f.read()
     raw = serialization.msgpack_restore(blob)
-    params = serialization.from_state_dict(jax.device_get(state.params),
-                                           raw['params'])
+    try:
+        params = serialization.from_state_dict(jax.device_get(state.params),
+                                               raw['params'])
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f'checkpoint {path}: parameter tree does not match the model '
+            f'being built — most commonly a transformer checkpoint written '
+            f'with a different --attn-impl (the default changed to "vpu"; '
+            f'pass --attn-impl flax for round-1 checkpoints) or different '
+            f'--hidden-dims/--d-model/--num-layers. Original error: {e}'
+        ) from e
     batch_stats = serialization.from_state_dict(
         jax.device_get(state.batch_stats), raw.get('batch_stats', {}))
     state = state.replace(step=np.asarray(raw['step']), params=params,

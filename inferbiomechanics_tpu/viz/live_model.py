@@ -31,6 +31,11 @@ def build_live_session(ds, predictor=None, evaluator=None,
     """
     idx = (np.asarray(window_indices)
            if window_indices is not None else np.arange(len(ds)))
+    if idx.size == 0:
+        raise ValueError(
+            'no playable windows: the requested trial has no enumerated '
+            'windows (missing, too short for the window size, or all '
+            'frames flagged missing-GRF)')
     in_offs = ds.in_offsets
     lab_offs = ds.lab_offsets
     nb = ds.num_contact_bodies
@@ -53,6 +58,7 @@ def build_live_session(ds, predictor=None, evaluator=None,
         pass  # no skeleton in header: joints + forces still render
 
     tick_count = [0]
+    running = [0.0]
 
     def packet_for_frame(frame: int) -> dict:
         wi = idx[frame % len(idx)]
@@ -77,11 +83,15 @@ def build_live_session(ds, predictor=None, evaluator=None,
         if predictor is not None:
             outputs, labels, _ = predictor.predict_windows(np.asarray([wi]))
             if evaluator is not None:
-                evaluator(None, outputs, labels)
+                loss_val = float(evaluator(None, outputs, labels))
+                # O(1) running mean; the evaluator's own history is reset
+                # at every report so a viewer left open for hours neither
+                # grows memory nor pays O(history) per tick
                 tick_count[0] += 1
+                running[0] += loss_val
                 if report_every and tick_count[0] % report_every == 0:
                     print(f'Results on Frame {tick_count[0]}')
-                    evaluator.print_report(reset=False)
+                    evaluator.print_report(reset=True)
             pf = np.asarray(
                 outputs[K.OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME])[0, -1]
             pc = np.asarray(
@@ -89,9 +99,9 @@ def build_live_session(ds, predictor=None, evaluator=None,
             packet['pred_forces'] = [
                 [pc[3 * b:3 * b + 3].tolist(), pf[3 * b:3 * b + 3].tolist()]
                 for b in range(nb)]
-            loss = evaluator.mean_metric('loss') if evaluator else None
-            if loss is not None:
-                packet['hud'] = f'running loss: {loss:.4f}'
+            if evaluator is not None and tick_count[0] > 0:
+                packet['hud'] = \
+                    f'running loss: {running[0] / tick_count[0]:.4f}'
 
         if fk_fn is not None:
             q = np.array(x[-1, o_pos:o_pos + w_pos], np.float64)

@@ -144,20 +144,27 @@ static inline uint64_t read_varint(const uint8_t*& p, const uint8_t* end) {
 }
 
 // Decode one pass-frame submessage into `row` (length row_cols).
-static void decode_pass_frame(const uint8_t* p, const uint8_t* end,
+// Handles BOTH packed (one LEN record) and non-packed (repeated scalar
+// records) encodings, like the Python codec — protobuf parsers must
+// accept either. `fill` (size n_fields) tracks how many values each
+// field has received so far, for the non-packed case.
+// Returns false on a malformed payload (caller falls back to Python).
+static bool decode_pass_frame(const uint8_t* p, const uint8_t* end,
                               const int64_t* field_col,
                               const int64_t* field_width,
                               int64_t n_fields, int64_t contact_field,
-                              float* row, int64_t row_cols) {
+                              float* row, int64_t row_cols, int64_t* fill) {
+  for (int64_t i = 0; i < n_fields; ++i) fill[i] = 0;
   while (p < end) {
     uint64_t key = read_varint(p, end);
     int64_t field = static_cast<int64_t>(key >> 3);
     int wire = static_cast<int>(key & 7);
+    bool known = field >= 0 && field < n_fields && field_width[field] > 0;
     if (wire == 2) {
       uint64_t len = read_varint(p, end);
+      if (len > static_cast<uint64_t>(end - p)) return false;  // truncated
       const uint8_t* payload_end = p + len;
-      if (payload_end > end) return;  // truncated
-      if (field < n_fields && field_width[field] > 0) {
+      if (known) {
         int64_t col = field_col[field];
         int64_t width = field_width[field];
         if (field == contact_field) {
@@ -177,15 +184,28 @@ static void decode_pass_frame(const uint8_t* p, const uint8_t* end,
       }
       p = payload_end;
     } else if (wire == 0) {
-      read_varint(p, end);
+      uint64_t v = read_varint(p, end);
+      if (known && field == contact_field
+          && fill[field] < field_width[field]) {
+        row[field_col[field] + fill[field]++] = static_cast<float>(v);
+      }
     } else if (wire == 1) {
+      if (end - p < 8) return false;
+      if (known && field != contact_field
+          && fill[field] < field_width[field]) {
+        double d;
+        std::memcpy(&d, p, 8);
+        row[field_col[field] + fill[field]++] = static_cast<float>(d);
+      }
       p += 8;
     } else if (wire == 5) {
+      if (end - p < 4) return false;
       p += 4;
     } else {
-      return;  // unknown wire type: bail on this frame
+      return false;  // unknown wire type
     }
   }
+  return true;
 }
 
 // frames_blob: the trial's concatenated [u64 length][frame proto] records.
@@ -201,41 +221,47 @@ int64_t ib_decode_legacy_trial(const uint8_t* frames_blob, int64_t blob_len,
                                int64_t row_cols, int n_threads) {
   std::atomic<int64_t> decoded{0};
   parallel_for(n_frames, n_threads, [&](int64_t lo, int64_t hi) {
+    std::vector<int64_t> fill(n_fields);
     for (int64_t k = lo; k < hi; ++k) {
+      if (frame_offsets[k] < 0 || frame_offsets[k] + 8 > blob_len) continue;
       const uint8_t* rec = frames_blob + frame_offsets[k];
-      if (frame_offsets[k] + 8 > blob_len) continue;
       uint64_t len;
       std::memcpy(&len, rec, 8);
+      if (len > static_cast<uint64_t>(blob_len - frame_offsets[k] - 8))
+        continue;  // truncated record
       const uint8_t* p = rec + 8;
       const uint8_t* end = p + len;
-      if (end > frames_blob + blob_len) continue;
       int64_t pass = 0;
-      while (p < end) {
+      bool ok = true;
+      while (p < end && ok) {
         uint64_t key = read_varint(p, end);
         int64_t field = static_cast<int64_t>(key >> 3);
         int wire = static_cast<int>(key & 7);
         if (wire == 2) {
           uint64_t sublen = read_varint(p, end);
+          if (sublen > static_cast<uint64_t>(end - p)) { ok = false; break; }
           const uint8_t* sub_end = p + sublen;
-          if (sub_end > end) break;
           if (field == 2 && pass < n_passes) {  // processing_pass
-            decode_pass_frame(p, sub_end, field_col, field_width, n_fields,
-                              contact_field, out[pass] + k * row_cols,
-                              row_cols);
+            ok = decode_pass_frame(p, sub_end, field_col, field_width,
+                                   n_fields, contact_field,
+                                   out[pass] + k * row_cols, row_cols,
+                                   fill.data());
             ++pass;
           }
           p = sub_end;
         } else if (wire == 0) {
           read_varint(p, end);
         } else if (wire == 1) {
+          if (end - p < 8) { ok = false; break; }
           p += 8;
         } else if (wire == 5) {
+          if (end - p < 4) { ok = false; break; }
           p += 4;
         } else {
-          break;
+          ok = false;
         }
       }
-      decoded.fetch_add(1, std::memory_order_relaxed);
+      if (ok) decoded.fetch_add(1, std::memory_order_relaxed);
     }
   });
   return decoded.load();

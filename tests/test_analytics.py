@@ -141,3 +141,32 @@ def test_make_plots_raw_mode(tmp_path):
     names = {os.path.basename(w) for w in written}
     assert not any('jointtau' in n for n in names)  # tau skipped in raw
     assert 'scatter_jointpos_vs_totgrf.png' in names
+
+
+def test_grf_dist_ignores_negative_vertical_grf(tmp_path):
+    """Frames with non-positive total vertical GRF contribute dist=0, not
+    ~1e6-scale garbage from a clamped signed division."""
+    from inferbiomechanics_tpu.cli.make_plots_cmd import collect_stats
+    from inferbiomechanics_tpu.data.b3d import (
+        TrialData, layout_offsets, layout_total, pass_channel_layout,
+        write_subject,
+    )
+    layout = pass_channel_layout(23, 2, 10)
+    offs = layout_offsets(layout)
+    C = layout_total(layout)
+    T = 40
+    mat = np.zeros((T, C), np.float32)
+    o_f, _ = offs['groundContactForce']
+    mat[:, o_f + 1] = -5.0        # body 0 vertical force negative
+    mat[:, o_f + 4] = 0.0         # body 1 zero -> total vertical = -5
+    p = str(tmp_path / 's.b3d')
+    write_subject(p, num_dofs=23, ground_force_bodies=['calcn_l', 'calcn_r'],
+                  root_history_len=10,
+                  trials=[TrialData(name='t', timestep=0.01,
+                                    passes=[mat, mat.copy()],
+                                    pass_types=[0, 1],
+                                    missing_grf_reasons=[0] * T)])
+    stats = collect_stats([p])
+    dist = np.asarray(stats['scatter_frames']['grf_dist_y'])
+    assert dist.size > 0
+    np.testing.assert_array_equal(dist, 0.0)

@@ -341,3 +341,42 @@ def test_native_decoder_matches_python(tmp_path, legacy_subject):
                                           b.trial_pass_matrix(t, p),
                                           err_msg=f'trial {t} pass {p}')
     a.close(); b.close()
+
+
+def test_readframes_clamps_at_trial_end(legacy_subject, tmp_path):
+    """Short read (nimble semantics), not IndexError, past the trial end."""
+    s = L.LegacySubjectOnDisk(legacy_subject)  # trials of length 50
+    assert len(s.readFrames(0, 48, 10, stride=1)) == 2
+    assert len(s.readFrames(0, 45, 10, stride=3)) == 2   # 45, 48
+    assert s.readFrames(0, 50, 4) == []
+    s.close()
+    # same semantics on the B3D-TPU reader
+    out = str(tmp_path / 'c.b3d')
+    L.convert_to_tpu(legacy_subject, out)
+    t = SubjectOnDisk(out)
+    assert len(t.readFrames(0, 48, 10, stride=1)) == 2
+    assert len(t.readFrames(0, 50, 4)) == 0
+    t.close()
+
+
+def test_ensure_tpu_format_is_atomic(tmp_path, monkeypatch):
+    """An interrupted conversion must not leave a reusable torn output."""
+    src = str(tmp_path / 's.b3d')
+    write_synthetic_legacy_subject(src, num_trials=1, trial_length=30)
+
+    calls = {'n': 0}
+    real = L.convert_to_tpu
+
+    def failing(path, out, skeleton=None):
+        calls['n'] += 1
+        with open(out, 'wb') as f:
+            f.write(b'torn')
+        raise RuntimeError('simulated crash mid-conversion')
+
+    monkeypatch.setattr(L, 'convert_to_tpu', failing)
+    with pytest.raises(RuntimeError):
+        L.ensure_tpu_format(src)
+    assert not os.path.exists(src + 'tpu')   # nothing published
+    monkeypatch.setattr(L, 'convert_to_tpu', real)
+    out = L.ensure_tpu_format(src)           # clean retry succeeds
+    assert SubjectOnDisk(out).getNumTrials() == 1
