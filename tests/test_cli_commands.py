@@ -1,0 +1,102 @@
+"""End-to-end subprocess tests of the CLI command surface.
+
+One real `main.py <cmd>` run per command that previously had only manual
+verify-drive coverage (reference surface: src/main.py + src/cli/*,
+SURVEY.md §2.12-2.19). Kept small (tiny synthetic data, --short, 1 epoch)
+so the whole module stays under a couple of minutes on the CPU mesh.
+"""
+
+import csv
+import os
+import subprocess
+import sys
+
+import pytest
+
+from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+
+MAIN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    'main.py')
+
+
+def run_cmd(args, timeout=420):
+    env = dict(os.environ, IB_PLATFORM='cpu')
+    out = subprocess.run([sys.executable, MAIN, *args],
+                         capture_output=True, text=True, env=env,
+                         timeout=timeout)
+    assert out.returncode == 0, f'{args[0]} failed:\n{out.stderr[-3000:]}'
+    return out
+
+
+@pytest.fixture(scope='module')
+def workspace(tmp_path_factory):
+    """data/{train,dev} + a trained feedforward checkpoint (1 short epoch)."""
+    root = tmp_path_factory.mktemp('cli')
+    data = root / 'data'
+    for split in ('train', 'dev'):
+        os.makedirs(data / split)
+        write_synthetic_subject(str(data / split / 's0.b3d'), num_trials=1,
+                                trial_length=150, seed=0)
+    ckpt = root / 'checkpoints'
+    run_cmd(['train', '--dataset-home', str(data), '--checkpoint-dir',
+             str(ckpt), '--no-wandb', '--epochs', '1', '--batch-size', '32',
+             '--short'])
+    assert (ckpt / 'feedforward').is_dir()
+    return {'root': root, 'data': str(data), 'ckpt': str(ckpt)}
+
+
+def test_analyze_runs(workspace):
+    out = run_cmd(['analyze', '--dataset-home', workspace['data'],
+                   '--checkpoint-dir', workspace['ckpt'], '--no-wandb',
+                   '--short'])
+    assert 'loss' in out.stdout.lower() or 'err' in out.stdout.lower()
+
+
+def test_create_splits(workspace, tmp_path):
+    src = tmp_path / 'root'
+    processed = src / 'processed'
+    processed.mkdir(parents=True)
+    for i in range(4):
+        write_synthetic_subject(str(processed / f's{i}.b3d'), num_trials=1,
+                                trial_length=60, seed=i)
+    run_cmd(['create-splits', '--data-path', str(src)])
+    train = list((src / 'train').rglob('*.b3d'))
+    dev = list((src / 'dev').rglob('*.b3d'))
+    assert train and dev
+    assert len(train) + len(dev) == 4
+
+
+def test_review_file_writes_review_csv(workspace, tmp_path):
+    subject = os.path.join(workspace['data'], 'dev', 's0.b3d')
+    out_csv = str(tmp_path / 'review.csv')
+    run_cmd(['review-file', '--file', subject, '--checkpoint-dir',
+             workspace['ckpt'], '--no-wandb', '--out-csv', out_csv])
+    rows = list(csv.reader(open(out_csv)))
+    assert rows and rows[0]  # header + (possibly zero) segment rows
+
+
+def test_save_prediction_csv(workspace, tmp_path):
+    subject = os.path.join(workspace['data'], 'dev', 's0.b3d')
+    out_csv = str(tmp_path / 'pred.csv')
+    run_cmd(['save-prediction-csv', '--file', subject, '--checkpoint-dir',
+             workspace['ckpt'], '--no-wandb', '--out', out_csv])
+    rows = list(csv.reader(open(out_csv)))
+    assert len(rows) > 1
+
+
+def test_pickle_data_and_train_from_pickled(workspace):
+    run_cmd(['pickle-data', '--dataset-home', workspace['data']])
+    pickled = os.path.join(workspace['data'], 'train_pickled')
+    assert os.path.isdir(pickled) and os.listdir(pickled)
+    from inferbiomechanics_tpu.data.pickled import PickledDataset
+    ds = PickledDataset(pickled)   # metadata adopted from blocks
+    assert len(ds) > 0 and ds.num_dofs == 23
+
+
+def test_visualize_exports_html(workspace, tmp_path):
+    out_html = str(tmp_path / 'v.html')
+    run_cmd(['visualize', '--dataset-home', workspace['data'],
+             '--checkpoint-dir', workspace['ckpt'], '--no-wandb',
+             '--out', out_html, '--short'])
+    html = open(out_html).read()
+    assert 'DATA' in html and 'canvas' in html
