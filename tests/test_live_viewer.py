@@ -216,3 +216,56 @@ def test_live_server_end_to_end(tmp_path):
         c.close()
     finally:
         server.stop()
+
+
+# -- review-file segment loop (ref review_file.py:289-366) --------------------
+
+def test_segment_review_session_semantics():
+    from inferbiomechanics_tpu.cli.review_file_cmd import SegmentReviewSession
+    segs = [(0, 10, 14, 'WIP'), (1, 50, 52, 'BAD')]
+    s = SegmentReviewSession(segs, lambda t, f: {'t': t, 'f': f})
+    p = s.tick()
+    assert (p['t'], p['f']) == (0, 10) and s.frame == 11
+    s.key(' ')                      # pause
+    assert s.tick()['f'] == 11 and s.frame == 11
+    s.key('e'); s.key('e'); s.key('e')   # 12, 13, wrap -> 10
+    assert s.frame == 10
+    s.key('a')                      # wrap back to end-1
+    assert s.frame == 13
+    s.key('n')                      # next segment
+    assert s.segment_index == 1 and s.frame == 50
+    p = s.tick()
+    assert p['t'] == 1 and 'segment 2/2' in p['hud']
+    s.key('n')                      # wraps to first
+    assert s.segment_index == 0
+
+
+def test_segment_review_server_end_to_end(tmp_path):
+    from inferbiomechanics_tpu.cli.review_file_cmd import serve_segment_review
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    d = tmp_path / 'data'
+    d.mkdir()
+    write_synthetic_subject(str(d / 's.b3d'), num_trials=1, trial_length=60,
+                            seed=0)
+    ds = WindowDataset(str(d), window_size=20, stride=5)
+    server = serve_segment_review(ds, [(0, 5, 15, 'WIP'), (0, 30, 40, 'GOOD')],
+                                  port=0, block=False)
+    try:
+        c, buf = _ws_client(server.port)
+        msgs, buf = _recv_messages(c, buf, 3)
+        assert msgs[0]['type'] == 'init'
+        frames = [m for m in msgs if m['type'] == 'frame']
+        assert frames and 5 <= frames[0]['frame'] < 15
+        assert 'segment 1/2' in frames[0]['hud']
+        assert len(frames[0]['label_forces']) == 2   # raw plate forces
+        # 'n' advances the segment server-side
+        c.sendall(ws.encode_client_frame(
+            json.dumps({'type': 'key', 'key': 'n'}).encode()))
+        deadline = time.time() + 5
+        while server.session.segment_index == 0 and time.time() < deadline:
+            time.sleep(0.02)
+        assert server.session.segment_index == 1
+        c.close()
+    finally:
+        server.stop()
