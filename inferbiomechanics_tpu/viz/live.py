@@ -109,12 +109,15 @@ function draw(){
   if (f.joints) for (const j of f.joints) dot3(j, 0.02, '#e8eef5');
   if (f.root_history) for (const h of f.root_history) dot3(h, 0.012, '#4fbf67');
   if (f.root_vel) line3([0, 0, 0], f.root_vel, '#bf4fae', 2);
+  const FS = 0.2;  // force draw scale (parity: visualize_file.py:263)
   if (f.label_forces)
     for (const [cop, vec] of f.label_forces)
-      line3(cop, [cop[0]+vec[0], cop[1]+vec[1], cop[2]+vec[2]], '#e05252', 2.5);
+      line3(cop, [cop[0]+vec[0]*FS, cop[1]+vec[1]*FS, cop[2]+vec[2]*FS],
+            '#e05252', 2.5);
   if (f.pred_forces)
     for (const [cop, vec] of f.pred_forces)
-      line3(cop, [cop[0]+vec[0], cop[1]+vec[1], cop[2]+vec[2]], '#5286e0', 2.5);
+      line3(cop, [cop[0]+vec[0]*FS, cop[1]+vec[1]*FS, cop[2]+vec[2]*FS],
+            '#5286e0', 2.5);
   requestAnimationFrame(draw);
 }
 requestAnimationFrame(draw);
