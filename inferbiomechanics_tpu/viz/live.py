@@ -302,7 +302,7 @@ class LiveViewerServer:
                 continue
             except OSError:
                 break
-            msgs, buf = ws.decode_frames(buf)
+            msgs, buf = ws.decode_frames(buf)   # reassembles fragments
             for opcode, payload in msgs:
                 if opcode == ws.OP_CLOSE:
                     with self._lock:

@@ -50,16 +50,23 @@ def encode_frame(payload: bytes, opcode: int = OP_TEXT) -> bytes:
 def decode_frames(buf: bytes) -> Tuple[List[Tuple[int, bytes]], bytes]:
     """Parse complete client frames from `buf`.
 
-    Returns ([(opcode, payload), ...], remainder). Client frames are
-    masked (RFC 6455 §5.3); unmasked frames are tolerated.
+    Returns ([(opcode, payload), ...], remainder), reassembling fragmented
+    messages (RFC 6455 §5.4): continuation frames are concatenated onto
+    the initial frame's payload and surfaced once, with the initial
+    opcode, when the FIN frame arrives. Client frames are masked
+    (§5.3); unmasked frames are tolerated.
     """
     out: List[Tuple[int, bytes]] = []
+    frag_opcode: int = -1
+    frag_payload = b''
     pos = 0
+    frag_start = 0   # buffer position of the unfinished fragment sequence
     n = len(buf)
     while True:
         if n - pos < 2:
             break
         b0, b1 = buf[pos], buf[pos + 1]
+        fin = bool(b0 & 0x80)
         opcode = b0 & 0x0F
         masked = bool(b1 & 0x80)
         ln = b1 & 0x7F
@@ -85,8 +92,21 @@ def decode_frames(buf: bytes) -> Tuple[List[Tuple[int, bytes]], bytes]:
         payload = buf[p:p + ln]
         if mask:
             payload = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
-        out.append((opcode, payload))
+        if opcode == OP_CONT and frag_opcode >= 0:
+            frag_payload += payload
+            if fin:
+                out.append((frag_opcode, frag_payload))
+                frag_opcode, frag_payload = -1, b''
+        elif not fin and opcode in (OP_TEXT, OP_BINARY):
+            frag_opcode, frag_payload = opcode, payload
+            frag_start = pos
+        else:
+            out.append((opcode, payload))
         pos = p + ln
+    if frag_opcode >= 0:
+        # message still fragmented: keep its bytes in the remainder so the
+        # next call re-parses them with the missing continuation appended
+        return out, buf[frag_start:]
     return out, buf[pos:]
 
 

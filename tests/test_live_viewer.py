@@ -269,3 +269,31 @@ def test_segment_review_server_end_to_end(tmp_path):
         c.close()
     finally:
         server.stop()
+
+
+def test_fragmented_message_reassembly():
+    """RFC 6455 §5.4: a text message split across TEXT(fin=0) + CONT(fin=1)
+    frames surfaces once, whole, with the TEXT opcode."""
+    import struct
+
+    def frame(fin, opcode, payload, mask=b'\x01\x02\x03\x04'):
+        head = bytes([(0x80 if fin else 0) | opcode, 0x80 | len(payload)])
+        return head + mask + bytes(c ^ mask[i % 4]
+                                   for i, c in enumerate(payload))
+
+    a = frame(False, ws.OP_TEXT, b'hello ')
+    b = frame(True, ws.OP_CONT, b'world')
+    # complete in one buffer
+    msgs, rest = ws.decode_frames(a + b)
+    assert msgs == [(ws.OP_TEXT, b'hello world')] and rest == b''
+    # split across reads: first call holds the fragment in the remainder
+    msgs, rest = ws.decode_frames(a)
+    assert msgs == [] and rest == a
+    msgs, rest = ws.decode_frames(rest + b)
+    assert msgs == [(ws.OP_TEXT, b'hello world')] and rest == b''
+    # three-part fragmentation
+    c1 = frame(False, ws.OP_TEXT, b'a')
+    c2 = frame(False, ws.OP_CONT, b'b')
+    c3 = frame(True, ws.OP_CONT, b'c')
+    msgs, rest = ws.decode_frames(c1 + c2 + c3)
+    assert msgs == [(ws.OP_TEXT, b'abc')] and rest == b''
