@@ -83,27 +83,63 @@ def encoder_layer_reference(x: jax.Array, params: Tuple[jax.Array, ...],
 
 
 def _encoder_kernel(num_heads, t, d, compute_dtype, x_ref, *refs):
+    """Mosaic-legal layer kernel: ONLY 2-D vectors.
+
+    [R, T*D] <-> [R*T, D] reshapes are free layout reinterpretations
+    (row-major contiguous); per-frame tensors are LANE slices of the
+    window-major view at D-multiples (Mosaic-friendly); the T=10
+    attention core is unrolled over (i, j) frame pairs with the per-head
+    reduction done as a matmul against a [D, H] head-indicator matrix.
+    ~1k small in-kernel ops replace ~90 separate XLA kernels per layer —
+    the kernel-launch tax this runtime charges (BENCH_NOTES.md)."""
     (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2) = \
         [r[:] for r in refs[:12]]
     out_ref = refs[12]
     r = x_ref.shape[0]                       # batch-tile rows
     dh = d // num_heads
 
+    # head-indicator: E[c, h] = 1 iff lane c belongs to head h
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 1)
+    E = (lane // dh == head).astype(jnp.float32)              # [D, H]
+
     h = x_ref[:].astype(jnp.float32).reshape(r * t, d)
     y = _layernorm(h, g1[0], b1[0]).astype(compute_dtype)
     qkv = jnp.dot(y, wqkv.astype(compute_dtype),
                   preferred_element_type=jnp.float32) + bqkv[0]
-    qkv = qkv.reshape(r, t, 3, num_heads, dh)
-    q = qkv[:, :, 0] * (dh ** -0.5)
-    k = qkv[:, :, 1]
-    v = qkv[:, :, 2]
-    scores = (q[:, :, None] * k[:, None, :]).sum(-1)          # [R,Tq,Tk,H]
-    scores = scores - scores.max(axis=2, keepdims=True)
-    e = jnp.exp(scores)
-    probs = e / e.sum(axis=2, keepdims=True)
-    attn = (probs[..., None] * v[:, None]).sum(2)             # [R,Tq,H,dh]
-    attn = attn.reshape(r * t, d).astype(compute_dtype)
-    y = jnp.dot(attn, wproj.astype(compute_dtype),
+    qkv_w = qkv.reshape(r, t * 3 * d)                         # window-major
+    scale = dh ** -0.5
+
+    def q_of(i):
+        return qkv_w[:, i * 3 * d:i * 3 * d + d] * scale      # [R, D]
+
+    def k_of(j):
+        return qkv_w[:, j * 3 * d + d:j * 3 * d + 2 * d]
+
+    def v_of(j):
+        return qkv_w[:, j * 3 * d + 2 * d:j * 3 * d + 3 * d]
+
+    outs = []
+    for i in range(t):
+        qi = q_of(i)
+        scores = [jnp.dot(qi * k_of(j), E,
+                          preferred_element_type=jnp.float32)  # [R, H]
+                  for j in range(t)]
+        m = scores[0]
+        for s in scores[1:]:
+            m = jnp.maximum(m, s)
+        exps = [jnp.exp(s - m) for s in scores]
+        z = exps[0]
+        for e_ in exps[1:]:
+            z = z + e_
+        acc = jnp.zeros((r, d), jnp.float32)
+        for j in range(t):
+            p_full = jnp.dot(exps[j] / z, E.T,
+                             preferred_element_type=jnp.float32)  # [R, D]
+            acc = acc + p_full * v_of(j)
+        outs.append(acc)
+    attn = jnp.concatenate(outs, axis=1).reshape(r * t, d)    # [R*T, D]
+    y = jnp.dot(attn.astype(compute_dtype), wproj.astype(compute_dtype),
                 preferred_element_type=jnp.float32) + bproj[0]
     h = h + y
     y = _layernorm(h, g2[0], b2[0]).astype(compute_dtype)
@@ -116,7 +152,7 @@ def _encoder_kernel(num_heads, t, d, compute_dtype, x_ref, *refs):
 
 
 def encoder_layer_pallas(x: jax.Array, params: Tuple[jax.Array, ...],
-                         num_heads: int, tile_rows: int = 256,
+                         num_heads: int, tile_rows: int = 64,
                          compute_dtype=jnp.bfloat16,
                          interpret: bool = False) -> jax.Array:
     """Fused encoder layer. x [B, T, d] f32 -> [B, T, d] f32.
@@ -162,19 +198,17 @@ def fused_encoder_layer(x, params, num_heads):
     """Trainable fused layer: pallas forward on TPU, jnp on CPU;
     backward recomputes through the jnp reference.
 
-    KNOWN LIMITATION (round 2, measured on real TPU v5e): the kernel's
-    5-D attention reshapes are rejected by Mosaic ("infer-vector-layout:
-    unsupported shape cast"), so this path currently compiles only in
-    interpret mode / on CPU. On TPU use ``attn_impl='vpu'``, which is
-    within ~2.5x of the sustained-rate FLOP floor (BENCH_NOTES.md) —
-    the fused kernel's remaining headroom is small because backward
-    dominates the train step and runs through XLA either way."""
+    Round-2 status (real TPU v5e, readback-verified): the 2-D-only
+    kernel compiles on Mosaic and runs the 4-layer encoder forward at
+    **1.56x** the XLA path (4.42 vs 6.88 ms at B=4096) by collapsing
+    ~90 kernels/layer into one — the kernel-launch tax this runtime
+    charges (BENCH_NOTES.md). For TRAINING the backward recomputes
+    through the XLA reference, so the end-to-end step is ~neutral; use
+    ``attn_impl='pallas'`` for inference/serving and ``'vpu'`` (default)
+    for training."""
     if jax.default_backend() == 'cpu':
         return encoder_layer_reference(x, params, num_heads)
-    raise NotImplementedError(
-        "attn_impl='pallas' does not compile on real TPU Mosaic yet "
-        "(5-D vector reshape unsupported); use attn_impl='vpu' (default, "
-        "2.9x faster than 'flax' at T=10) — see ops/pallas_encoder.py")
+    return encoder_layer_pallas(x, params, num_heads)
 
 
 def _fwd(x, params, num_heads):

@@ -20,10 +20,7 @@ import numpy as np
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     layers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    # 'pallas' excluded by default: it raises on real TPU (Mosaic 5-D
-    # reshape limitation, see ops/pallas_encoder.py) — pass it explicitly
-    # to re-test after a kernel fix
-    impls = sys.argv[3].split(',') if len(sys.argv) > 3 else ['flax', 'vpu']
+    impls = sys.argv[3].split(',') if len(sys.argv) > 3 else ['flax', 'vpu', 'pallas']
 
     import jax
     import jax.numpy as jnp
