@@ -76,7 +76,7 @@ def unpack(spec: PackSpec, buffers: Dict[str, jax.Array]):
 
 class PackedState(NamedTuple):
     params: Dict[str, jax.Array]            # {dtype: flat}
-    opt: Dict[str, jax.Array]               # {dtype: flat}
+    opt: Any                                # optax state OVER the flat dict
     step: jax.Array
 
 
@@ -88,16 +88,24 @@ def make_packed_device_train_step(model, data, loss_config: LossConfig,
     ``pack_state(TrainState) -> PackedState`` (host-side, once);
     ``step(packed, idx, rng) -> (packed, metrics)`` with the flat buffers
     donated; ``unpack_params(packed) -> params pytree`` for checkpointing.
+
+    The optimizer runs DIRECTLY on the flat buffers (optax works on any
+    pytree): instead of ~60 tensors × {m, v, update, apply} ≈ 300 tiny
+    kernels per step, the whole update is ~6 big elementwise kernels —
+    this is where the kernel-launch tax actually bites (BENCH_NOTES.md);
+    gradients come out of value_and_grad already flat because the loss is
+    differentiated with respect to the flat dict. Note: the optimizer
+    state therefore lives in flat space — resuming a packed run restores
+    params from a tree checkpoint but starts the optimizer fresh.
     """
     from inferbiomechanics_tpu.data.dataset import unpack as unpack_labels
 
     p_spec = make_pack_spec(template.params)
-    o_spec = make_pack_spec(template.opt_state)
     tx = template.tx
 
     def pack_state(state: TrainState) -> PackedState:
-        return PackedState(pack(p_spec, state.params),
-                           pack(o_spec, state.opt_state),
+        flat_params = pack(p_spec, state.params)
+        return PackedState(flat_params, tx.init(flat_params),
                            jnp.asarray(state.step, jnp.int32))
 
     def unpack_params(packed: PackedState):
@@ -120,12 +128,8 @@ def make_packed_device_train_step(model, data, loss_config: LossConfig,
 
         (loss, metrics), flat_grads = jax.value_and_grad(
             loss_fn, has_aux=True)(packed.params)
-        grads = unpack(p_spec, flat_grads)
-        opt_state = unpack(o_spec, packed.opt)
-        params = unpack(p_spec, packed.params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return PackedState(pack(p_spec, params), pack(o_spec, opt_state),
-                           packed.step + 1), metrics
+        updates, opt_state = tx.update(flat_grads, packed.opt, packed.params)
+        flat_params = optax.apply_updates(packed.params, updates)
+        return PackedState(flat_params, opt_state, packed.step + 1), metrics
 
     return pack_state, step, unpack_params
