@@ -40,6 +40,10 @@ class Config:
     # 'vpu' (broadcast-reduce attention, 2.9x faster than 'flax' at T=10 on
     # TPU v5e — BENCH_NOTES.md) | 'flax' (nn.MultiHeadDotProductAttention)
     attn_impl: str = 'vpu'
+    # inference-only: run vpu transformer checkpoints through the fused
+    # Pallas encoder (1.56x encoder fwd on TPU; bf16-residual-level
+    # numeric difference)
+    fused_inference: bool = False
 
     # optimization
     learning_rate: float = 1e-4
@@ -128,6 +132,10 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
     parser.add_argument('--attn-impl', type=str, default=d.attn_impl,
                         choices=['vpu', 'flax', 'pallas'],
                         help='Transformer attention implementation')
+    parser.add_argument('--fused-inference', action='store_true',
+                        default=d.fused_inference,
+                        help='Serve vpu transformer checkpoints through the '
+                             'fused Pallas encoder (TPU inference speedup)')
     parser.add_argument('--diffusion-timesteps', type=int, default=d.diffusion_timesteps)
     parser.add_argument('--aux-tau-weight', type=float, default=d.aux_tau_weight,
                         help='Weight of the joint-torque aux loss (transformer)')
@@ -164,6 +172,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'aux_contact_weight': 'aux_contact_weight',
         'd_model': 'd_model', 'num_layers': 'num_layers',
         'num_heads': 'num_heads', 'attn_impl': 'attn_impl',
+        'fused_inference': 'fused_inference',
         'diffusion_timesteps': 'diffusion_timesteps',
         'model_parallel': 'model_parallel',
         'profile': 'profile', 'profile_dir': 'profile_dir',

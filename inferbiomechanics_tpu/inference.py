@@ -55,11 +55,34 @@ class Predictor:
 
         batch_stats = self.state.batch_stats
 
+        # fused Pallas encoder for vpu-trained transformer checkpoints
+        # (1.56x encoder forward on TPU, BENCH_NOTES.md); opt-in because
+        # numerics differ at bf16-residual level
+        use_fused = bool(getattr(config, 'fused_inference', False))
+        if use_fused:
+            from inferbiomechanics_tpu.models.transformer import (
+                TransformerRegressor, fused_transformer_forward,
+            )
+            if not (isinstance(self.model, TransformerRegressor)
+                    and self.model.attn_impl == 'vpu'
+                    and self.model.d_model % 128 == 0):
+                import logging
+                logging.getLogger(__name__).warning(
+                    '--fused-inference ignored: needs a vpu transformer '
+                    'with d_model a multiple of 128')
+                use_fused = False
+
         def fwd(params, x, y_packed):
             variables = {'params': params}
             if batch_stats:
                 variables['batch_stats'] = batch_stats
-            out = self.model.apply(variables, x, train=False)
+            if use_fused:
+                from inferbiomechanics_tpu.models.transformer import (
+                    fused_transformer_forward,
+                )
+                out = fused_transformer_forward(self.model, params, x)
+            else:
+                out = self.model.apply(variables, x, train=False)
             labels = self.ds.unpack_labels(y_packed)
             # per-window loss: vmap the loss core over the batch dim
             def one(o, l):

@@ -179,3 +179,57 @@ class TransformerRegressor(nn.Module):
                 self.num_contact_bodies, dtype=self.compute_dtype,
                 name='contact_cls_head')(x).astype(jnp.float32)
         return out
+
+
+def fused_transformer_forward(model: 'TransformerRegressor', params,
+                              inputs: ModelInput) -> Dict[str, jax.Array]:
+    """Inference forward using the fused Pallas encoder kernel on a
+    checkpoint TRAINED with ``attn_impl='vpu'`` (the default).
+
+    The fused kernel (ops/pallas_encoder.py) measures 1.56x the XLA
+    encoder forward on TPU (BENCH_NOTES.md) but the module's 'pallas'
+    path names its parameters differently, so a vpu checkpoint could not
+    use it directly — this function consumes the vpu/flax parameter tree
+    (EncoderBlock_i/...) as-is. Numerics differ from ``model.apply`` at
+    bf16-residual level (the kernel keeps residuals in f32).
+    """
+    from inferbiomechanics_tpu.ops.pallas_encoder import fused_encoder_layer
+
+    dt = model.compute_dtype
+    x = pack_inputs(inputs)
+    x = x.astype(dt) @ params['Dense_0']['kernel'].astype(dt) \
+        + params['Dense_0']['bias'].astype(dt)
+    x = x + params['temporal_embedding'].astype(dt)[None]
+    x = x.astype(jnp.float32)
+    for li in range(model.num_layers):
+        blk = params[f'EncoderBlock_{li}']
+        attn = blk['ShortWindowAttention_0']
+        layer = (blk['LayerNorm_0']['scale'], blk['LayerNorm_0']['bias'],
+                 attn['qkv']['kernel'], attn['qkv']['bias'],
+                 attn['proj']['kernel'], attn['proj']['bias'],
+                 blk['LayerNorm_1']['scale'], blk['LayerNorm_1']['bias'],
+                 blk['Dense_0']['kernel'], blk['Dense_0']['bias'],
+                 blk['Dense_1']['kernel'], blk['Dense_1']['bias'])
+        x = fused_encoder_layer(x, layer, model.num_heads)
+    ln = params['LayerNorm_0']
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    x = ((x - mean) * jax.lax.rsqrt(var + 1e-6)
+         * ln['scale'] + ln['bias']).astype(dt)
+
+    if model.output_data_format != 'all_frames':
+        x = x[:, -1:, :]
+
+    def head(name):
+        return (x @ params[name]['kernel'].astype(dt)
+                + params[name]['bias'].astype(dt)).astype(jnp.float32)
+
+    main = head('contact_head')
+    out = slice_output_heads(main, model.num_contact_bodies, main.shape[1])
+    if model.predict_tau:
+        out[K.OutputDataKeys.TAU] = head('tau_head')
+    if model.predict_com_acc:
+        out[K.OutputDataKeys.COM_ACC_IN_ROOT_FRAME] = head('com_acc_head')
+    if model.predict_contact:
+        out[K.OutputDataKeys.CONTACT] = head('contact_cls_head')
+    return out

@@ -98,3 +98,28 @@ def test_transformer_pallas_impl_runs_and_trains():
         return jnp.mean(o[k] ** 2)
     g = jax.grad(loss)(v['params'])
     assert np.isfinite(np.asarray(g['enc0_wqkv'])).all()
+
+
+def test_fused_transformer_forward_matches_apply():
+    """fused_transformer_forward consumes a vpu-trained parameter tree and
+    matches model.apply (serving path for existing checkpoints)."""
+    import numpy as np
+    from inferbiomechanics_tpu.models import get_model
+    from inferbiomechanics_tpu.models.transformer import (
+        fused_transformer_forward,
+    )
+    model = get_model('transformer', num_dofs=23, num_contact_bodies=2,
+                      history_len=50, stride=5, root_history_len=10,
+                      d_model=128, num_layers=2, num_heads=4)
+    assert model.attn_impl == 'vpu'
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (4, 10, 177)).astype(np.float32))
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x, train=False)
+    ref = model.apply(variables, x, train=False)
+    fused = fused_transformer_forward(model, variables['params'], x)
+    assert set(fused) == set(ref)
+    for k in ref:
+        a, b = np.asarray(ref[k]), np.asarray(fused[k])
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b, a, atol=3e-2 * scale,
+                                   err_msg=f'head {k}')
