@@ -133,24 +133,30 @@ def parse_message(buf) -> Dict[int, List[Tuple[int, object]]]:
     view = memoryview(buf)
     fields: Dict[int, List[Tuple[int, object]]] = {}
     pos, end = 0, len(view)
-    while pos < end:
-        key, pos = decode_varint(view, pos)
-        field, wire = key >> 3, key & 7
-        if wire == _VARINT:
-            val, pos = decode_varint(view, pos)
-        elif wire == _I64:
-            val = struct.unpack_from('<d', view, pos)[0]
-            pos += 8
-        elif wire == _LEN:
-            ln, pos = decode_varint(view, pos)
-            val = view[pos:pos + ln]
-            pos += ln
-        elif wire == _I32:
-            val = struct.unpack_from('<f', view, pos)[0]
-            pos += 4
-        else:
-            raise ValueError(f'unsupported wire type {wire} (field {field})')
-        fields.setdefault(field, []).append((wire, val))
+    try:
+        while pos < end:
+            key, pos = decode_varint(view, pos)
+            field, wire = key >> 3, key & 7
+            if wire == _VARINT:
+                val, pos = decode_varint(view, pos)
+            elif wire == _I64:
+                val = struct.unpack_from('<d', view, pos)[0]
+                pos += 8
+            elif wire == _LEN:
+                ln, pos = decode_varint(view, pos)
+                if ln > end - pos:
+                    raise ValueError(f'truncated LEN field {field}')
+                val = view[pos:pos + ln]
+                pos += ln
+            elif wire == _I32:
+                val = struct.unpack_from('<f', view, pos)[0]
+                pos += 4
+            else:
+                raise ValueError(
+                    f'unsupported wire type {wire} (field {field})')
+            fields.setdefault(field, []).append((wire, val))
+    except (struct.error, IndexError) as e:
+        raise ValueError(f'malformed protobuf message: {e}') from e
     return fields
 
 

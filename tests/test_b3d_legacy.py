@@ -380,3 +380,24 @@ def test_ensure_tpu_format_is_atomic(tmp_path, monkeypatch):
     monkeypatch.setattr(L, 'convert_to_tpu', real)
     out = L.ensure_tpu_format(src)           # clean retry succeeds
     assert SubjectOnDisk(out).getNumTrials() == 1
+
+
+def test_parser_raises_clean_valueerror_on_garbage(tmp_path):
+    """Malformed bytes give ValueError (clean contract), never struct
+    errors/IndexError leaks, on both parse_message and file open."""
+    rng = np.random.default_rng(0)
+    for i in range(300):
+        blob = bytes(rng.integers(0, 256, int(rng.integers(1, 400)),
+                                  dtype=np.uint8))
+        try:
+            L.parse_message(blob)
+        except ValueError:
+            pass  # acceptable
+    # garbage files -> ValueError from LegacySubjectOnDisk
+    for i in range(20):
+        p = str(tmp_path / f'g{i}.b3d')
+        with open(p, 'wb') as f:
+            f.write(bytes(rng.integers(0, 256, int(rng.integers(8, 4000)),
+                                       dtype=np.uint8)))
+        with pytest.raises(ValueError):
+            L.LegacySubjectOnDisk(p)
