@@ -72,6 +72,9 @@ class DiffusionDenoiser(nn.Module):
     mlp_ratio: int = 4
     timesteps: int = 1000
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # 'vpu' broadcast-reduce attention: ~3x faster than 'flax' at T=10 on
+    # TPU (BENCH_NOTES.md); the denoiser pays it x50 in DDIM sampling
+    attn_impl: str = 'vpu'
 
     @property
     def num_frames(self) -> int:
@@ -102,7 +105,8 @@ class DiffusionDenoiser(nn.Module):
         h = x + c + te[:, None, :] + pos.astype(self.compute_dtype)[None]
         for _ in range(self.num_layers):
             h = EncoderBlock(self.d_model, self.num_heads, self.mlp_ratio,
-                             0.0, self.compute_dtype)(h, train=train)
+                             0.0, self.compute_dtype,
+                             self.attn_impl)(h, train=train)
         h = nn.LayerNorm(dtype=self.compute_dtype)(h)
         eps = nn.Dense(self.target_channels, dtype=self.compute_dtype,
                        name='eps_head')(h)
