@@ -245,3 +245,32 @@ def test_mid_epoch_resume_skips_consumed_prefix(ds, tmp_path, capsys):
     # replay only batch 4 of epoch 0 (not batch 3 again — double update),
     # then all 5 batches of epoch 1
     assert result.windows_seen == (1 + 5) * cfg.batch_size
+
+
+def test_checkpoint_param_mismatch_guided_error(tmp_path, ds):
+    """A checkpoint written with a different attention impl (round-1 flax
+    trees) raises the guided error naming --attn-impl, not an opaque
+    flax key mismatch."""
+    import pytest
+    from inferbiomechanics_tpu.train.checkpoint import (
+        load_latest_checkpoint, save_checkpoint,
+    )
+
+    def build(attn):
+        model = get_model('transformer', num_dofs=ds.num_dofs,
+                          num_contact_bodies=ds.num_contact_bodies,
+                          history_len=20, stride=5,
+                          root_history_len=ds.root_history_len,
+                          d_model=32, num_layers=1, num_heads=4,
+                          attn_impl=attn)
+        batch = ds.gather(np.arange(4))
+        return create_train_state(model, jax.random.PRNGKey(0),
+                                  jnp.asarray(batch.inputs),
+                                  make_optimizer('adam', 1e-3))
+
+    save_checkpoint(str(tmp_path), build('flax'), epoch=0, batch=0)
+    with pytest.raises(ValueError, match='attn-impl'):
+        load_latest_checkpoint(build('vpu'), str(tmp_path))
+    # matching impl loads fine
+    state, epoch, batch = load_latest_checkpoint(build('flax'), str(tmp_path))
+    assert epoch == 0
