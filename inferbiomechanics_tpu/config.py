@@ -41,8 +41,8 @@ class Config:
     # TPU v5e — BENCH_NOTES.md) | 'flax' (nn.MultiHeadDotProductAttention)
     attn_impl: str = 'vpu'
     # inference-only: run vpu transformer checkpoints through the fused
-    # Pallas encoder (1.56x encoder fwd on TPU; bf16-residual-level
-    # numeric difference)
+    # Pallas encoder (~4% serving win on TPU — BENCH_NOTES.md serving
+    # table; bf16-residual-level numeric difference)
     fused_inference: bool = False
 
     # optimization

@@ -56,8 +56,8 @@ class Predictor:
         batch_stats = self.state.batch_stats
 
         # fused Pallas encoder for vpu-trained transformer checkpoints
-        # (1.56x encoder forward on TPU, BENCH_NOTES.md); opt-in because
-        # numerics differ at bf16-residual level
+        # (~4% full-model serving win on TPU, BENCH_NOTES.md serving
+        # table); opt-in because numerics differ at bf16-residual level
         use_fused = bool(getattr(config, 'fused_inference', False))
         if use_fused:
             from inferbiomechanics_tpu.models.transformer import (

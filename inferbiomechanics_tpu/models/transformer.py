@@ -186,11 +186,13 @@ def fused_transformer_forward(model: 'TransformerRegressor', params,
     """Inference forward using the fused Pallas encoder kernel on a
     checkpoint TRAINED with ``attn_impl='vpu'`` (the default).
 
-    The fused kernel (ops/pallas_encoder.py) measures 1.56x the XLA
-    encoder forward on TPU (BENCH_NOTES.md) but the module's 'pallas'
-    path names its parameters differently, so a vpu checkpoint could not
-    use it directly — this function consumes the vpu/flax parameter tree
-    (EncoderBlock_i/...) as-is. Numerics differ from ``model.apply`` at
+    The fused kernel (ops/pallas_encoder.py) collapses ~90 kernels per
+    layer into one; measured full-model serving is ~4% faster than the
+    bf16 vpu path (1.56x vs the f32 reference encoder — BENCH_NOTES.md
+    serving table). The module's 'pallas' path names its parameters
+    differently, so a vpu checkpoint could not use it directly — this
+    function consumes the vpu/flax parameter tree (EncoderBlock_i/...)
+    as-is. Numerics differ from ``model.apply`` at
     bf16-residual level (the kernel keeps residuals in f32).
     """
     from inferbiomechanics_tpu.ops.pallas_encoder import fused_encoder_layer
