@@ -7,7 +7,11 @@ predicted (kg-normalized) contact wrenches by subject mass, run
 over non-root DOFs divided by mass, averaged over the batch.
 
 TPU-first: the reference's per-item Python/C++ loop becomes one vmapped,
-jitted ID program over the whole batch.
+jitted ID program over the whole batch; per-subject SCALED skeletons
+(same topology, different masses/COMs/inertias/offsets) batch as a
+parameter stack gathered by batch_subject_indices (ops/skeleton.py
+``skeleton_param_stack``), matching the reference's use of each item's
+own skeleton.
 """
 
 from __future__ import annotations
@@ -20,20 +24,26 @@ import numpy as np
 
 from inferbiomechanics_tpu.data import keys as K
 from inferbiomechanics_tpu.data.dataset import WindowDataset
-from inferbiomechanics_tpu.ops.skeleton import compile_skeleton
+from inferbiomechanics_tpu.ops.skeleton import (
+    compile_skeleton, skeleton_param_stack, skeletons_structurally_equal,
+    with_params,
+)
 
 
 def make_tau_report_fn(ds: WindowDataset) -> Callable:
     """Build the ``tau_fn`` hook consumed by RegressionLossEvaluator."""
-    spec = None
-    for sk in getattr(ds, 'skeletons', []):
-        if sk is not None:
-            spec = sk
-            break
-    if spec is None:
+    specs = [sk for sk in getattr(ds, 'skeletons', []) if sk is not None]
+    if not specs:
         from inferbiomechanics_tpu.data.synthetic import standard_skeleton
-        spec = standard_skeleton()
-    skel = compile_skeleton(spec)
+        specs = [standard_skeleton()]
+    skel = compile_skeleton(specs[0])
+    # per-subject parameter stack when every subject shares the topology
+    # (real scaled models do); else fall back to subject 0's skeleton
+    param_stack = None
+    if (len(specs) == len(ds.subject_paths) and len(specs) > 1
+            and all(skeletons_structurally_equal(specs[0], s)
+                    for s in specs[1:])):
+        param_stack = skeleton_param_stack(specs)
     contact_indices = [skel.body_index[b] for b in ds.contact_bodies
                        if b in skel.body_index]
     # per-subject mass, indexed by batch_subject_indices (ref uses each
@@ -47,13 +57,19 @@ def make_tau_report_fn(ds: WindowDataset) -> Callable:
     o_vel, _ = ds.in_offsets[K.InputDataKeys.VEL]
     o_acc, _ = ds.in_offsets[K.InputDataKeys.ACC]
 
-    def one(q, dq, ddq, wrenches_per_kg, tau_label, mass):
-        tau = skel.inverse_dynamics_from_predictions(
+    def one(q, dq, ddq, wrenches_per_kg, tau_label, mass, skel_arrays):
+        sk = with_params(skel, skel_arrays) if skel_arrays else skel
+        tau = sk.inverse_dynamics_from_predictions(
             q, dq, ddq, contact_indices, wrenches_per_kg * mass)
         err = tau - tau_label
         return jnp.mean(jnp.abs(err[6:])) / mass   # non-root DOFs (ref :284)
 
-    batched = jax.jit(jax.vmap(one))
+    if param_stack is not None:
+        batched = jax.jit(jax.vmap(
+            lambda q, dq, ddq, w, t, m, arrs: one(q, dq, ddq, w, t, m, arrs)))
+    else:
+        batched = jax.jit(jax.vmap(
+            lambda q, dq, ddq, w, t, m: one(q, dq, ddq, w, t, m, None)))
 
     def tau_fn(packed_inputs, outputs, labels, batch_subject_indices=None) -> float:
         x = jnp.asarray(packed_inputs)
@@ -64,10 +80,16 @@ def make_tau_report_fn(ds: WindowDataset) -> Callable:
             outputs[K.OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME])[:, -1, :]
         tau_label = jnp.asarray(labels[K.OutputDataKeys.TAU])[:, -1, :]
         if batch_subject_indices is not None:
-            mass = jnp.asarray(
-                subject_masses[np.asarray(batch_subject_indices)])
+            sidx = np.asarray(batch_subject_indices)
+            mass = jnp.asarray(subject_masses[sidx])
         else:
+            sidx = np.zeros((q.shape[0],), np.int64)
             mass = jnp.full((q.shape[0],), mean_mass, jnp.float32)
-        return float(jnp.mean(batched(q, dq, ddq, wrenches, tau_label, mass)))
+        if param_stack is not None:
+            arrs = {k: v[jnp.asarray(sidx)] for k, v in param_stack.items()}
+            vals = batched(q, dq, ddq, wrenches, tau_label, mass, arrs)
+        else:
+            vals = batched(q, dq, ddq, wrenches, tau_label, mass)
+        return float(jnp.mean(vals))
 
     return tau_fn

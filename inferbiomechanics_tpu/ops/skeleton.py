@@ -217,3 +217,50 @@ class CompiledSkeleton:
 
 def compile_skeleton(spec: SkeletonSpec) -> CompiledSkeleton:
     return CompiledSkeleton(spec)
+
+
+# ---------------------------------------------------------------------------
+# Batched per-subject skeleton parameters
+# ---------------------------------------------------------------------------
+# Real AddBiomechanics datasets carry one SCALED model per subject: same
+# topology/joint types, different masses / COMs / inertias / segment
+# offsets. Those are plain arrays in CompiledSkeleton, so a batch of
+# subjects vmaps over a parameter stack while the joint structure stays a
+# trace-time constant — the TPU-native replacement for the reference's
+# per-item skeleton objects (RegressionLossEvaluator.py:271-285).
+
+PARAM_FIELDS = ('masses', 'coms', 'inertias', 'joint_translations',
+                'joint_axes')
+
+
+def skeletons_structurally_equal(a: SkeletonSpec, b: SkeletonSpec) -> bool:
+    return ([(j.name, j.type, j.parent_body, j.child_body) for j in a.joints]
+            == [(j.name, j.type, j.parent_body, j.child_body)
+                for j in b.joints]
+            and [x.name for x in a.bodies] == [x.name for x in b.bodies])
+
+
+def skeleton_param_stack(specs: List[SkeletonSpec]) -> Dict[str, jax.Array]:
+    """Stack per-subject parameter arrays [S, ...]; requires identical
+    topology (raises ValueError otherwise)."""
+    base = specs[0]
+    for i, s in enumerate(specs[1:], 1):
+        if not skeletons_structurally_equal(base, s):
+            raise ValueError(
+                f'skeleton {i} differs structurally from skeleton 0 — '
+                f'per-subject batching needs shared topology')
+    compiled = [CompiledSkeleton(s) for s in specs]
+    return {f: jnp.stack([getattr(c, f) for c in compiled])
+            for f in PARAM_FIELDS}
+
+
+def with_params(skel: CompiledSkeleton,
+                arrays: Dict[str, jax.Array]) -> CompiledSkeleton:
+    """Shallow copy with (possibly traced) per-subject parameter arrays —
+    usable inside jit/vmap; structure stays from `skel`."""
+    import copy
+    out = copy.copy(skel)
+    for f in PARAM_FIELDS:
+        setattr(out, f, arrays[f])
+    out.total_mass = arrays['masses'].sum()
+    return out

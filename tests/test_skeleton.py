@@ -276,3 +276,71 @@ def test_tau_report_uses_per_item_mass(tmp_path):
                    batch_subject_indices=np.full(4, 1, np.int64))
     assert light > 0.0
     np.testing.assert_allclose(light, 2.0 * heavy, rtol=1e-5)
+
+
+def test_tau_report_per_subject_skeletons(tmp_path):
+    """Multi-subject datasets with SCALED skeletons (same topology,
+    different masses/COMs) run ID with each item's own skeleton via the
+    batched parameter stack (ref RegressionLossEvaluator.py:271-285 uses
+    per-item skeleton objects)."""
+    import dataclasses
+    from inferbiomechanics_tpu.data.b3d import write_subject
+    from inferbiomechanics_tpu.data.synthetic import (
+        CONTACT_BODIES, standard_skeleton, synthetic_trial,
+    )
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data import keys as K
+    from inferbiomechanics_tpu.loss.tau_report import make_tau_report_fn
+    from inferbiomechanics_tpu.ops.skeleton import compile_skeleton
+
+    d = tmp_path / 'data'
+    d.mkdir()
+    specs = []
+    for i, scale in enumerate([1.0, 1.35]):
+        sk = standard_skeleton()
+        sk = dataclasses.replace(sk) if dataclasses.is_dataclass(sk) else sk
+        for b in sk.bodies:
+            b.mass *= scale
+        specs.append(sk)
+        rng = np.random.default_rng(i)
+        trials = [synthetic_trial('t', 60, rng=rng)]
+        write_subject(str(d / f's{i}.b3d'), num_dofs=23,
+                      ground_force_bodies=list(CONTACT_BODIES),
+                      root_history_len=10, trials=trials, skeleton=sk,
+                      mass_kg=70.0 * scale)
+    ds = WindowDataset(str(d), window_size=20, stride=5)
+    assert len(ds.skeletons) == 2
+    tau_fn = make_tau_report_fn(ds)
+
+    B = 6
+    sidx = np.array([0, 1, 1, 0, 1, 0])
+    batch = ds.gather(np.concatenate([
+        np.nonzero(ds.win_subject == s)[0][:1] for s in sidx]))
+    wr_key = K.OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME
+    labels = ds.unpack_labels(jnp.asarray(batch.labels))
+    outputs = {wr_key: labels[wr_key] * 0.9}
+    got = tau_fn(batch.inputs, outputs, labels, batch_subject_indices=sidx)
+
+    # oracle: per-item ID with each subject's individually compiled skeleton
+    o_pos, w = ds.in_offsets[K.InputDataKeys.POS]
+    o_vel, _ = ds.in_offsets[K.InputDataKeys.VEL]
+    o_acc, _ = ds.in_offsets[K.InputDataKeys.ACC]
+    masses = [70.0, 70.0 * 1.35]
+    skels = [compile_skeleton(s) for s in specs]
+    ci = [skels[0].body_index[b] for b in ds.contact_bodies]
+    vals = []
+    for k in range(B):
+        x = batch.inputs[k, -1]
+        q = jnp.asarray(x[o_pos:o_pos + w])
+        dq = jnp.asarray(x[o_vel:o_vel + w])
+        ddq = jnp.asarray(x[o_acc:o_acc + w])
+        m = masses[sidx[k]]
+        wr = jnp.asarray(outputs[wr_key])[k, -1] * m
+        tau = skels[sidx[k]].inverse_dynamics_from_predictions(
+            q, dq, ddq, ci, wr)
+        tl = jnp.asarray(labels[K.OutputDataKeys.TAU])[k, -1]
+        # non-root DOFs only, like the reference (:284) and tau_fn
+        vals.append(float(jnp.mean(jnp.abs((tau - tl)[6:])) / m))
+    np.testing.assert_allclose(got, np.mean(vals), rtol=1e-4)
+    # differing masses must actually change the per-item values
+    assert np.std(vals) > 0
