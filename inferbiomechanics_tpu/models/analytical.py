@@ -21,6 +21,8 @@ from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
 from inferbiomechanics_tpu.data import keys as K
 from inferbiomechanics_tpu.data.dataset import WindowDataset
 from inferbiomechanics_tpu.ops.skeleton import GRAVITY, CompiledSkeleton, compile_skeleton
@@ -73,20 +75,29 @@ def analytical_forward(skel: CompiledSkeleton,
 def make_analytical_fn(ds: WindowDataset):
     """Build ``predict(packed_inputs [B,T,C], subject_indices) -> outputs``.
 
-    All subjects share the standard skeleton layout (the dataset asserts
-    this — AddBiomechanicsDataset.py:141-156), so one compiled skeleton
-    serves the whole dataset; per-kg force outputs make subject mass
-    cancel out.
+    All subjects share the standard skeleton TOPOLOGY (the dataset asserts
+    this — AddBiomechanicsDataset.py:141-156), but each subject's model is
+    individually SCALED; when every subject carries a skeleton, the
+    per-subject parameter arrays (masses/COMs/inertias/segment offsets)
+    batch as a stack gathered by ``subject_indices`` (ops/skeleton.py) —
+    matching the reference's per-item skeleton objects
+    (AnalyticalBaseline.py:49-100). Per-kg force outputs keep subject
+    mass out of the contact math itself.
     """
-    spec = None
-    for sk in getattr(ds, 'skeletons', []):
-        if sk is not None:
-            spec = sk
-            break
-    if spec is None:
+    from inferbiomechanics_tpu.ops.skeleton import (
+        skeleton_param_stack, skeletons_structurally_equal, with_params,
+    )
+
+    specs = [sk for sk in getattr(ds, 'skeletons', []) if sk is not None]
+    if not specs:
         from inferbiomechanics_tpu.data.synthetic import standard_skeleton
-        spec = standard_skeleton()
-    skel = compile_skeleton(spec)
+        specs = [standard_skeleton()]
+    skel = compile_skeleton(specs[0])
+    param_stack = None
+    if (len(specs) == len(ds.subject_paths) and len(specs) > 1
+            and all(skeletons_structurally_equal(specs[0], s)
+                    for s in specs[1:])):
+        param_stack = skeleton_param_stack(specs)
     contact_indices = [skel.body_index[b] for b in ds.contact_bodies
                        if b in skel.body_index]
     o_pos, w_pos = ds.in_offsets[K.InputDataKeys.POS]
@@ -96,12 +107,22 @@ def make_analytical_fn(ds: WindowDataset):
     frame_fn = lambda q, dq, ddq: analytical_forward(skel, contact_indices, q, dq, ddq)
     batched = jax.jit(jax.vmap(jax.vmap(frame_fn)))
 
+    def item_fn(q_t, dq_t, ddq_t, arrs):
+        sk = with_params(skel, arrs)
+        return jax.vmap(lambda a, b, c: analytical_forward(
+            sk, contact_indices, a, b, c))(q_t, dq_t, ddq_t)
+
+    batched_ps = jax.jit(jax.vmap(item_fn))
+
     def predict(packed_inputs, subject_indices=None) -> Dict[str, jax.Array]:
-        del subject_indices
         x = jnp.asarray(packed_inputs)
         q = x[..., o_pos:o_pos + w_pos]
         dq = x[..., o_vel:o_vel + w_pos]
         ddq = x[..., o_acc:o_acc + w_pos]
+        if param_stack is not None and subject_indices is not None:
+            sidx = jnp.asarray(np.asarray(subject_indices))
+            arrs = {k: v[sidx] for k, v in param_stack.items()}
+            return batched_ps(q, dq, ddq, arrs)
         return batched(q, dq, ddq)
 
     return predict

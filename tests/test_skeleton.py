@@ -344,3 +344,64 @@ def test_tau_report_per_subject_skeletons(tmp_path):
     np.testing.assert_allclose(got, np.mean(vals), rtol=1e-4)
     # differing masses must actually change the per-item values
     assert np.std(vals) > 0
+
+
+def test_analytical_per_subject_skeletons(tmp_path):
+    """The analytical baseline uses each subject's scaled skeleton when
+    subject_indices are provided (ref AnalyticalBaseline.py per-item
+    skels_and_contact)."""
+    from inferbiomechanics_tpu.data.b3d import write_subject
+    from inferbiomechanics_tpu.data.synthetic import (
+        CONTACT_BODIES, standard_skeleton, synthetic_trial,
+    )
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.models.analytical import (
+        analytical_forward, make_analytical_fn,
+    )
+    from inferbiomechanics_tpu.ops.skeleton import compile_skeleton
+    from inferbiomechanics_tpu.data import keys as K
+
+    d = tmp_path / 'data'
+    d.mkdir()
+    specs = []
+    for i, scale in enumerate([1.0, 1.4]):
+        sk = standard_skeleton()
+        for b in sk.bodies:
+            b.mass *= scale
+            b.com = [c * (1 + 0.1 * i) for c in b.com]
+        specs.append(sk)
+        rng = np.random.default_rng(i)
+        write_subject(str(d / f's{i}.b3d'), num_dofs=23,
+                      ground_force_bodies=list(CONTACT_BODIES),
+                      root_history_len=10,
+                      trials=[synthetic_trial('t', 60, rng=rng)],
+                      skeleton=sk, mass_kg=70.0 * scale)
+    ds = WindowDataset(str(d), window_size=20, stride=5)
+    predict = make_analytical_fn(ds)
+    sidx = np.array([0, 1])
+    batch = ds.gather(np.concatenate([
+        np.nonzero(ds.win_subject == s)[0][:1] for s in sidx]))
+    out = predict(batch.inputs, subject_indices=sidx)
+
+    # oracle: per-item forward with individually compiled skeletons
+    o_pos, w = ds.in_offsets[K.InputDataKeys.POS]
+    o_vel, _ = ds.in_offsets[K.InputDataKeys.VEL]
+    o_acc, _ = ds.in_offsets[K.InputDataKeys.ACC]
+    key = K.OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    for k in range(2):
+        sk = compile_skeleton(specs[sidx[k]])
+        ci = [sk.body_index[b] for b in ds.contact_bodies]
+        x = batch.inputs[k]
+        ref_rows = [analytical_forward(
+            sk, ci, jnp.asarray(x[t_, o_pos:o_pos + w]),
+            jnp.asarray(x[t_, o_vel:o_vel + w]),
+            jnp.asarray(x[t_, o_acc:o_acc + w]))[key]
+            for t_ in range(x.shape[0])]
+        np.testing.assert_allclose(np.asarray(out[key])[k],
+                                   np.stack([np.asarray(r) for r in ref_rows]),
+                                   rtol=1e-4, atol=1e-5)
+    # the two subjects' scaled COMs must give different predictions for
+    # identical poses (proves per-subject params are actually in play)
+    same_inputs = np.stack([batch.inputs[0], batch.inputs[0]])
+    out2 = predict(same_inputs, subject_indices=np.array([0, 1]))
+    assert not np.allclose(np.asarray(out2[key])[0], np.asarray(out2[key])[1])
