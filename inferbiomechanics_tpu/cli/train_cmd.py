@@ -79,14 +79,14 @@ class TrainCommand:
                 output_data_format=config.output_data_format,
                 testing_with_short_dataset=config.short,
                 trial_filter=config.trial_filter,
-                skip_loading_skeletons=True)
+                skip_loading_skeletons=not config.compute_report)
             dev_ds = WindowDataset(
                 os.path.join(config.dataset_home, 'dev'),
                 window_size=config.window_size, stride=config.stride,
                 output_data_format=config.output_data_format,
                 testing_with_short_dataset=config.short,
                 trial_filter=config.trial_filter,
-                skip_loading_skeletons=True)
+                skip_loading_skeletons=not config.compute_report)
 
         if config.model_type == 'analytical':
             print('The analytical baseline has no trainable parameters; '
