@@ -60,6 +60,9 @@ def build_live_session(ds, predictor=None, evaluator=None,
     tick_count = [0]
     running = [0.0]
 
+    contact_body_idx = [i for i, n in enumerate(body_names)
+                        if n in ds.contact_bodies]
+
     def packet_for_frame(frame: int) -> dict:
         wi = idx[frame % len(idx)]
         batch = ds.gather(np.asarray([wi]))
@@ -96,8 +99,17 @@ def build_live_session(ds, predictor=None, evaluator=None,
                 outputs[K.OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME])[0, -1]
             pc = np.asarray(
                 outputs[K.OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME])[0, -1]
+            pc = pc.reshape(nb, 3).copy()
+            # parity visualize_file.py:271-273: average the predicted CoP
+            # with the foot body position (root-zeroed frame here)
+            if fk_fn is not None and len(contact_body_idx) == nb:
+                qf = np.array(x[-1, o_pos:o_pos + w_pos], np.float64)
+                qf[:6] = 0.0
+                _, ps_f = fk_fn(qf)
+                feet = np.asarray(ps_f)[contact_body_idx]
+                pc = (pc + feet) / 2.0
             packet['pred_forces'] = [
-                [pc[3 * b:3 * b + 3].tolist(), pf[3 * b:3 * b + 3].tolist()]
+                [pc[b].tolist(), pf[3 * b:3 * b + 3].tolist()]
                 for b in range(nb)]
             if evaluator is not None and tick_count[0] > 0:
                 packet['hud'] = \
