@@ -98,7 +98,8 @@ class AnalyzeCommand:
                     history_len=config.window_size, stride=config.stride,
                     d_model=config.d_model, num_layers=config.num_layers,
                     num_heads=config.num_heads,
-                    timesteps=config.diffusion_timesteps)
+                    timesteps=config.diffusion_timesteps,
+                    attn_impl=config.attn_impl)
                 sample_b = ds.gather(np.arange(min(config.batch_size, len(ds))))
                 x_cond = jax.numpy.asarray(sample_b.inputs)
                 x0 = jnp.zeros((x_cond.shape[0], x_cond.shape[1],

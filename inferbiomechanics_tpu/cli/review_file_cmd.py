@@ -185,6 +185,7 @@ def build_segment_packet_fn(ds):
     o_f, w_f = offs['groundContactForce']
     o_c, _ = offs['groundContactCenterOfPressure']
     o_jc, w_jc = offs['jointCentersInRootFrame']
+    o_rw, _ = offs['rootPosInWorld']
     nb = w_f // 3
 
     fk_fn = None
@@ -209,9 +210,10 @@ def build_segment_packet_fn(ds):
         row = last[frame]
         packet: dict = {
             # world-frame joint markers: root-frame centers shifted by the
-            # root translation (exact for small root rotation; the raw
-            # plate forces are the QA signal here)
-            'joints': row[o_jc:o_jc + w_jc].reshape(-1, 3).tolist(),
+            # root world translation (exact for small root rotation; the
+            # raw plate forces are the QA signal here)
+            'joints': (row[o_jc:o_jc + w_jc].reshape(-1, 3)
+                       + row[o_rw:o_rw + 3][None, :]).tolist(),
             'label_forces': [
                 [row[o_c + 3 * b:o_c + 3 * b + 3].tolist(),
                  (row[o_f + 3 * b:o_f + 3 * b + 3] / mass).tolist()]

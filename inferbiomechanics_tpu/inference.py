@@ -73,15 +73,12 @@ class Predictor:
                 use_fused = False
 
         def fwd(params, x, y_packed):
-            variables = {'params': params}
-            if batch_stats:
-                variables['batch_stats'] = batch_stats
             if use_fused:
-                from inferbiomechanics_tpu.models.transformer import (
-                    fused_transformer_forward,
-                )
                 out = fused_transformer_forward(self.model, params, x)
             else:
+                variables = {'params': params}
+                if batch_stats:
+                    variables['batch_stats'] = batch_stats
                 out = self.model.apply(variables, x, train=False)
             labels = self.ds.unpack_labels(y_packed)
             # per-window loss: vmap the loss core over the batch dim

@@ -64,7 +64,8 @@ def get_model(model_type: str,
         return DiffusionDenoiser(
             num_dofs=num_dofs, num_contact_bodies=num_contact_bodies,
             history_len=history_len, stride=stride,
-            d_model=d_model, num_layers=num_layers, num_heads=num_heads)
+            d_model=d_model, num_layers=num_layers, num_heads=num_heads,
+            attn_impl=attn_impl)
     raise ValueError(f'unknown model type {model_type!r}; expected one of {MODEL_TYPES}')
 
 

@@ -53,7 +53,8 @@ def train_diffusion(config: Config,
         num_contact_bodies=train_ds.num_contact_bodies,
         history_len=config.window_size, stride=config.stride,
         d_model=config.d_model, num_layers=config.num_layers,
-        num_heads=config.num_heads, timesteps=config.diffusion_timesteps)
+        num_heads=config.num_heads, timesteps=config.diffusion_timesteps,
+        attn_impl=config.attn_impl)
     sched = DDPMSchedule(config.diffusion_timesteps)
     lc = loss_config_from(config)
 

@@ -48,7 +48,7 @@ def make_pack_spec(tree) -> PackSpec:
         leaf_dtype.append(dt)
         leaf_offset.append(offsets[dt])
         leaf_shape.append(tuple(np.shape(leaf)))
-        offsets[dt] += int(np.prod(np.shape(leaf)) or 1)
+        offsets[dt] += int(np.prod(np.shape(leaf)))  # () -> 1, zero-size -> 0
     return PackSpec(treedef, dtypes, leaf_dtype, leaf_offset, leaf_shape,
                     dict(offsets))
 
@@ -68,9 +68,10 @@ def unpack(spec: PackSpec, buffers: Dict[str, jax.Array]):
     leaves = []
     for dt, off, shape in zip(spec.leaf_dtype, spec.leaf_offset,
                               spec.leaf_shape):
-        n = int(np.prod(shape) or 1)
+        n = int(np.prod(shape))
         leaves.append(jax.lax.dynamic_slice_in_dim(
-            buffers[dt], off, n).reshape(shape))
+            buffers[dt], off, n).reshape(shape) if n else
+            jnp.zeros(shape, buffers[dt].dtype))
     return jax.tree_util.tree_unflatten(spec.treedef, leaves)
 
 

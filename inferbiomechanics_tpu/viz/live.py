@@ -135,7 +135,7 @@ sock.onmessage = ev => {
   }
 };
 addEventListener('keydown', ev => {
-  if ([' ', 'e', 'a', 'r'].includes(ev.key)){
+  if ([' ', 'e', 'a', 'r', 'n'].includes(ev.key)){
     sock.send(JSON.stringify({type: 'key', key: ev.key}));
     ev.preventDefault();
   }

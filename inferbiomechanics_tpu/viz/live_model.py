@@ -60,8 +60,11 @@ def build_live_session(ds, predictor=None, evaluator=None,
     tick_count = [0]
     running = [0.0]
 
-    contact_body_idx = [i for i, n in enumerate(body_names)
-                        if n in ds.contact_bodies]
+    # body index PER ds.contact_bodies ROW ORDER (CoP rows follow it);
+    # name-order enumeration would pair CoPs with the wrong foot
+    name_to_idx = {n: i for i, n in enumerate(body_names)}
+    contact_body_idx = [name_to_idx[b] for b in ds.contact_bodies
+                        if b in name_to_idx]
 
     def packet_for_frame(frame: int) -> dict:
         wi = idx[frame % len(idx)]

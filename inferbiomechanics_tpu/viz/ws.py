@@ -60,7 +60,8 @@ def decode_frames(buf: bytes) -> Tuple[List[Tuple[int, bytes]], bytes]:
     frag_opcode: int = -1
     frag_payload = b''
     pos = 0
-    frag_start = 0   # buffer position of the unfinished fragment sequence
+    frag_start = 0      # buffer position of the unfinished fragment sequence
+    frag_out_mark = 0   # frames emitted before the fragment started
     n = len(buf)
     while True:
         if n - pos < 2:
@@ -100,13 +101,16 @@ def decode_frames(buf: bytes) -> Tuple[List[Tuple[int, bytes]], bytes]:
         elif not fin and opcode in (OP_TEXT, OP_BINARY):
             frag_opcode, frag_payload = opcode, payload
             frag_start = pos
+            frag_out_mark = len(out)
         else:
             out.append((opcode, payload))
         pos = p + ln
     if frag_opcode >= 0:
         # message still fragmented: keep its bytes in the remainder so the
-        # next call re-parses them with the missing continuation appended
-        return out, buf[frag_start:]
+        # next call re-parses them with the missing continuation appended —
+        # and withhold any frames parsed AFTER the fragment start (they are
+        # inside the remainder and would otherwise be delivered twice)
+        return out[:frag_out_mark], buf[frag_start:]
     return out, buf[pos:]
 
 
