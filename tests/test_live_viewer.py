@@ -297,3 +297,24 @@ def test_fragmented_message_reassembly():
     c3 = frame(True, ws.OP_CONT, b'c')
     msgs, rest = ws.decode_frames(c1 + c2 + c3)
     assert msgs == [(ws.OP_TEXT, b'abc')] and rest == b''
+
+
+def test_no_duplicate_delivery_across_fragment_boundary():
+    """A complete control/data frame arriving between a fragment's start
+    and its continuation must be delivered exactly once (it is withheld
+    with the fragment and emitted on the completing call)."""
+    import struct
+
+    def frame(fin, opcode, payload, mask=b'\x01\x02\x03\x04'):
+        head = bytes([(0x80 if fin else 0) | opcode, 0x80 | len(payload)])
+        return head + mask + bytes(c ^ mask[i % 4]
+                                   for i, c in enumerate(payload))
+
+    a = frame(False, ws.OP_TEXT, b'par')       # fragment start
+    ping = frame(True, ws.OP_PING, b'hb')      # interleaved control frame
+    b = frame(True, ws.OP_CONT, b'tial')       # completes the message
+    msgs1, rest = ws.decode_frames(a + ping)   # continuation not yet here
+    assert msgs1 == []                         # ping withheld, no dupes
+    msgs2, rest2 = ws.decode_frames(rest + b)
+    assert rest2 == b''
+    assert msgs2 == [(ws.OP_PING, b'hb'), (ws.OP_TEXT, b'partial')]
