@@ -146,3 +146,42 @@ def test_transformer_attn_impls_agree():
     v2 = m_flax.init(jax.random.PRNGKey(0), x, train=False)
     out2 = m_flax.apply(v2, x, train=False)
     assert out2[k].shape == (4, 1, 6)
+
+
+def test_attn_checkpoint_conversion_equivalence():
+    """flax <-> vpu attention parameterizations are the same layer: params
+    converted with scripts/convert_attn_checkpoint.py give (near-)identical
+    model outputs, both directions."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'scripts'))
+    from convert_attn_checkpoint import convert_params
+    from inferbiomechanics_tpu.models import get_model
+
+    H = 4
+    kw = dict(num_dofs=23, num_contact_bodies=2, history_len=50, stride=5,
+              root_history_len=10, d_model=64, num_layers=2, num_heads=H)
+    m_flax = get_model('transformer', attn_impl='flax', **kw)
+    m_vpu = get_model('transformer', attn_impl='vpu', **kw)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (4, 10, 177)).astype(np.float32))
+    v_flax = m_flax.init({'params': jax.random.PRNGKey(0)}, x, train=False)
+    ref = m_flax.apply(v_flax, x, train=False)
+
+    p_vpu = convert_params(
+        jax.tree_util.tree_map(np.asarray, v_flax['params']), 'vpu', H)
+    got = m_vpu.apply({'params': p_vpu}, x, train=False)
+    for k in ref:
+        a, b = np.asarray(ref[k]), np.asarray(got[k])
+        np.testing.assert_allclose(b, a, atol=2e-2 * (np.abs(a).max() + 1e-6),
+                                   err_msg=f'flax->vpu head {k}')
+
+    # and back: vpu -> flax must reproduce the original flax params
+    p_back = convert_params(p_vpu, 'flax', H)
+    for blk in [k for k in p_back if k.startswith('EncoderBlock_')]:
+        orig = v_flax['params'][blk]['MultiHeadDotProductAttention_0']
+        conv = p_back[blk]['MultiHeadDotProductAttention_0']
+        for part in ('query', 'key', 'value', 'out'):
+            np.testing.assert_allclose(np.asarray(conv[part]['kernel']),
+                                       np.asarray(orig[part]['kernel']),
+                                       atol=1e-7)
