@@ -26,7 +26,7 @@ _TEMPLATE = """<!DOCTYPE html>
  canvas { display:block; }
 </style></head>
 <body>
-<div id="hud">__TITLE__ — space: play/pause, ←/→: step, +/-: speed<br>
+<div id="hud">__TITLE__ — space: play/pause, ←/→: step, +/-: speed, drag: orbit, wheel: zoom<br>
  <span style="color:#f55">■</span> label force&nbsp;
  <span style="color:#59f">■</span> predicted force&nbsp;
  <span style="color:#ddd">●</span> joint centers</div>
@@ -37,9 +37,27 @@ const cv = document.getElementById('c'), ctx = cv.getContext('2d');
 function resize(){ cv.width = innerWidth; cv.height = innerHeight; }
 addEventListener('resize', resize); resize();
 let frame = 0, playing = true, speed = 1, acc = 0, last = performance.now();
-const S = 260;  // px per meter
-function P(v){ return [cv.width/2 + v[0]*S + (v[2]||0)*S*0.35,
-                       cv.height*0.78 - v[1]*S + (v[2]||0)*S*0.18]; }
+// true-3D orbit camera (same projection as the live viewer, viz/live.py)
+let yaw = 0.7, pitch = 0.25, dist = 4.2, ccx = 0, ccy = 1.0, drag = null;
+cv.addEventListener('mousedown', e => drag = [e.clientX, e.clientY]);
+addEventListener('mouseup', () => drag = null);
+addEventListener('mousemove', e => {
+  if (!drag) return;
+  yaw += (e.clientX - drag[0]) * 0.008;
+  pitch = Math.max(-1.4, Math.min(1.4, pitch + (e.clientY - drag[1]) * 0.008));
+  drag = [e.clientX, e.clientY];
+});
+cv.addEventListener('wheel', e => { dist = Math.max(0.8, dist * (1 + e.deltaY * 0.001)); });
+function P(v){
+  const x = v[0] - ccx, y = v[1] - ccy, z = v[2] || 0;
+  const cyw = Math.cos(yaw), syw = Math.sin(yaw);
+  const cp = Math.cos(pitch), sp = Math.sin(pitch);
+  let X = cyw * x + syw * z, Z0 = -syw * x + cyw * z;
+  let Y = cp * y - sp * Z0, Z = sp * y + cp * Z0 + dist;
+  if (Z < 0.1) Z = 0.1;
+  const fpx = 0.9 * Math.min(cv.width, cv.height) / Z;
+  return [cv.width / 2 + X * fpx, cv.height / 2 - Y * fpx];
+}
 function line(a, b, color, w){ ctx.strokeStyle = color; ctx.lineWidth = w;
   ctx.beginPath(); ctx.moveTo(...P(a)); ctx.lineTo(...P(b)); ctx.stroke(); }
 function dot(a, r, color){ ctx.fillStyle = color; ctx.beginPath();
@@ -47,7 +65,10 @@ function dot(a, r, color){ ctx.fillStyle = color; ctx.beginPath();
 function draw(){
   ctx.fillStyle = '#111'; ctx.fillRect(0, 0, cv.width, cv.height);
   const f = DATA.frames[frame];
-  line([-2,0,0],[2,0,0],'#333',1);
+  for (let i = -5; i <= 5; i++){
+    line([i * 0.5, 0, -2.5], [i * 0.5, 0, 2.5], '#333', 1);
+    line([-2.5, 0, i * 0.5], [2.5, 0, i * 0.5], '#333', 1);
+  }
   for (const j of f.joints) dot(j, 4, '#ddd');
   if (f.bones) for (const b of f.bones) line(f.joints[b[0]], f.joints[b[1]], '#888', 2);
   if (f.root_vel) line(f.joints[0],
