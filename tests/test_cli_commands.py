@@ -100,3 +100,16 @@ def test_visualize_exports_html(workspace, tmp_path):
              '--out', out_html, '--short'])
     html = open(out_html).read()
     assert 'DATA' in html and 'canvas' in html
+
+
+def test_train_from_pickled_blocks(workspace):
+    """--use-pickled trains from the .npz blocks end-to-end (capability the
+    reference left dangling, SURVEY.md 2.4). Depends on the pickle-data
+    test having produced train_pickled/."""
+    assert os.path.isdir(os.path.join(workspace['data'], 'train_pickled'))
+    out = run_cmd(['train', '--dataset-home', workspace['data'],
+                   '--checkpoint-dir', os.path.join(str(workspace['root']),
+                                                    'pickled_ckpt'),
+                   '--no-wandb', '--epochs', '1', '--batch-size', '32',
+                   '--use-pickled'])
+    assert 'Training done' in out.stdout
