@@ -41,18 +41,34 @@ def build_live_session(ds, predictor=None, evaluator=None,
     nb = ds.num_contact_bodies
 
     # FK body transforms for mesh posing (root zeroed like
-    # visualize.py:215-216: pos_in_root_frame[0:6] = 0)
+    # visualize.py:215-216: pos_in_root_frame[0:6] = 0). Multi-subject
+    # dev sets carry one SCALED skeleton per subject: per-subject
+    # parameter arrays are selected per window (ops/skeleton.py).
     fk_fn = None
     body_names = []
     meshes = {}
+    param_stack = None
     try:
-        spec = ds.subjects[0].readSkel(
-            ds.subjects[0].getNumProcessingPasses() - 1, geometry_folder)
-        from inferbiomechanics_tpu.ops.skeleton import compile_skeleton
+        from inferbiomechanics_tpu.ops.skeleton import (
+            compile_skeleton, skeleton_param_stack,
+            skeletons_structurally_equal, with_params,
+        )
         import jax
-        skel = compile_skeleton(spec)
+        specs = [s.readSkel(s.getNumProcessingPasses() - 1, geometry_folder)
+                 for s in ds.subjects]
+        skel = compile_skeleton(specs[0])
         body_names = skel.body_names
-        fk_fn = jax.jit(skel.fk)
+        if (len(specs) > 1
+                and all(skeletons_structurally_equal(specs[0], s)
+                        for s in specs[1:])):
+            param_stack = skeleton_param_stack(specs)
+
+            def fk_fn(q, si=0):
+                arrs = {k: v[si] for k, v in param_stack.items()}
+                return with_params(skel, arrs).fk(q)
+        else:
+            base_fk = jax.jit(skel.fk)
+            fk_fn = lambda q, si=0: base_fk(q)
         meshes = load_body_meshes(geometry_folder, body_names)
     except (ValueError, KeyError):
         pass  # no skeleton in header: joints + forces still render
@@ -68,6 +84,7 @@ def build_live_session(ds, predictor=None, evaluator=None,
 
     def packet_for_frame(frame: int) -> dict:
         wi = idx[frame % len(idx)]
+        si = int(ds.win_subject[wi])
         batch = ds.gather(np.asarray([wi]))
         x = batch.inputs[0]                       # [T, C_in]
         o_pos, w_pos = in_offs[K.InputDataKeys.POS]
@@ -108,7 +125,7 @@ def build_live_session(ds, predictor=None, evaluator=None,
             if fk_fn is not None and len(contact_body_idx) == nb:
                 qf = np.array(x[-1, o_pos:o_pos + w_pos], np.float64)
                 qf[:6] = 0.0
-                _, ps_f = fk_fn(qf)
+                _, ps_f = fk_fn(qf, si)
                 feet = np.asarray(ps_f)[contact_body_idx]
                 pc = (pc + feet) / 2.0
             packet['pred_forces'] = [
@@ -121,7 +138,7 @@ def build_live_session(ds, predictor=None, evaluator=None,
         if fk_fn is not None:
             q = np.array(x[-1, o_pos:o_pos + w_pos], np.float64)
             q[:6] = 0.0
-            Rs, ps = fk_fn(q)
+            Rs, ps = fk_fn(q, si)
             Rs = np.asarray(Rs)
             ps = np.asarray(ps)
             packet['bodies'] = {

@@ -318,3 +318,43 @@ def test_no_duplicate_delivery_across_fragment_boundary():
     msgs2, rest2 = ws.decode_frames(rest + b)
     assert rest2 == b''
     assert msgs2 == [(ws.OP_PING, b'hb'), (ws.OP_TEXT, b'partial')]
+
+
+def test_live_session_multi_subject_skeletons(tmp_path):
+    """Multi-subject dev sets pose meshes with each window's own (scaled)
+    skeleton: the per-subject FK branch selects parameters by subject."""
+    from inferbiomechanics_tpu.data.b3d import write_subject
+    from inferbiomechanics_tpu.data.synthetic import (
+        CONTACT_BODIES, standard_skeleton, synthetic_trial,
+    )
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.viz.live_model import build_live_session
+
+    d = tmp_path / 'data'
+    d.mkdir()
+    for i, leg_scale in enumerate([1.0, 1.3]):
+        sk = standard_skeleton()
+        for j in sk.joints:          # scale segment offsets -> FK differs
+            j.translation = [t * leg_scale for t in j.translation]
+        rng = np.random.default_rng(i)
+        write_subject(str(d / f's{i}.b3d'), num_dofs=23,
+                      ground_force_bodies=list(CONTACT_BODIES),
+                      root_history_len=10,
+                      trials=[synthetic_trial('t', 60, rng=rng)],
+                      skeleton=sk, mass_kg=70.0)
+    geom = tmp_path / 'Geometry'
+    geom.mkdir()
+    (geom / 'pelvis.obj').write_text(OBJ)
+    (geom / 'femur.obj').write_text(OBJ)
+    ds = WindowDataset(str(d), window_size=20, stride=5)
+    session, init = build_live_session(ds, geometry_folder=str(geom))
+    w0 = int(np.nonzero(ds.win_subject == 0)[0][0])
+    w1 = int(np.nonzero(ds.win_subject == 1)[0][0])
+    p0 = session.packet_for_frame(int(np.where(np.arange(len(ds)) == w0)[0][0]))
+    p1 = session.packet_for_frame(int(np.where(np.arange(len(ds)) == w1)[0][0]))
+    assert 'bodies' in p0 and 'bodies' in p1
+    # femur body origin = hip offset, scaled 1.3x for subject 1
+    f0 = np.asarray(p0['bodies']['femur_r']['p'])
+    f1 = np.asarray(p1['bodies']['femur_r']['p'])
+    assert not np.allclose(f0, f1)
+    np.testing.assert_allclose(f1, f0 * 1.3, rtol=1e-3)
