@@ -43,37 +43,14 @@ const hud = document.getElementById('hud');
 function resize(){ cv.width = innerWidth; cv.height = innerHeight; }
 addEventListener('resize', resize); resize();
 
-// orbit camera
-let yaw = 0.7, pitch = 0.25, dist = 4.2, cx = 0, cy = 1.0;
-let drag = null;
-cv.addEventListener('mousedown', e => drag = [e.clientX, e.clientY]);
-addEventListener('mouseup', () => drag = null);
-addEventListener('mousemove', e => {
-  if (!drag) return;
-  yaw += (e.clientX - drag[0]) * 0.008;
-  pitch = Math.max(-1.4, Math.min(1.4, pitch + (e.clientY - drag[1]) * 0.008));
-  drag = [e.clientX, e.clientY];
-});
-cv.addEventListener('wheel', e => { dist = Math.max(0.8, dist * (1 + e.deltaY * 0.001)); });
-
-function project(p){
-  // world -> camera (orbit around [cx, cy, 0]) -> perspective
-  const x = p[0] - cx, y = p[1] - cy, z = p[2];
-  const cyw = Math.cos(yaw), syw = Math.sin(yaw);
-  const cp = Math.cos(pitch), sp = Math.sin(pitch);
-  let X = cyw * x + syw * z, Z0 = -syw * x + cyw * z;
-  let Y = cp * y - sp * Z0, Z = sp * y + cp * Z0 + dist;
-  if (Z < 0.1) Z = 0.1;
-  const f = 0.9 * Math.min(cv.width, cv.height) / Z;
-  return [cv.width / 2 + X * f, cv.height / 2 - Y * f, f];
-}
+__CAMERA__
 function line3(a, b, color, w){
-  const pa = project(a), pb = project(b);
+  const pa = P(a), pb = P(b);
   ctx.strokeStyle = color; ctx.lineWidth = w;
   ctx.beginPath(); ctx.moveTo(pa[0], pa[1]); ctx.lineTo(pb[0], pb[1]); ctx.stroke();
 }
 function dot3(a, r, color){
-  const p = project(a);
+  const p = P(a);
   ctx.fillStyle = color; ctx.beginPath();
   ctx.arc(p[0], p[1], Math.max(1.5, r * p[2]), 0, 6.283); ctx.fill();
 }
@@ -282,7 +259,9 @@ class LiveViewerServer:
                     self._clients[conn] = True
                 self._read_ws(conn)
             else:
-                page = _PAGE.replace('__TITLE__', self.title).encode()
+                from inferbiomechanics_tpu.viz.viewer import CAMERA_JS
+                page = (_PAGE.replace('__CAMERA__', CAMERA_JS)
+                        .replace('__TITLE__', self.title).encode())
                 conn.sendall(b'HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n'
                              + f'Content-Length: {len(page)}\r\n\r\n'.encode()
                              + page)

@@ -48,30 +48,44 @@ def build_live_session(ds, predictor=None, evaluator=None,
     body_names = []
     meshes = {}
     param_stack = None
-    try:
-        from inferbiomechanics_tpu.ops.skeleton import (
-            compile_skeleton, skeleton_param_stack,
-            skeletons_structurally_equal, with_params,
-        )
-        import jax
-        specs = [s.readSkel(s.getNumProcessingPasses() - 1, geometry_folder)
-                 for s in ds.subjects]
-        skel = compile_skeleton(specs[0])
+    from inferbiomechanics_tpu.ops.skeleton import (
+        compile_skeleton, skeleton_param_stack,
+        skeletons_structurally_equal, with_params,
+    )
+    import jax
+    import logging
+    log = logging.getLogger(__name__)
+    specs = []
+    for s in ds.subjects:
+        try:
+            specs.append(s.readSkel(s.getNumProcessingPasses() - 1,
+                                    geometry_folder))
+        except (ValueError, KeyError):
+            specs.append(None)   # one bad subject must not disable FK
+    good = [sp for sp in specs if sp is not None]
+    if good:
+        skel = compile_skeleton(good[0])
         body_names = skel.body_names
-        if (len(specs) > 1
-                and all(skeletons_structurally_equal(specs[0], s)
-                        for s in specs[1:])):
-            param_stack = skeleton_param_stack(specs)
+        if (len(good) == len(specs) and len(good) > 1
+                and all(skeletons_structurally_equal(good[0], sp)
+                        for sp in good[1:])):
+            param_stack = skeleton_param_stack(good)
 
-            def fk_fn(q, si=0):
+            @jax.jit
+            def _fk(q, si):
                 arrs = {k: v[si] for k, v in param_stack.items()}
                 return with_params(skel, arrs).fk(q)
+
+            fk_fn = lambda q, si=0: _fk(q, si)
         else:
+            if len(specs) > 1:
+                log.warning(
+                    'per-subject skeleton posing unavailable (missing or '
+                    'structurally different skeletons); all windows pose '
+                    "with subject 0's skeleton")
             base_fk = jax.jit(skel.fk)
             fk_fn = lambda q, si=0: base_fk(q)
         meshes = load_body_meshes(geometry_folder, body_names)
-    except (ValueError, KeyError):
-        pass  # no skeleton in header: joints + forces still render
 
     tick_count = [0]
     running = [0.0]

@@ -18,6 +18,33 @@ import os
 import socketserver
 from typing import Dict, List
 
+# Shared orbit-camera JS (state + handlers + projection), spliced into
+# both the static template below and the live template (viz/live.py) so
+# camera fixes land in one place. Expects `cv` (canvas) in scope; expands
+# to `P(v) -> [px, py]` plus the interaction handlers.
+CAMERA_JS = """
+let yaw = 0.7, pitch = 0.25, dist = 4.2, ccx = 0, ccy = 1.0, drag = null;
+cv.addEventListener('mousedown', e => drag = [e.clientX, e.clientY]);
+addEventListener('mouseup', () => drag = null);
+addEventListener('mousemove', e => {
+  if (!drag) return;
+  yaw += (e.clientX - drag[0]) * 0.008;
+  pitch = Math.max(-1.4, Math.min(1.4, pitch + (e.clientY - drag[1]) * 0.008));
+  drag = [e.clientX, e.clientY];
+});
+cv.addEventListener('wheel', e => { dist = Math.max(0.8, dist * (1 + e.deltaY * 0.001)); });
+function P(v){
+  const x = v[0] - ccx, y = v[1] - ccy, z = v[2] || 0;
+  const cyw = Math.cos(yaw), syw = Math.sin(yaw);
+  const cp = Math.cos(pitch), sp = Math.sin(pitch);
+  let X = cyw * x + syw * z, Z0 = -syw * x + cyw * z;
+  let Y = cp * y - sp * Z0, Z = sp * y + cp * Z0 + dist;
+  if (Z < 0.1) Z = 0.1;
+  const fpx = 0.9 * Math.min(cv.width, cv.height) / Z;
+  return [cv.width / 2 + X * fpx, cv.height / 2 - Y * fpx, fpx];
+}
+"""
+
 _TEMPLATE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>__TITLE__</title>
 <style>
@@ -37,27 +64,7 @@ const cv = document.getElementById('c'), ctx = cv.getContext('2d');
 function resize(){ cv.width = innerWidth; cv.height = innerHeight; }
 addEventListener('resize', resize); resize();
 let frame = 0, playing = true, speed = 1, acc = 0, last = performance.now();
-// true-3D orbit camera (same projection as the live viewer, viz/live.py)
-let yaw = 0.7, pitch = 0.25, dist = 4.2, ccx = 0, ccy = 1.0, drag = null;
-cv.addEventListener('mousedown', e => drag = [e.clientX, e.clientY]);
-addEventListener('mouseup', () => drag = null);
-addEventListener('mousemove', e => {
-  if (!drag) return;
-  yaw += (e.clientX - drag[0]) * 0.008;
-  pitch = Math.max(-1.4, Math.min(1.4, pitch + (e.clientY - drag[1]) * 0.008));
-  drag = [e.clientX, e.clientY];
-});
-cv.addEventListener('wheel', e => { dist = Math.max(0.8, dist * (1 + e.deltaY * 0.001)); });
-function P(v){
-  const x = v[0] - ccx, y = v[1] - ccy, z = v[2] || 0;
-  const cyw = Math.cos(yaw), syw = Math.sin(yaw);
-  const cp = Math.cos(pitch), sp = Math.sin(pitch);
-  let X = cyw * x + syw * z, Z0 = -syw * x + cyw * z;
-  let Y = cp * y - sp * Z0, Z = sp * y + cp * Z0 + dist;
-  if (Z < 0.1) Z = 0.1;
-  const fpx = 0.9 * Math.min(cv.width, cv.height) / Z;
-  return [cv.width / 2 + X * fpx, cv.height / 2 - Y * fpx];
-}
+__CAMERA__
 function line(a, b, color, w){ ctx.strokeStyle = color; ctx.lineWidth = w;
   ctx.beginPath(); ctx.moveTo(...P(a)); ctx.lineTo(...P(b)); ctx.stroke(); }
 function dot(a, r, color){ ctx.fillStyle = color; ctx.beginPath();
@@ -108,6 +115,7 @@ def export_html(path: str, payload: Dict, title: str = 'InferBiomechanics') -> s
     {dt: float, frames: [{joints: [[x,y,z]..], bones: [[i,j]..],
     label_forces: [[[cop],[vec]]..], pred_forces: ..., missing_grf: bool}]}"""
     html = (_TEMPLATE
+            .replace('__CAMERA__', CAMERA_JS)
             .replace('__TITLE__', title)
             .replace('__DATA__', json.dumps(payload)))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

@@ -64,8 +64,10 @@ def vpu_attn_to_flax(blk: dict, num_heads: int) -> dict:
     return blk
 
 
-def convert_params(params: dict, to: str, num_heads: int) -> dict:
-    """Convert every EncoderBlock_* in a checkpoint parameter tree."""
+def convert_params(params: dict, to: str, num_heads: int,
+                   _converted=None) -> dict:
+    """Convert every EncoderBlock_* in a checkpoint parameter tree.
+    `_converted`, if given, is a list receiving the converted block names."""
     out = dict(params)
     for key, blk in params.items():
         if not key.startswith('EncoderBlock_'):
@@ -74,7 +76,16 @@ def convert_params(params: dict, to: str, num_heads: int) -> dict:
         if to == 'vpu' and 'MultiHeadDotProductAttention_0' in blk:
             out[key] = flax_attn_to_vpu(blk)
         elif to == 'flax' and 'ShortWindowAttention_0' in blk:
+            d = np.asarray(blk['ShortWindowAttention_0']['qkv']['kernel']).shape[0]
+            if d % num_heads != 0:
+                raise SystemExit(
+                    f'{key}: d_model {d} not divisible by --num-heads '
+                    f'{num_heads}')
             out[key] = vpu_attn_to_flax(blk, num_heads)
+        else:
+            continue
+        if _converted is not None:
+            _converted.append(key)
     return out
 
 
@@ -90,13 +101,24 @@ def main():
     from flax import serialization
     with open(args.input, 'rb') as f:
         raw = serialization.msgpack_restore(f.read())
-    raw['params'] = convert_params(raw['params'], args.to, args.num_heads)
+    converted = []
+    raw['params'] = convert_params(raw['params'], args.to, args.num_heads,
+                                   _converted=converted)
+    if not converted:
+        raise SystemExit(
+            f'no EncoderBlock attention parameters to convert to '
+            f'{args.to!r} — is {args.input} already in that format? '
+            f'(nothing written)')
+    # NOTE: --num-heads must match the TRAINING config for --to flax; any
+    # divisor of d_model reshapes cleanly, but a wrong value changes the
+    # per-head softmax grouping silently.
     # optimizer moments have the old tree shape; drop them (the loader
     # restarts the optimizer on mismatch anyway, this makes it explicit)
     raw.pop('opt_state', None)
     with open(args.output, 'wb') as f:
         f.write(serialization.msgpack_serialize(raw))
-    print(f'wrote {args.output} ({args.to} attention)')
+    print(f'wrote {args.output} ({args.to} attention, '
+          f'{len(converted)} blocks converted)')
 
 
 if __name__ == '__main__':

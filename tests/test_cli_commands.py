@@ -104,9 +104,9 @@ def test_visualize_exports_html(workspace, tmp_path):
 
 def test_train_from_pickled_blocks(workspace):
     """--use-pickled trains from the .npz blocks end-to-end (capability the
-    reference left dangling, SURVEY.md 2.4). Depends on the pickle-data
-    test having produced train_pickled/."""
-    assert os.path.isdir(os.path.join(workspace['data'], 'train_pickled'))
+    reference left dangling, SURVEY.md 2.4)."""
+    if not os.path.isdir(os.path.join(workspace['data'], 'train_pickled')):
+        run_cmd(['pickle-data', '--dataset-home', workspace['data']])
     out = run_cmd(['train', '--dataset-home', workspace['data'],
                    '--checkpoint-dir', os.path.join(str(workspace['root']),
                                                     'pickled_ckpt'),
