@@ -61,7 +61,10 @@ class VisualizeCommand:
                        geometry_folder=ensure_geometry(config.geometry_folder),
                        title='dev split (live)', port=args.port)
             return True
-        payload = build_viz_payload(ds, args.subject, args.trial, predictor)
+        from inferbiomechanics_tpu.utils.geometry import ensure_geometry
+        payload = build_viz_payload(ds, args.subject, args.trial, predictor,
+                                    geometry_folder=ensure_geometry(
+                                        config.geometry_folder))
         path = export_html(args.out, payload, title=f'dev subject {args.subject} '
                                                     f'trial {args.trial}')
         print(f'wrote viewer: {path}')

@@ -21,11 +21,29 @@ from inferbiomechanics_tpu.viz.viewer import STANDARD_BONES, export_html, serve_
 
 
 def build_viz_payload(ds: WindowDataset, subject_index: int, trial: int,
-                      predictor=None):
-    """Assemble viewer frames for one trial (joints, forces, missing flags)."""
+                      predictor=None, geometry_folder: str = ''):
+    """Assemble viewer frames for one trial (joints, forces, missing flags,
+    and — when the subject carries a skeleton — FK-posed Geometry meshes
+    like the live viewer)."""
     subject = ds.subjects[subject_index]
     kin = subject.trial_pass_matrix(trial, 0)
     offs = subject.field_offsets
+
+    fk_fn = None
+    body_names = []
+    meshes = {}
+    try:
+        import jax
+        from inferbiomechanics_tpu.ops.skeleton import compile_skeleton
+        from inferbiomechanics_tpu.viz.mesh import load_body_meshes
+        skel = compile_skeleton(subject.readSkel(
+            subject.getNumProcessingPasses() - 1, geometry_folder))
+        body_names = skel.body_names
+        meshes = load_body_meshes(geometry_folder, body_names)
+        if meshes:
+            fk_fn = jax.jit(jax.vmap(skel.fk))
+    except (ValueError, KeyError):
+        pass
     missing = [int(r) != int(MissingGRFReason.notMissingGRF)
                for r in subject.getMissingGRF(trial)]
     o_jc, w_jc = offs['jointCentersInRootFrame']
@@ -47,6 +65,19 @@ def build_viz_payload(ds: WindowDataset, subject_index: int, trial: int,
 
     frames = []
     T = kin.shape[0]
+    all_bodies = None
+    if fk_fn is not None:
+        import numpy as np
+        o_p, w_p = offs['pos']
+        qs = np.array(kin[:, o_p:o_p + w_p], np.float64)
+        qs[:, :6] = 0.0   # root-zeroed like the live viewer
+        Rs, ps = fk_fn(qs)
+        Rs, ps = np.asarray(Rs), np.asarray(ps)
+        all_bodies = [
+            {name: {'R': Rs[i, bi].reshape(-1).round(4).tolist(),
+                    'p': ps[i, bi].round(4).tolist()}
+             for bi, name in enumerate(body_names) if name in meshes}
+            for i in range(T)]
     for i in range(T):
         joints = kin[i, o_jc:o_jc + w_jc].reshape(12, 3).tolist()
         label_forces = []
@@ -66,8 +97,15 @@ def build_viz_payload(ds: WindowDataset, subject_index: int, trial: int,
             pc = pc.reshape(nb, 3)
             fr['pred_forces'] = [[pc[b].tolist(), pf[b].tolist()]
                                  for b in range(nb)]
+        if all_bodies is not None:
+            fr['bodies'] = all_bodies[i]
         frames.append(fr)
-    return {'dt': subject.getTrialTimestep(trial), 'frames': frames}
+    payload = {'dt': subject.getTrialTimestep(trial), 'frames': frames}
+    if meshes:
+        payload['meshes'] = {name: {'v': v.round(4).tolist(),
+                                    'e': e.tolist()}
+                             for name, (v, e) in meshes.items()}
+    return payload
 
 
 class VisualizeFileCommand:
@@ -113,7 +151,10 @@ class VisualizeFileCommand:
                        geometry_folder=ensure_geometry(config.geometry_folder),
                        title=os.path.basename(args.file), port=args.port)
             return True
-        payload = build_viz_payload(ds, 0, args.trial, predictor)
+        from inferbiomechanics_tpu.utils.geometry import ensure_geometry
+        payload = build_viz_payload(ds, 0, args.trial, predictor,
+                                    geometry_folder=ensure_geometry(
+                                        config.geometry_folder))
         path = export_html(args.out, payload,
                            title=os.path.basename(args.file))
         print(f'wrote viewer: {path}')

@@ -69,12 +69,26 @@ function line(a, b, color, w){ ctx.strokeStyle = color; ctx.lineWidth = w;
   ctx.beginPath(); ctx.moveTo(...P(a)); ctx.lineTo(...P(b)); ctx.stroke(); }
 function dot(a, r, color){ ctx.fillStyle = color; ctx.beginPath();
   const p = P(a); ctx.arc(p[0], p[1], r, 0, 6.283); ctx.fill(); }
+function xform(R, p, v){
+  return [R[0]*v[0] + R[1]*v[1] + R[2]*v[2] + p[0],
+          R[3]*v[0] + R[4]*v[1] + R[5]*v[2] + p[1],
+          R[6]*v[0] + R[7]*v[1] + R[8]*v[2] + p[2]];
+}
 function draw(){
   ctx.fillStyle = '#111'; ctx.fillRect(0, 0, cv.width, cv.height);
   const f = DATA.frames[frame];
   for (let i = -5; i <= 5; i++){
     line([i * 0.5, 0, -2.5], [i * 0.5, 0, 2.5], '#333', 1);
     line([-2.5, 0, i * 0.5], [2.5, 0, i * 0.5], '#333', 1);
+  }
+  if (DATA.meshes && f.bodies){
+    for (const [name, T] of Object.entries(f.bodies)){
+      const mesh = DATA.meshes[name];
+      if (!mesh) continue;
+      for (const [a, b] of mesh.e)
+        line(xform(T.R, T.p, mesh.v[a]), xform(T.R, T.p, mesh.v[b]),
+             f.missing_grf ? '#533' : '#365', 1);
+    }
   }
   for (const j of f.joints) dot(j, 4, '#ddd');
   if (f.bones) for (const b of f.bones) line(f.joints[b[0]], f.joints[b[1]], '#888', 2);

@@ -358,3 +358,30 @@ def test_live_session_multi_subject_skeletons(tmp_path):
     f1 = np.asarray(p1['bodies']['femur_r']['p'])
     assert not np.allclose(f0, f1)
     np.testing.assert_allclose(f1, f0 * 1.3, rtol=1e-3)
+
+
+def test_static_payload_includes_meshes(tmp_path):
+    """The static export carries FK-posed meshes per frame when a Geometry
+    folder exists (parity with the live viewer's mesh rendering)."""
+    from inferbiomechanics_tpu.cli.visualize_file_cmd import build_viz_payload
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    from inferbiomechanics_tpu.viz.viewer import export_html
+
+    d = tmp_path / 'data'
+    d.mkdir()
+    write_synthetic_subject(str(d / 's.b3d'), num_trials=1, trial_length=40,
+                            seed=0)
+    geom = tmp_path / 'Geometry'
+    geom.mkdir()
+    (geom / 'pelvis.obj').write_text(OBJ)
+    ds = WindowDataset(str(d), window_size=20, stride=5)
+    payload = build_viz_payload(ds, 0, 0, geometry_folder=str(geom))
+    assert 'meshes' in payload and 'pelvis' in payload['meshes']
+    fr = payload['frames'][0]
+    assert 'bodies' in fr and 'pelvis' in fr['bodies']
+    assert len(fr['bodies']['pelvis']['R']) == 9
+    # and the exported HTML splices the camera + mesh renderer
+    html_path = export_html(str(tmp_path / 'v.html'), payload, 'm')
+    html = open(html_path).read()
+    assert 'function P(v)' in html and 'DATA.meshes' in html
