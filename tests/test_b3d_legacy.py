@@ -401,3 +401,36 @@ def test_parser_raises_clean_valueerror_on_garbage(tmp_path):
                                        dtype=np.uint8)))
         with pytest.raises(ValueError):
             L.LegacySubjectOnDisk(p)
+
+
+def test_ensure_tpu_format_cache_dir(tmp_path):
+    src = str(tmp_path / 's.b3d')
+    write_synthetic_legacy_subject(src, num_trials=1, trial_length=30)
+    cache = str(tmp_path / 'cache')
+    out = L.ensure_tpu_format(src, cache_dir=cache)
+    assert os.path.dirname(out) == cache
+    assert SubjectOnDisk(out).getNumTrials() == 1
+    # reused, not rewritten
+    mtime = os.path.getmtime(out)
+    assert L.ensure_tpu_format(src, cache_dir=cache) == out
+    assert os.path.getmtime(out) == mtime
+
+
+def test_convert_b3d_cli_out_dir_tree(tmp_path):
+    """convert-b3d --out-dir mirrors the source tree."""
+    import subprocess, sys
+    src = tmp_path / 'data' / 'sub'
+    src.mkdir(parents=True)
+    write_synthetic_legacy_subject(str(src / 'a.b3d'), num_trials=1,
+                                   trial_length=30)
+    out_dir = tmp_path / 'out'
+    main_py = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'main.py')
+    env = dict(os.environ, IB_PLATFORM='cpu')
+    r = subprocess.run([sys.executable, main_py, 'convert-b3d',
+                        str(tmp_path / 'data'), '--out-dir', str(out_dir)],
+                       capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    converted = out_dir / 'sub' / 'a.b3d'
+    assert converted.exists()
+    assert SubjectOnDisk(str(converted)).getNumTrials() == 1
