@@ -31,10 +31,18 @@ class DeviceResidentData:
     """The dataset's packed arrays + window table, resident in HBM."""
 
     def __init__(self, ds: WindowDataset, sharding=None,
-                 feature_dtype=jnp.bfloat16):
+                 feature_dtype=jnp.bfloat16, label_upload_dtype=None):
         """``feature_dtype=bfloat16`` halves HBM footprint and gather
         bandwidth; models cast inputs to bf16 anyway so compute is
         unchanged. Labels stay float32 (loss runs in f32).
+
+        All dtype narrowing happens ON HOST before the transfer — the
+        axon tunnel moves bytes at ~10 MB/s on a good day (CLAUDE.md),
+        so uploading f32 and casting on device doubles startup time.
+        ``label_upload_dtype`` (e.g. ``jnp.bfloat16``) additionally
+        ships labels narrow and widens them back to f32 on device —
+        resident arrays and gather cost are unchanged, only label
+        precision is reduced (~3 decimal digits); used by bench.py.
 
         Multi-host: every process must construct this from the SAME
         dataset files (replicated data plane); global arrays are built
@@ -46,8 +54,15 @@ class DeviceResidentData:
             put = lambda x: jax.device_put(x, sharding)
         else:
             put = jax.device_put
-        self.features_all = put(jnp.asarray(ds.features_all).astype(feature_dtype))
-        self.labels_all = put(jnp.asarray(ds.labels_all))
+        feat_np = np.asarray(ds.features_all).astype(feature_dtype)
+        self.features_all = put(feat_np)
+        if label_upload_dtype is not None:
+            lab_np = np.asarray(ds.labels_all).astype(label_upload_dtype)
+            self.labels_all = put(lab_np).astype(jnp.float32)
+        else:
+            lab_np = np.asarray(ds.labels_all)
+            self.labels_all = put(lab_np)
+        self.upload_bytes = feat_np.nbytes + lab_np.nbytes
         base = ds.trial_row_offset[ds.win_ft] + ds.win_start
         self.win_base = put(jnp.asarray(base, jnp.int32))
         self.num_windows = int(base.shape[0])
