@@ -31,6 +31,13 @@ class ConvertB3dCommand:
                                  'suffix .b3dtpu)')
         parser.add_argument('--force', action='store_true',
                             help='Reconvert even if an up-to-date output exists')
+        parser.add_argument('--verify', action='store_true',
+                            help='Strict-decode diagnosis instead of '
+                                 'converting: unknown-field census, framing '
+                                 'reconciliation, channel-width checks; '
+                                 'non-zero exit on any problem')
+        parser.add_argument('--verify-frames', type=int, default=None,
+                            help='With --verify: cap frames checked per trial')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'convert-b3d':
@@ -48,6 +55,25 @@ class ConvertB3dCommand:
         else:
             paths.append(args.input)
 
+        if args.verify:
+            from inferbiomechanics_tpu.data.b3d_legacy import (
+                format_verify_report, verify_legacy,
+            )
+            import sys
+            failed = 0
+            for path in paths:
+                if not is_legacy_b3d(path):
+                    print(f'skip (already B3D-TPU): {path}')
+                    continue
+                report = verify_legacy(
+                    path, max_frames_per_trial=args.verify_frames)
+                print(format_verify_report(report))
+                failed += 0 if report['ok'] else 1
+            if failed:
+                print(f'VERIFY FAILED for {failed} of {len(paths)} files')
+                sys.exit(1)
+            return True
+
         converted = skipped = 0
         for path in paths:
             if not is_legacy_b3d(path):
@@ -61,8 +87,10 @@ class ConvertB3dCommand:
                 os.makedirs(os.path.dirname(out) or '.', exist_ok=True)
             else:
                 out = path + 'tpu'
+            from inferbiomechanics_tpu.data.b3d import is_current_b3dt
             if (not args.force and os.path.exists(out)
-                    and os.path.getmtime(out) >= os.path.getmtime(path)):
+                    and os.path.getmtime(out) >= os.path.getmtime(path)
+                    and is_current_b3dt(out)):
                 print(f'skip (up to date): {out}')
                 skipped += 1
                 continue

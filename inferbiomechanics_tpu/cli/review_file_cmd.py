@@ -123,6 +123,9 @@ class ReviewFileCommand:
                                  'port 8080 (space/e/a transport, n: next '
                                  'segment; raw plate forces in red)')
         parser.add_argument('--port', type=int, default=8080)
+        parser.add_argument('--host', type=str, default='127.0.0.1',
+                            help='Bind address (default loopback; use '
+                                 '0.0.0.0 to allow remote access)')
         add_config_flags(parser)
 
     def run(self, args: argparse.Namespace) -> bool:
@@ -170,7 +173,8 @@ class ReviewFileCommand:
                 print('no suspicious segments — nothing to review live')
                 return True
             serve_segment_review(ds, all_segments, port=args.port,
-                                 title=os.path.basename(args.file))
+                                 title=os.path.basename(args.file),
+                                 host=args.host)
         return True
 
 
@@ -237,7 +241,8 @@ def build_segment_packet_fn(ds):
 
 
 def serve_segment_review(ds, segments, port: int = 8080,
-                         title: str = 'review', block: bool = True):
+                         title: str = 'review', block: bool = True,
+                         host: str = '127.0.0.1'):
     from inferbiomechanics_tpu.viz.live import LiveViewerServer
     from inferbiomechanics_tpu.viz.viewer import STANDARD_BONES
     packet_for_frame, meshes = build_segment_packet_fn(ds)
@@ -246,9 +251,10 @@ def serve_segment_review(ds, segments, port: int = 8080,
             'meshes': {n: {'v': v.round(4).tolist(), 'e': e.tolist()}
                        for n, (v, e) in meshes.items()}}
     server = LiveViewerServer(session, init, title=f'{title} (review)',
-                              port=port, tick_interval=0.1)  # 10 FPS, ref :298
+                              port=port, tick_interval=0.1,  # 10 FPS, ref :298
+                              host=host)
     bound = server.start()
-    print(f'segment review serving on http://localhost:{bound} '
+    print(f'segment review serving on http://{host}:{bound} '
           f'({len(segments)} segments; n: next, space: pause)')
     if block:
         server.block()

@@ -3,8 +3,11 @@
 Capability parity: reference ``src/cli/visualize.py`` — loads the dev
 split and the latest checkpoint, then plays windows with label (red) vs
 predicted (blue) forces and joint-center markers, served on port 8888
-(ref :123-263). TPU-native: batched prediction + HTML viewer
-(see viz/viewer.py) instead of the NimbleGUI C++ server.
+(ref :123-263). Like the reference, the DEFAULT is the interactive
+live viewer (model in the loop per tick); ``--static`` exports a
+batched, self-contained HTML snapshot instead — a capability the
+reference lacks. The live server is a stdlib WebSocket stack
+(viz/live_model.py) replacing the NimbleGUI C++ server.
 """
 
 from __future__ import annotations
@@ -29,10 +32,15 @@ class VisualizeCommand:
         parser.add_argument('--trial', type=int, default=0)
         parser.add_argument('--out', type=str, default='outputs/visualize.html')
         parser.add_argument('--serve', action='store_true')
+        parser.add_argument('--static', action='store_true',
+                            help='Export a batched HTML snapshot instead of '
+                                 'serving the live viewer')
         parser.add_argument('--live', action='store_true',
-                            help='Live model-in-the-loop WebSocket viewer '
-                                 '(parity with the reference per-tick GUI)')
+                            help=argparse.SUPPRESS)  # legacy: live is now the default
         parser.add_argument('--port', type=int, default=8888)
+        parser.add_argument('--host', type=str, default='127.0.0.1',
+                            help='Bind address (default loopback; use '
+                                 '0.0.0.0 to allow remote access)')
         add_config_flags(parser)
 
     def run(self, args: argparse.Namespace) -> bool:
@@ -48,7 +56,9 @@ class VisualizeCommand:
             checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
                                           config.model_type)
             predictor = Predictor(config, checkpoint_dir, ds)
-        if args.live:
+        if not args.static:
+            # interactive viewer is the default, matching the reference
+            # (visualize.py:123-130 IS the live GUI)
             from inferbiomechanics_tpu.loss.evaluator import (
                 RegressionLossEvaluator,
             )
@@ -59,7 +69,8 @@ class VisualizeCommand:
                 'dev', loss_config_from(config)) if predictor else None
             serve_live(ds, predictor, evaluator,
                        geometry_folder=ensure_geometry(config.geometry_folder),
-                       title='dev split (live)', port=args.port)
+                       title='dev split (live)', port=args.port,
+                       host=args.host)
             return True
         from inferbiomechanics_tpu.utils.geometry import ensure_geometry
         payload = build_viz_payload(ds, args.subject, args.trial, predictor,
@@ -69,5 +80,5 @@ class VisualizeCommand:
                                                     f'trial {args.trial}')
         print(f'wrote viewer: {path}')
         if args.serve:
-            serve_file(path, args.port)
+            serve_file(path, args.port, host=args.host)
         return True

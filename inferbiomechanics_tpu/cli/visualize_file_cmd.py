@@ -123,6 +123,9 @@ class VisualizeFileCommand:
         parser.add_argument('--live', action='store_true',
                             help='Live model-in-the-loop WebSocket viewer')
         parser.add_argument('--port', type=int, default=8080)
+        parser.add_argument('--host', type=str, default='127.0.0.1',
+                            help='Bind address (default loopback; use '
+                                 '0.0.0.0 to allow remote access)')
         parser.add_argument('--no-model', action='store_true',
                             help='Skip model predictions (labels only)')
         add_config_flags(parser)
@@ -149,7 +152,8 @@ class VisualizeFileCommand:
                                  & (ds.win_trial == args.trial))[0]
             serve_live(ds, predictor, None, window_indices=win_idx,
                        geometry_folder=ensure_geometry(config.geometry_folder),
-                       title=os.path.basename(args.file), port=args.port)
+                       title=os.path.basename(args.file), port=args.port,
+                       host=args.host)
             return True
         from inferbiomechanics_tpu.utils.geometry import ensure_geometry
         payload = build_viz_payload(ds, 0, args.trial, predictor,
@@ -159,5 +163,5 @@ class VisualizeFileCommand:
                            title=os.path.basename(args.file))
         print(f'wrote viewer: {path}')
         if args.serve:
-            serve_file(path, args.port)
+            serve_file(path, args.port, host=args.host)
         return True

@@ -15,7 +15,10 @@ decode, which SURVEY.md §3.5 identifies as the dominant throughput
 bottleneck. The header is a single JSON blob (metadata is cold data; only
 frame payloads need to be fast).
 
-File layout (version 1)::
+File layout (version 2; v2 == v1 bytes with a revised MissingGRFReason
+enum — values 9/10 swapped to match nimble's ordering and 11-18 added —
+so v1 files are rejected with a reconvert hint rather than silently
+reinterpreting those reason codes)::
 
     bytes 0..4    magic  b"B3DT"
     bytes 4..8    u32 version
@@ -41,8 +44,29 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 MAGIC = b'B3DT'
-VERSION = 1
+# v2: MissingGRFReason enum revision (9/10 swapped, 11-18 added). The
+# byte layout is unchanged, but v1 files carry the old enum meaning for
+# reasons >= 9, so they are rejected instead of silently reinterpreted
+# (ADVICE r2): B3D-TPU files are caches — delete and reconvert.
+VERSION = 2
 _ALIGN = 64
+
+
+def is_current_b3dt(path: str) -> bool:
+    """True iff `path` is a B3D-TPU file of the CURRENT format version.
+
+    Cache-reuse paths (ensure_tpu_format, convert-b3d) use this so files
+    written before a version bump are transparently reconverted instead
+    of failing at open time.
+    """
+    try:
+        with open(path, 'rb') as f:
+            if f.read(4) != MAGIC:
+                return False
+            version, = struct.unpack('<I', f.read(4))
+            return version == VERSION
+    except (OSError, struct.error):
+        return False
 
 
 class ProcessingPassType(IntEnum):
@@ -357,7 +381,13 @@ class SubjectOnDisk:
                 raise ValueError(f'{path}: not a B3D-TPU file (magic={magic!r})')
             version, = struct.unpack('<I', f.read(4))
             if version != VERSION:
-                raise ValueError(f'{path}: unsupported version {version}')
+                hint = (' (written before the MissingGRFReason enum '
+                        'revision — delete it and reconvert from the '
+                        'source .b3d, e.g. via convert-b3d or '
+                        'ensure_tpu_format)') if version == 1 else ''
+                raise ValueError(
+                    f'{path}: unsupported B3D-TPU version {version}, '
+                    f'this build reads version {VERSION}{hint}')
             hlen, = struct.unpack('<Q', f.read(8))
             self.header = json.loads(f.read(hlen).decode('utf-8'))
             pos = f.tell()

@@ -196,9 +196,15 @@ def get_packed_ints(fields, num: int) -> List[int]:
     for wire, v in fields.get(num, []):
         if wire == _LEN:
             pos, end = 0, len(v)
-            while pos < end:
-                val, pos = decode_varint(v, pos)
-                out.append(val)
+            try:
+                while pos < end:
+                    val, pos = decode_varint(v, pos)
+                    out.append(val)
+            except IndexError as e:
+                # a varint's continuation bit ran past the payload: the
+                # bytes are not packed varints (clean-ValueError contract)
+                raise ValueError(
+                    f'field {num}: truncated packed varint payload') from e
         else:
             out.append(int(v))
     return out
@@ -578,7 +584,227 @@ class LegacySubjectOnDisk:
 
 
 # ---------------------------------------------------------------------------
-# 3c. Conversion legacy -> B3D-TPU
+# 3c. Validation / strict verification
+# ---------------------------------------------------------------------------
+
+_MAX_MISSING_GRF = max(int(r) for r in MissingGRFReason)
+_MAX_PASS_TYPE = max(int(t) for t in ProcessingPassType)
+
+
+def validate_legacy_header(subj: 'LegacySubjectOnDisk') -> List[str]:
+    """Cheap invariant checks that catch a mis-matched schema table.
+
+    The ``_H/_TH/_PH/_F/_PF`` field numbering is a reconstruction of the
+    public nimblephysics proto; if a real file was written with different
+    numbering, scalar fields read other fields' varints and produce
+    implausible values. These checks turn that failure mode into a loud,
+    named error instead of silent garbage. Returns a list of problems
+    (empty = header is plausible).
+    """
+    p: List[str] = []
+    if not (1 <= subj.num_dofs <= 200):
+        p.append(f'num_dofs={subj.num_dofs} implausible (_H.num_dofs)')
+    if subj.dof_names and len(subj.dof_names) != subj.num_dofs:
+        p.append(f'{len(subj.dof_names)} dof_names for num_dofs='
+                 f'{subj.num_dofs} (_H.dof_name/_H.num_dofs)')
+    if not (0 <= subj.num_joints <= 200):
+        p.append(f'num_joints={subj.num_joints} implausible (_H.num_joints)')
+    if not (10.0 <= subj.mass_kg <= 400.0):
+        p.append(f'mass_kg={subj.mass_kg!r} implausible (_H.mass_kg)')
+    if not (0.3 <= subj.height_m <= 3.0):
+        p.append(f'height_m={subj.height_m!r} implausible (_H.height_m)')
+    if not (0 <= subj.age_years <= 130):
+        p.append(f'age_years={subj.age_years} implausible (_H.age_years)')
+    if not subj.ground_force_bodies:
+        p.append('no ground_force_body entries (_H.ground_force_body)')
+    if not subj.trials:
+        p.append('no trial headers (_H.trial_header)')
+    for i, t in enumerate(subj.trials):
+        if len(t['missing_grf']) != t['length']:
+            p.append(f"trial {i}: {len(t['missing_grf'])} missing_grf "
+                     f"entries for length {t['length']} "
+                     f"(_TH.missing_grf_reason/_TH.trial_length)")
+        bad = [r for r in t['missing_grf'] if r > _MAX_MISSING_GRF]
+        if bad:
+            p.append(f'trial {i}: unknown MissingGRFReason values '
+                     f'{sorted(set(bad))[:5]} (_TH.missing_grf_reason)')
+        bad = [v for v in t['pass_types'] if v > _MAX_PASS_TYPE]
+        if bad:
+            p.append(f'trial {i}: unknown ProcessingPassType values '
+                     f'{sorted(set(bad))[:5]} (_TH.trial_pass_type)')
+        if not (0.0 < t['timestep'] < 1.0) and t['length'] > 0:
+            p.append(f"trial {i}: timestep={t['timestep']!r} implausible "
+                     f"(_TH.trial_timestep)")
+    return p
+
+
+def verify_legacy(path: str, max_frames_per_trial: Optional[int] = None) -> dict:
+    """Strict decode of a legacy .b3d: field-by-field diagnosis.
+
+    Exercised by ``convert-b3d --verify`` so the FIRST real
+    AddBiomechanics file either converts cleanly or yields a report that
+    points at the exact schema-table entries to fix (VERDICT round 2 #5;
+    reference consumption contract AddBiomechanicsDataset.py:161-172).
+
+    Returns a dict report::
+
+        {'path', 'ok', 'problems': [str], 'frames_checked': int,
+         'unknown_header_fields', 'unknown_trial_fields',
+         'unknown_frame_fields', 'unknown_pass_fields': {field_num: count},
+         'width_mismatches': {field_name: count}}
+
+    Checks, beyond what plain conversion exercises:
+    - every message fully consumed (parse_message already guarantees no
+      trailing bytes; any decode error is caught per-frame and reported)
+    - unknown-field census for all four message levels — a nonempty
+      census for LOW field numbers is the signature of numbering drift
+    - frame length-prefix vs the trial header's ``frame_bytes`` index,
+      and total stream size vs file size (framing reconciliation)
+    - per-pass channel widths vs the layout implied by the header
+      (``pass_channel_layout``), and the per-frame pass count vs the
+      trial's pass-type list
+    - per-frame ``missing_grf_reason`` consistent with the trial header
+    """
+    report = {
+        'path': path, 'ok': False, 'problems': [], 'frames_checked': 0,
+        'unknown_header_fields': {}, 'unknown_trial_fields': {},
+        'unknown_frame_fields': {}, 'unknown_pass_fields': {},
+        'width_mismatches': {},
+    }
+    problems: List[str] = report['problems']
+
+    def census(fields, known_nums, bucket: dict):
+        for num in fields:
+            if num not in known_nums:
+                bucket[num] = bucket.get(num, 0) + len(fields[num])
+
+    try:
+        subj = LegacySubjectOnDisk(path)
+    except (ValueError, OSError) as e:
+        problems.append(f'header: {e}')
+        return report
+    try:
+        problems.extend(validate_legacy_header(subj))
+
+        # header / trial-header unknown-field census (re-parse raw header)
+        with open(path, 'rb') as f:
+            hlen, = struct.unpack('<Q', f.read(8))
+            h = parse_message(f.read(hlen))
+        census(h, set(_H.values()), report['unknown_header_fields'])
+        for th in get_messages(h, _H['trial_header']):
+            census(th, set(_TH.values()), report['unknown_trial_fields'])
+        for ph in get_messages(h, _H['processing_pass_header']):
+            census(ph, set(_PH.values()), report['unknown_pass_fields'])
+
+        # framing: total stream length vs file size
+        fsize = os.path.getsize(path)
+        stream_end = subj._frames_start + sum(
+            int(sum(t['frame_bytes'])) for t in subj.trials)
+        if stream_end != fsize:
+            problems.append(
+                f'framing: header + frame index accounts for {stream_end} '
+                f'bytes but the file has {fsize} (_TH.frame_bytes)')
+
+        # expected channel widths (root-history width read from the data)
+        nb = len([b for b in subj.ground_force_bodies if b != 'pelvis'])
+        rh = None
+        expected: Dict[str, int] = {}
+
+        for t_idx, t in enumerate(subj.trials):
+            n = t['length']
+            if max_frames_per_trial is not None:
+                n = min(n, max_frames_per_trial)
+            for k in range(n):
+                try:
+                    rec_start = int(t['frame_starts'][k])
+                    subj._file.seek(rec_start)
+                    rec = subj._file.read(int(t['frame_bytes'][k]))
+                    ln, = struct.unpack('<Q', rec[:8])
+                    if ln + 8 != int(t['frame_bytes'][k]):
+                        problems.append(
+                            f'trial {t_idx} frame {k}: record length prefix '
+                            f'{ln}+8 != indexed frame_bytes '
+                            f"{int(t['frame_bytes'][k])} (_TH.frame_bytes)")
+                    fields = parse_message(rec[8:8 + ln])
+                except (ValueError, struct.error) as e:
+                    problems.append(f'trial {t_idx} frame {k}: {e}')
+                    continue
+                census(fields, set(_F.values()),
+                       report['unknown_frame_fields'])
+                reason = get_int(fields, _F['missing_grf_reason'])
+                if k < len(t['missing_grf']) and reason != t['missing_grf'][k]:
+                    problems.append(
+                        f'trial {t_idx} frame {k}: frame missing_grf_reason '
+                        f"{reason} != trial header {t['missing_grf'][k]} "
+                        f'(_F.missing_grf_reason/_TH.missing_grf_reason)')
+                passes = get_messages(fields, _F['processing_pass'])
+                if len(passes) != len(t['pass_types']):
+                    problems.append(
+                        f'trial {t_idx} frame {k}: {len(passes)} processing '
+                        f"passes vs {len(t['pass_types'])} trial pass types "
+                        f'(_F.processing_pass/_TH.trial_pass_type)')
+                for pf in passes:
+                    census(pf, set(_PF.values()),
+                           report['unknown_pass_fields'])
+                    if rh is None:
+                        try:
+                            w = len(get_packed_doubles(
+                                pf, _PF['rootPosHistoryInRootFrame']))
+                        except ValueError:
+                            w = -1
+                        if w >= 0 and w % 3 == 0:
+                            rh = w // 3
+                            expected = dict(pass_channel_layout(
+                                subj.num_dofs, nb, rh))
+                    for name, fnum in _PF.items():
+                        if name not in expected or fnum not in pf:
+                            continue
+                        try:
+                            if fnum == _PF_CONTACT_FIELD:
+                                got = len(get_packed_ints(pf, fnum))
+                            else:
+                                got = len(get_packed_doubles(pf, fnum))
+                        except ValueError:
+                            got = -1   # undecodable payload counts as drift
+                        if got != expected[name]:
+                            report['width_mismatches'][name] = \
+                                report['width_mismatches'].get(name, 0) + 1
+                report['frames_checked'] += 1
+    finally:
+        subj.close()
+
+    for name, count in sorted(report['width_mismatches'].items()):
+        problems.append(
+            f'channel width mismatch for {name!r} in {count} frames '
+            f'(expected {expected.get(name)} values; _PF.{name})')
+    low_unknown = [n for n in report['unknown_pass_fields'] if n <= len(_PF)]
+    if low_unknown:
+        problems.append(
+            f'unknown LOW pass-frame field numbers {sorted(low_unknown)} — '
+            f'likely _PF numbering drift vs the writer of this file')
+    report['ok'] = not problems
+    return report
+
+
+def format_verify_report(report: dict) -> str:
+    lines = [f"verify {report['path']}: "
+             f"{'OK' if report['ok'] else 'FAILED'} "
+             f"({report['frames_checked']} frames checked)"]
+    for key in ('unknown_header_fields', 'unknown_trial_fields',
+                'unknown_frame_fields', 'unknown_pass_fields'):
+        if report[key]:
+            lines.append(f'  {key}: {report[key]} '
+                         f'(forward-compatible; preserved, not decoded)')
+    for prob in report['problems']:
+        lines.append(f'  PROBLEM: {prob}')
+    if not report['ok']:
+        lines.append('  -> fix the named b3d_legacy._H/_TH/_PH/_F/_PF '
+                     'entries; all format knowledge lives in those tables')
+    return '\n'.join(lines)
+
+
+# ---------------------------------------------------------------------------
+# 3d. Conversion legacy -> B3D-TPU
 # ---------------------------------------------------------------------------
 
 def is_legacy_b3d(path: str) -> bool:
@@ -597,6 +823,15 @@ def convert_to_tpu(legacy_path: str, out_path: str,
     """
     subj = LegacySubjectOnDisk(legacy_path)
     try:
+        problems = validate_legacy_header(subj)
+        if problems:
+            raise ValueError(
+                f'{legacy_path}: unrecognized legacy .b3d schema: '
+                + '; '.join(problems) +
+                ' — the field-number tables (b3d_legacy._H/_TH/_PH/_F/_PF) '
+                'may not match the writer of this file; run '
+                '`main.py convert-b3d --verify` for a field-by-field '
+                'diagnosis')
         nb = len([b for b in subj.ground_force_bodies if b != 'pelvis'])
         # root_history_len from the first frame's history channel width
         rh = 0
@@ -682,8 +917,10 @@ def ensure_tpu_format(path: str, cache_dir: Optional[str] = None) -> str:
         out = os.path.join(cache_dir, os.path.basename(path) + 'tpu')
     else:
         out = path + 'tpu'
+    from inferbiomechanics_tpu.data.b3d import is_current_b3dt
     if (not os.path.exists(out)
-            or os.path.getmtime(out) < os.path.getmtime(path)):
+            or os.path.getmtime(out) < os.path.getmtime(path)
+            or not is_current_b3dt(out)):   # stale format version: reconvert
         # atomic publish: convert into a per-process temp file and
         # os.replace, so an interrupted conversion can never leave a
         # torn .b3dtpu that later runs mmap, and concurrent multi-host

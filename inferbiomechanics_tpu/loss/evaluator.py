@@ -278,7 +278,10 @@ class RegressionLossEvaluator:
             print(f'\tMoment Avg Err: {summary["moment_avg_err"]} Nm / kg')
             print(f'\tWrench Avg Err: {summary["wrench_avg_err"]} N+Nm / kg')
             print(f'\tWrench Moment Avg Err: {summary["wrench_moment_avg_err"]} Nm / kg')
-            print(f'\tNon-root Joint Torques (Inverse Dynamics) Avg Err: {tau} Nm / kg')
+            if tau is not None:
+                # only printed when a tau (inverse dynamics) report ran,
+                # matching the reference (RegressionLossEvaluator.py:401-409)
+                print(f'\tNon-root Joint Torques (Inverse Dynamics) Avg Err: {tau} Nm / kg')
             if log_to_wandb and self.wandb_logger is not None:
                 self.wandb_logger.log(self._wandb_report(means, tau))
         if reset:

@@ -257,12 +257,18 @@ def train(config: Config,
                 for k in range(n_steps))
         else:
             batch_iter = enumerate(train_loader.epoch(seed=epoch))
+        # windows_per_sec timing: epoch-level wall clock closed by a
+        # scalar readback of the LAST step's metrics — per-step
+        # time.time() deltas around async dispatches only measure host
+        # dispatch rate on this runtime (BENCH_NOTES.md measurement
+        # rules), which could overstate throughput arbitrarily.
+        t_compute = time.time()
+        last_metrics = None
         for batch_idx, batch in batch_iter:
             if max_batches_per_epoch is not None and batch_idx >= max_batches_per_epoch:
                 break
             if epoch == start_epoch and batch_idx < skip_batches:
                 continue   # mid-epoch resume: prefix already consumed
-            t0 = time.time()
             step_rng = jax.random.fold_in(rng, epoch * 1_000_000 + batch_idx)
             if use_device_data:
                 state, metrics = device_step(state, batch, step_rng)
@@ -270,6 +276,7 @@ def train(config: Config,
                 state, metrics = train_step(state, batch.inputs, batch.labels,
                                             step_rng)
             train_eval(None, None, None, precomputed_metrics=metrics)
+            last_metrics = metrics
             if batch_idx % config.log_every_batches == 0:
                 loss = float(metrics['loss'])
                 if metric_logger is not None:
@@ -278,8 +285,10 @@ def train(config: Config,
                 logger.info('epoch %d batch %d loss %.6f', epoch, batch_idx, loss)
             if batch_idx > 0 and batch_idx % config.checkpoint_every_batches == 0:
                 save_checkpoint(config.checkpoint_dir, state, epoch, batch_idx)
-            compute_time += time.time() - t0
             windows_seen += config.batch_size
+        if last_metrics is not None:
+            float(last_metrics['loss'])   # sync: chained through state
+            compute_time += time.time() - t_compute
         epochs_run += 1
         if profiling:
             jax.block_until_ready(state.params)

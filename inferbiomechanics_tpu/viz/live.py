@@ -171,10 +171,14 @@ class LiveViewerServer:
 
     def __init__(self, session: LiveSession, init_payload: dict,
                  title: str = 'inferbiomechanics', port: int = 8888,
-                 tick_interval: float = 0.04):
+                 tick_interval: float = 0.04, host: str = '127.0.0.1'):
+        """``host`` defaults to loopback: the viewer exposes keypress
+        control of the session, so remote access is opt-in
+        (``--host 0.0.0.0``), not the default."""
         self.session = session
         self.init_payload = dict(init_payload, type='init', title=title)
         self.title = title
+        self.host = host
         self.port = port
         self.tick_interval = tick_interval
         self._clients: Dict[socket.socket, bool] = {}
@@ -189,7 +193,7 @@ class LiveViewerServer:
         """Bind + start accept/tick threads; returns the bound port."""
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._srv.bind(('0.0.0.0', self.port))
+        self._srv.bind((self.host, self.port))
         self.port = self._srv.getsockname()[1]
         self._srv.listen(8)
         self._running = True

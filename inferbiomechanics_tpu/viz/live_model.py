@@ -175,13 +175,14 @@ def build_live_session(ds, predictor=None, evaluator=None,
 def serve_live(ds, predictor=None, evaluator=None, window_indices=None,
                geometry_folder: str = '', title: str = 'inferbiomechanics',
                port: int = 8888, block: bool = True,
-               tick_interval: float = 0.04) -> LiveViewerServer:
+               tick_interval: float = 0.04,
+               host: str = '127.0.0.1') -> LiveViewerServer:
     session, init = build_live_session(ds, predictor, evaluator,
                                        window_indices, geometry_folder)
     server = LiveViewerServer(session, init, title=title, port=port,
-                              tick_interval=tick_interval)
+                              tick_interval=tick_interval, host=host)
     bound = server.start()
-    print(f'live viewer serving on http://localhost:{bound} '
+    print(f'live viewer serving on http://{host}:{bound} '
           f'(space: play/pause, e/a: step, r: report)')
     if block:
         server.block()

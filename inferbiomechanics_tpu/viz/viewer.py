@@ -138,8 +138,9 @@ def export_html(path: str, payload: Dict, title: str = 'InferBiomechanics') -> s
     return os.path.abspath(path)
 
 
-def serve_file(path: str, port: int) -> None:
-    """Serve the exported HTML on ``port`` (parity: 8888 / 8080)."""
+def serve_file(path: str, port: int, host: str = '127.0.0.1') -> None:
+    """Serve the exported HTML on ``port`` (parity: 8888 / 8080).
+    Loopback-only by default; pass ``host='0.0.0.0'`` for remote access."""
     directory = os.path.dirname(os.path.abspath(path))
     fname = os.path.basename(path)
 
@@ -152,8 +153,8 @@ def serve_file(path: str, port: int) -> None:
                 self.path = '/' + fname
             return super().do_GET()
 
-    with socketserver.TCPServer(('', port), Handler) as httpd:
-        print(f'Serving viewer at http://localhost:{port}/ (ctrl-c to stop)')
+    with socketserver.TCPServer((host, port), Handler) as httpd:
+        print(f'Serving viewer at http://{host}:{port}/ (ctrl-c to stop)')
         httpd.serve_forever()
 
 

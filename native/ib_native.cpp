@@ -165,20 +165,24 @@ static bool decode_pass_frame(const uint8_t* p, const uint8_t* end,
       if (len > static_cast<uint64_t>(end - p)) return false;  // truncated
       const uint8_t* payload_end = p + len;
       if (known) {
+        // Append at col + fill[field]: a packed field legally split
+        // across multiple LEN records concatenates (like the Python
+        // codec's get_packed_doubles), and mixed packed+scalar records
+        // for one field must not double-write the same columns.
         int64_t col = field_col[field];
         int64_t width = field_width[field];
         if (field == contact_field) {
           const uint8_t* q = p;
-          for (int64_t i = 0; i < width && q < payload_end; ++i) {
-            row[col + i] = static_cast<float>(read_varint(q, payload_end));
+          while (fill[field] < width && q < payload_end) {
+            row[col + fill[field]++] =
+                static_cast<float>(read_varint(q, payload_end));
           }
         } else {
           int64_t n = static_cast<int64_t>(len / 8);
-          if (n > width) n = width;
-          for (int64_t i = 0; i < n; ++i) {
+          for (int64_t i = 0; i < n && fill[field] < width; ++i) {
             double d;
             std::memcpy(&d, p + i * 8, 8);
-            row[col + i] = static_cast<float>(d);
+            row[col + fill[field]++] = static_cast<float>(d);
           }
         }
       }

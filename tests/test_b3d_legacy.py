@@ -434,3 +434,159 @@ def test_convert_b3d_cli_out_dir_tree(tmp_path):
     converted = out_dir / 'sub' / 'a.b3d'
     assert converted.exists()
     assert SubjectOnDisk(str(converted)).getNumTrials() == 1
+
+
+# ---------------------------------------------------------------------------
+# strict verification (convert-b3d --verify) + schema-drift guards
+# ---------------------------------------------------------------------------
+
+
+def test_verify_legacy_clean_file_ok(legacy_subject):
+    report = L.verify_legacy(legacy_subject)
+    assert report['ok'], report['problems']
+    assert report['frames_checked'] == 100  # 2 trials x 50 frames
+    assert not report['unknown_header_fields']
+    assert not report['unknown_pass_fields']
+    assert not report['width_mismatches']
+    assert 'OK' in L.format_verify_report(report)
+
+
+def test_verify_detects_corrupted_frames(tmp_path, legacy_subject):
+    import shutil
+    bad = str(tmp_path / 'bad.b3d')
+    shutil.copy(legacy_subject, bad)
+    subj = L.LegacySubjectOnDisk(bad)
+    start = int(subj.trials[0]['frame_starts'][2]) + 8
+    subj.close()
+    with open(bad, 'r+b') as f:
+        f.seek(start)
+        f.write(b'\xff' * 16)
+    report = L.verify_legacy(bad)
+    assert not report['ok']
+    assert any('frame' in p for p in report['problems'])
+    out = L.format_verify_report(report)
+    assert 'FAILED' in out and '_PF' in out  # points at the schema tables
+
+
+def test_verify_detects_pf_numbering_drift(tmp_path, monkeypatch):
+    """A file written with shifted pass-frame field numbers (simulating a
+    writer whose schema disagrees with our reconstruction) must fail
+    verification with an unknown-field census, not silently mis-decode."""
+    path = str(tmp_path / 'drift.b3d')
+    shifted = {name: num + 3 for name, num in L._PF.items()}
+    monkeypatch.setattr(L, '_PF', shifted)
+    monkeypatch.setattr(L, '_PF_CONTACT_FIELD', shifted['contact'])
+    write_synthetic_legacy_subject(path, num_trials=1, trial_length=10)
+    monkeypatch.undo()
+    report = L.verify_legacy(path)
+    assert not report['ok']
+    assert report['unknown_pass_fields']  # shifted numbers censused
+    assert any('_PF numbering drift' in p or 'width mismatch' in p
+               for p in report['problems'])
+
+
+def test_convert_rejects_implausible_header(tmp_path):
+    """ADVICE r2 (medium): a file whose decoded header fails plausibility
+    invariants (the signature of field-number collision on a real
+    nimble-written file) is rejected loudly instead of converted to
+    garbage."""
+    path = str(tmp_path / 'implausible.b3d')
+    trials = _expected_trials(num_trials=1, trial_length=10)
+    L.write_legacy_subject(path, num_dofs=23,
+                           ground_force_bodies=list(CONTACT_BODIES),
+                           root_history_len=10, trials=trials,
+                           skeleton=standard_skeleton(), mass_kg=0.0)
+    with pytest.raises(ValueError, match='unrecognized legacy .b3d schema'):
+        L.convert_to_tpu(path, str(tmp_path / 'out.b3dtpu'))
+    report = L.verify_legacy(path)
+    assert any('mass_kg' in p for p in report['problems'])
+
+
+def test_convert_b3d_cli_verify(tmp_path):
+    """--verify exits 0 with an OK report on a clean file, 1 on a broken
+    one."""
+    import shutil
+    import subprocess
+    import sys
+    good = tmp_path / 'good.b3d'
+    write_synthetic_legacy_subject(str(good), num_trials=1, trial_length=20)
+    main_py = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'main.py')
+    env = dict(os.environ, IB_PLATFORM='cpu')
+    r = subprocess.run([sys.executable, main_py, 'convert-b3d', str(good),
+                        '--verify'], capture_output=True, text=True, env=env,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert 'OK' in r.stdout
+    bad = tmp_path / 'bad.b3d'
+    shutil.copy(str(good), str(bad))
+    subj = L.LegacySubjectOnDisk(str(bad))
+    first_frame_body = int(subj.trials[0]['frame_starts'][0]) + 8
+    subj.close()
+    with open(bad, 'r+b') as f:
+        f.seek(first_frame_body)
+        f.write(b'\xff' * 16)   # clobber proto structure, not just values
+    r = subprocess.run([sys.executable, main_py, 'convert-b3d', str(bad),
+                        '--verify'], capture_output=True, text=True, env=env,
+                       timeout=300)
+    assert r.returncode == 1
+    assert 'FAILED' in r.stdout
+
+
+def test_native_decoder_split_and_mixed_packed_records(tmp_path):
+    """Legal-but-unusual protobuf encodings (a packed field split across
+    several LEN records; scalar records mixed with packed ones for the
+    same field) decode identically in C and Python (ADVICE r2: the C
+    LEN branch must append at fill[field], not column 0)."""
+    import struct
+
+    from inferbiomechanics_tpu.data import native
+    if not native.available():
+        pytest.skip('native library not built')
+
+    d = 4
+    pos = np.arange(1.0, d + 1)          # split into 2 LEN chunks
+    vel = np.arange(10.0, 10 + d)        # scalar record then packed rest
+    contact = [1, 0]                     # split into 2 LEN chunks
+    pf = L._PF
+    body = b''.join([
+        L.enc_packed_doubles(pf['pos'], pos[:2]),
+        L.enc_packed_doubles(pf['pos'], pos[2:]),
+        L.enc_double(pf['vel'], vel[0]),
+        L.enc_packed_doubles(pf['vel'], vel[1:]),
+        L.enc_bytes(pf['contact'],
+                    L.encode_varint(contact[0])) +
+        L.enc_bytes(pf['contact'], L.encode_varint(contact[1])),
+    ])
+    frame = L.enc_int(L._F['missing_grf_reason'], 0) + \
+        L.enc_message(L._F['processing_pass'], body)
+    blob = struct.pack('<Q', len(frame)) + frame
+
+    layout = pass_channel_layout(d, 2, 1)
+    offsets = layout_offsets(layout)
+    total_c = layout_total(layout)
+    max_field = max(pf.values())
+    field_col = np.zeros(max_field + 1, np.int64)
+    field_width = np.zeros(max_field + 1, np.int64)
+    for name, fnum in pf.items():
+        field_col[fnum], field_width[fnum] = offsets[name]
+
+    mats = native.decode_legacy_trial(
+        blob, np.asarray([0], np.int64), field_col, field_width,
+        L._PF_CONTACT_FIELD, 1, total_c)
+    assert mats is not None
+    row = mats[0][0]
+
+    # python reference via the wire codec
+    fields = L.parse_message(frame)
+    pass_fields = L.get_messages(fields, L._F['processing_pass'])[0]
+    np.testing.assert_array_equal(
+        row[offsets['pos'][0]:offsets['pos'][0] + d],
+        L.get_packed_doubles(pass_fields, pf['pos']).astype(np.float32))
+    np.testing.assert_array_equal(
+        row[offsets['pos'][0]:offsets['pos'][0] + d], pos.astype(np.float32))
+    np.testing.assert_array_equal(
+        row[offsets['vel'][0]:offsets['vel'][0] + d], vel.astype(np.float32))
+    np.testing.assert_array_equal(
+        row[offsets['contact'][0]:offsets['contact'][0] + 2],
+        np.asarray(contact, np.float32))

@@ -95,7 +95,7 @@ def test_pickle_data_and_train_from_pickled(workspace):
 
 def test_visualize_exports_html(workspace, tmp_path):
     out_html = str(tmp_path / 'v.html')
-    run_cmd(['visualize', '--dataset-home', workspace['data'],
+    run_cmd(['visualize', '--static', '--dataset-home', workspace['data'],
              '--checkpoint-dir', workspace['ckpt'], '--no-wandb',
              '--out', out_html, '--short'])
     html = open(out_html).read()

@@ -330,3 +330,39 @@ def test_pickle_data_roundtrip_multiblock(tmp_path, monkeypatch):
     import pytest
     with pytest.raises(ValueError):
         PickledDataset(str(tmp_path / 'train_pickled'), num_dofs=17)
+
+
+def test_b3dt_version_gate_and_reconvert(tmp_path, monkeypatch):
+    """v1 B3D-TPU files (pre-MissingGRFReason-revision, ADVICE r2) are
+    rejected with a reconvert hint, and ensure_tpu_format treats a
+    stale-version cache as missing and reconverts it."""
+    import struct
+
+    import pytest
+
+    from inferbiomechanics_tpu.data import b3d
+    from inferbiomechanics_tpu.data.b3d import SubjectOnDisk, is_current_b3dt
+    from inferbiomechanics_tpu.data.b3d_legacy import ensure_tpu_format
+    from inferbiomechanics_tpu.data.synthetic import (
+        write_synthetic_legacy_subject,
+    )
+
+    src = str(tmp_path / 's.b3d')
+    write_synthetic_legacy_subject(src, num_trials=1, trial_length=30)
+    out = ensure_tpu_format(src)
+    assert is_current_b3dt(out)
+
+    # rewrite the version word to 1: open fails with the reconvert hint
+    with open(out, 'r+b') as f:
+        f.seek(4)
+        f.write(struct.pack('<I', 1))
+    assert not is_current_b3dt(out)
+    with pytest.raises(ValueError, match='reconvert'):
+        SubjectOnDisk(out)
+
+    # ensure_tpu_format reconverts the stale cache (mtime is NEWER than
+    # the source, so only the version check can trigger this)
+    out2 = ensure_tpu_format(src)
+    assert out2 == out
+    assert is_current_b3dt(out)
+    assert SubjectOnDisk(out).getNumTrials() == 1
