@@ -30,10 +30,15 @@ from inferbiomechanics_tpu.data.b3d import MissingGRFReason, SubjectOnDisk
 GRAVITY_MAG = 9.81
 FREQ_CUTOFFS = list(range(0, 31, 3))   # ref :1245 — [0, 3, ..., 30] Hz
 
-# Motion-class labeling from trial-name keywords (capability parity with the
-# reference's per-dataset rules + .npy classification dicts, ref :661-785;
-# the reference's exact per-dataset tables are data-specific, so the rebuild
-# ships keyword rules with the same class vocabulary).
+# Motion-class labeling. Two tiers (ref :661-785):
+#  1. classify_motion_ref — the reference's exact machinery: per-dataset
+#     rule tables (Carter2023 / Han2023) plus manual-classification
+#     dicts loaded from `<class_path>/<dataset>/<subj_id>/<subj_id>.npy`
+#     (arrays of {'trial_name', 'motion_class'} records), with the
+#     reference's relabeling quirks. Active when --class-path is given
+#     or a rule-table dataset name appears in the subject path.
+#  2. classify_motion — generic trial-name keyword fallback with the
+#     same class vocabulary, for data without classification inputs.
 MOTION_CLASSES = {
     'walking': ('walk', 'gait', 'tread'),
     'running': ('run', 'jog', 'sprint'),
@@ -44,7 +49,10 @@ MOTION_CLASSES = {
 }
 CLASS_COLORS = {'walking': '#346beb', 'running': '#e0544f',
                 'stairs': '#52b06d', 'jump': '#c87ae0', 'squat': '#e0a33e',
-                'other': '#8a94a3', 'unknown': '#8a94a3'}
+                'other': '#8a94a3', 'unknown': '#8a94a3',
+                'walking_treadmill': '#346beb', 'walking_overground': '#5a8df0',
+                'running_treadmill': '#e0544f', 'standing': '#7d8ca3',
+                'jump_dropjump': '#c87ae0'}
 
 # Datasets shipping one subject split across several .b3d files — their
 # demographics must be counted once per unique subject (ref :626,1040-1052).
@@ -57,6 +65,82 @@ def classify_motion(trial_name: str) -> str:
         if any(k in name for k in keywords):
             return cls
     return 'other'
+
+
+def parse_subject_id(subj_path: str, raw: bool = False) -> str:
+    """Subject ID from the file path (ref :662-674): processed AddB files
+    are named ``..._no_arm_<id>.b3d``; raw data uses the bare basename.
+    Unlike the reference (which raises), unmatched processed names fall
+    back to the basename so arbitrary datasets still work."""
+    import re
+    base_id = os.path.splitext(os.path.basename(subj_path))[0]
+    if raw:
+        return base_id
+    m = re.search(r'no_arm_(.*?)\.b3d', subj_path, re.IGNORECASE)
+    return m.group(1) if m else base_id
+
+
+def load_class_dict(class_dir: str, class_datasets: List[str],
+                    subj_path: str, subj_id: str) -> Dict[str, str]:
+    """Load the per-subject manual classification dict (ref :677-688):
+    ``<class_dir>/<dataset>/<subj_id>/<subj_id>.npy`` holding an array of
+    records with ``trial_name`` and ``motion_class`` keys."""
+    name = next((n for n in class_datasets if n and n in subj_path), '')
+    if not name:
+        return {}
+    path = os.path.join(class_dir, name, subj_id, subj_id + '.npy')
+    if not os.path.exists(path):
+        print(f'Did not find class dict for subject {subj_path}')
+        return {}
+    records = np.load(path, allow_pickle=True)
+    return {r['trial_name']: r['motion_class'] for r in records}
+
+
+def classify_motion_ref(subj_path: str, trial_name: str,
+                        class_dict: Dict[str, str]) -> str:
+    """The reference's exact classification rules (ref :732-785).
+
+    Returns the motion class; a class containing 'bad' means the trial
+    must be skipped entirely (ref :786-788).
+    """
+    if 'Carter2023' in subj_path:
+        low = trial_name.lower()
+        if 'static' in low:
+            return 'standing'
+        if 'walk' in low:
+            return 'walking_treadmill'
+        return 'running_treadmill'
+    if 'Han2023' in subj_path:
+        if any(m in trial_name for m in ('chair', '_squat_')):
+            return 'squat'
+        if any(m in trial_name for m in ('_hop_', 'balletsmalljump',
+                                         'jumpingjack')):
+            return 'jump'
+        if '_step_' in trial_name:
+            return 'stairs'
+        if any(m in trial_name for m in ('_idling_', '_static')):
+            return 'standing'
+        if '_walk_' in trial_name:
+            return 'walking_overground'
+        return 'other'
+    # manually classified datasets
+    if class_dict:
+        motion_class = class_dict.get(trial_name)
+        if motion_class is None:
+            motion_class = 'unknown'
+    else:
+        motion_class = 'unknown'
+    if 'transition' in motion_class:
+        motion_class = 'other'
+    if motion_class == 'walking_ramp':   # Camargo ramp trials: overground
+        motion_class = 'walking_overground'
+    if 'Tan2021' in subj_path and 's9' in subj_path \
+            and motion_class == 'unknown':
+        motion_class = 'running_treadmill'
+    if 'Uhlrich2023' in subj_path and 'subject2' in subj_path \
+            and motion_class == 'unknown':
+        motion_class = 'jump_dropjump'
+    return motion_class
 
 
 def apply_demographic_overrides(subj_path: str, subj_id: str, age: int,
@@ -172,14 +256,24 @@ def correlation(x: np.ndarray, y: np.ndarray) -> float:
 
 
 def collect_stats(subject_paths: List[str], short: bool = False,
-                  raw: bool = False, downsample: int = 200,
-                  demo_csv: Optional[Dict] = None) -> Dict:
+                  raw: bool = False, downsample: int = 10,
+                  demo_csv: Optional[Dict] = None,
+                  class_dir: str = '',
+                  class_datasets: Optional[List[str]] = None) -> Dict:
     """One pass over all subjects -> the plot-data cache dict.
 
     ``raw=True`` is the TrialRaw variant (ref :1623-1733): kinematics-pass
     only — trials without a dynamics pass are still included, and the
     dynamics-dependent products (tau matrices, mass estimation,
     error-vs-frequency) are skipped.
+
+    ``downsample`` is the reference's ``downsample_size`` frame stride
+    for scatter samples (ref :909-985 ``[::downsample_size]``).
+
+    ``class_dir``/``class_datasets`` activate the reference's motion
+    classification machinery (``.npy`` class dicts + per-dataset rule
+    tables, ref :661-785); otherwise trial-name keyword rules label the
+    activity chart. Trials classified 'bad' are skipped entirely.
     """
     sf_keys = ['comacc_y', 'totgrf_x', 'totgrf_y', 'totgrf_z', 'totgrf_norm',
                'contact_first', 'grf_dist_y', 'comacc_kin_x', 'comacc_kin_y',
@@ -211,11 +305,15 @@ def collect_stats(subject_paths: List[str], short: bool = False,
     if short:
         subject_paths = subject_paths[:2]
     seen_split_subjects = set()
+    use_ref_classes = bool(class_dir) or any(
+        d in p for p in subject_paths for d in ('Carter2023', 'Han2023'))
     for path in subject_paths:
         # legacy protobuf files convert on first touch like WindowDataset
         from inferbiomechanics_tpu.data.b3d_legacy import ensure_tpu_format
         s = SubjectOnDisk(ensure_tpu_format(path))
-        subj_id = os.path.splitext(os.path.basename(path))[0]
+        subj_id = parse_subject_id(path, raw)
+        class_dict = load_class_dict(class_dir, class_datasets or [],
+                                     path, subj_id) if class_dir else {}
         dataset_name = os.path.basename(os.path.dirname(path)) or 'unknown'
         mass = s.getMassKg()
         height = s.getHeightM()
@@ -235,6 +333,17 @@ def collect_stats(subject_paths: List[str], short: bool = False,
             n_passes = s.getTrialNumProcessingPasses(trial)
             if not raw and n_passes < 2:
                 continue   # validity filter: needs a dynamics pass (ref :1476)
+            # motion classification (ref :661-788); 'bad' skips the trial
+            if use_ref_classes:
+                cls = classify_motion_ref(path, s.getTrialName(trial),
+                                          class_dict)
+                if 'bad' in cls:
+                    print(f'SKIPPING TRIAL {trial + 1} '
+                          f'({s.getTrialName(trial)}) for {path} because '
+                          f'motion_class = bad')
+                    continue
+            else:
+                cls = classify_motion(s.getTrialName(trial))
             subj_valid_trials += 1
             stats['num_trials'] += 1
             T = s.getTrialLength(trial)
@@ -284,9 +393,10 @@ def collect_stats(subject_paths: List[str], short: bool = False,
                         stats['freq_rmse'][c].append(
                             float(np.sqrt((err ** 2).mean())))
 
-            # motion classification by trial name (ref :661-785)
-            cls = classify_motion(s.getTrialName(trial))
-            stats['motion_class_hours'][cls] += T * dt / 3600.0
+            # motion-class hours for the activity chart (ref :91-162);
+            # cls was computed at the top of the trial loop
+            stats['motion_class_hours'][cls] = \
+                stats['motion_class_hours'].get(cls, 0.0) + T * dt / 3600.0
 
             if not raw:
                 # mass estimation from dynamics (ref :371-418)
@@ -299,9 +409,9 @@ def collect_stats(subject_paths: List[str], short: bool = False,
             if np.isfinite(sp):
                 stats['stance_speeds_m_s'].append(sp)
 
-            # scatter samples (downsampled like ref downsample_size)
+            # scatter samples at the ref's downsample_size frame stride
             if valid.any():
-                idx = np.nonzero(valid)[0][::max(1, int(valid.sum()) // downsample)]
+                idx = np.nonzero(valid)[0][::max(1, int(downsample))]
                 tg = total_grf[idx] / mass
                 first = grf_vecs[idx, 0]
                 # share of vertical GRF on the first body; only meaningful
@@ -434,14 +544,23 @@ def _render_scatter_matrix(plt, stats, name, ykey, xkey, corr_type,
 
 
 def render_plots(stats: Dict, out_dir: str,
-                 scatter_matrices: bool = True) -> List[str]:
-    """Render the figure set to PNG files."""
+                 scatter_matrices: bool = True,
+                 groups: Optional[set] = None) -> List[str]:
+    """Render the figure set to PNG files.
+
+    ``groups`` mirrors the reference's output toggles (make_plots.py:67-80):
+    a subset of {'histograms', 'errvfreq', 'scatterplots'}; None renders
+    everything.
+    """
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
 
     os.makedirs(out_dir, exist_ok=True)
     written = []
+
+    def enabled(group):
+        return groups is None or group in groups
 
     def save(name):
         path = os.path.join(out_dir, name)
@@ -450,13 +569,14 @@ def render_plots(stats: Dict, out_dir: str,
         plt.close()
         written.append(path)
 
-    for key, title, unit in [('trial_lengths_s', 'Trial lengths', 's'),
-                             ('speeds_m_s', 'Mean speeds', 'm/s'),
-                             ('stance_speeds_m_s', 'Stance-phase speeds', 'm/s'),
-                             ('max_grf_n_kg', 'Max total GRF', 'N/kg'),
-                             ('ages', 'Ages', 'years'),
-                             ('estimated_masses', 'Estimated masses', 'kg'),
-                             ('bmis', 'BMI', 'kg/m^2')]:
+    hist_specs = [('trial_lengths_s', 'Trial lengths', 's'),
+                  ('speeds_m_s', 'Mean speeds', 'm/s'),
+                  ('stance_speeds_m_s', 'Stance-phase speeds', 'm/s'),
+                  ('max_grf_n_kg', 'Max total GRF', 'N/kg'),
+                  ('ages', 'Ages', 'years'),
+                  ('estimated_masses', 'Estimated masses', 'kg'),
+                  ('bmis', 'BMI', 'kg/m^2')]
+    for key, title, unit in hist_specs if enabled('histograms') else []:
         data = stats.get(key, [])
         if len(data):
             plt.figure(figsize=(5, 4))
@@ -467,14 +587,14 @@ def render_plots(stats: Dict, out_dir: str,
             save(f'hist_{key}.png')
 
     cc = stats['contact_counts']
-    if sum(cc.values()) > 0:
+    if enabled('histograms') and sum(cc.values()) > 0:
         plt.figure(figsize=(5, 4))
         plt.pie(list(cc.values()), labels=list(cc.keys()), autopct='%1.1f%%')
         plt.title('Contact distribution')
         save('contact_pie.png')
 
     mc = stats.get('motion_class_hours', {})
-    if any(v > 0 for v in mc.values()):
+    if enabled('histograms') and any(v > 0 for v in mc.values()):
         plt.figure(figsize=(6, 4))
         names = [k for k, v in mc.items() if v > 0]
         plt.bar(names, [mc[k] for k in names], color='#346beb')
@@ -483,7 +603,7 @@ def render_plots(stats: Dict, out_dir: str,
         save('activity_bars.png')
 
     dn = stats.get('dataset_n', {})
-    if dn:
+    if enabled('histograms') and dn:
         plt.figure(figsize=(6, 4))
         plt.bar(list(dn.keys()), list(dn.values()), color='#52b06d')
         plt.title('Valid subjects per dataset')
@@ -492,7 +612,8 @@ def render_plots(stats: Dict, out_dir: str,
         save('dataset_subjects.png')
 
     # full ScatterPlots matrix set (ref :560-616,907-985)
-    if scatter_matrices and stats.get('scatter_frames', {}).get('totgrf_y'):
+    if enabled('scatterplots') and scatter_matrices \
+            and stats.get('scatter_frames', {}).get('totgrf_y'):
         matrices = [m for m in PER_DOF_MATRICES
                     if not (stats.get('raw') and m[1] == 'joint_tau')]
         for name, ykey, xkey, corr_type, in_deg in matrices:
@@ -512,7 +633,7 @@ def render_plots(stats: Dict, out_dir: str,
              ('total_grf', 'grf_dist'), ('joint_acc', 'com_acc')]
     ready = [(a, b) for a, b in pairs
              if sc.get(a) is not None and sc[a].size > 2 and sc[b].size == sc[a].size]
-    if ready:
+    if enabled('scatterplots') and ready:
         n = len(ready)
         plt.figure(figsize=(4 * n, 3.6))
         corr = stats.get('scatter_correlations', {})
@@ -527,7 +648,7 @@ def render_plots(stats: Dict, out_dir: str,
 
     fr = stats['freq_rmse']
     cutoffs = [c for c in stats['freq_cutoffs'] if fr[c]]
-    if cutoffs:
+    if enabled('errvfreq') and cutoffs:
         plt.figure(figsize=(5, 4))
         means = [float(np.mean(fr[c])) for c in cutoffs]
         plt.plot(cutoffs, means, marker='o')
@@ -545,6 +666,20 @@ class MakePlotsCommand:
         parser = subparsers.add_parser(
             'make-plots', help='Compute dataset statistics and render figures')
         parser.add_argument('--data-path', type=str, default='../data')
+        parser.add_argument('--datasets', type=str, nargs='+', default=[''],
+                            help='Restrict to subject paths containing any '
+                                 'of these dataset names (ref :26)')
+        parser.add_argument('--class-path', type=str, default='',
+                            help='Root dir of motion-classification .npy '
+                                 'dicts: <class-path>/<dataset>/<subj>/'
+                                 '<subj>.npy (ref :27,677-688)')
+        parser.add_argument('--class-datasets', type=str, nargs='+',
+                            default=['none'],
+                            help='Dataset names that have classification '
+                                 'data under --class-path (ref :28)')
+        parser.add_argument('--downsample-size', type=int, default=10,
+                            help='Frame stride for scatter samples '
+                                 '(ref :30)')
         parser.add_argument('--out-dir', type=str, default='outputs/plots')
         parser.add_argument('--cache', type=str, default='outputs/plots/cache.pkl')
         parser.add_argument('--use-cache', action='store_true',
@@ -555,6 +690,18 @@ class MakePlotsCommand:
                                  'no dynamics pass required (ref :1623-1733)')
         parser.add_argument('--no-scatter', action='store_true',
                             help='Skip the per-DOF scatter matrix figures')
+        # reference output toggles (ref :33-41). Unlike the reference
+        # (which renders NOTHING unless asked), passing none of these
+        # renders every figure group.
+        parser.add_argument('--output-histograms', action='store_true')
+        parser.add_argument('--output-scatterplots', action='store_true')
+        parser.add_argument('--output-errvfreq', action='store_true')
+        parser.add_argument('--output-subjmetrics', action='store_true',
+                            help='Print aggregated subject demographics '
+                                 '(ref :1309-1317)')
+        parser.add_argument('--output-trialmetrics', action='store_true',
+                            help='Print aggregated trial metrics '
+                                 '(ref :1319-1330)')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'make-plots':
@@ -564,14 +711,22 @@ class MakePlotsCommand:
                 stats = pickle.load(f)
             print(f'loaded cache {args.cache}')
         else:
+            dataset_filter = [d for d in args.datasets if d.strip()]
             paths = []
             for root, _dirs, files in os.walk(args.data_path):
                 for fname in sorted(files):
                     if fname.endswith('.b3d') and 'vander' not in fname.lower():
-                        paths.append(os.path.join(root, fname))
+                        p = os.path.join(root, fname)
+                        if dataset_filter and not any(d in p
+                                                      for d in dataset_filter):
+                            continue
+                        paths.append(p)
             print(f'scanning {len(paths)} subjects...')
             stats = collect_stats(paths, short=args.short, raw=args.raw,
-                                  demo_csv=load_demographics_csv(args.data_path))
+                                  downsample=args.downsample_size,
+                                  demo_csv=load_demographics_csv(args.data_path),
+                                  class_dir=args.class_path,
+                                  class_datasets=args.class_datasets)
             os.makedirs(os.path.dirname(os.path.abspath(args.cache)), exist_ok=True)
             with open(args.cache, 'wb') as f:
                 pickle.dump(stats, f)
@@ -582,7 +737,21 @@ class MakePlotsCommand:
               f"valid_frames={stats['valid_frames']}/{stats['total_frames']} "
               f"valid_subjects={stats.get('num_valid_subjs', 0)} "
               f"datasets={stats.get('dataset_n', {})}")
+        if args.output_subjmetrics:   # ref :1309-1317
+            print(f"ages: {stats.get('ages', [])}")
+            print(f"bmis: {stats.get('bmis', [])}")
+            print(f"sexes: {stats.get('sexes', [])}")
+        if args.output_trialmetrics:  # ref :1319-1330
+            print(f"trial_lengths_s: {stats.get('trial_lengths_s', [])}")
+            print(f"speeds_m_s: {stats.get('speeds_m_s', [])}")
+            print(f"stance_speeds_m_s: {stats.get('stance_speeds_m_s', [])}")
+        toggles = {'histograms': args.output_histograms,
+                   'scatterplots': args.output_scatterplots,
+                   'errvfreq': args.output_errvfreq}
+        groups = ({g for g, on in toggles.items() if on}
+                  if any(toggles.values()) else None)
         for path in render_plots(stats, args.out_dir,
-                                 scatter_matrices=not args.no_scatter):
+                                 scatter_matrices=not args.no_scatter,
+                                 groups=groups):
             print(f'wrote {path}')
         return True
