@@ -34,7 +34,8 @@ def get_model(model_type: str,
               num_layers: int = 4,
               num_heads: int = 8,
               use_pallas: bool = False,
-              attn_impl: str = 'vpu'):
+              attn_impl: str = 'vpu',
+              conv_impl: str = 'xla'):
     """Build a model by name. 'analytical' has no learnable parameters and is
     served by :mod:`inferbiomechanics_tpu.models.analytical` instead."""
     if model_type == 'feedforward':
@@ -50,7 +51,7 @@ def get_model(model_type: str,
         return Groundlink(
             num_dofs=num_dofs, num_contact_bodies=num_contact_bodies,
             root_history_len=root_history_len,
-            output_data_format=output_data_format)
+            output_data_format=output_data_format, conv_impl=conv_impl)
     if model_type == 'transformer':
         return TransformerRegressor(
             num_dofs=num_dofs, num_contact_bodies=num_contact_bodies,

@@ -185,3 +185,33 @@ def test_attn_checkpoint_conversion_equivalence():
             np.testing.assert_allclose(np.asarray(conv[part]['kernel']),
                                        np.asarray(orig[part]['kernel']),
                                        atol=1e-7)
+
+
+def test_groundlink_banded_conv_matches_xla_conv():
+    """conv_impl='banded' (one matmul per conv layer, MXU lowering) is
+    numerically equivalent to the nn.Conv + edge-pad path from the SAME
+    parameters, including replicate-padding edge behavior. Shared param
+    tree: checkpoints swap between the lowerings."""
+    import jax
+    import jax.numpy as jnp
+
+    from inferbiomechanics_tpu.models import get_model
+
+    kw = dict(num_dofs=23, num_contact_bodies=2, history_len=50, stride=5,
+              root_history_len=10)
+    from inferbiomechanics_tpu.models.groundlink import Groundlink
+    # f32 so the comparison isn't dominated by bf16 noise
+    kw = dict(kw, root_history_len=kw.pop('root_history_len'))
+    del kw['history_len'], kw['stride']
+    banded = Groundlink(conv_impl='banded', compute_dtype=jnp.float32, **kw)
+    xla = Groundlink(conv_impl='xla', compute_dtype=jnp.float32, **kw)
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 10, 177))
+    params = banded.init(rng, x)['params']
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(xla.init(rng, x)['params'])
+    out_b = banded.apply({'params': params}, x)
+    out_x = xla.apply({'params': params}, x)
+    for k in out_b:
+        assert jnp.allclose(out_b[k], out_x[k], atol=2e-4), k
