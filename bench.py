@@ -21,12 +21,16 @@ deadline fires mid-measurement, the stashed best tier is printed with
      compile), chained steps + scalar readback.   tier="step_b512"
   1b. same at B=64 — apples-to-apples vs the torch baseline's batch
      size (reference default, train.py:56-57).    field "b64_*"
-  2. HEADLINE: chunked epoch runner (8 train steps per jit program via
+  2. HEADLINE: chunked epoch runner (32 train steps per jit program via
      lax.scan, host-side epoch shuffle) over the whole dataset. The
      round-2 whole-epoch-in-one-program runner measured the same rate
      but its big scan program was the compile-time failure mode; the
      chunked program is a fraction of the compile for the same
      steady-state throughput.                     tier="epoch"
+
+Device data is TiledDeviceData (train/device_data.py): a ~300 KB real
+seed tiled on device — the tunnel has been observed at ~7 KB/s, where
+even a 4 MB packed upload blows the watchdog.
 
 The baseline is the PyTorch reference's equivalent training throughput
 measured on this machine (BASELINE.md: the reference publishes no
@@ -79,15 +83,28 @@ def _make_dataset(tmp='/tmp/ib_bench_data_r3'):
     so the bench samples batches from a small table with replacement —
     same per-step work, 7× less startup transfer.
     """
+    import shutil
+
     from inferbiomechanics_tpu.data.dataset import WindowDataset
     from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
-    os.makedirs(tmp, exist_ok=True)
-    for i in range(2):
-        p = os.path.join(tmp, f's{i}.b3d')
-        if not os.path.exists(p):
-            write_synthetic_subject(p, num_trials=2, trial_length=2100, seed=i)
-    return WindowDataset(tmp, window_size=WINDOW, stride=STRIDE,
-                         skip_loading_skeletons=True)
+
+    def build():
+        os.makedirs(tmp, exist_ok=True)
+        for i in range(2):
+            p = os.path.join(tmp, f's{i}.b3d')
+            if not os.path.exists(p):
+                write_synthetic_subject(p, num_trials=2, trial_length=2100,
+                                        seed=i)
+        return WindowDataset(tmp, window_size=WINDOW, stride=STRIDE,
+                             skip_loading_skeletons=True)
+
+    try:
+        return build()
+    except (ValueError, OSError) as e:
+        # stale cache from an older format revision: wipe and regenerate
+        log(f'[bench] regenerating dataset ({e})')
+        shutil.rmtree(tmp, ignore_errors=True)
+        return build()
 
 
 def bench_torch_reference(ds) -> float:
@@ -212,11 +229,10 @@ def main():
             log(f'[bench] torch baseline: {box["torch"]:.0f} w/s')
         except Exception as e:
             log(f'[bench] torch baseline failed: {e}')
-        from inferbiomechanics_tpu.train.device_data import DeviceResidentData
+        from inferbiomechanics_tpu.train.device_data import TiledDeviceData
         box['stage'] = 'device_upload'
         t = time.time()
-        import jax.numpy as jnp
-        data = DeviceResidentData(ds, label_upload_dtype=jnp.bfloat16)
+        data = TiledDeviceData(ds)
         # force the transfer to complete before calling upload done
         float(np.asarray(data.win_base[0]))
         log(f'[bench] upload: {data.upload_bytes/1e6:.1f} MB packed in '

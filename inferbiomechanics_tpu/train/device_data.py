@@ -89,6 +89,44 @@ class DeviceResidentData:
         return inputs, labels
 
 
+class TiledDeviceData(DeviceResidentData):
+    """DeviceResidentData built from a SMALL uploaded seed, tiled on device.
+
+    The axon tunnel's host→device bandwidth is unreliable (observed from
+    10 MB/s down to ~7 KB/s), so benchmarks that upload the full packed
+    dataset can blow any time budget before measuring anything (the
+    round-1/2 null-bench root cause). This variant ships only the first
+    ``seed_rows`` frames (~300 KB) plus the window table and repeats
+    them on device to the full row count: every gather/train step does
+    identical work on real-data statistics, only the frame contents
+    repeat with period ``seed_rows``. For benchmarking and smoke runs —
+    real training uses :class:`DeviceResidentData`.
+    """
+
+    def __init__(self, ds: WindowDataset, seed_rows: int = 1000,
+                 feature_dtype=jnp.bfloat16):
+        rows = int(ds.features_all.shape[0])
+        seed_rows = min(seed_rows, rows)
+        feat = np.asarray(ds.features_all[:seed_rows]).astype(feature_dtype)
+        lab = np.asarray(ds.labels_all[:seed_rows]).astype(jnp.bfloat16)
+        base = np.asarray(ds.trial_row_offset[ds.win_ft] + ds.win_start,
+                          np.int32)
+        reps = -(-rows // seed_rows)
+        self.features_all = jnp.tile(jax.device_put(feat), (reps, 1))[:rows]
+        self.labels_all = jnp.tile(jax.device_put(lab),
+                                   (reps, 1))[:rows].astype(jnp.float32)
+        self.win_base = jax.device_put(base)
+        self.num_windows = int(base.shape[0])
+        self.window_size = ds.window_size
+        self.stride = ds.stride
+        self.num_model_frames = ds.num_model_frames
+        self.output_data_format = ds.output_data_format
+        self.lab_offsets = ds.lab_offsets
+        self.upload_bytes = feat.nbytes + lab.nbytes + base.nbytes
+        self.hbm_bytes = (self.features_all.nbytes + self.labels_all.nbytes
+                          + base.nbytes)
+
+
 def make_device_train_step(model, data: DeviceResidentData,
                            loss_config: LossConfig,
                            donate: bool = True) -> Callable:

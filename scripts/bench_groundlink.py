@@ -30,7 +30,7 @@ def main():
     from inferbiomechanics_tpu.models import get_model
     from inferbiomechanics_tpu.train import create_train_state, make_optimizer
     from inferbiomechanics_tpu.train.device_data import (
-        DeviceResidentData, make_device_train_step,
+        TiledDeviceData, make_device_train_step,
     )
 
     # small dataset: the axon tunnel uploads at ~10 MB/s on a GOOD day
@@ -43,7 +43,7 @@ def main():
     ds = WindowDataset(tmp, window_size=50, stride=5,
                        skip_loading_skeletons=True)
     t0 = time.time()
-    data = DeviceResidentData(ds, label_upload_dtype=jnp.bfloat16)
+    data = TiledDeviceData(ds)
     float(np.asarray(data.win_base[0]))
     print(f'upload {data.upload_bytes/1e6:.1f} MB in {time.time()-t0:.0f}s',
           flush=True)

@@ -30,17 +30,23 @@ def main():
     from inferbiomechanics_tpu.models import get_model
     from inferbiomechanics_tpu.train import create_train_state, make_optimizer
     from inferbiomechanics_tpu.train.device_data import (
-        DeviceResidentData, make_device_train_step,
+        TiledDeviceData, make_device_train_step,
     )
 
-    tmp = '/tmp/ib_bench_tf'
+    # small dataset: the axon tunnel uploads at ~10 MB/s on a GOOD day
+    tmp = '/tmp/ib_bench_tf_r3'
     os.makedirs(tmp, exist_ok=True)
-    p = os.path.join(tmp, 's.b3d')
-    if not os.path.exists(p):
-        write_synthetic_subject(p, num_trials=4, trial_length=4000, seed=0)
+    for i in range(2):
+        p = os.path.join(tmp, f's{i}.b3d')
+        if not os.path.exists(p):
+            write_synthetic_subject(p, num_trials=2, trial_length=2100, seed=i)
     ds = WindowDataset(tmp, window_size=50, stride=5,
                        skip_loading_skeletons=True)
-    data = DeviceResidentData(ds)
+    t0 = time.time()
+    data = TiledDeviceData(ds)
+    float(np.asarray(data.win_base[0]))
+    print(f'upload {data.upload_bytes/1e6:.1f} MB in {time.time()-t0:.0f}s',
+          flush=True)
     idx = jnp.asarray(np.random.default_rng(0).integers(
         0, data.num_windows, size=B), jnp.int32)
     rng = jax.random.PRNGKey(0)

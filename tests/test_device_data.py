@@ -102,3 +102,23 @@ def test_epoch_runner_rejects_tiny_dataset(ds):
     with pytest.raises(ValueError):
         make_device_epoch_runner(model, data, LossConfig(),
                                  batch_size=len(ds) + 1)
+
+
+def test_tiled_device_data_matches_interface(ds):
+    """TiledDeviceData (bench small-upload variant) serves the same
+    gather interface/shapes as DeviceResidentData with frame contents
+    repeating at the seed period."""
+    from inferbiomechanics_tpu.train.device_data import TiledDeviceData
+    full = DeviceResidentData(ds)
+    tiled = TiledDeviceData(ds, seed_rows=16)
+    assert tiled.num_windows == full.num_windows
+    assert tiled.upload_bytes < full.features_all.nbytes
+    idx = jnp.arange(4, dtype=jnp.int32)
+    fi, fl = full.gather_in_jit(idx)
+    ti, tl = tiled.gather_in_jit(idx)
+    assert fi.shape == ti.shape and fl.shape == tl.shape
+    assert fi.dtype == ti.dtype and fl.dtype == tl.dtype
+    # tiled rows repeat with the seed period
+    f = np.asarray(tiled.features_all)
+    np.testing.assert_array_equal(f[0], f[16 % f.shape[0] and 16])
+    assert np.isfinite(np.asarray(tl)).all()
