@@ -151,10 +151,97 @@ def _encoder_kernel(num_heads, t, d, compute_dtype, x_ref, *refs):
     out_ref[:] = (h + y).reshape(r, t * d).astype(jnp.float32)
 
 
+def _encoder_kernel_v2(num_heads, t, d, compute_dtype, x_ref, *refs):
+    """v2 attention core: batched over key frames (round 3).
+
+    v1 unrolled the T=10 attention over all (i, j) frame pairs — ~200
+    skinny [R,D]x[D,H] / [R,H]x[H,D] matmuls plus ~[R,8] softmax smalls
+    per tile; in-kernel op issue dominated the measured 1.1 ms/layer.
+    v2 restructures:
+
+    - Q/K/V are projected SEPARATELY (three matmuls on the [R*T, D]
+      view), so each lands window-major [R, T*D] with no per-frame
+      re-slicing of an interleaved qkv buffer.
+    - Per query frame i, scores against ALL key frames come from ONE
+      matmul: (tile(q_i) ⊙ K_all) @ BD, where BD [T*D, T*H] is the
+      block-diagonal head indicator — T matmuls total for scores.
+    - Probabilities expand back to lane space with one [R, T*H] @
+      BD2 [T*H, T*D] matmul per i; value mixing is an elementwise
+      multiply + a T-slice tree sum (pure VPU, no MXU padding).
+
+    Padded MXU FLOPs are unchanged (N pads to 128 either way) but the
+    matmul count drops 200 -> 20 and VPU op count roughly halves.
+    """
+    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2) = \
+        [r[:] for r in refs[:12]]
+    out_ref = refs[12]
+    r = x_ref.shape[0]
+    dh = d // num_heads
+    f32 = jnp.float32
+
+    # head indicator E[c, h] = 1 iff lane c belongs to head h
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 1)
+    E = (lane // dh == head).astype(f32)                       # [D, H]
+    # block-diagonal over frames: BD[(j,c),(j',h)] = E[c,h] * (j == j')
+    jlane = jax.lax.broadcasted_iota(jnp.int32, (t * d, t * num_heads), 0) // d
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (t * d, t * num_heads), 1) \
+        // num_heads
+    BD = jnp.where(jlane == jcol, jnp.tile(E, (t, t)), 0.0)    # [T*D, T*H]
+    BD2 = BD.T                                                 # [T*H, T*D]
+
+    h = x_ref[:].astype(f32).reshape(r * t, d)
+    y = _layernorm(h, g1[0], b1[0]).astype(compute_dtype)
+    wq, wk, wv = (wqkv[:, :d], wqkv[:, d:2 * d], wqkv[:, 2 * d:])
+    bq, bk, bv = (bqkv[0, :d], bqkv[0, d:2 * d], bqkv[0, 2 * d:])
+    scale = dh ** -0.5
+    q = (jnp.dot(y, wq.astype(compute_dtype),
+                 preferred_element_type=f32) + bq) * scale
+    k = jnp.dot(y, wk.astype(compute_dtype), preferred_element_type=f32) + bk
+    v = jnp.dot(y, wv.astype(compute_dtype), preferred_element_type=f32) + bv
+    q_w = q.reshape(r, t * d)        # window-major: frame j at lanes [j*d, (j+1)*d)
+    k_w = k.reshape(r, t * d)
+    v_w = v.reshape(r, t * d)
+
+    outs = []
+    for i in range(t):
+        qi = q_w[:, i * d:(i + 1) * d]                         # [R, D]
+        qi_tile = jnp.concatenate([qi] * t, axis=1)            # [R, T*D]
+        s = jnp.dot(qi_tile * k_w, BD,
+                    preferred_element_type=f32)                # [R, T*H]
+        # softmax over key frames j (strided groups of H lanes)
+        cols = [s[:, j * num_heads:(j + 1) * num_heads] for j in range(t)]
+        m = cols[0]
+        for c in cols[1:]:
+            m = jnp.maximum(m, c)
+        e = jnp.exp(s - jnp.concatenate([m] * t, axis=1))      # [R, T*H]
+        ecols = [e[:, j * num_heads:(j + 1) * num_heads] for j in range(t)]
+        z = ecols[0]
+        for c in ecols[1:]:
+            z = z + c
+        p = e * jnp.concatenate([1.0 / z] * t, axis=1)         # [R, T*H]
+        p_exp = jnp.dot(p, BD2, preferred_element_type=f32)    # [R, T*D]
+        pv = p_exp * v_w
+        acc = pv[:, :d]
+        for j in range(1, t):
+            acc = acc + pv[:, j * d:(j + 1) * d]
+        outs.append(acc)
+    attn = jnp.concatenate(outs, axis=1).reshape(r * t, d)
+    y = jnp.dot(attn.astype(compute_dtype), wproj.astype(compute_dtype),
+                preferred_element_type=f32) + bproj[0]
+    h = h + y
+    y = _layernorm(h, g2[0], b2[0]).astype(compute_dtype)
+    y = jnp.dot(y, w1.astype(compute_dtype), preferred_element_type=f32) + bm1[0]
+    y = jax.nn.gelu(y).astype(compute_dtype)
+    y = jnp.dot(y, w2.astype(compute_dtype), preferred_element_type=f32) + bm2[0]
+    out_ref[:] = (h + y).reshape(r, t * d).astype(f32)
+
+
 def encoder_layer_pallas(x: jax.Array, params: Tuple[jax.Array, ...],
                          num_heads: int, tile_rows: int = 64,
                          compute_dtype=jnp.bfloat16,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False,
+                         kernel_version: int = 1) -> jax.Array:
     """Fused encoder layer. x [B, T, d] f32 -> [B, T, d] f32.
     d and mlp width must be multiples of 128; B padded to tile_rows."""
     import jax.experimental.pallas as pl
@@ -175,7 +262,8 @@ def encoder_layer_pallas(x: jax.Array, params: Tuple[jax.Array, ...],
     for p in params:
         prep.append(p[None, :] if p.ndim == 1 else p)
 
-    kernel = functools.partial(_encoder_kernel, num_heads, t, d, compute_dtype)
+    kfn = _encoder_kernel_v2 if kernel_version == 2 else _encoder_kernel
+    kernel = functools.partial(kfn, num_heads, t, d, compute_dtype)
     in_specs = [pl.BlockSpec((tile_rows, t * d), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
     for p in prep:
@@ -193,8 +281,9 @@ def encoder_layer_pallas(x: jax.Array, params: Tuple[jax.Array, ...],
     return out[:b].reshape(b, t, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def fused_encoder_layer(x, params, num_heads):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_encoder_layer(x, params, num_heads, tile_rows=64,
+                        kernel_version=1):
     """Trainable fused layer: pallas forward on TPU, jnp on CPU;
     backward recomputes through the jnp reference.
 
@@ -208,14 +297,16 @@ def fused_encoder_layer(x, params, num_heads):
     for training."""
     if jax.default_backend() == 'cpu':
         return encoder_layer_reference(x, params, num_heads)
-    return encoder_layer_pallas(x, params, num_heads)
+    return encoder_layer_pallas(x, params, num_heads, tile_rows=tile_rows,
+                                kernel_version=kernel_version)
 
 
-def _fwd(x, params, num_heads):
-    return fused_encoder_layer(x, params, num_heads), (x, params)
+def _fwd(x, params, num_heads, tile_rows=64, kernel_version=1):
+    return (fused_encoder_layer(x, params, num_heads, tile_rows,
+                                kernel_version), (x, params))
 
 
-def _bwd(num_heads, res, g):
+def _bwd(num_heads, tile_rows, kernel_version, res, g):
     x, params = res
     _, vjp = jax.vjp(lambda x_, p_: encoder_layer_reference(x_, p_, num_heads),
                      x, params)

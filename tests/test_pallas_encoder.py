@@ -123,3 +123,15 @@ def test_fused_transformer_forward_matches_apply():
         scale = np.abs(a).max() + 1e-6
         np.testing.assert_allclose(b, a, atol=3e-2 * scale,
                                    err_msg=f'head {k}')
+
+
+def test_interpret_kernel_v2_matches_reference():
+    """v2 attention core (key-frame-batched scores via block-diagonal
+    head indicators, round 3) is numerically equivalent to v1/reference."""
+    x, params = _setup(2)
+    ref = encoder_layer_reference(x, params, H, compute_dtype=jnp.float32)
+    out = encoder_layer_pallas(x, params, H, tile_rows=8,
+                               compute_dtype=jnp.float32, interpret=True,
+                               kernel_version=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
