@@ -99,20 +99,31 @@ function draw(){
 }
 requestAnimationFrame(draw);
 
+function framePoints(f){
+  const pts = [];
+  if (f.joints) for (const j of f.joints) pts.push(j);
+  if (f.bodies) for (const T of Object.values(f.bodies)) pts.push(T.p);
+  return pts;
+}
+let framed = false;
 const sock = new WebSocket(`ws://${location.host}/ws`);
 sock.onmessage = ev => {
   const m = JSON.parse(ev.data);
   if (m.type === 'init'){ INIT = m; document.title = m.title; }
   else if (m.type === 'frame'){
     FRAME = m;
+    if (!framed){ frameCamera(framePoints(m)); framed = true; }
     hud.textContent = `${m.title || ''}  frame ${m.frame}/${m.total}` +
+      (m.subject !== undefined ? `  subject ${m.subject}` : '') +
       (m.missing ? '  [missing GRF]' : '') + (m.hud ? '\\n' + m.hud : '') +
-      '\\nspace: play/pause  e/a: step  r: report  drag: orbit  wheel: zoom' +
+      '\\nspace: play/pause  e/a: step  s: next subject  r: report' +
+      '\\nf: frame camera  drag: orbit  wheel: zoom' +
       '\\n\\u25a0 label force (red)  \\u25a0 predicted force (blue)';
   }
 };
 addEventListener('keydown', ev => {
-  if ([' ', 'e', 'a', 'r', 'n'].includes(ev.key)){
+  if (ev.key === 'f'){ if (FRAME) frameCamera(framePoints(FRAME)); return; }
+  if ([' ', 'e', 'a', 'r', 'n', 's'].includes(ev.key)){
     sock.send(JSON.stringify({type: 'key', key: ev.key}));
     ev.preventDefault();
   }
@@ -128,10 +139,15 @@ class LiveSession:
 
     def __init__(self, num_frames: int,
                  packet_for_frame: Callable[[int], dict],
-                 on_report: Optional[Callable[[], None]] = None):
+                 on_report: Optional[Callable[[], None]] = None,
+                 jump_points: Optional[list] = None):
         self.num_frames = num_frames
         self.packet_for_frame = packet_for_frame
         self.on_report = on_report
+        # 's' cycles to the next jump point (subject starts in the
+        # dev-split live mode; beyond-reference: the NimbleGUI session
+        # had no subject navigation)
+        self.jump_points = sorted(jump_points) if jump_points else []
         self.frame = 0
         self.playing = True
         self._lock = threading.Lock()
@@ -148,6 +164,9 @@ class LiveSession:
                 self.frame -= 1
                 if self.frame < 0:
                     self.frame = max(self.num_frames - 5, 1) - 1
+            elif key == 's' and self.jump_points:
+                nxt = [p for p in self.jump_points if p > self.frame]
+                self.frame = nxt[0] if nxt else self.jump_points[0]
             elif key == 'r' and self.on_report:
                 self.on_report()
 

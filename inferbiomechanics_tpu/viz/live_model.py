@@ -109,6 +109,7 @@ def build_live_session(ds, predictor=None, evaluator=None,
             'joints': x[-1, o_jc:o_jc + w_jc].reshape(-1, 3).tolist(),
             'root_vel': x[0, o_rv:o_rv + 3].tolist(),
             'root_history': x[0, o_rh:o_rh + w_rh].reshape(-1, 3).tolist(),
+            'subject': si,
         }
         lab = batch.labels[0, -1]
         o_f, _ = lab_offs[K.OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]
@@ -161,9 +162,14 @@ def build_live_session(ds, predictor=None, evaluator=None,
                 for i, name in enumerate(body_names) if name in meshes}
         return packet
 
+    # subject starts for 's' (next subject) cycling in multi-subject sets
+    subj_of_frame = np.asarray(ds.win_subject)[idx]
+    jump_points = [0] + (1 + np.nonzero(np.diff(subj_of_frame))[0]).tolist()
     session = LiveSession(len(idx), packet_for_frame,
                           on_report=(lambda: evaluator.print_report(reset=False))
-                          if evaluator else None)
+                          if evaluator else None,
+                          jump_points=jump_points if len(jump_points) > 1
+                          else None)
     init = {
         'bones': STANDARD_BONES,
         'meshes': {name: {'v': v.round(4).tolist(), 'e': e.tolist()}

@@ -33,6 +33,18 @@ addEventListener('mousemove', e => {
   drag = [e.clientX, e.clientY];
 });
 cv.addEventListener('wheel', e => { dist = Math.max(0.8, dist * (1 + e.deltaY * 0.001)); });
+function frameCamera(pts){
+  // mesh-aware framing: center + distance from the bounding box of the
+  // posed geometry (falls back to joints when no meshes are loaded)
+  if (!pts || !pts.length) return;
+  let lo = [1e9, 1e9, 1e9], hi = [-1e9, -1e9, -1e9];
+  for (const p of pts) for (let k = 0; k < 3; k++){
+    lo[k] = Math.min(lo[k], p[k]); hi[k] = Math.max(hi[k], p[k]);
+  }
+  ccx = (lo[0] + hi[0]) / 2; ccy = (lo[1] + hi[1]) / 2;
+  const span = Math.max(hi[0]-lo[0], hi[1]-lo[1], hi[2]-lo[2], 0.5);
+  dist = Math.max(1.2, span * 2.2);
+}
 function P(v){
   const x = v[0] - ccx, y = v[1] - ccy, z = v[2] || 0;
   const cyw = Math.cos(yaw), syw = Math.sin(yaw);
@@ -74,6 +86,22 @@ function xform(R, p, v){
           R[3]*v[0] + R[4]*v[1] + R[5]*v[2] + p[1],
           R[6]*v[0] + R[7]*v[1] + R[8]*v[2] + p[2]];
 }
+// mesh-aware initial framing from frame 0's posed bodies + joints
+(function(){
+  const f0 = DATA.frames[0];
+  if (!f0) return;
+  const pts = (f0.joints || []).slice();
+  if (f0.bodies) for (const T of Object.values(f0.bodies)) pts.push(T.p);
+  frameCamera(pts);
+})();
+addEventListener('keydown', ev => {
+  if (ev.key === 'f'){
+    const f = DATA.frames[frame];
+    const pts = (f.joints || []).slice();
+    if (f.bodies) for (const T of Object.values(f.bodies)) pts.push(T.p);
+    frameCamera(pts);
+  }
+});
 function draw(){
   ctx.fillStyle = '#111'; ctx.fillRect(0, 0, cv.width, cv.height);
   const f = DATA.frames[frame];

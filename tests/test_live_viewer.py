@@ -385,3 +385,51 @@ def test_static_payload_includes_meshes(tmp_path):
     html_path = export_html(str(tmp_path / 'v.html'), payload, 'm')
     html = open(html_path).read()
     assert 'function P(v)' in html and 'DATA.meshes' in html
+
+
+def test_session_subject_cycling():
+    """'s' jumps to the next subject start (wrapping) — VERDICT r2 #8."""
+    s = LiveSession(30, lambda f: {'f': f}, jump_points=[0, 10, 22])
+    s.key(' ')                       # pause for deterministic frames
+    assert s.frame == 0
+    s.key('s'); assert s.frame == 10
+    s.key('s'); assert s.frame == 22
+    s.key('s'); assert s.frame == 0  # wrap
+    s.frame = 15
+    s.key('s'); assert s.frame == 22
+    # no jump points: 's' is a no-op
+    s2 = LiveSession(10, lambda f: {'f': f})
+    s2.key(' '); s2.key('s')
+    assert s2.frame == 0
+
+
+def test_live_session_multi_subject_metadata(tmp_path):
+    """build_live_session exposes per-frame subject + subject-start jump
+    points for a 2-subject dev split; packets carry 'subject'."""
+    import numpy as np
+
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    from inferbiomechanics_tpu.viz.live_model import build_live_session
+    for i in range(2):
+        write_synthetic_subject(str(tmp_path / f's{i}.b3d'), num_trials=1,
+                                trial_length=60, seed=i)
+    ds = WindowDataset(str(tmp_path), window_size=20, stride=5,
+                       skip_loading_skeletons=True)
+    session, init = build_live_session(ds, None, None)
+    assert session.jump_points and session.jump_points[0] == 0
+    assert len(session.jump_points) == 2      # one start per subject
+    p0 = session.packet_for_frame(0)
+    p1 = session.packet_for_frame(session.jump_points[1])
+    assert p0['subject'] == 0 and p1['subject'] == 1
+
+
+def test_camera_framing_js_present():
+    """Both viewer clients ship the mesh-aware frameCamera helper and
+    bind the 'f' key."""
+    from inferbiomechanics_tpu.viz.live import _PAGE
+    from inferbiomechanics_tpu.viz.viewer import CAMERA_JS, _TEMPLATE
+    assert 'function frameCamera' in CAMERA_JS
+    assert 'frameCamera(framePoints' in _PAGE
+    assert "'s'" in _PAGE                       # subject-cycle key forwarded
+    assert 'frameCamera(pts)' in _TEMPLATE
