@@ -137,9 +137,12 @@ class WindowDataset:
         self.subject_indices = {p: i for i, p in enumerate(self.subject_paths)}
 
         # Legacy (nimble protobuf) .b3d files are auto-converted to B3D-TPU
-        # once, next to the source, then mmap'd like native files — a
-        # reference user can point this at an AddBiomechanics download
-        # unchanged (data/b3d_legacy.py).
+        # once, next to the source, then mmap'd like native files
+        # (data/b3d_legacy.py). The legacy schema tables are a
+        # reconstruction not yet byte-validated against a real
+        # AddBiomechanics file; conversion validates header invariants
+        # and raises 'unrecognized legacy schema' (with a --verify
+        # diagnosis path) rather than ingesting garbage on a mismatch.
         from inferbiomechanics_tpu.data.b3d_legacy import ensure_tpu_format
         open_paths = [ensure_tpu_format(p) for p in self.subject_paths]
         self.subjects: List[SubjectOnDisk] = [SubjectOnDisk(p) for p in open_paths]
