@@ -259,7 +259,8 @@ def collect_stats(subject_paths: List[str], short: bool = False,
                   raw: bool = False, downsample: int = 10,
                   demo_csv: Optional[Dict] = None,
                   class_dir: str = '',
-                  class_datasets: Optional[List[str]] = None) -> Dict:
+                  class_datasets: Optional[List[str]] = None,
+                  scatter_random: bool = False) -> Dict:
     """One pass over all subjects -> the plot-data cache dict.
 
     ``raw=True`` is the TrialRaw variant (ref :1623-1733): kinematics-pass
@@ -305,6 +306,10 @@ def collect_stats(subject_paths: List[str], short: bool = False,
     if short:
         subject_paths = subject_paths[:2]
     seen_split_subjects = set()
+    # ref :532,698-701: with --scatter-random, each non-lunge trial is
+    # skipped from SCATTER sampling with probability 0.6 (lunge trials
+    # are rare and always kept)
+    scatter_rng = np.random.default_rng(0)
     use_ref_classes = bool(class_dir) or any(
         d in p for p in subject_paths for d in ('Carter2023', 'Han2023'))
     for path in subject_paths:
@@ -410,7 +415,10 @@ def collect_stats(subject_paths: List[str], short: bool = False,
                 stats['stance_speeds_m_s'].append(sp)
 
             # scatter samples at the ref's downsample_size frame stride
-            if valid.any():
+            take_scatter = True
+            if scatter_random and 'lunge' not in s.getTrialName(trial).lower():
+                take_scatter = scatter_rng.random() >= 0.6
+            if valid.any() and take_scatter:
                 idx = np.nonzero(valid)[0][::max(1, int(downsample))]
                 tg = total_grf[idx] / mass
                 first = grf_vecs[idx, 0]
@@ -680,7 +688,17 @@ class MakePlotsCommand:
         parser.add_argument('--downsample-size', type=int, default=10,
                             help='Frame stride for scatter samples '
                                  '(ref :30)')
-        parser.add_argument('--out-dir', type=str, default='outputs/plots')
+        parser.add_argument('--out-dir', '--out-path', dest='out_dir',
+                            type=str, default='outputs/plots',
+                            help='Figure output dir (ref flag: --out-path)')
+        parser.add_argument('--scatter-random', action='store_true',
+                            help='Randomly skip ~60%% of non-lunge trials '
+                                 'when collecting scatter samples '
+                                 '(ref :532,698-701)')
+        # the single pickle cache already persists both figure groups;
+        # the reference split them into two flags (ref :49-51)
+        parser.add_argument('--save-histo-data', action='store_true')
+        parser.add_argument('--save-scatter-data', action='store_true')
         parser.add_argument('--cache', type=str, default='outputs/plots/cache.pkl')
         parser.add_argument('--use-cache', action='store_true',
                             help='Replay an existing cache instead of rescanning')
@@ -726,7 +744,8 @@ class MakePlotsCommand:
                                   downsample=args.downsample_size,
                                   demo_csv=load_demographics_csv(args.data_path),
                                   class_dir=args.class_path,
-                                  class_datasets=args.class_datasets)
+                                  class_datasets=args.class_datasets,
+                                  scatter_random=args.scatter_random)
             os.makedirs(os.path.dirname(os.path.abspath(args.cache)), exist_ok=True)
             with open(args.cache, 'wb') as f:
                 pickle.dump(stats, f)
