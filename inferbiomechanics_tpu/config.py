@@ -44,6 +44,9 @@ class Config:
     # Pallas encoder (~4% serving win on TPU — BENCH_NOTES.md serving
     # table; bf16-residual-level numeric difference)
     fused_inference: bool = False
+    # groundlink conv lowering: 'xla' (nn.Conv, measured fastest) |
+    # 'banded' (one MXU matmul per conv layer — BENCH_NOTES.md)
+    conv_impl: str = 'xla'
 
     # optimization
     learning_rate: float = 1e-4
@@ -136,6 +139,10 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                         default=d.fused_inference,
                         help='Serve vpu transformer checkpoints through the '
                              'fused Pallas encoder (TPU inference speedup)')
+    parser.add_argument('--conv-impl', type=str, default=d.conv_impl,
+                        choices=['xla', 'banded'],
+                        help='GroundLink conv lowering (checkpoints are '
+                             'interchangeable between the two)')
     parser.add_argument('--diffusion-timesteps', type=int, default=d.diffusion_timesteps)
     parser.add_argument('--aux-tau-weight', type=float, default=d.aux_tau_weight,
                         help='Weight of the joint-torque aux loss (transformer)')
@@ -172,7 +179,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'aux_contact_weight': 'aux_contact_weight',
         'd_model': 'd_model', 'num_layers': 'num_layers',
         'num_heads': 'num_heads', 'attn_impl': 'attn_impl',
-        'fused_inference': 'fused_inference',
+        'fused_inference': 'fused_inference', 'conv_impl': 'conv_impl',
         'diffusion_timesteps': 'diffusion_timesteps',
         'model_parallel': 'model_parallel',
         'profile': 'profile', 'profile_dir': 'profile_dir',
