@@ -19,6 +19,7 @@ ops/pallas_mlp.py).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -561,9 +562,22 @@ def fused_encoder_layer(x, params, num_heads, tile_rows=64,
     ``attn_impl='pallas'`` for inference/serving and ``'vpu'`` (default)
     for training."""
     if jax.default_backend() == 'cpu':
+        if _interpret_override():
+            return encoder_layer_pallas(x, params, num_heads,
+                                        tile_rows=tile_rows,
+                                        kernel_version=kernel_version,
+                                        interpret=True)
         return encoder_layer_reference(x, params, num_heads)
     return encoder_layer_pallas(x, params, num_heads, tile_rows=tile_rows,
                                 kernel_version=kernel_version)
+
+
+def _interpret_override() -> bool:
+    """``IB_PALLAS_INTERPRET=1``: on CPU, run the real Pallas kernels in
+    interpret mode instead of falling back to the jnp reference — an
+    end-to-end wiring check of the fused fwd/bwd paths that needs no TPU
+    (slow; tests only)."""
+    return os.environ.get('IB_PALLAS_INTERPRET', '') not in ('', '0')
 
 
 def _fwd(x, params, num_heads, tile_rows=64, kernel_version=1,
@@ -574,10 +588,13 @@ def _fwd(x, params, num_heads, tile_rows=64, kernel_version=1,
 
 def _bwd(num_heads, tile_rows, kernel_version, fused_bwd, res, g):
     x, params = res
-    if fused_bwd and jax.default_backend() != 'cpu':
-        # round-3 fused backward kernel (recompute + hand VJP in-kernel)
-        return encoder_layer_bwd_pallas(x, g, params, num_heads,
-                                        tile_rows=tile_rows)
+    if fused_bwd:
+        on_cpu = jax.default_backend() == 'cpu'
+        if not on_cpu or _interpret_override():
+            # round-3 fused backward kernel (recompute + hand VJP in-kernel)
+            return encoder_layer_bwd_pallas(x, g, params, num_heads,
+                                            tile_rows=tile_rows,
+                                            interpret=on_cpu)
     _, vjp = jax.vjp(lambda x_, p_: encoder_layer_reference(x_, p_, num_heads),
                      x, params)
     return vjp(g)

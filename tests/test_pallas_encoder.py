@@ -158,6 +158,41 @@ def test_bwd_math_matches_jax_vjp():
                                    np.asarray(b), rtol=2e-4, atol=1e-5)
 
 
+def test_interpret_override_trains_fused_paths_end_to_end(monkeypatch):
+    """IB_PALLAS_INTERPRET=1 routes the CPU fallback through the REAL
+    Pallas fwd + fused-bwd kernels (interpret mode) inside a full
+    transformer gradient step — the wiring check that otherwise needs a
+    TPU. Grads must match the default CPU path (jnp reference fwd +
+    recompute VJP) since both compute the same math."""
+    from inferbiomechanics_tpu.models.transformer import TransformerRegressor
+    from inferbiomechanics_tpu.data.keys import OutputDataKeys
+    model = TransformerRegressor(num_dofs=23, num_contact_bodies=2,
+                                 history_len=50, stride=5, d_model=128,
+                                 num_layers=1, num_heads=4,
+                                 attn_impl='pallas', pallas_tile_rows=8,
+                                 pallas_fused_bwd=True)
+    x = jnp.asarray(np.random.default_rng(7).normal(
+        size=(8, 10, 177)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    k = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+
+    def loss(p):
+        o = model.apply({'params': p}, x, train=True,
+                        rngs={'dropout': jax.random.PRNGKey(1)})
+        return jnp.mean(o[k] ** 2)
+
+    monkeypatch.delenv('IB_PALLAS_INTERPRET', raising=False)
+    ref_grads = jax.grad(loss)(v['params'])
+    monkeypatch.setenv('IB_PALLAS_INTERPRET', '1')
+    grads = jax.jit(jax.grad(loss))(v['params'])   # fresh trace: env is read at trace time
+    for name in ('enc0_wqkv', 'enc0_wmlp1', 'enc0_ln1_scale'):
+        a, b = np.asarray(ref_grads[name]), np.asarray(grads[name])
+        assert np.isfinite(b).all()
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b, a, atol=5e-2 * scale,
+                                   err_msg=f'grad {name}')
+
+
 def test_bwd_pallas_interpret_matches_vjp_with_padding():
     """The full pallas backward (tiled, with cross-tile grad accumulation
     and a padded tail tile) matches jax.vjp of the reference."""
