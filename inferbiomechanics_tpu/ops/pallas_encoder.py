@@ -160,9 +160,12 @@ def _encoder_kernel_v2(num_heads, t, d, compute_dtype, x_ref, *refs):
     per tile; in-kernel op issue dominated the measured 1.1 ms/layer.
     v2 restructures:
 
-    - Q/K/V are projected SEPARATELY (three matmuls on the [R*T, D]
-      view), so each lands window-major [R, T*D] with no per-frame
-      re-slicing of an interleaved qkv buffer.
+    - Q/K/V come from the fused [R*T, D]x[D, 3D] matmul, then section
+      slices of the multi-sublane result land each window-major
+      [R, T*D] with no per-frame re-slicing of an interleaved buffer.
+      (Slicing the [1, 3D] bias row at non-zero lane offsets instead
+      crashes Mosaic's tpu_compile_helper on this runtime — only
+      multi-sublane values tolerate offset lane slices.)
     - Per query frame i, scores against ALL key frames come from ONE
       matmul: (tile(q_i) ⊙ K_all) @ BD, where BD [T*D, T*H] is the
       block-diagonal head indicator — T matmuls total for scores.
@@ -193,13 +196,12 @@ def _encoder_kernel_v2(num_heads, t, d, compute_dtype, x_ref, *refs):
 
     h = x_ref[:].astype(f32).reshape(r * t, d)
     y = _layernorm(h, g1[0], b1[0]).astype(compute_dtype)
-    wq, wk, wv = (wqkv[:, :d], wqkv[:, d:2 * d], wqkv[:, 2 * d:])
-    bq, bk, bv = (bqkv[0, :d], bqkv[0, d:2 * d], bqkv[0, 2 * d:])
     scale = dh ** -0.5
-    q = (jnp.dot(y, wq.astype(compute_dtype),
-                 preferred_element_type=f32) + bq) * scale
-    k = jnp.dot(y, wk.astype(compute_dtype), preferred_element_type=f32) + bk
-    v = jnp.dot(y, wv.astype(compute_dtype), preferred_element_type=f32) + bv
+    qkv = jnp.dot(y, wqkv.astype(compute_dtype),
+                  preferred_element_type=f32) + bqkv[0]
+    q = qkv[:, :d] * scale
+    k = qkv[:, d:2 * d]
+    v = qkv[:, 2 * d:]
     q_w = q.reshape(r, t * d)        # window-major: frame j at lanes [j*d, (j+1)*d)
     k_w = k.reshape(r, t * d)
     v_w = v.reshape(r, t * d)
@@ -323,6 +325,12 @@ def _ln_bwd(dy, xhat, rs, scale):
         dy.sum(axis=0, keepdims=True)
 
 
+# Internal bisect knob for Mosaic compile failures (scripts/debug_mosaic_*):
+# when set to k, _encoder_bwd_math returns after phase k with zero grads for
+# everything not yet computed (outputs keep the partial computation live).
+_BWD_DEBUG_STAGE = None
+
+
 def _encoder_bwd_math(x2d, g2d, params, num_heads, t, d, compute_dtype):
     """Recompute the v2 forward and hand-derived VJP for one batch tile.
 
@@ -355,12 +363,14 @@ def _encoder_bwd_math(x2d, g2d, params, num_heads, t, d, compute_dtype):
     h = x2d.astype(f32).reshape(r * t, d)
     y1, xhat1, rs1 = _ln_fwd(h, g1, b1)
     y1c = y1.astype(compute_dtype)
-    wq, wk, wv = wqkv[:, :d], wqkv[:, d:2 * d], wqkv[:, 2 * d:]
-    bq, bk, bv = bqkv[:, :d], bqkv[:, d:2 * d], bqkv[:, 2 * d:]
-    q = (jnp.dot(y1c, wq.astype(compute_dtype),
-                 preferred_element_type=f32) + bq) * scale
-    k = jnp.dot(y1c, wk.astype(compute_dtype), preferred_element_type=f32) + bk
-    v = jnp.dot(y1c, wv.astype(compute_dtype), preferred_element_type=f32) + bv
+    # fused qkv matmul + section slices of the multi-sublane result —
+    # offset lane slices of the [1, 3D] bias row crash Mosaic (see
+    # _encoder_kernel_v2 docstring), so q/k/v are cut from qkv instead.
+    qkv = jnp.dot(y1c, wqkv.astype(compute_dtype),
+                  preferred_element_type=f32) + bqkv
+    q = qkv[:, :d] * scale
+    k = qkv[:, d:2 * d]
+    v = qkv[:, 2 * d:]
     q_w, k_w, v_w = (a.reshape(r, t * d) for a in (q, k, v))
 
     P_list = []
@@ -397,20 +407,39 @@ def _encoder_bwd_math(x2d, g2d, params, num_heads, t, d, compute_dtype):
     m1a = _gelu_tanh(z1)
     m1c = m1a.astype(compute_dtype)
 
+    zero_grads = tuple(jnp.zeros(p.shape, f32) for p in params)
+    if _BWD_DEBUG_STAGE == 1:      # forward recompute only
+        return (m1a[:, :d] + h).reshape(r, t * d), zero_grads
+
     # ---- backward ----
     g_out = g2d.astype(f32).reshape(r * t, d)
     # out = h2 + m2;  m2 = m1c @ w2 + bm2
     dW2 = jnp.dot(m1c.T.astype(compute_dtype), g_out.astype(compute_dtype),
                   preferred_element_type=f32)
     dbm2 = g_out.sum(axis=0, keepdims=True)
+    if _BWD_DEBUG_STAGE == 21:     # + dW2/dbm2 only
+        return g2d, zero_grads[:10] + (dW2, dbm2)
     dm1 = jnp.dot(g_out.astype(compute_dtype),
                   w2.T.astype(compute_dtype), preferred_element_type=f32)
     dz1 = dm1 * _gelu_tanh_grad(z1)
+    if _BWD_DEBUG_STAGE == 22:     # + dm1/dz1
+        return dz1[:, :d].reshape(r, t * d), zero_grads
     dW1 = jnp.dot(y2c.T, dz1.astype(compute_dtype),
                   preferred_element_type=f32)
     dbm1 = dz1.sum(axis=0, keepdims=True)
+    if _BWD_DEBUG_STAGE == 23:     # + dW1/dbm1
+        return g2d, zero_grads[:8] + (dW1, dbm1) + zero_grads[10:]
     dy2 = jnp.dot(dz1.astype(compute_dtype), w1.T.astype(compute_dtype),
                   preferred_element_type=f32)
+    if _BWD_DEBUG_STAGE == 24:     # dy2 chain only, zero grads
+        return dy2.reshape(r, t * d), zero_grads
+    if _BWD_DEBUG_STAGE == 25:     # dy2 + dW2/dbm2
+        return dy2.reshape(r, t * d), zero_grads[:10] + (dW2, dbm2)
+    if _BWD_DEBUG_STAGE == 26:     # all four MLP grads, dx pass-through
+        return g2d, zero_grads[:8] + (dW1, dbm1, dW2, dbm2)
+    if _BWD_DEBUG_STAGE == 2:      # + MLP backward
+        return dy2.reshape(r, t * d), \
+            zero_grads[:8] + (dW1, dbm1, dW2, dbm2)
     dh2_ln, dg2, db2 = _ln_bwd(dy2, xhat2, rs2, g2)
     dh2 = g_out + dh2_ln
     # a = attnc @ wproj + bproj
@@ -420,16 +449,23 @@ def _encoder_bwd_math(x2d, g2d, params, num_heads, t, d, compute_dtype):
     dattn = jnp.dot(dh2.astype(compute_dtype), wproj.T.astype(compute_dtype),
                     preferred_element_type=f32)
     dattn_w = dattn.reshape(r, t * d)
+    if _BWD_DEBUG_STAGE == 3:      # + LN2 vjp + proj grads
+        return dattn_w, zero_grads[:4] + (dWproj, dbproj, dg2, db2) + \
+            zero_grads[8:]
 
     dq_list = []
     dk_w = jnp.zeros((r, t * d), f32)
     dv_w = jnp.zeros((r, t * d), f32)
+    dbg_col = jnp.zeros((r, 1), f32)
     for i in range(t):
         di = dattn_w[:, i * d:(i + 1) * d]                     # [R, D]
         di_t = tile_t(di)
         p = P_list[i]
         p_exp = jnp.dot(p, BD2, preferred_element_type=f32)
         dv_w = dv_w + p_exp * di_t
+        if _BWD_DEBUG_STAGE == 41:     # dv accumulation only
+            dq_list.append(di)
+            continue
         dp = jnp.dot(di_t * v_w, BD, preferred_element_type=f32)  # [R, T*H]
         # softmax vjp over key frames j (per head): dS = P*(dp - sum_j P*dp)
         pdp = p * dp
@@ -438,32 +474,39 @@ def _encoder_bwd_math(x2d, g2d, params, num_heads, t, d, compute_dtype):
         for c in cols[1:]:
             tot = tot + c
         dS = p * (dp - tile_t(tot))                            # [R, T*H]
+        if _BWD_DEBUG_STAGE == 42:     # + dp + softmax vjp
+            dbg_col = dbg_col + dS.sum(axis=1, keepdims=True)
+            dq_list.append(di)
+            continue
         dS_exp = jnp.dot(dS, BD2, preferred_element_type=f32)  # [R, T*D]
         # s_ij = sum_d (q_i * k_j); q already carries `scale`
         qi = q_w[:, i * d:(i + 1) * d]
         dk_w = dk_w + dS_exp * tile_t(qi)
+        if _BWD_DEBUG_STAGE == 43:     # + dS expansion + dk accumulation
+            dq_list.append(qi)
+            continue
         dqk = dS_exp * k_w
         dqi = dqk[:, :d]
         for j in range(1, t):
             dqi = dqi + dqk[:, j * d:(j + 1) * d]
         dq_list.append(dqi)
+    if _BWD_DEBUG_STAGE in (41, 42, 43):
+        acc = dv_w if _BWD_DEBUG_STAGE == 41 else \
+            (dbg_col * jnp.ones((r, t * d), f32) if _BWD_DEBUG_STAGE == 42
+             else dk_w)
+        return acc + jnp.concatenate(dq_list, axis=1), zero_grads
     dq_w = jnp.concatenate(dq_list, axis=1)
+    if _BWD_DEBUG_STAGE == 4:      # + attention backward loop
+        return dq_w + dk_w + dv_w, zero_grads
     dq = dq_w.reshape(r * t, d) * scale
     dk = dk_w.reshape(r * t, d)
     dv = dv_w.reshape(r * t, d)
-    dWq = jnp.dot(y1c.T, dq.astype(compute_dtype), preferred_element_type=f32)
-    dWk = jnp.dot(y1c.T, dk.astype(compute_dtype), preferred_element_type=f32)
-    dWv = jnp.dot(y1c.T, dv.astype(compute_dtype), preferred_element_type=f32)
-    dWqkv = jnp.concatenate([dWq, dWk, dWv], axis=1)
-    dbqkv = jnp.concatenate(
-        [dq.sum(axis=0, keepdims=True), dk.sum(axis=0, keepdims=True),
-         dv.sum(axis=0, keepdims=True)], axis=1)
-    dy1 = (jnp.dot(dq.astype(compute_dtype), wq.T.astype(compute_dtype),
-                   preferred_element_type=f32)
-           + jnp.dot(dk.astype(compute_dtype), wk.T.astype(compute_dtype),
-                     preferred_element_type=f32)
-           + jnp.dot(dv.astype(compute_dtype), wv.T.astype(compute_dtype),
-                     preferred_element_type=f32))
+    dqkv = jnp.concatenate([dq, dk, dv], axis=1)               # [R*T, 3D]
+    dWqkv = jnp.dot(y1c.T, dqkv.astype(compute_dtype),
+                    preferred_element_type=f32)
+    dbqkv = dqkv.sum(axis=0, keepdims=True)
+    dy1 = jnp.dot(dqkv.astype(compute_dtype),
+                  wqkv.T.astype(compute_dtype), preferred_element_type=f32)
     dh_ln, dg1, db1 = _ln_bwd(dy1, xhat1, rs1, g1)
     dx = (dh2 + dh_ln).reshape(r, t * d)
     return dx, (dg1, db1, dWqkv, dbqkv, dWproj, dbproj, dg2, db2,
@@ -501,8 +544,10 @@ def encoder_layer_bwd_pallas(x: jax.Array, g: jax.Array,
                              compute_dtype=jnp.bfloat16,
                              interpret: bool = False):
     """Fused backward: one kernel per layer computes dx AND all 12
-    parameter grads by recompute + hand-derived VJP (validated to ~5e-7
-    relative against jax.vjp of the reference). Zero-padded tail rows
+    parameter grads by recompute + hand-derived VJP (validated against
+    jax.vjp of the reference: f32-path grads ≈1e-7 relative; bf16
+    compute adds ~4e-3 relative reordering noise because the recompute
+    uses the fused qkv matmul while the reference splits it). Zero-padded tail rows
     contribute exactly zero to every gradient (g pads with zeros and
     every grad term is linear in the upstream cotangent).
     """

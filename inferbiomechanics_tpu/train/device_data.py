@@ -165,12 +165,22 @@ def make_device_train_step(model, data: DeviceResidentData,
 def make_device_epoch_step(model, data: DeviceResidentData,
                            loss_config: LossConfig,
                            batch_size: int,
-                           steps_per_call: int = 8) -> Callable:
+                           steps_per_call: int = 8,
+                           sample_windows: bool = False) -> Callable:
     """``run(state, idx_chunk [K,B], rng) -> (state, mean_metrics)``.
 
     Rolls ``steps_per_call`` train steps into ONE jit program with
     ``lax.scan`` — amortizing per-step dispatch overhead; with the data
     already in HBM there is nothing for the host to do between steps.
+
+    With ``sample_windows=True`` the signature becomes
+    ``run(state, rng) -> (state, mean_metrics)`` and the window indices
+    are drawn uniformly (with replacement) ON DEVICE from
+    ``data.num_windows``. Host-supplied index chunks cost
+    ``K*B*4`` bytes of host→device transfer per call — over the slow
+    axon tunnel (~10-20 MB/s, CLAUDE.md) that shipping alone halved the
+    measured bench throughput; in-program sampling makes the steady
+    state transfer-free.
     """
 
     def one(carry, xs):
@@ -193,6 +203,14 @@ def make_device_epoch_step(model, data: DeviceResidentData,
     def run(state: TrainState, idx_chunk: jax.Array, rng: jax.Array):
         (state, _), metrics = jax.lax.scan(one, (state, rng), idx_chunk)
         return state, jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+
+    if sample_windows:
+        def run_sampled(state: TrainState, rng: jax.Array):
+            idx = jax.random.randint(
+                jax.random.fold_in(rng, 0x1d), (steps_per_call, batch_size),
+                0, data.num_windows, dtype=jnp.int32)
+            return run(state, idx, jax.random.fold_in(rng, 0x2d))
+        return jax.jit(run_sampled, donate_argnums=(0,))
 
     return jax.jit(run, donate_argnums=(0,))
 
