@@ -73,6 +73,26 @@ def test_epoch_runner_trains(ds):
     assert float(m['loss']) < float(m0['loss'])
 
 
+def test_epoch_step_sample_windows_trains(ds):
+    """sample_windows=True: run(state, rng) draws window indices ON
+    DEVICE (bench.py tier 2 — host-shipped index chunks cost transfer
+    over the slow dev tunnel) and trains."""
+    from inferbiomechanics_tpu.train.device_data import make_device_epoch_step
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5, root_history_len=ds.root_history_len)
+    state, _ = _state(ds, model)
+    data = DeviceResidentData(ds)
+    run = make_device_epoch_step(model, data, LossConfig(), batch_size=32,
+                                 steps_per_call=3, sample_windows=True)
+    rng = jax.random.PRNGKey(0)
+    state, m0 = run(state, rng)        # donates state: chain
+    for e in range(5):
+        state, m = run(state, jax.random.fold_in(rng, e))
+    assert np.isfinite(float(m['loss']))
+    assert float(m['loss']) < float(m0['loss'])
+
+
 def test_eval_runner_matches_host_eval(ds):
     from inferbiomechanics_tpu.train import make_eval_step
     model = get_model('feedforward', num_dofs=ds.num_dofs,
