@@ -235,12 +235,19 @@ def main():
         float(np.asarray(data.win_base[0]))
         log(f'[bench] upload: {data.upload_bytes/1e6:.1f} MB packed in '
             f'{time.time()-t:.0f}s')
-        box['stage'] = 'tier1_step_b512'
-        t = time.time()
-        box['best'] = {'value': bench_jax_per_step(ds, data, 512, 50),
-                       'tier': 'step_b512'}
-        log(f'[bench] tier1 step_b512: {box["best"]["value"]:.0f} w/s '
-            f'({time.time()-t:.0f}s)')
+        # every tier individually guarded: a FAST error (e.g. a Mosaic
+        # compile failure) must not kill later tiers or masquerade as
+        # the watchdog; the exception is recorded and reported.
+        try:
+            box['stage'] = 'tier1_step_b512'
+            t = time.time()
+            box['best'] = {'value': bench_jax_per_step(ds, data, 512, 50),
+                           'tier': 'step_b512'}
+            log(f'[bench] tier1 step_b512: {box["best"]["value"]:.0f} w/s '
+                f'({time.time()-t:.0f}s)')
+        except Exception as e:
+            box['error'] = f'tier1: {type(e).__name__}: {e}'
+            log(f'[bench] tier1 failed: {e}')
         try:
             box['stage'] = 'tier1b_b64'
             t = time.time()
@@ -255,11 +262,17 @@ def main():
                 f'({time.time()-t:.0f}s)')
         except Exception as e:
             log(f'[bench] b64 tier failed: {e}')
-        box['stage'] = 'tier2_epoch'
-        t = time.time()
-        box['best'] = {'value': bench_jax_epoch(ds, data), 'tier': 'epoch'}
-        log(f'[bench] tier2 epoch: {box["best"]["value"]:.0f} w/s '
-            f'({time.time()-t:.0f}s)')
+        try:
+            box['stage'] = 'tier2_epoch'
+            t = time.time()
+            box['best'] = {'value': bench_jax_epoch(ds, data),
+                           'tier': 'epoch'}
+            log(f'[bench] tier2 epoch: {box["best"]["value"]:.0f} w/s '
+                f'({time.time()-t:.0f}s)')
+            box.pop('error', None)   # headline tier made it: not degraded
+        except Exception as e:
+            box['error'] = f'tier2: {type(e).__name__}: {e}'
+            log(f'[bench] tier2 failed: {e}')
         box['done'] = True
 
     th = threading.Thread(target=measure, daemon=True)
@@ -268,6 +281,11 @@ def main():
 
     best = box.get('best')
     if best is None:
+        if box.get('done'):
+            err = box.get('error', 'all tiers failed')
+        else:
+            err = (f'TPU backend unresponsive (> {deadline_s}s); '
+                   f'see BENCH_NOTES.md for last good measurements')
         print(json.dumps({
             'metric': 'train_windows_per_sec', 'value': None,
             'unit': 'windows/sec',
@@ -275,8 +293,7 @@ def main():
             'torch_baseline_windows_per_sec': round(box['torch'], 1)
             if box.get('torch') else None,
             'stage_reached': box.get('stage'),
-            'error': f'TPU backend unresponsive (> {deadline_s}s); '
-                     f'see BENCH_NOTES.md for last good measurements',
+            'error': err,
         }))
         os._exit(1)
     torch_wps = box.get('torch')
@@ -291,6 +308,10 @@ def main():
         result['degraded'] = True
         result['note'] = (f'watchdog {deadline_s}s fired before all tiers '
                           f'finished; value is the best completed tier')
+    elif box.get('error'):
+        result['degraded'] = True
+        result['note'] = (f'a tier errored ({box["error"]}); value is the '
+                          f'best completed tier')
     if box.get('b64') and torch_wps:
         result['b64_windows_per_sec'] = round(box['b64'], 1)
         result['b64_vs_baseline'] = round(box['b64'] / torch_wps, 2)

@@ -306,9 +306,6 @@ def collect_stats(subject_paths: List[str], short: bool = False,
     if short:
         subject_paths = subject_paths[:2]
     seen_split_subjects = set()
-    # ref :532,698-701: with --scatter-random, each non-lunge trial is
-    # skipped from SCATTER sampling with probability 0.6 (lunge trials
-    # are rare and always kept)
     scatter_rng = np.random.default_rng(0)
     use_ref_classes = bool(class_dir) or any(
         d in p for p in subject_paths for d in ('Carter2023', 'Han2023'))
@@ -335,6 +332,12 @@ def collect_stats(subject_paths: List[str], short: bool = False,
 
         subj_valid_trials = 0
         for trial in range(s.getNumTrials()):
+            # --scatter-random skips the WHOLE trial (every statistic),
+            # keeping ~40% (lunge trials always kept) — ref :698-701
+            if (scatter_random
+                    and 'lunge' not in s.getTrialName(trial).lower()
+                    and scatter_rng.random() < 0.6):
+                continue
             n_passes = s.getTrialNumProcessingPasses(trial)
             if not raw and n_passes < 2:
                 continue   # validity filter: needs a dynamics pass (ref :1476)
@@ -415,10 +418,7 @@ def collect_stats(subject_paths: List[str], short: bool = False,
                 stats['stance_speeds_m_s'].append(sp)
 
             # scatter samples at the ref's downsample_size frame stride
-            take_scatter = True
-            if scatter_random and 'lunge' not in s.getTrialName(trial).lower():
-                take_scatter = scatter_rng.random() >= 0.6
-            if valid.any() and take_scatter:
+            if valid.any():
                 idx = np.nonzero(valid)[0][::max(1, int(downsample))]
                 tg = total_grf[idx] / mass
                 first = grf_vecs[idx, 0]
@@ -693,8 +693,8 @@ class MakePlotsCommand:
                             help='Figure output dir (ref flag: --out-path)')
         parser.add_argument('--scatter-random', action='store_true',
                             help='Randomly skip ~60%% of non-lunge trials '
-                                 'when collecting scatter samples '
-                                 '(ref :532,698-701)')
+                                 'entirely, like the reference subsampling '
+                                 'for scatter plots (ref :532,698-701)')
         # the single pickle cache already persists both figure groups;
         # the reference split them into two flags (ref :49-51)
         parser.add_argument('--save-histo-data', action='store_true')
@@ -740,12 +740,19 @@ class MakePlotsCommand:
                             continue
                         paths.append(p)
             print(f'scanning {len(paths)} subjects...')
+            # ref :698 gates the random trial skip on output_scatterplots
+            # too; with no output_* toggle given, every group renders,
+            # which counts as scatterplots being on
+            any_toggle = any([args.output_histograms,
+                              args.output_scatterplots, args.output_errvfreq])
+            scatter_on = args.output_scatterplots or not any_toggle
             stats = collect_stats(paths, short=args.short, raw=args.raw,
                                   downsample=args.downsample_size,
                                   demo_csv=load_demographics_csv(args.data_path),
                                   class_dir=args.class_path,
                                   class_datasets=args.class_datasets,
-                                  scatter_random=args.scatter_random)
+                                  scatter_random=args.scatter_random
+                                  and scatter_on)
             os.makedirs(os.path.dirname(os.path.abspath(args.cache)), exist_ok=True)
             with open(args.cache, 'wb') as f:
                 pickle.dump(stats, f)

@@ -30,8 +30,12 @@ class VisualizeCommand:
             'visualize', help='Visualize model predictions on the dev split')
         parser.add_argument('--subject', type=int, default=0)
         parser.add_argument('--trial', type=int, default=0)
-        parser.add_argument('--out', type=str, default='outputs/visualize.html')
-        parser.add_argument('--serve', action='store_true')
+        parser.add_argument('--out', type=str, default=None,
+                            help='Static-export output path (implies '
+                                 '--static); default outputs/visualize.html')
+        parser.add_argument('--serve', action='store_true',
+                            help='With --static: serve the exported HTML '
+                                 '(implies --static)')
         parser.add_argument('--static', action='store_true',
                             help='Export a batched HTML snapshot instead of '
                                  'serving the live viewer')
@@ -56,7 +60,10 @@ class VisualizeCommand:
             checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
                                           config.model_type)
             predictor = Predictor(config, checkpoint_dir, ds)
-        if not args.static:
+        # --out / --serve only make sense for the static export; honor
+        # them rather than silently dropping them in the live default
+        static = args.static or args.serve or args.out is not None
+        if not static:
             # interactive viewer is the default, matching the reference
             # (visualize.py:123-130 IS the live GUI)
             from inferbiomechanics_tpu.loss.evaluator import (
@@ -76,8 +83,9 @@ class VisualizeCommand:
         payload = build_viz_payload(ds, args.subject, args.trial, predictor,
                                     geometry_folder=ensure_geometry(
                                         config.geometry_folder))
-        path = export_html(args.out, payload, title=f'dev subject {args.subject} '
-                                                    f'trial {args.trial}')
+        out = args.out or 'outputs/visualize.html'
+        path = export_html(out, payload, title=f'dev subject {args.subject} '
+                                               f'trial {args.trial}')
         print(f'wrote viewer: {path}')
         if args.serve:
             serve_file(path, args.port, host=args.host)

@@ -326,8 +326,11 @@ def _ln_bwd(dy, xhat, rs, scale):
 
 
 # Internal bisect knob for Mosaic compile failures (scripts/debug_mosaic_*):
-# when set to k, _encoder_bwd_math returns after phase k with zero grads for
-# everything not yet computed (outputs keep the partial computation live).
+# when set to phase k (1=forward recompute, 2=+MLP backward, 3=+LN2/proj
+# grads, 4=+attention backward), _encoder_bwd_math returns early with zero
+# grads for everything not yet computed (outputs keep the partial
+# computation live). Finer-grained stages used for the round-3 bisect
+# (BENCH_NOTES.md "Mosaic compiler pitfalls") live in git history.
 _BWD_DEBUG_STAGE = None
 
 
@@ -417,26 +420,14 @@ def _encoder_bwd_math(x2d, g2d, params, num_heads, t, d, compute_dtype):
     dW2 = jnp.dot(m1c.T.astype(compute_dtype), g_out.astype(compute_dtype),
                   preferred_element_type=f32)
     dbm2 = g_out.sum(axis=0, keepdims=True)
-    if _BWD_DEBUG_STAGE == 21:     # + dW2/dbm2 only
-        return g2d, zero_grads[:10] + (dW2, dbm2)
     dm1 = jnp.dot(g_out.astype(compute_dtype),
                   w2.T.astype(compute_dtype), preferred_element_type=f32)
     dz1 = dm1 * _gelu_tanh_grad(z1)
-    if _BWD_DEBUG_STAGE == 22:     # + dm1/dz1
-        return dz1[:, :d].reshape(r, t * d), zero_grads
     dW1 = jnp.dot(y2c.T, dz1.astype(compute_dtype),
                   preferred_element_type=f32)
     dbm1 = dz1.sum(axis=0, keepdims=True)
-    if _BWD_DEBUG_STAGE == 23:     # + dW1/dbm1
-        return g2d, zero_grads[:8] + (dW1, dbm1) + zero_grads[10:]
     dy2 = jnp.dot(dz1.astype(compute_dtype), w1.T.astype(compute_dtype),
                   preferred_element_type=f32)
-    if _BWD_DEBUG_STAGE == 24:     # dy2 chain only, zero grads
-        return dy2.reshape(r, t * d), zero_grads
-    if _BWD_DEBUG_STAGE == 25:     # dy2 + dW2/dbm2
-        return dy2.reshape(r, t * d), zero_grads[:10] + (dW2, dbm2)
-    if _BWD_DEBUG_STAGE == 26:     # all four MLP grads, dx pass-through
-        return g2d, zero_grads[:8] + (dW1, dbm1, dW2, dbm2)
     if _BWD_DEBUG_STAGE == 2:      # + MLP backward
         return dy2.reshape(r, t * d), \
             zero_grads[:8] + (dW1, dbm1, dW2, dbm2)
@@ -456,16 +447,12 @@ def _encoder_bwd_math(x2d, g2d, params, num_heads, t, d, compute_dtype):
     dq_list = []
     dk_w = jnp.zeros((r, t * d), f32)
     dv_w = jnp.zeros((r, t * d), f32)
-    dbg_col = jnp.zeros((r, 1), f32)
     for i in range(t):
         di = dattn_w[:, i * d:(i + 1) * d]                     # [R, D]
         di_t = tile_t(di)
         p = P_list[i]
         p_exp = jnp.dot(p, BD2, preferred_element_type=f32)
         dv_w = dv_w + p_exp * di_t
-        if _BWD_DEBUG_STAGE == 41:     # dv accumulation only
-            dq_list.append(di)
-            continue
         dp = jnp.dot(di_t * v_w, BD, preferred_element_type=f32)  # [R, T*H]
         # softmax vjp over key frames j (per head): dS = P*(dp - sum_j P*dp)
         pdp = p * dp
@@ -474,27 +461,15 @@ def _encoder_bwd_math(x2d, g2d, params, num_heads, t, d, compute_dtype):
         for c in cols[1:]:
             tot = tot + c
         dS = p * (dp - tile_t(tot))                            # [R, T*H]
-        if _BWD_DEBUG_STAGE == 42:     # + dp + softmax vjp
-            dbg_col = dbg_col + dS.sum(axis=1, keepdims=True)
-            dq_list.append(di)
-            continue
         dS_exp = jnp.dot(dS, BD2, preferred_element_type=f32)  # [R, T*D]
         # s_ij = sum_d (q_i * k_j); q already carries `scale`
         qi = q_w[:, i * d:(i + 1) * d]
         dk_w = dk_w + dS_exp * tile_t(qi)
-        if _BWD_DEBUG_STAGE == 43:     # + dS expansion + dk accumulation
-            dq_list.append(qi)
-            continue
         dqk = dS_exp * k_w
         dqi = dqk[:, :d]
         for j in range(1, t):
             dqi = dqi + dqk[:, j * d:(j + 1) * d]
         dq_list.append(dqi)
-    if _BWD_DEBUG_STAGE in (41, 42, 43):
-        acc = dv_w if _BWD_DEBUG_STAGE == 41 else \
-            (dbg_col * jnp.ones((r, t * d), f32) if _BWD_DEBUG_STAGE == 42
-             else dk_w)
-        return acc + jnp.concatenate(dq_list, axis=1), zero_grads
     dq_w = jnp.concatenate(dq_list, axis=1)
     if _BWD_DEBUG_STAGE == 4:      # + attention backward loop
         return dq_w + dk_w + dv_w, zero_grads

@@ -65,14 +65,21 @@ class DeviceResidentData:
         self.upload_bytes = feat_np.nbytes + lab_np.nbytes
         base = ds.trial_row_offset[ds.win_ft] + ds.win_start
         self.win_base = put(jnp.asarray(base, jnp.int32))
+        self._adopt_window_metadata(ds, base)
+        self.hbm_bytes = (ds.features_all.nbytes + ds.labels_all.nbytes +
+                          base.nbytes)
+
+    def _adopt_window_metadata(self, ds: WindowDataset,
+                               base: np.ndarray) -> None:
+        """Dataset-shape metadata shared by every constructor (the
+        runners read these; subclasses MUST go through here so a new
+        field can't silently go missing on one of them)."""
         self.num_windows = int(base.shape[0])
         self.window_size = ds.window_size
         self.stride = ds.stride
         self.num_model_frames = ds.num_model_frames
         self.output_data_format = ds.output_data_format
         self.lab_offsets = ds.lab_offsets
-        self.hbm_bytes = (ds.features_all.nbytes + ds.labels_all.nbytes +
-                          base.nbytes)
 
     def gather_in_jit(self, idx: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """[B] window indices -> (inputs [B,W,C_in], labels [B,F,C_lab]).
@@ -116,12 +123,7 @@ class TiledDeviceData(DeviceResidentData):
         self.labels_all = jnp.tile(jax.device_put(lab),
                                    (reps, 1))[:rows].astype(jnp.float32)
         self.win_base = jax.device_put(base)
-        self.num_windows = int(base.shape[0])
-        self.window_size = ds.window_size
-        self.stride = ds.stride
-        self.num_model_frames = ds.num_model_frames
-        self.output_data_format = ds.output_data_format
-        self.lab_offsets = ds.lab_offsets
+        self._adopt_window_metadata(ds, base)
         self.upload_bytes = feat.nbytes + lab.nbytes + base.nbytes
         self.hbm_bytes = (self.features_all.nbytes + self.labels_all.nbytes
                           + base.nbytes)

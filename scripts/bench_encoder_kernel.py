@@ -40,7 +40,6 @@ def main():
 
     for variant in variants:
         if variant == 'xla':
-            fn = lambda x: x
             def encoder(x):
                 for p in params:
                     x = encoder_layer_reference(x, p, H)

@@ -254,11 +254,12 @@ def test_make_plots_cli_flag_parity(tmp_path):
     import sys
 
     from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
-    for ds_name in ('SetA', 'SetB'):
+    for i, ds_name in enumerate(('SetA', 'SetB')):
         d = tmp_path / 'data' / ds_name
         d.mkdir(parents=True)
+        # fixed per-name seed: built-in hash() is salted per process
         write_synthetic_subject(str(d / 's.b3d'), num_trials=1,
-                                trial_length=60, seed=hash(ds_name) % 100)
+                                trial_length=60, seed=40 + i)
     out = tmp_path / 'figs'
     main_py = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), 'main.py')

@@ -102,6 +102,16 @@ def test_visualize_exports_html(workspace, tmp_path):
     assert 'DATA' in html and 'canvas' in html
 
 
+def test_visualize_out_implies_static(workspace, tmp_path):
+    """--out without --static still exports HTML instead of being
+    silently dropped by the live-viewer default branch."""
+    out_html = str(tmp_path / 'v2.html')
+    run_cmd(['visualize', '--dataset-home', workspace['data'],
+             '--checkpoint-dir', workspace['ckpt'], '--no-wandb',
+             '--out', out_html, '--short'])
+    assert os.path.exists(out_html)
+
+
 def test_train_from_pickled_blocks(workspace):
     """--use-pickled trains from the .npz blocks end-to-end (capability the
     reference left dangling, SURVEY.md 2.4)."""
