@@ -143,7 +143,7 @@ def _make_state(ds, batch):
     from inferbiomechanics_tpu.train import create_train_state, make_optimizer
     model = get_model('feedforward', num_dofs=NUM_DOFS, num_contact_bodies=NB,
                       history_len=WINDOW, stride=STRIDE, root_history_len=RH)
-    sample = ds.gather(np.arange(batch))
+    sample = ds.gather(np.arange(batch) % len(ds))   # batch may exceed dataset
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.asarray(sample.inputs),
                                make_optimizer('rmsprop', 1e-4))
