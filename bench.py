@@ -238,7 +238,11 @@ def main():
         from inferbiomechanics_tpu.train.device_data import TiledDeviceData
         box['stage'] = 'device_upload'
         t = time.time()
-        data = TiledDeviceData(ds)
+        # pack_windows: window-major feature copy (packed on device, no
+        # extra upload) removes the strided gather from the step — the
+        # same '--pack-windows auto' tier the train loop uses when the
+        # packed copy fits HBM (train/device_data.py, probe_gather.py)
+        data = TiledDeviceData(ds, pack_windows=True)
         # force the transfer to complete before calling upload done
         float(np.asarray(data.win_base[0]))
         log(f'[bench] upload: {data.upload_bytes/1e6:.1f} MB packed in '

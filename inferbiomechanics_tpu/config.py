@@ -82,6 +82,12 @@ class Config:
     # the host PrefetchLoader path; 'on' requires HBM residency.
     device_data: str = 'auto'
     device_data_max_bytes: int = 4_000_000_000
+    # window-major packed feature copy in HBM: per-step batch gather is
+    # ONE take of contiguous rows instead of T scattered row reads —
+    # measured 1.5x on the feedforward headline step (probe_gather.py).
+    # 'auto' packs when frame-major + packed fit device_data_max_bytes;
+    # costs ~window/stride x the frame-major features in HBM.
+    pack_windows: str = 'auto'
 
     # profiling (SURVEY.md §5: reference has none; rebuild adds JAX profiler)
     profile: bool = False
@@ -155,6 +161,10 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
     parser.add_argument('--device-data', type=str, default=d.device_data,
                         choices=['auto', 'on', 'off', 'stream'],
                         help='HBM-resident dataset with on-device window gather')
+    parser.add_argument('--pack-windows', type=str, default=d.pack_windows,
+                        choices=['auto', 'on', 'off'],
+                        help='window-major packed feature copy in HBM '
+                             '(1.5x step throughput for ~10x feature HBM)')
 
 
 def config_from_args(args: argparse.Namespace) -> Config:
@@ -183,7 +193,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'diffusion_timesteps': 'diffusion_timesteps',
         'model_parallel': 'model_parallel',
         'profile': 'profile', 'profile_dir': 'profile_dir',
-        'device_data': 'device_data',
+        'device_data': 'device_data', 'pack_windows': 'pack_windows',
     }
     for cfg_field, arg_name in mapping.items():
         if hasattr(args, arg_name):

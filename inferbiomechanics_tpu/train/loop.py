@@ -163,13 +163,23 @@ def train(config: Config,
         from inferbiomechanics_tpu.train.device_data import (
             DeviceResidentData, make_device_eval_runner, make_device_train_step,
         )
-        device_data = DeviceResidentData(train_ds, sharding=replicated(mesh))
+        # window-major packed gather: 1.5x step throughput for
+        # ~window/stride x the feature HBM (device_data.py); 'auto'
+        # packs only when frame-major + packed fit the HBM budget
+        packed_est = DeviceResidentData.packed_bytes_estimate(train_ds)
+        pack = (config.pack_windows == 'on' or
+                (config.pack_windows == 'auto' and
+                 data_bytes + packed_est < config.device_data_max_bytes))
+        device_data = DeviceResidentData(train_ds, sharding=replicated(mesh),
+                                         pack_windows=pack)
         device_step = make_device_train_step(model, device_data, lc)
-        logger.info('device-resident data: %.0f MB in HBM',
-                    device_data.hbm_bytes / 1e6)
+        logger.info('device-resident data: %.0f MB in HBM%s',
+                    device_data.hbm_bytes / 1e6,
+                    ' (windows packed)' if pack else '')
         if (dev_ds is not None and len(dev_ds) >= config.batch_size
                 and not state.batch_stats and not config.compute_report):
-            dev_device_data = DeviceResidentData(dev_ds, sharding=replicated(mesh))
+            dev_device_data = DeviceResidentData(dev_ds, sharding=replicated(mesh),
+                                                 pack_windows=pack)
             device_eval = make_device_eval_runner(model, dev_device_data, lc,
                                                   config.batch_size)
 

@@ -124,6 +124,60 @@ def test_epoch_runner_rejects_tiny_dataset(ds):
                                  batch_size=len(ds) + 1)
 
 
+def test_packed_gather_matches_strided_gather(ds):
+    """pack_windows=True: the window-major packed copy must yield
+    byte-identical batches to the frame-major strided gather (it is the
+    same data, relaid; train/device_data.py probe: 1.5x step)."""
+    plain = DeviceResidentData(ds, feature_dtype=jnp.float32)
+    packed = DeviceResidentData(ds, feature_dtype=jnp.float32,
+                                pack_windows=True)
+    assert packed.features_packed is not None
+    assert packed.hbm_bytes > plain.hbm_bytes
+    est = DeviceResidentData.packed_bytes_estimate(ds, jnp.float32)
+    assert est == packed.features_packed.nbytes
+    idx = jnp.asarray([0, 5, 17, len(ds) - 1], jnp.int32)
+    pi, pl = jax.jit(plain.gather_in_jit)(idx)
+    qi, ql = jax.jit(packed.gather_in_jit)(idx)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(qi))
+    np.testing.assert_array_equal(np.asarray(pl), np.asarray(ql))
+
+
+def test_packed_epoch_runner_matches_unpacked(ds):
+    """The epoch runner produces identical training trajectories with
+    and without window packing (same rng -> same permutation -> same
+    batches -> same params)."""
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5, root_history_len=ds.root_history_len)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    params = []
+    for pack in (False, True):
+        state, _ = _state(ds, model)
+        data = DeviceResidentData(ds, feature_dtype=jnp.float32,
+                                  pack_windows=pack)
+        run = make_device_epoch_runner(model, data, LossConfig(), batch_size=32)
+        state, m = run(state, rng)
+        losses.append(float(m['loss']))
+        params.append(jax.tree_util.tree_leaves(state.params))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+    for a, b in zip(*params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_tiled_device_data_packs_windows(ds):
+    from inferbiomechanics_tpu.train.device_data import TiledDeviceData
+    tiled = TiledDeviceData(ds, seed_rows=16, pack_windows=True)
+    plain = TiledDeviceData(ds, seed_rows=16)
+    assert tiled.upload_bytes == plain.upload_bytes  # packing is on-device
+    idx = jnp.arange(4, dtype=jnp.int32)
+    ti, tl = jax.jit(tiled.gather_in_jit)(idx)
+    pi, pl = jax.jit(plain.gather_in_jit)(idx)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(pi))
+    np.testing.assert_array_equal(np.asarray(tl), np.asarray(pl))
+
+
 def test_tiled_device_data_matches_interface(ds):
     """TiledDeviceData (bench small-upload variant) serves the same
     gather interface/shapes as DeviceResidentData with frame contents
