@@ -95,20 +95,26 @@ class DeviceResidentData:
         self.output_data_format = ds.output_data_format
         self.lab_offsets = ds.lab_offsets
         self.features_packed = None
+        self.labels_packed = None
 
     def _pack_windows(self, sharding=None) -> None:
-        """Materialize the window-major feature copy on device."""
+        """Materialize the window-major copies on device (features
+        always; labels too in all_frames mode, where they are gathered
+        per frame like the features)."""
         offs = np.arange(0, self.window_size, self.stride)
         rows = jnp.asarray(np.asarray(self.win_base)[:, None] + offs[None, :])
 
-        def pack(feat):
-            g = jnp.take(feat, rows, axis=0)          # [N, T, C]
+        def pack(mat):
+            g = jnp.take(mat, rows, axis=0)           # [N, T, C]
             return g.reshape(g.shape[0], -1)          # [N, T*C]
 
         packer = (jax.jit(pack, out_shardings=sharding) if sharding is not None
                   else jax.jit(pack))
         self.features_packed = packer(self.features_all)
         self.hbm_bytes += self.features_packed.nbytes
+        if self.output_data_format == 'all_frames':
+            self.labels_packed = packer(self.labels_all)
+            self.hbm_bytes += self.labels_packed.nbytes
 
     @staticmethod
     def packed_bytes_estimate(ds: WindowDataset,
@@ -118,7 +124,11 @@ class DeviceResidentData:
         n_windows = int(ds.win_start.shape[0])
         c_in = int(ds.features_all.shape[1])
         itemsize = jnp.dtype(feature_dtype).itemsize
-        return n_windows * ds.num_model_frames * c_in * itemsize
+        per_window = ds.num_model_frames * c_in * itemsize
+        if ds.output_data_format == 'all_frames':
+            per_window += (ds.num_model_frames * int(ds.labels_all.shape[1])
+                           * 4)   # labels stay float32
+        return n_windows * per_window
 
     def gather_in_jit(self, idx: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """[B] window indices -> (inputs [B,W,C_in], labels [B,F,C_lab]).
@@ -132,7 +142,11 @@ class DeviceResidentData:
         else:
             inputs = jnp.take(self.features_all, rows, axis=0)
         if self.output_data_format == 'all_frames':
-            labels = jnp.take(self.labels_all, rows, axis=0)
+            if self.labels_packed is not None:
+                flat = jnp.take(self.labels_packed, idx, axis=0)
+                labels = flat.reshape(idx.shape[0], self.num_model_frames, -1)
+            else:
+                labels = jnp.take(self.labels_all, rows, axis=0)
         else:
             last = base + (self.num_model_frames - 1) * self.stride
             labels = jnp.take(self.labels_all, last[:, None], axis=0)

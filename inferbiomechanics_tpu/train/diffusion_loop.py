@@ -90,11 +90,17 @@ def train_diffusion(config: Config,
         from inferbiomechanics_tpu.train.device_data import (
             DeviceResidentData, make_device_diffusion_epoch_runner,
         )
-        device_data = DeviceResidentData(train_ds, sharding=replicated(mesh))
+        packed_est = DeviceResidentData.packed_bytes_estimate(train_ds)
+        pack = (config.pack_windows == 'on' or
+                (config.pack_windows == 'auto' and
+                 data_bytes + packed_est < config.device_data_max_bytes))
+        device_data = DeviceResidentData(train_ds, sharding=replicated(mesh),
+                                         pack_windows=pack)
         epoch_runner = make_device_diffusion_epoch_runner(
             model, device_data, sched, config.batch_size)
-        logger.info('diffusion device-resident data: %.0f MB in HBM',
-                    device_data.hbm_bytes / 1e6)
+        logger.info('diffusion device-resident data: %.0f MB in HBM%s',
+                    device_data.hbm_bytes / 1e6,
+                    ' (windows packed)' if pack else '')
 
     step = make_diffusion_train_step(model, train_ds.lab_offsets, sched)
     sampler = make_sampler(model, sched, num_steps=EVAL_SAMPLE_STEPS)

@@ -166,6 +166,30 @@ def test_packed_epoch_runner_matches_unpacked(ds):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_packed_gather_all_frames_packs_labels(tmp_path):
+    """all_frames mode: labels are per-frame like the features, so
+    pack_windows packs them too and the gathered batch is identical."""
+    write_synthetic_subject(str(tmp_path / 's.b3d'), num_trials=1,
+                            trial_length=200, seed=4)
+    af = WindowDataset(str(tmp_path), window_size=20, stride=5,
+                       output_data_format='all_frames',
+                       skip_loading_skeletons=True)
+    plain = DeviceResidentData(af, feature_dtype=jnp.float32)
+    packed = DeviceResidentData(af, feature_dtype=jnp.float32,
+                                pack_windows=True)
+    assert packed.labels_packed is not None
+    idx = jnp.asarray([0, 3, len(af) - 1], jnp.int32)
+    pi, pl = jax.jit(plain.gather_in_jit)(idx)
+    qi, ql = jax.jit(packed.gather_in_jit)(idx)
+    assert ql.shape == pl.shape == (3, af.num_model_frames,
+                                    af.labels_all.shape[1])
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(qi))
+    np.testing.assert_array_equal(np.asarray(pl), np.asarray(ql))
+    est = DeviceResidentData.packed_bytes_estimate(af, jnp.float32)
+    assert est == (packed.features_packed.nbytes
+                   + packed.labels_packed.nbytes)
+
+
 def test_tiled_device_data_packs_windows(ds):
     from inferbiomechanics_tpu.train.device_data import TiledDeviceData
     tiled = TiledDeviceData(ds, seed_rows=16, pack_windows=True)
