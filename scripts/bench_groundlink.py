@@ -43,7 +43,8 @@ def main():
     ds = WindowDataset(tmp, window_size=50, stride=5,
                        skip_loading_skeletons=True)
     t0 = time.time()
-    data = TiledDeviceData(ds)
+    # IB_PACK=1: window-major packed gather (same knob as --pack-windows)
+    data = TiledDeviceData(ds, pack_windows=os.environ.get('IB_PACK') == '1')
     float(np.asarray(data.win_base[0]))
     print(f'upload {data.upload_bytes/1e6:.1f} MB in {time.time()-t0:.0f}s',
           flush=True)
