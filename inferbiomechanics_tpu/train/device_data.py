@@ -100,20 +100,24 @@ class DeviceResidentData:
     def _pack_windows(self, sharding=None) -> None:
         """Materialize the window-major copies on device (features
         always; labels too in all_frames mode, where they are gathered
-        per frame like the features)."""
-        offs = np.arange(0, self.window_size, self.stride)
-        rows = jnp.asarray(np.asarray(self.win_base)[:, None] + offs[None, :])
+        per frame like the features). The row-index matrix is built
+        INSIDE the jit from the resident window table — no host
+        round-trip, no uploaded index constant."""
 
-        def pack(mat):
+        def pack(mat, base):
+            # exactly num_model_frames frames per window, matching the
+            # host gather / reference readFrames(n=window//stride)
+            offs = jnp.arange(self.num_model_frames, dtype=base.dtype) * self.stride
+            rows = base[:, None] + offs[None, :]
             g = jnp.take(mat, rows, axis=0)           # [N, T, C]
             return g.reshape(g.shape[0], -1)          # [N, T*C]
 
         packer = (jax.jit(pack, out_shardings=sharding) if sharding is not None
                   else jax.jit(pack))
-        self.features_packed = packer(self.features_all)
+        self.features_packed = packer(self.features_all, self.win_base)
         self.hbm_bytes += self.features_packed.nbytes
         if self.output_data_format == 'all_frames':
-            self.labels_packed = packer(self.labels_all)
+            self.labels_packed = packer(self.labels_all, self.win_base)
             self.hbm_bytes += self.labels_packed.nbytes
 
     @staticmethod
@@ -134,7 +138,11 @@ class DeviceResidentData:
         """[B] window indices -> (inputs [B,W,C_in], labels [B,F,C_lab]).
         Traced code — call inside a jitted function."""
         base = self.win_base[idx]                                # [B]
-        offs = jnp.arange(0, self.window_size, self.stride)      # [W]
+        # num_model_frames = window_size // stride frames per window
+        # (reference readFrames semantics; arange(0, W, s) would take an
+        # EXTRA frame whenever stride does not divide window_size and
+        # disagree with the packed copy / host gather)
+        offs = jnp.arange(self.num_model_frames, dtype=jnp.int32) * self.stride
         rows = base[:, None] + offs[None, :]
         if self.features_packed is not None:
             flat = jnp.take(self.features_packed, idx, axis=0)   # [B, T*C]

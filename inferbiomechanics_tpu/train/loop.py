@@ -132,8 +132,15 @@ def train(config: Config,
     # device-resident data path: HBM dataset + on-device window gather,
     # per-step host traffic = one [B] int32 index vector. Requires
     # materialized features (on-demand mode streams from disk instead).
+    dev_resident = (dev_ds is not None and len(dev_ds) >= config.batch_size
+                    and not state.batch_stats and not config.compute_report
+                    and dev_ds.features_all is not None)
     if train_ds.features_all is not None:
         data_bytes = train_ds.features_all.nbytes + train_ds.labels_all.nbytes
+        if dev_resident:
+            # the dev split gets its own resident copy (and packed copy,
+            # below) — it shares the HBM budget, so count it here too
+            data_bytes += dev_ds.features_all.nbytes + dev_ds.labels_all.nbytes
         use_device_data = (config.device_data == 'on' or
                            (config.device_data == 'auto' and
                             data_bytes < config.device_data_max_bytes))
@@ -167,6 +174,8 @@ def train(config: Config,
         # ~window/stride x the feature HBM (device_data.py); 'auto'
         # packs only when frame-major + packed fit the HBM budget
         packed_est = DeviceResidentData.packed_bytes_estimate(train_ds)
+        if dev_resident:
+            packed_est += DeviceResidentData.packed_bytes_estimate(dev_ds)
         pack = (config.pack_windows == 'on' or
                 (config.pack_windows == 'auto' and
                  data_bytes + packed_est < config.device_data_max_bytes))
@@ -176,8 +185,7 @@ def train(config: Config,
         logger.info('device-resident data: %.0f MB in HBM%s',
                     device_data.hbm_bytes / 1e6,
                     ' (windows packed)' if pack else '')
-        if (dev_ds is not None and len(dev_ds) >= config.batch_size
-                and not state.batch_stats and not config.compute_report):
+        if dev_resident:
             dev_device_data = DeviceResidentData(dev_ds, sharding=replicated(mesh),
                                                  pack_windows=pack)
             device_eval = make_device_eval_runner(model, dev_device_data, lc,

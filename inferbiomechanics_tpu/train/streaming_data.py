@@ -101,7 +101,7 @@ def make_streaming_epoch(model, ds: WindowDataset, plan: StreamingPlan,
     """
     frames = ds.num_model_frames
     stride = ds.stride
-    offs = jnp.arange(0, ds.window_size, stride)
+    offs = jnp.arange(frames, dtype=jnp.int32) * stride
     last_frame = ds.output_data_format != 'all_frames'
 
     def seg_runner(state, feats, labs, idx_chunks, rng):

@@ -42,13 +42,14 @@ STEPS_PER_CALL = 32
 def make_runner(model, data, batch, mode: str):
     """Chained scan runner; `mode` picks the batch-producing path."""
     loss_config = LossConfig()
-    offs = jnp.arange(0, data.window_size, data.stride)
+    t_frames = data.num_model_frames
+    offs = jnp.arange(t_frames, dtype=jnp.int32) * data.stride
     if mode == 'packed':
-        rows = (np.asarray(data.win_base)[:, None] +
-                np.arange(0, data.window_size, data.stride)[None, :])
-        feat = jnp.asarray(np.asarray(data.features_all)[rows])  # [N,10,C]
-        packed = feat.reshape(feat.shape[0], -1)                 # [N,10*C]
-        t_frames, c_in = feat.shape[1], feat.shape[2]
+        # packed ON DEVICE by _pack_windows (pack_windows=True in main)
+        # — a host repack here would round-trip the feature matrix over
+        # the slow axon tunnel before measuring anything
+        packed = data.features_packed                            # [N,10*C]
+        c_in = data.features_all.shape[1]
     if mode == 'nogather':
         fixed_idx = jnp.arange(batch, dtype=jnp.int32) % data.num_windows
         base = data.win_base[fixed_idx]
@@ -92,7 +93,7 @@ def make_runner(model, data, batch, mode: str):
 
 def main():
     ds = _make_dataset()
-    data = TiledDeviceData(ds)
+    data = TiledDeviceData(ds, pack_windows=True)
     float(np.asarray(data.win_base[0]))
     batch = TPU_BATCH
     for mode in ('baseline', 'nogather', 'packed'):

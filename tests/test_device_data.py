@@ -190,6 +190,34 @@ def test_packed_gather_all_frames_packs_labels(tmp_path):
                    + packed.labels_packed.nbytes)
 
 
+def test_gather_non_divisible_stride(tmp_path):
+    """window_size not divisible by stride: every gather path must take
+    exactly num_model_frames = window_size // stride frames (reference
+    readFrames(n=window//stride) semantics) — arange(0, W, s) would grab
+    an extra frame and crash the packed reshape (regression: the
+    --history-len 22 --stride 5 CLI combination)."""
+    write_synthetic_subject(str(tmp_path / 's.b3d'), num_trials=1,
+                            trial_length=200, seed=5)
+    nd = WindowDataset(str(tmp_path), window_size=22, stride=5,
+                       skip_loading_skeletons=True)
+    assert nd.num_model_frames == 4
+    plain = DeviceResidentData(nd, feature_dtype=jnp.float32)
+    packed = DeviceResidentData(nd, feature_dtype=jnp.float32,
+                                pack_windows=True)
+    est = DeviceResidentData.packed_bytes_estimate(nd, jnp.float32)
+    assert est == packed.features_packed.nbytes
+    idx = jnp.asarray([0, 3, len(nd) - 1], jnp.int32)
+    pi, pl = jax.jit(plain.gather_in_jit)(idx)
+    qi, ql = jax.jit(packed.gather_in_jit)(idx)
+    assert pi.shape == qi.shape == (3, 4, nd.features_all.shape[1])
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(qi))
+    np.testing.assert_array_equal(np.asarray(pl), np.asarray(ql))
+    # device gather agrees with the host (native/numpy) gather
+    host = nd.gather(np.asarray([0, 3, len(nd) - 1]))
+    np.testing.assert_allclose(np.asarray(pi), host.inputs, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pl), host.labels, rtol=1e-6)
+
+
 def test_tiled_device_data_packs_windows(ds):
     from inferbiomechanics_tpu.train.device_data import TiledDeviceData
     tiled = TiledDeviceData(ds, seed_rows=16, pack_windows=True)
