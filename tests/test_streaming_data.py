@@ -64,6 +64,31 @@ def test_streaming_epoch_trains_and_matches_semantics(ds):
     assert float(m['loss']) < float(m0['loss'])
 
 
+def test_streaming_epoch_non_divisible_stride(tmp_path):
+    """Stride not dividing window_size: the segment runner must gather
+    num_model_frames = window // stride frames (regression: arange(0,W,s)
+    took an extra frame and broke the model's expected window shape)."""
+    write_synthetic_subject(str(tmp_path / 's.b3d'), num_trials=2,
+                            trial_length=150, seed=7)
+    nd = WindowDataset(str(tmp_path), window_size=22, stride=5,
+                       skip_loading_skeletons=True)
+    assert nd.num_model_frames == 4
+    model = get_model('feedforward', num_dofs=nd.num_dofs,
+                      num_contact_bodies=nd.num_contact_bodies,
+                      history_len=22, stride=5,
+                      root_history_len=nd.root_history_len)
+    sample = nd.gather(np.arange(8))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(sample.inputs),
+                               make_optimizer('adam', 1e-3))
+    bytes_per_row = (nd.features_all.shape[1] + nd.labels_all.shape[1]) * 4
+    run = make_streaming_epoch(model, nd, StreamingPlan(nd, 200 * bytes_per_row),
+                               LossConfig(), batch_size=8,
+                               feature_dtype=jnp.float32)
+    state, m = run(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m['loss']))
+
+
 def test_streaming_gather_correctness(ds):
     """A window gathered inside a segment == the host gather of that window."""
     bytes_per_row = (ds.features_all.shape[1] + ds.labels_all.shape[1]) * 4
