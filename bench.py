@@ -241,8 +241,13 @@ def main():
         # pack_windows: window-major feature copy (packed on device, no
         # extra upload) removes the strided gather from the step — the
         # same '--pack-windows auto' tier the train loop uses when the
-        # packed copy fits HBM (train/device_data.py, probe_gather.py)
-        data = TiledDeviceData(ds, pack_windows=True)
+        # packed copy fits HBM (train/device_data.py, probe_gather.py).
+        # seed_rows=256: the packed matrix is built on device at FULL
+        # size from the tiled seed, so the measurement is independent of
+        # the seed length — only the upload shrinks (~150 KB vs 0.5 MB;
+        # the tunnel has been observed at 2 KB/s, where upload alone
+        # threatens the watchdog).
+        data = TiledDeviceData(ds, seed_rows=256, pack_windows=True)
         # force the transfer to complete before calling upload done
         float(np.asarray(data.win_base[0]))
         log(f'[bench] upload: {data.upload_bytes/1e6:.1f} MB packed in '
