@@ -196,13 +196,40 @@ class TiledDeviceData(DeviceResidentData):
             self._pack_windows()
 
 
+def _constrain(batch_shard, *arrays):
+    """Pin the gathered batch's SPMD sharding to the data axis.
+
+    The resident matrices are replicated and the index vector may arrive
+    replicated too; without an explicit constraint GSPMD is free to keep
+    the whole step replicated — every device computing the FULL batch,
+    i.e. zero data-parallel speedup on a multi-chip mesh. Constraining
+    the gather output forces the batch split (and the gradient psum)
+    XLA's propagation would otherwise not owe us."""
+    if batch_shard is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    out = tuple(jax.lax.with_sharding_constraint(a, batch_shard)
+                for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 def make_device_train_step(model, data: DeviceResidentData,
                            loss_config: LossConfig,
-                           donate: bool = True) -> Callable:
-    """``step(state, idx, rng) -> (state, metrics)`` — gather fused in."""
+                           donate: bool = True,
+                           batch_shard=None) -> Callable:
+    """``step(state, idx, rng) -> (state, metrics)`` — gather fused in.
+
+    ``batch_shard``: optional ``NamedSharding`` (e.g.
+    ``parallel.batch_sharding(mesh)``) pinning the gathered batch onto
+    the data axis; pass it on any multi-device mesh. Multi-host callers
+    must ALSO ship ``idx`` as a global array
+    (``parallel.shard_batch(mesh, idx)``) — a plain per-process numpy
+    vector is treated as replicated, and differing per-process values
+    silently diverge the replicated parameters."""
 
     def step(state: TrainState, idx: jax.Array, dropout_rng: jax.Array):
         batch_inputs, batch_labels = data.gather_in_jit(idx)
+        batch_inputs, batch_labels = _constrain(batch_shard, batch_inputs,
+                                                batch_labels)
         labels = unpack(batch_labels, data.lab_offsets)
         mutable = ['batch_stats'] if state.batch_stats else []
 
@@ -235,7 +262,8 @@ def make_device_epoch_step(model, data: DeviceResidentData,
                            loss_config: LossConfig,
                            batch_size: int,
                            steps_per_call: int = 8,
-                           sample_windows: bool = False) -> Callable:
+                           sample_windows: bool = False,
+                           batch_shard=None) -> Callable:
     """``run(state, idx_chunk [K,B], rng) -> (state, mean_metrics)``.
 
     Rolls ``steps_per_call`` train steps into ONE jit program with
@@ -257,6 +285,8 @@ def make_device_epoch_step(model, data: DeviceResidentData,
         idx = xs
         rng, sub = jax.random.split(rng)
         batch_inputs, batch_labels = data.gather_in_jit(idx)
+        batch_inputs, batch_labels = _constrain(batch_shard, batch_inputs,
+                                                batch_labels)
         labels = unpack(batch_labels, data.lab_offsets)
 
         def loss_fn(params):
@@ -285,7 +315,8 @@ def make_device_epoch_step(model, data: DeviceResidentData,
 
 
 def make_device_diffusion_epoch_runner(model, data: DeviceResidentData,
-                                       schedule, batch_size: int) -> Callable:
+                                       schedule, batch_size: int,
+                                       batch_shard=None) -> Callable:
     """Whole-epoch diffusion (ε-prediction) training in one jit program.
 
     Same shape as :func:`make_device_epoch_runner` but the step is the
@@ -306,6 +337,8 @@ def make_device_diffusion_epoch_runner(model, data: DeviceResidentData,
         state, rng = carry
         rng, rng_t, rng_n = jax.random.split(rng, 3)
         batch_inputs, batch_labels = data.gather_in_jit(idx)
+        batch_inputs, batch_labels = _constrain(batch_shard, batch_inputs,
+                                                batch_labels)
         x0 = diffusion_targets_from_labels(batch_labels, data.lab_offsets,
                                            model.num_contact_bodies)
         t = jax.random.randint(rng_t, (batch_size,), 0, schedule.timesteps)
@@ -333,7 +366,8 @@ def make_device_diffusion_epoch_runner(model, data: DeviceResidentData,
 
 def make_device_eval_runner(model, data: DeviceResidentData,
                             loss_config: LossConfig,
-                            batch_size: int) -> Callable:
+                            batch_size: int,
+                            batch_shard=None) -> Callable:
     """``run_eval(state) -> mean_metrics`` — the whole eval split scanned
     in one jit program (sequential order, no shuffle), metrics averaged
     over batches exactly like the host-side evaluator accumulation."""
@@ -346,6 +380,8 @@ def make_device_eval_runner(model, data: DeviceResidentData,
 
     def one(state, idx):
         batch_inputs, batch_labels = data.gather_in_jit(idx)
+        batch_inputs, batch_labels = _constrain(batch_shard, batch_inputs,
+                                                batch_labels)
         labels = unpack(batch_labels, data.lab_offsets)
         outputs = model.apply({'params': state.params}, batch_inputs, train=False)
         _, metrics = loss_and_metrics(outputs, labels, loss_config)
@@ -360,7 +396,8 @@ def make_device_eval_runner(model, data: DeviceResidentData,
 
 def make_device_epoch_runner(model, data: DeviceResidentData,
                              loss_config: LossConfig,
-                             batch_size: int) -> Callable:
+                             batch_size: int,
+                             batch_shard=None) -> Callable:
     """``run_epoch(state, rng) -> (state, mean_metrics)`` — a WHOLE epoch
     in one jit program: the shuffle (``jax.random.permutation`` over the
     window table), every gather, and every train step run on device.
@@ -375,6 +412,8 @@ def make_device_epoch_runner(model, data: DeviceResidentData,
         state, rng = carry
         rng, sub = jax.random.split(rng)
         batch_inputs, batch_labels = data.gather_in_jit(idx)
+        batch_inputs, batch_labels = _constrain(batch_shard, batch_inputs,
+                                                batch_labels)
         labels = unpack(batch_labels, data.lab_offsets)
 
         def loss_fn(params):

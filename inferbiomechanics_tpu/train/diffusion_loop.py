@@ -97,7 +97,8 @@ def train_diffusion(config: Config,
         device_data = DeviceResidentData(train_ds, sharding=replicated(mesh),
                                          pack_windows=pack)
         epoch_runner = make_device_diffusion_epoch_runner(
-            model, device_data, sched, config.batch_size)
+            model, device_data, sched, config.batch_size,
+            batch_shard=sharding)
         logger.info('diffusion device-resident data: %.0f MB in HBM%s',
                     device_data.hbm_bytes / 1e6,
                     ' (windows packed)' if pack else '')

@@ -181,7 +181,8 @@ def train(config: Config,
                  data_bytes + packed_est < config.device_data_max_bytes))
         device_data = DeviceResidentData(train_ds, sharding=replicated(mesh),
                                          pack_windows=pack)
-        device_step = make_device_train_step(model, device_data, lc)
+        device_step = make_device_train_step(model, device_data, lc,
+                                             batch_shard=sharding)
         logger.info('device-resident data: %.0f MB in HBM%s',
                     device_data.hbm_bytes / 1e6,
                     ' (windows packed)' if pack else '')
@@ -189,7 +190,8 @@ def train(config: Config,
             dev_device_data = DeviceResidentData(dev_ds, sharding=replicated(mesh),
                                                  pack_windows=pack)
             device_eval = make_device_eval_runner(model, dev_device_data, lc,
-                                                  config.batch_size)
+                                                  config.batch_size,
+                                                  batch_shard=sharding)
 
     train_step = make_train_step(model, train_ds.lab_offsets, lc)
     eval_step = make_eval_step(model, train_ds.lab_offsets, lc)
@@ -269,10 +271,16 @@ def train(config: Config,
             perm = perm[:(perm.shape[0] // n_proc) * n_proc]
             perm = perm[jax.process_index()::n_proc]
             n_steps = perm.shape[0] // config.batch_size
+            # ship each step's indices as a GLOBAL array sharded on the
+            # data axis (shard_batch handles the multi-host global-array
+            # construction): per-process slices fed as plain numpy would
+            # be treated as replicated, and with differing values the
+            # "replicated" parameters silently diverge across processes
+            from inferbiomechanics_tpu.parallel import shard_batch
             batch_iter = (
-                (k, jax.numpy.asarray(
+                (k, shard_batch(mesh, np.asarray(
                     perm[k * config.batch_size:(k + 1) * config.batch_size],
-                    jax.numpy.int32))
+                    np.int32)))
                 for k in range(n_steps))
         else:
             batch_iter = enumerate(train_loader.epoch(seed=epoch))

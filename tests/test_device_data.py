@@ -190,6 +190,45 @@ def test_packed_gather_all_frames_packs_labels(tmp_path):
                    + packed.labels_packed.nbytes)
 
 
+def test_device_step_dp_sharded_matches_single(ds):
+    """batch_shard pins the gathered batch onto the data axis: the
+    8-way-dp step must (a) reproduce the single-device step and (b)
+    compile to a program that actually all-reduces gradients — without
+    the constraint GSPMD may keep the whole step replicated (every
+    device computing the full batch, zero dp speedup)."""
+    from inferbiomechanics_tpu.parallel import (
+        batch_sharding, make_mesh, replicate, shard_batch,
+    )
+    from inferbiomechanics_tpu.parallel.mesh import replicated
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5, root_history_len=ds.root_history_len)
+    state0, _ = _state(ds, model)
+    rng = jax.random.PRNGKey(1)
+    idx_np = np.arange(16, dtype=np.int32)
+
+    data1 = DeviceResidentData(ds, feature_dtype=jnp.float32)
+    step1 = make_device_train_step(model, data1, LossConfig(), donate=False)
+    s1, m1 = step1(state0, jnp.asarray(idx_np), rng)
+
+    mesh = make_mesh()
+    assert mesh.shape['data'] == len(jax.devices())
+    dataN = DeviceResidentData(ds, sharding=replicated(mesh),
+                               feature_dtype=jnp.float32)
+    stateN = replicate(mesh, state0)
+    stepN = make_device_train_step(model, dataN, LossConfig(), donate=False,
+                                   batch_shard=batch_sharding(mesh))
+    idx_g = shard_batch(mesh, idx_np)
+    sN, mN = stepN(stateN, idx_g, rng)
+    np.testing.assert_allclose(float(mN['loss']), float(m1['loss']), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(sN.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    hlo = stepN.lower(stateN, idx_g, rng).compile().as_text()
+    assert 'all-reduce' in hlo, 'dp step compiled without a gradient all-reduce'
+
+
 def test_gather_non_divisible_stride(tmp_path):
     """window_size not divisible by stride: every gather path must take
     exactly num_model_frames = window_size // stride frames (reference

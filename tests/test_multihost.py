@@ -89,8 +89,32 @@ _, mh = host_step(state_h, jnp.asarray(host_batch.inputs),
 _, md = dev_step(state_d, jnp.asarray(idx, jnp.int32), jax.random.PRNGKey(9))
 device_pair = [float(mh['loss']), float(md['loss'])]
 
+# Device-resident dp TRAIN-LOOP semantics (train/loop.py device branch):
+# each process ships a DIFFERENT index shard as its slice of a GLOBAL
+# batch-sharded array. Regression: per-process numpy fed straight to the
+# step is treated as replicated, and with differing values the
+# "replicated" parameters silently diverge across processes.
+from inferbiomechanics_tpu.parallel import shard_batch
+dp_step = make_device_train_step(model, data, LossConfig(), donate=False,
+                                 batch_shard=batch_sharding(mesh))
+state_g = replicate(mesh, create_train_state(
+    model, jax.random.PRNGKey(5), jnp.asarray(sample.inputs),
+    make_optimizer('adam', 1e-3)))
+dp_losses = []
+for k in range(2):
+    local = (np.arange(B, dtype=np.int32) + proc_id * B + 3 * k) % len(ds)
+    state_g, mg = dp_step(state_g, shard_batch(mesh, local),
+                          jax.random.PRNGKey(20 + k))
+    dp_losses.append(float(mg['loss']))
+dp_param_sum = float(np.sum([np.asarray(x).sum() for x in
+                             jax.tree_util.tree_leaves(jax.device_get(
+                                 jax.tree_util.tree_map(
+                                     lambda a: a.addressable_data(0),
+                                     state_g.params)))]))
+
 print(json.dumps({'proc': proc_id, 'losses': losses, 'param_sum': psum,
-                  'device_pair': device_pair}))
+                  'device_pair': device_pair, 'dp_losses': dp_losses,
+                  'dp_param_sum': dp_param_sum}))
 '''
 
 
@@ -128,3 +152,7 @@ def test_two_process_distributed_training(tmp_path):
         host_loss, dev_loss = r['device_pair']
         np.testing.assert_allclose(host_loss, dev_loss, rtol=2e-3)
     np.testing.assert_allclose(r0['device_pair'], r1['device_pair'], rtol=1e-6)
+    # device-resident dp loop: DIFFERENT per-process index shards, yet
+    # identical global losses and (critically) identical parameters
+    np.testing.assert_allclose(r0['dp_losses'], r1['dp_losses'], rtol=1e-6)
+    np.testing.assert_allclose(r0['dp_param_sum'], r1['dp_param_sum'], rtol=1e-6)
