@@ -78,8 +78,12 @@ class Config:
     model_parallel: int = 1
 
     # data placement: 'auto' puts the packed dataset in HBM and gathers
-    # windows on-device when it fits (train/device_data.py); 'off' forces
-    # the host PrefetchLoader path; 'on' requires HBM residency.
+    # windows on-device when it fits (train/device_data.py), falling back
+    # to pod-sharded residency (trials sharded across the mesh's data
+    # axis, train/sharded_data.py) when it only fits the COMBINED HBM of
+    # a multi-chip mesh; 'on' requires single-chip residency; 'sharded'
+    # forces the pod-sharded tier; 'stream' the segment streamer; 'off'
+    # the host PrefetchLoader path.
     device_data: str = 'auto'
     device_data_max_bytes: int = 4_000_000_000
     # window-major packed feature copy in HBM: per-step batch gather is
@@ -159,8 +163,10 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                         help='Capture a JAX profiler trace of the first epoch')
     parser.add_argument('--profile-dir', type=str, default=d.profile_dir)
     parser.add_argument('--device-data', type=str, default=d.device_data,
-                        choices=['auto', 'on', 'off', 'stream'],
-                        help='HBM-resident dataset with on-device window gather')
+                        choices=['auto', 'on', 'off', 'sharded', 'stream'],
+                        help='HBM-resident dataset with on-device window gather '
+                             '(sharded = trials split across the data axis, '
+                             'HBM capacity scales with the mesh)')
     parser.add_argument('--pack-windows', type=str, default=d.pack_windows,
                         choices=['auto', 'on', 'off'],
                         help='window-major packed feature copy in HBM '

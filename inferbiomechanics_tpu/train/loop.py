@@ -145,14 +145,44 @@ def train(config: Config,
                            (config.device_data == 'auto' and
                             data_bytes < config.device_data_max_bytes))
     else:
-        if config.device_data == 'on':
-            raise ValueError('--device-data on requires materialized features '
-                             '(dataset was built with materialize_features=False)')
+        if config.device_data in ('on', 'sharded'):
+            raise ValueError(f'--device-data {config.device_data} requires '
+                             f'materialized features (dataset was built with '
+                             f'materialize_features=False)')
         use_device_data = False
+        data_bytes = None
     device_data = None
     device_step = None
     device_eval = None
     streaming_epoch = None
+    # pod-sharded residency: trials split across the mesh's data axis so
+    # HBM capacity scales with the chip count (train/sharded_data.py);
+    # 'auto' reaches for it when the dataset misses single-chip residency
+    # but fits the combined HBM of a multi-chip mesh
+    from inferbiomechanics_tpu.parallel.mesh import DATA_AXIS
+    n_data_shards = int(mesh.shape[DATA_AXIS])
+    want_sharded = (config.device_data == 'sharded' or
+                    (config.device_data == 'auto' and not use_device_data
+                     and data_bytes is not None and n_data_shards > 1
+                     and data_bytes <
+                     config.device_data_max_bytes * n_data_shards))
+    if want_sharded:
+        from inferbiomechanics_tpu.train.sharded_data import (
+            ShardedDeviceData, make_sharded_epoch_runner,
+        )
+        try:
+            sdata = ShardedDeviceData(train_ds, mesh)
+            streaming_epoch = make_sharded_epoch_runner(
+                model, sdata, lc, config.batch_size)
+            use_device_data = False
+            logger.info('pod-sharded device data: %d shards, %.0f MB '
+                        'HBM/device', sdata.num_shards,
+                        sdata.hbm_bytes_per_device / 1e6)
+        except (ValueError, NotImplementedError) as e:
+            if config.device_data == 'sharded':
+                raise
+            logger.warning('sharded device data unavailable (%s); '
+                           'falling back to the host loader', e)
     if config.device_data == 'stream':
         # out-of-core tier: trials packed into HBM-budget segments
         # (train/streaming_data.py); epoch-granular logging/checkpoints

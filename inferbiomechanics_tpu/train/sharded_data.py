@@ -1,0 +1,242 @@
+"""Pod-sharded device-resident data: HBM capacity scales with the mesh.
+
+Completes the data-placement ladder (SURVEY.md §2.10 / §3.5 — the
+reference's only distributed data story is DistributedSampler shards,
+train.py:143-150):
+
+- ``train/device_data.py``   — dataset fits ONE chip's HBM (replicated)
+- **this module**            — dataset fits the POD's combined HBM:
+  trials are partitioned across the mesh's ``data`` axis, each shard
+  holds only its slice, and every training batch is sampled and
+  gathered SHARD-LOCALLY via ``shard_map`` — zero cross-chip data
+  movement; only the gradient psum rides ICI (inserted by GSPMD, since
+  the gathered batch comes back batch-sharded).
+- ``train/streaming_data.py`` — dataset exceeds even the pod: host
+  streams trial segments.
+
+Sampling semantics are the reference's DistributedSampler (each rank
+draws from its own fixed shard, train.py:143-150): per step every shard
+draws ``batch_size / n_shards`` windows uniformly from its local window
+table. Trials are assigned to shards by greedy longest-processing-time
+balancing, so shard row counts differ by at most one trial.
+
+Single-host multi-chip only for now: multi-host would need per-process
+block construction via ``make_array_from_process_local_data``; the host
+loader path already covers multi-host (data/loader.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from inferbiomechanics_tpu.data.dataset import WindowDataset, unpack
+from inferbiomechanics_tpu.loss.evaluator import LossConfig, loss_and_metrics
+from inferbiomechanics_tpu.parallel.mesh import DATA_AXIS
+from inferbiomechanics_tpu.train.state import TrainState
+
+try:                                    # jax >= 0.8
+    from jax import shard_map as _shard_map
+except ImportError:                     # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def partition_trials(ds: WindowDataset, n_shards: int) -> List[List[int]]:
+    """Greedy LPT assignment of trials to shards, balanced by row count.
+
+    Every shard must end up with at least one window; raises otherwise
+    (use the replicated tier for datasets with fewer trials than
+    shards).
+    """
+    n_trials = int(ds.trial_row_offset.shape[0])
+    if n_trials < n_shards:
+        raise ValueError(f'{n_trials} trials < {n_shards} shards; use the '
+                         f'replicated device-data tier')
+    trial_ends = np.append(ds.trial_row_offset[1:], ds.features_all.shape[0])
+    rows = trial_ends - ds.trial_row_offset                     # [n_trials]
+    order = np.argsort(rows)[::-1]                              # LPT
+    loads = np.zeros(n_shards, np.int64)
+    shards: List[List[int]] = [[] for _ in range(n_shards)]
+    for ti in order:
+        s = int(np.argmin(loads))
+        shards[s].append(int(ti))
+        loads[s] += int(rows[ti])
+    for s, trials in enumerate(shards):
+        if not any(np.any(ds.win_ft == ti) for ti in trials):
+            raise ValueError(f'shard {s} has no windows; dataset too small '
+                             f'for {n_shards} shards')
+    return shards
+
+
+class ShardedDeviceData:
+    """Per-shard packed blocks, stacked [S, rows_pad, C] and sharded on
+    the mesh's ``data`` axis — each device stores only its slice."""
+
+    def __init__(self, ds: WindowDataset, mesh: Mesh,
+                 feature_dtype=jnp.bfloat16):
+        if ds.features_all is None:
+            raise ValueError('sharded device data requires materialized '
+                             'features')
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                'sharded device data is single-host multi-chip; multi-host '
+                'uses the host loader shards (data/loader.py)')
+        n_shards = int(mesh.shape[DATA_AXIS])
+        shards = partition_trials(ds, n_shards)
+        trial_ends = np.append(ds.trial_row_offset[1:],
+                               ds.features_all.shape[0])
+
+        feat_blocks, lab_blocks = [], []
+        base_blocks, global_blocks = [], []
+        for trials in shards:
+            row_off = 0
+            feats, labs, bases, gids = [], [], [], []
+            for ti in trials:
+                lo, hi = int(ds.trial_row_offset[ti]), int(trial_ends[ti])
+                feats.append(ds.features_all[lo:hi])
+                labs.append(ds.labels_all[lo:hi])
+                mask = ds.win_ft == ti
+                bases.append(ds.win_start[mask].astype(np.int64) + row_off)
+                gids.append(np.nonzero(mask)[0])
+                row_off += hi - lo
+            feat_blocks.append(np.concatenate(feats))
+            lab_blocks.append(np.concatenate(labs))
+            base_blocks.append(np.concatenate(bases))
+            global_blocks.append(np.concatenate(gids))
+
+        rows_pad = max(b.shape[0] for b in feat_blocks)
+        win_pad = max(b.shape[0] for b in base_blocks)
+        S = n_shards
+        feat = np.zeros((S, rows_pad, ds.features_all.shape[1]),
+                        feature_dtype)
+        lab = np.zeros((S, rows_pad, ds.labels_all.shape[1]), np.float32)
+        base = np.zeros((S, win_pad), np.int32)
+        cnt = np.zeros((S,), np.int32)
+        self.win_global = np.zeros((S, win_pad), np.int64)   # host-side map
+        for s in range(S):
+            r, w = feat_blocks[s].shape[0], base_blocks[s].shape[0]
+            feat[s, :r] = feat_blocks[s].astype(feature_dtype)
+            lab[s, :r] = lab_blocks[s]
+            base[s, :w] = base_blocks[s]
+            cnt[s] = w
+            self.win_global[s, :w] = global_blocks[s]
+
+        shard = NamedSharding(mesh, P(DATA_AXIS))
+        self.features = jax.device_put(feat, shard)          # [S, R_pad, C]
+        self.labels = jax.device_put(lab, shard)
+        self.win_base = jax.device_put(base, shard)          # [S, W_pad]
+        self.win_count = jax.device_put(cnt, shard)          # [S]
+        self.mesh = mesh
+        self.num_shards = S
+        self.num_windows = int(cnt.sum())
+        self.window_size = ds.window_size
+        self.stride = ds.stride
+        self.num_model_frames = ds.num_model_frames
+        self.output_data_format = ds.output_data_format
+        self.lab_offsets = ds.lab_offsets
+        # per-device HBM cost = ONE shard's slice (the scaling claim)
+        self.hbm_bytes_per_device = (feat.nbytes + lab.nbytes
+                                     + base.nbytes) // S
+
+
+def _local_gather(sdata: ShardedDeviceData):
+    """Shard-local gather of explicit per-shard window indices.
+
+    Returns ``gather(feats, labs, base, sel) -> (inputs, labels)`` to be
+    wrapped in shard_map: all block args arrive as this shard's [1, ...]
+    slice; ``sel`` is [1, B_local] local window ids.
+    """
+    T, stride = sdata.num_model_frames, sdata.stride
+    offs = np.arange(T, dtype=np.int32) * stride
+    last_frame = sdata.output_data_format != 'all_frames'
+
+    def gather(feats, labs, base, sel):
+        b = base[0, sel[0]]                                  # [B_local]
+        rows = b[:, None] + offs[None, :]
+        bi = feats[0][rows]                                  # [B_local,T,C]
+        if last_frame:
+            bl = labs[0][b + (T - 1) * stride][:, None]      # [B_local,1,C]
+        else:
+            bl = labs[0][rows]
+        return bi, bl
+
+    return gather
+
+
+def gather_by_local_indices(sdata: ShardedDeviceData, sel: np.ndarray):
+    """Test/debug entry: gather explicit [S, B_local] shard-local window
+    ids into a global batch-sharded ``(inputs [B,T,C], labels)``."""
+    gather = _local_gather(sdata)
+    fn = _shard_map(gather, mesh=sdata.mesh,
+                    in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                              P(DATA_AXIS)),
+                    out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
+    sel_dev = jax.device_put(np.asarray(sel, np.int32),
+                             NamedSharding(sdata.mesh, P(DATA_AXIS)))
+    return jax.jit(fn)(sdata.features, sdata.labels, sdata.win_base, sel_dev)
+
+
+def make_sharded_epoch_runner(model, sdata: ShardedDeviceData,
+                              loss_config: LossConfig,
+                              batch_size: int,
+                              steps_per_call: int = 0) -> Callable:
+    """``run_epoch(state, rng) -> (state, mean_metrics)``.
+
+    One jit program scans ``num_windows // batch_size`` steps (or
+    ``steps_per_call`` if given); each step every shard samples its
+    ``batch_size / S`` windows uniformly from its local table
+    (DistributedSampler semantics) and gathers them locally; the model
+    step then runs on the batch-sharded result with GSPMD inserting the
+    gradient all-reduce.
+    """
+    S = sdata.num_shards
+    if batch_size % S != 0:
+        raise ValueError(f'batch_size {batch_size} not divisible by '
+                         f'{S} shards')
+    b_local = batch_size // S
+    n_steps = steps_per_call or sdata.num_windows // batch_size
+    if n_steps == 0:
+        raise ValueError(f'dataset has {sdata.num_windows} windows < '
+                         f'batch_size {batch_size}')
+    gather = _local_gather(sdata)
+
+    def sample_gather(feats, labs, base, cnt, rng):
+        # per-shard rng stream: fold the step key by the shard index
+        r = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        sel = jax.random.randint(r, (1, b_local), 0, cnt[0], dtype=jnp.int32)
+        return gather(feats, labs, base, sel)
+
+    sample_gather = _shard_map(
+        sample_gather, mesh=sdata.mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
+
+    def one(carry, _):
+        state, rng = carry
+        rng, s_rng, d_rng = jax.random.split(rng, 3)
+        batch_inputs, batch_labels = sample_gather(
+            sdata.features, sdata.labels, sdata.win_base, sdata.win_count,
+            s_rng)
+        labels = unpack(batch_labels, sdata.lab_offsets)
+
+        def loss_fn(params):
+            outputs = model.apply({'params': params}, batch_inputs,
+                                  train=True, rngs={'dropout': d_rng})
+            loss, metrics = loss_and_metrics(outputs, labels, loss_config)
+            return loss, metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return (state, rng), metrics
+
+    def run_epoch(state: TrainState, rng: jax.Array):
+        (state, _), metrics = jax.lax.scan(one, (state, rng), None,
+                                           length=n_steps)
+        return state, jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+
+    return jax.jit(run_epoch, donate_argnums=(0,))

@@ -112,6 +112,22 @@ def test_visualize_out_implies_static(workspace, tmp_path):
     assert os.path.exists(out_html)
 
 
+def test_train_sharded_device_data(tmp_path):
+    """--device-data sharded: trials split across the 8-device CPU mesh
+    (train/sharded_data.py), full CLI train end-to-end."""
+    data = tmp_path / 'data'
+    for split in ('train', 'dev'):
+        os.makedirs(data / split)
+        write_synthetic_subject(str(data / split / 's0.b3d'), num_trials=8,
+                                trial_length=150, seed=1)
+    ckpt = tmp_path / 'ck'
+    out = run_cmd(['train', '--dataset-home', str(data), '--checkpoint-dir',
+                   str(ckpt), '--no-wandb', '--epochs', '1', '--batch-size',
+                   '16', '--device-data', 'sharded'])
+    assert 'pod-sharded device data: 8 shards' in out.stderr
+    assert (ckpt / 'feedforward').is_dir()
+
+
 def test_train_from_pickled_blocks(workspace):
     """--use-pickled trains from the .npz blocks end-to-end (capability the
     reference left dangling, SURVEY.md 2.4)."""

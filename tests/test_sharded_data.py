@@ -1,0 +1,121 @@
+"""Pod-sharded device-resident data tests (8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+from inferbiomechanics_tpu.loss import LossConfig
+from inferbiomechanics_tpu.models import get_model
+from inferbiomechanics_tpu.parallel import make_mesh, replicate
+from inferbiomechanics_tpu.train import create_train_state, make_optimizer
+from inferbiomechanics_tpu.train.sharded_data import (
+    ShardedDeviceData, gather_by_local_indices, make_sharded_epoch_runner,
+    partition_trials,
+)
+
+
+@pytest.fixture(scope='module')
+def ds(tmp_path_factory):
+    d = tmp_path_factory.mktemp('sharded')
+    for i in range(3):
+        write_synthetic_subject(str(d / f's{i}.b3d'), num_trials=4,
+                                trial_length=120 + 30 * i, seed=i)
+    return WindowDataset(str(d), window_size=20, stride=5,
+                         skip_loading_skeletons=True)
+
+
+def test_partition_balances_and_covers(ds):
+    shards = partition_trials(ds, 8)
+    assert len(shards) == 8
+    all_trials = sorted(t for s in shards for t in s)
+    assert all_trials == list(range(ds.trial_row_offset.shape[0]))
+    trial_ends = np.append(ds.trial_row_offset[1:], ds.features_all.shape[0])
+    rows = trial_ends - ds.trial_row_offset
+    loads = sorted(int(sum(rows[t] for t in s)) for s in shards)
+    # LPT guarantee: max load < min load + the largest single trial
+    assert loads[-1] - loads[0] <= int(rows.max())
+
+
+def test_partition_rejects_too_few_trials(tmp_path):
+    write_synthetic_subject(str(tmp_path / 's.b3d'), num_trials=2,
+                            trial_length=120, seed=0)
+    small = WindowDataset(str(tmp_path), window_size=20, stride=5,
+                          skip_loading_skeletons=True)
+    with pytest.raises(ValueError):
+        partition_trials(small, 8)
+
+
+def test_sharded_gather_matches_host_gather(ds):
+    """Explicit per-shard local indices, gathered via shard_map, must be
+    byte-identical to the host gather of the corresponding GLOBAL
+    windows (win_global is the shard-local -> global id map)."""
+    mesh = make_mesh()
+    sdata = ShardedDeviceData(ds, mesh, feature_dtype=jnp.float32)
+    assert sdata.num_windows == len(ds)
+    S, b_local = sdata.num_shards, 3
+    rng = np.random.default_rng(0)
+    cnt = np.asarray(sdata.win_count)
+    sel = np.stack([rng.integers(0, cnt[s], b_local) for s in range(S)])
+    bi, bl = gather_by_local_indices(sdata, sel)
+    global_ids = np.concatenate(
+        [sdata.win_global[s, sel[s]] for s in range(S)])
+    host = ds.gather(global_ids)
+    np.testing.assert_allclose(np.asarray(bi), host.inputs, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(bl), host.labels, rtol=1e-6)
+    # the resident blocks are actually sharded: per-device bytes ~ 1/S
+    shard_shapes = {s.data.shape for s in sdata.features.addressable_shards}
+    assert all(sh[0] == 1 for sh in shard_shapes)
+
+
+def test_sharded_gather_all_frames(ds, tmp_path):
+    write_synthetic_subject(str(tmp_path / 's.b3d'), num_trials=8,
+                            trial_length=120, seed=9)
+    af = WindowDataset(str(tmp_path), window_size=20, stride=5,
+                       output_data_format='all_frames',
+                       skip_loading_skeletons=True)
+    mesh = make_mesh()
+    sdata = ShardedDeviceData(af, mesh, feature_dtype=jnp.float32)
+    sel = np.zeros((sdata.num_shards, 2), np.int64)
+    bi, bl = gather_by_local_indices(sdata, sel)
+    assert bl.shape == (2 * sdata.num_shards, af.num_model_frames,
+                        af.labels_all.shape[1])
+    global_ids = np.concatenate(
+        [sdata.win_global[s, sel[s]] for s in range(sdata.num_shards)])
+    host = af.gather(global_ids)
+    np.testing.assert_allclose(np.asarray(bl), host.labels, rtol=1e-6)
+
+
+def test_sharded_epoch_runner_trains(ds):
+    mesh = make_mesh()
+    sdata = ShardedDeviceData(ds, mesh)
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=ds.root_history_len)
+    sample = ds.gather(np.arange(16))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(sample.inputs),
+                               make_optimizer('adam', 1e-3))
+    state = replicate(mesh, state)
+    run = make_sharded_epoch_runner(model, sdata, LossConfig(),
+                                    batch_size=16)
+    rng = jax.random.PRNGKey(0)
+    state, m0 = run(state, rng)          # donates state: chain
+    assert np.isfinite(float(m0['loss']))
+    for e in range(5):
+        state, m = run(state, jax.random.fold_in(rng, e))
+    assert float(m['loss']) < float(m0['loss'])
+
+
+def test_sharded_runner_rejects_bad_batch(ds):
+    mesh = make_mesh()
+    sdata = ShardedDeviceData(ds, mesh)
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=ds.root_history_len)
+    with pytest.raises(ValueError):
+        make_sharded_epoch_runner(model, sdata, LossConfig(), batch_size=12)
