@@ -20,9 +20,11 @@ draws ``batch_size / n_shards`` windows uniformly from its local window
 table. Trials are assigned to shards by greedy longest-processing-time
 balancing, so shard row counts differ by at most one trial.
 
-Single-host multi-chip only for now: multi-host would need per-process
-block construction via ``make_array_from_process_local_data``; the host
-loader path already covers multi-host (data/loader.py).
+Multi-host: every process builds the same host-side blocks (the data
+plane is replicated across processes — each reads the same files, as
+everywhere else in the framework) and ``make_array_from_callback``
+fills each process's addressable shards from its copy, so the tier
+works unchanged on multi-host pods.
 """
 
 from __future__ import annotations
@@ -81,10 +83,6 @@ class ShardedDeviceData:
         if ds.features_all is None:
             raise ValueError('sharded device data requires materialized '
                              'features')
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                'sharded device data is single-host multi-chip; multi-host '
-                'uses the host loader shards (data/loader.py)')
         n_shards = int(mesh.shape[DATA_AXIS])
         shards = partition_trials(ds, n_shards)
         trial_ends = np.append(ds.trial_row_offset[1:],
@@ -126,10 +124,19 @@ class ShardedDeviceData:
             self.win_global[s, :w] = global_blocks[s]
 
         shard = NamedSharding(mesh, P(DATA_AXIS))
-        self.features = jax.device_put(feat, shard)          # [S, R_pad, C]
-        self.labels = jax.device_put(lab, shard)
-        self.win_base = jax.device_put(base, shard)          # [S, W_pad]
-        self.win_count = jax.device_put(cnt, shard)          # [S]
+        if jax.process_count() > 1:
+            # every process holds the full host blocks (replicated data
+            # plane); fill this process's addressable shards from them
+            def put(arr):
+                return jax.make_array_from_callback(
+                    arr.shape, shard, lambda idx: arr[idx])
+        else:
+            def put(arr):
+                return jax.device_put(arr, shard)
+        self.features = put(feat)                            # [S, R_pad, C]
+        self.labels = put(lab)
+        self.win_base = put(base)                            # [S, W_pad]
+        self.win_count = put(cnt)                            # [S]
         self.mesh = mesh
         self.num_shards = S
         self.num_windows = int(cnt.sum())
@@ -216,27 +223,36 @@ def make_sharded_epoch_runner(model, sdata: ShardedDeviceData,
                   P()),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
 
-    def one(carry, _):
-        state, rng = carry
-        rng, s_rng, d_rng = jax.random.split(rng, 3)
-        batch_inputs, batch_labels = sample_gather(
-            sdata.features, sdata.labels, sdata.win_base, sdata.win_count,
-            s_rng)
-        labels = unpack(batch_labels, sdata.lab_offsets)
+    # the sharded blocks must be jit ARGUMENTS, not closure constants:
+    # multi-host jit rejects closing over arrays that span non-addressable
+    # devices (each process only holds its own shards)
+    def run_epoch(state: TrainState, rng: jax.Array,
+                  feats, labs, base, cnt):
+        def one(carry, _):
+            state, rng = carry
+            rng, s_rng, d_rng = jax.random.split(rng, 3)
+            batch_inputs, batch_labels = sample_gather(feats, labs, base,
+                                                       cnt, s_rng)
+            labels = unpack(batch_labels, sdata.lab_offsets)
 
-        def loss_fn(params):
-            outputs = model.apply({'params': params}, batch_inputs,
-                                  train=True, rngs={'dropout': d_rng})
-            loss, metrics = loss_and_metrics(outputs, labels, loss_config)
-            return loss, metrics
+            def loss_fn(params):
+                outputs = model.apply({'params': params}, batch_inputs,
+                                      train=True, rngs={'dropout': d_rng})
+                loss, metrics = loss_and_metrics(outputs, labels, loss_config)
+                return loss, metrics
 
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads)
-        return (state, rng), metrics
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+            state = state.apply_gradients(grads=grads)
+            return (state, rng), metrics
 
-    def run_epoch(state: TrainState, rng: jax.Array):
         (state, _), metrics = jax.lax.scan(one, (state, rng), None,
                                            length=n_steps)
         return state, jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
 
-    return jax.jit(run_epoch, donate_argnums=(0,))
+    jitted = jax.jit(run_epoch, donate_argnums=(0,))
+
+    def run(state: TrainState, rng: jax.Array):
+        return jitted(state, rng, sdata.features, sdata.labels,
+                      sdata.win_base, sdata.win_count)
+
+    return run

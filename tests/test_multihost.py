@@ -106,15 +106,32 @@ for k in range(2):
     state_g, mg = dp_step(state_g, shard_batch(mesh, local),
                           jax.random.PRNGKey(20 + k))
     dp_losses.append(float(mg['loss']))
-dp_param_sum = float(np.sum([np.asarray(x).sum() for x in
-                             jax.tree_util.tree_leaves(jax.device_get(
-                                 jax.tree_util.tree_map(
-                                     lambda a: a.addressable_data(0),
-                                     state_g.params)))]))
+def _psum(params):
+    return float(np.sum([np.asarray(x).sum() for x in
+                         jax.tree_util.tree_leaves(jax.device_get(
+                             jax.tree_util.tree_map(
+                                 lambda a: a.addressable_data(0), params)))]))
+dp_param_sum = _psum(state_g.params)
+
+# Pod-sharded residency on the multi-host mesh: each process fills only
+# its addressable shards; the shard-local sample+gather epoch must keep
+# the replicated params identical across processes.
+from inferbiomechanics_tpu.train.sharded_data import (
+    ShardedDeviceData, make_sharded_epoch_runner,
+)
+sdata = ShardedDeviceData(ds, mesh)
+assert sdata.num_shards == len(jax.devices())
+runner = make_sharded_epoch_runner(model, sdata, LossConfig(),
+                                   batch_size=8, steps_per_call=2)
+state_s = replicate(mesh, create_train_state(
+    model, jax.random.PRNGKey(5), jnp.asarray(sample.inputs),
+    make_optimizer('adam', 1e-3)))
+state_s, ms = runner(state_s, jax.random.PRNGKey(30))
+sharded = [float(ms['loss']), _psum(state_s.params)]
 
 print(json.dumps({'proc': proc_id, 'losses': losses, 'param_sum': psum,
                   'device_pair': device_pair, 'dp_losses': dp_losses,
-                  'dp_param_sum': dp_param_sum}))
+                  'dp_param_sum': dp_param_sum, 'sharded': sharded}))
 '''
 
 
@@ -122,8 +139,10 @@ def test_two_process_distributed_training(tmp_path):
     from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
     data_dir = str(tmp_path / 'data')
     os.makedirs(data_dir)
+    # 4 trials: the pod-sharded tier partitions trials across the
+    # 4-device global mesh (one per shard)
     write_synthetic_subject(os.path.join(data_dir, 's.b3d'),
-                            num_trials=1, trial_length=200, seed=0)
+                            num_trials=4, trial_length=200, seed=0)
     worker_py = str(tmp_path / 'worker.py')
     with open(worker_py, 'w') as f:
         f.write(WORKER)
@@ -156,3 +175,5 @@ def test_two_process_distributed_training(tmp_path):
     # identical global losses and (critically) identical parameters
     np.testing.assert_allclose(r0['dp_losses'], r1['dp_losses'], rtol=1e-6)
     np.testing.assert_allclose(r0['dp_param_sum'], r1['dp_param_sum'], rtol=1e-6)
+    # pod-sharded tier: identical loss and params across processes
+    np.testing.assert_allclose(r0['sharded'], r1['sharded'], rtol=1e-6)
