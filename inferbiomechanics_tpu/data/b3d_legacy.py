@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import os
 import struct
+import sys
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -591,17 +592,33 @@ _MAX_MISSING_GRF = max(int(r) for r in MissingGRFReason)
 _MAX_PASS_TYPE = max(int(t) for t in ProcessingPassType)
 
 
-def validate_legacy_header(subj: 'LegacySubjectOnDisk') -> List[str]:
+def validate_legacy_header(
+        subj: 'LegacySubjectOnDisk') -> Tuple[List[str], List[str]]:
     """Cheap invariant checks that catch a mis-matched schema table.
 
     The ``_H/_TH/_PH/_F/_PF`` field numbering is a reconstruction of the
     public nimblephysics proto; if a real file was written with different
     numbering, scalar fields read other fields' varints and produce
     implausible values. These checks turn that failure mode into a loud,
-    named error instead of silent garbage. Returns a list of problems
-    (empty = header is plausible).
+    named error instead of silent garbage.
+
+    Returns ``(problems, warnings)``. Problems gate conversion; warnings
+    do not. The discriminator for demographic scalars: a proto3 scalar
+    that is simply UNSET decodes as exactly 0.0 — a legitimate file
+    missing mass/height must still convert (the reference tolerates
+    absent demographics, SubjectOnDisk just returns them) — while a
+    field-number collision reads another field's bits and yields garbage
+    doubles (e.g. 3e-250), which are nonzero and out of range.
     """
     p: List[str] = []
+    w: List[str] = []
+
+    def demographic(value: float, lo: float, hi: float, name: str):
+        if value == 0.0:
+            w.append(f'{name} unset (absent proto3 scalar decodes as 0.0)')
+        elif not (lo <= value <= hi):
+            p.append(f'{name}={value!r} implausible (_H.{name})')
+
     if not (1 <= subj.num_dofs <= 200):
         p.append(f'num_dofs={subj.num_dofs} implausible (_H.num_dofs)')
     if subj.dof_names and len(subj.dof_names) != subj.num_dofs:
@@ -609,10 +626,8 @@ def validate_legacy_header(subj: 'LegacySubjectOnDisk') -> List[str]:
                  f'{subj.num_dofs} (_H.dof_name/_H.num_dofs)')
     if not (0 <= subj.num_joints <= 200):
         p.append(f'num_joints={subj.num_joints} implausible (_H.num_joints)')
-    if not (10.0 <= subj.mass_kg <= 400.0):
-        p.append(f'mass_kg={subj.mass_kg!r} implausible (_H.mass_kg)')
-    if not (0.3 <= subj.height_m <= 3.0):
-        p.append(f'height_m={subj.height_m!r} implausible (_H.height_m)')
+    demographic(subj.mass_kg, 10.0, 400.0, 'mass_kg')
+    demographic(subj.height_m, 0.3, 3.0, 'height_m')
     if not (0 <= subj.age_years <= 130):
         p.append(f'age_years={subj.age_years} implausible (_H.age_years)')
     if not subj.ground_force_bodies:
@@ -632,10 +647,13 @@ def validate_legacy_header(subj: 'LegacySubjectOnDisk') -> List[str]:
         if bad:
             p.append(f'trial {i}: unknown ProcessingPassType values '
                      f'{sorted(set(bad))[:5]} (_TH.trial_pass_type)')
-        if not (0.0 < t['timestep'] < 1.0) and t['length'] > 0:
-            p.append(f"trial {i}: timestep={t['timestep']!r} implausible "
-                     f"(_TH.trial_timestep)")
-    return p
+        if t['length'] > 0 and not (0.0 < t['timestep'] < 1.0):
+            if t['timestep'] == 0.0:
+                w.append(f'trial {i}: timestep unset (absent proto3 scalar)')
+            else:
+                p.append(f"trial {i}: timestep={t['timestep']!r} implausible "
+                         f"(_TH.trial_timestep)")
+    return p, w
 
 
 def verify_legacy(path: str, max_frames_per_trial: Optional[int] = None) -> dict:
@@ -666,7 +684,8 @@ def verify_legacy(path: str, max_frames_per_trial: Optional[int] = None) -> dict
     - per-frame ``missing_grf_reason`` consistent with the trial header
     """
     report = {
-        'path': path, 'ok': False, 'problems': [], 'frames_checked': 0,
+        'path': path, 'ok': False, 'problems': [], 'warnings': [],
+        'frames_checked': 0,
         'unknown_header_fields': {}, 'unknown_trial_fields': {},
         'unknown_frame_fields': {}, 'unknown_pass_fields': {},
         'width_mismatches': {},
@@ -684,7 +703,9 @@ def verify_legacy(path: str, max_frames_per_trial: Optional[int] = None) -> dict
         problems.append(f'header: {e}')
         return report
     try:
-        problems.extend(validate_legacy_header(subj))
+        hdr_problems, hdr_warnings = validate_legacy_header(subj)
+        problems.extend(hdr_problems)
+        report['warnings'].extend(hdr_warnings)
 
         # header / trial-header unknown-field census (re-parse raw header)
         with open(path, 'rb') as f:
@@ -705,10 +726,20 @@ def verify_legacy(path: str, max_frames_per_trial: Optional[int] = None) -> dict
                 f'framing: header + frame index accounts for {stream_end} '
                 f'bytes but the file has {fsize} (_TH.frame_bytes)')
 
-        # expected channel widths (root-history width read from the data)
+        # expected channel widths (root-history width read from the data).
+        # Until a pass carries a POSITIVE history width, the two history
+        # channels are excluded from width checks: a pass that simply
+        # omits the optional history field decodes as width 0, and
+        # latching rh=0 from it would flag every later pass that carries
+        # real history data as a false mismatch.
         nb = len([b for b in subj.ground_force_bodies if b != 'pelvis'])
+        _HISTORY_FIELDS = ('rootPosHistoryInRootFrame',
+                           'rootEulerHistoryInRootFrame')
         rh = None
-        expected: Dict[str, int] = {}
+        expected: Dict[str, int] = {
+            name: width
+            for name, width in pass_channel_layout(subj.num_dofs, nb, 0)
+            if name not in _HISTORY_FIELDS}
 
         for t_idx, t in enumerate(subj.trials):
             n = t['length']
@@ -747,15 +778,16 @@ def verify_legacy(path: str, max_frames_per_trial: Optional[int] = None) -> dict
                     census(pf, set(_PF.values()),
                            report['unknown_pass_fields'])
                     if rh is None:
-                        try:
-                            w = len(get_packed_doubles(
-                                pf, _PF['rootPosHistoryInRootFrame']))
-                        except ValueError:
-                            w = -1
-                        if w >= 0 and w % 3 == 0:
-                            rh = w // 3
-                            expected = dict(pass_channel_layout(
-                                subj.num_dofs, nb, rh))
+                        for hf in _HISTORY_FIELDS:
+                            try:
+                                w = len(get_packed_doubles(pf, _PF[hf]))
+                            except ValueError:
+                                continue
+                            if w > 0 and w % 3 == 0:
+                                rh = w // 3
+                                expected = dict(pass_channel_layout(
+                                    subj.num_dofs, nb, rh))
+                                break
                     for name, fnum in _PF.items():
                         if name not in expected or fnum not in pf:
                             continue
@@ -795,6 +827,8 @@ def format_verify_report(report: dict) -> str:
         if report[key]:
             lines.append(f'  {key}: {report[key]} '
                          f'(forward-compatible; preserved, not decoded)')
+    for warning in report.get('warnings', ()):
+        lines.append(f'  WARNING: {warning}')
     for prob in report['problems']:
         lines.append(f'  PROBLEM: {prob}')
     if not report['ok']:
@@ -823,7 +857,7 @@ def convert_to_tpu(legacy_path: str, out_path: str,
     """
     subj = LegacySubjectOnDisk(legacy_path)
     try:
-        problems = validate_legacy_header(subj)
+        problems, warnings = validate_legacy_header(subj)
         if problems:
             raise ValueError(
                 f'{legacy_path}: unrecognized legacy .b3d schema: '
@@ -832,6 +866,12 @@ def convert_to_tpu(legacy_path: str, out_path: str,
                 'may not match the writer of this file; run '
                 '`main.py convert-b3d --verify` for a field-by-field '
                 'diagnosis')
+        for warning in warnings:
+            # absent optional metadata (exact-0.0 proto3 scalars) does not
+            # gate conversion — the reference tolerates it — but mass=0
+            # will make mass-normalized labels degenerate downstream
+            print(f'[convert-b3d] {legacy_path}: WARNING: {warning}',
+                  file=sys.stderr)
         nb = len([b for b in subj.ground_force_bodies if b != 'pelvis'])
         # root_history_len from the first frame's history channel width
         rh = 0

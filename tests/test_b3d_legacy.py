@@ -489,17 +489,69 @@ def test_convert_rejects_implausible_header(tmp_path):
     """ADVICE r2 (medium): a file whose decoded header fails plausibility
     invariants (the signature of field-number collision on a real
     nimble-written file) is rejected loudly instead of converted to
-    garbage."""
+    garbage. A collision reads another field's bits as the double, which
+    yields nonzero out-of-range garbage — NOT 0.0 (that is an absent
+    scalar, covered by test_convert_warns_on_unset_demographics)."""
     path = str(tmp_path / 'implausible.b3d')
     trials = _expected_trials(num_trials=1, trial_length=10)
     L.write_legacy_subject(path, num_dofs=23,
                            ground_force_bodies=list(CONTACT_BODIES),
                            root_history_len=10, trials=trials,
-                           skeleton=standard_skeleton(), mass_kg=0.0)
+                           skeleton=standard_skeleton(), mass_kg=3.1e-250)
     with pytest.raises(ValueError, match='unrecognized legacy .b3d schema'):
         L.convert_to_tpu(path, str(tmp_path / 'out.b3dtpu'))
     report = L.verify_legacy(path)
     assert any('mass_kg' in p for p in report['problems'])
+
+
+def test_convert_warns_on_unset_demographics(tmp_path, capsys):
+    """A proto3 scalar that is simply unset decodes as exactly 0.0; a
+    legitimate file missing mass/height metadata must still convert (the
+    reference tolerates absent demographics) with a warning, not fail as
+    'unrecognized schema'."""
+    path = str(tmp_path / 'no_demographics.b3d')
+    trials = _expected_trials(num_trials=1, trial_length=10)
+    L.write_legacy_subject(path, num_dofs=23,
+                           ground_force_bodies=list(CONTACT_BODIES),
+                           root_history_len=10, trials=trials,
+                           skeleton=standard_skeleton(),
+                           mass_kg=0.0, height_m=0.0)
+    out = str(tmp_path / 'out.b3dtpu')
+    L.convert_to_tpu(path, out)           # converts, no raise
+    assert 'WARNING' in capsys.readouterr().err
+    report = L.verify_legacy(path)
+    assert report['ok'], report['problems']
+    assert any('mass_kg' in w for w in report['warnings'])
+    assert any('height_m' in w for w in report['warnings'])
+
+
+def test_verify_history_latch_skips_historyless_pass(tmp_path, monkeypatch):
+    """A pass that omits the optional root-history field (absent proto3
+    field) must not latch root_history_len=0 and flag every later pass
+    carrying real history as a false width mismatch."""
+    path = str(tmp_path / 'nohist_pass0.b3d')
+    pf_full = dict(L._PF)
+    pf_nohist = {k: v for k, v in pf_full.items() if 'History' not in k}
+    real_encode = L._encode_pass_frame
+    calls = {'n': 0}
+
+    def encode_strip_pass0(row, offsets):
+        # passes alternate (pass0, pass1) per frame: strip pass0's history
+        strip = calls['n'] % 2 == 0
+        calls['n'] += 1
+        L._PF = pf_nohist if strip else pf_full
+        try:
+            return real_encode(row, offsets)
+        finally:
+            L._PF = pf_full
+
+    monkeypatch.setattr(L, '_encode_pass_frame', encode_strip_pass0)
+    write_synthetic_legacy_subject(path, num_trials=1, trial_length=20)
+    monkeypatch.undo()
+
+    report = L.verify_legacy(path)
+    assert not report['width_mismatches'], report['width_mismatches']
+    assert report['ok'], report['problems']
 
 
 def test_convert_b3d_cli_verify(tmp_path):
