@@ -307,8 +307,6 @@ def collect_stats(subject_paths: List[str], short: bool = False,
         subject_paths = subject_paths[:2]
     seen_split_subjects = set()
     scatter_rng = np.random.default_rng(0)
-    use_ref_classes = bool(class_dir) or any(
-        d in p for p in subject_paths for d in ('Carter2023', 'Han2023'))
     for path in subject_paths:
         # legacy protobuf files convert on first touch like WindowDataset
         from inferbiomechanics_tpu.data.b3d_legacy import ensure_tpu_format
@@ -316,6 +314,12 @@ def collect_stats(subject_paths: List[str], short: bool = False,
         subj_id = parse_subject_id(path, raw)
         class_dict = load_class_dict(class_dir, class_datasets or [],
                                      path, subj_id) if class_dir else {}
+        # per-SUBJECT tier decision: the ref machinery applies only where
+        # it has something to say about this subject (a rule table match
+        # or a loaded class dict); other datasets in the same scan keep
+        # the keyword fallback instead of degrading to 'unknown'
+        use_ref_classes = bool(class_dict) or any(
+            d in path for d in ('Carter2023', 'Han2023'))
         dataset_name = os.path.basename(os.path.dirname(path)) or 'unknown'
         mass = s.getMassKg()
         height = s.getHeightM()

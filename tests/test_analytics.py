@@ -125,6 +125,34 @@ def test_make_plots_split_dataset_dedup(tmp_path):
     assert stats['dataset_n'] == {'Carter2023': 2}
 
 
+def test_ref_classification_is_per_subject(tmp_path):
+    """A Carter2023 subject in the scan must not route OTHER datasets
+    through the ref machinery (which without a class dict labels
+    everything 'unknown'): the tier decision is per subject."""
+    from inferbiomechanics_tpu.cli.make_plots_cmd import collect_stats
+    from inferbiomechanics_tpu.data.b3d import write_subject
+    from inferbiomechanics_tpu.data.synthetic import (
+        standard_skeleton, synthetic_trial, write_synthetic_subject,
+    )
+    carter = tmp_path / 'Carter2023'
+    other = tmp_path / 'MyLab2020'
+    carter.mkdir(); other.mkdir()
+    write_synthetic_subject(str(carter / 'P01_0.b3d'), num_trials=1,
+                            trial_length=60, seed=0)
+    rng = np.random.default_rng(1)
+    write_subject(str(other / 'S1.b3d'), num_dofs=23,
+                  ground_force_bodies=['calcn_l', 'calcn_r'],
+                  root_history_len=10, skeleton=standard_skeleton(),
+                  trials=[synthetic_trial('walk_01', 60, rng=rng)])
+    stats = collect_stats([str(carter / 'P01_0.b3d'), str(other / 'S1.b3d')])
+    hours = stats['motion_class_hours']
+    # Carter trial 'trial_0': rule table -> running_treadmill;
+    # MyLab trial 'walk_01': keyword fallback -> walking, NOT 'unknown'
+    assert 'running_treadmill' in hours
+    assert 'walking' in hours
+    assert 'unknown' not in hours
+
+
 def test_make_plots_raw_mode(tmp_path):
     """TrialRaw variant: kinematics-only, no tau figures (ref :1623-1733)."""
     from inferbiomechanics_tpu.cli.make_plots_cmd import (
