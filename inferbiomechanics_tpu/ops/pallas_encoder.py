@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -152,8 +152,35 @@ def _encoder_kernel(num_heads, t, d, compute_dtype, x_ref, *refs):
     out_ref[:] = (h + y).reshape(r, t * d).astype(jnp.float32)
 
 
-def _encoder_kernel_v2(num_heads, t, d, compute_dtype, x_ref, *refs):
+class _V2Residuals(NamedTuple):
+    """Forward intermediates the hand-derived VJP consumes."""
+    h: jax.Array        # [R*T, D] f32 post-embedding input
+    xhat1: jax.Array
+    rs1: jax.Array
+    y1c: jax.Array      # LN1 output, compute_dtype
+    q_w: jax.Array      # [R, T*D] window-major q (scaled), k, v
+    k_w: jax.Array
+    v_w: jax.Array
+    P_list: tuple       # per query frame i: softmax probs [R, T*H]
+    attnc: jax.Array    # attention mix, compute_dtype
+    h2: jax.Array       # post-attention residual stream
+    xhat2: jax.Array
+    rs2: jax.Array
+    y2c: jax.Array      # LN2 output, compute_dtype
+    z1: jax.Array       # MLP pre-activation
+    m1a: jax.Array      # gelu(z1) f32
+    m1c: jax.Array      # gelu(z1) compute_dtype
+
+
+def _v2_forward_core(x2d, params, num_heads, t, d,
+                     compute_dtype) -> _V2Residuals:
     """v2 attention core: batched over key frames (round 3).
+
+    THE forward math — called from both `_encoder_kernel_v2` and the
+    backward kernel's recompute (`_encoder_bwd_math`), so the
+    hand-derived VJP can never silently desynchronize from the forward.
+    Computes through the MLP activation m1c; the caller finishes the
+    last matmul (`m1c @ w2 + bm2`) — the backward never needs it.
 
     v1 unrolled the T=10 attention over all (i, j) frame pairs — ~200
     skinny [R,D]x[D,H] / [R,H]x[H,D] matmuls plus ~[R,8] softmax smalls
@@ -175,54 +202,49 @@ def _encoder_kernel_v2(num_heads, t, d, compute_dtype, x_ref, *refs):
 
     Padded MXU FLOPs are unchanged (N pads to 128 either way) but the
     matmul count drops 200 -> 20 and VPU op count roughly halves.
+
+    Pure jnp on 2-D values only, so the same function body runs inside
+    a Mosaic kernel and under interpret mode / tests. Params are the
+    [1, N]-shaped bias/LN rows (broadcast against [R*T, N]).
     """
-    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2) = \
-        [r[:] for r in refs[:12]]
-    out_ref = refs[12]
-    r = x_ref.shape[0]
+    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bm1, w2, bm2) = params
+    r = x2d.shape[0]
     dh = d // num_heads
     f32 = jnp.float32
-
-    # head indicator E[c, h] = 1 iff lane c belongs to head h
-    lane = jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 0)
-    head = jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 1)
-    E = (lane // dh == head).astype(f32)                       # [D, H]
-    # block-diagonal over frames: BD[(j,c),(j',h)] = E[c,h] * (j == j')
-    jlane = jax.lax.broadcasted_iota(jnp.int32, (t * d, t * num_heads), 0) // d
-    jcol = jax.lax.broadcasted_iota(jnp.int32, (t * d, t * num_heads), 1) \
-        // num_heads
-    BD = jnp.where(jlane == jcol, jnp.tile(E, (t, t)), 0.0)    # [T*D, T*H]
-    BD2 = BD.T                                                 # [T*H, T*D]
-
-    h = x_ref[:].astype(f32).reshape(r * t, d)
-    y = _layernorm(h, g1[0], b1[0]).astype(compute_dtype)
     scale = dh ** -0.5
-    qkv = jnp.dot(y, wqkv.astype(compute_dtype),
-                  preferred_element_type=f32) + bqkv[0]
+    BD, BD2 = _head_indicators(num_heads, t, d)
+
+    def tile_t(a):      # [R, W] -> [R, T*W]
+        return jnp.concatenate([a] * t, axis=1)
+
+    h = x2d.astype(f32).reshape(r * t, d)
+    y1, xhat1, rs1 = _ln_fwd(h, g1, b1)
+    y1c = y1.astype(compute_dtype)
+    qkv = jnp.dot(y1c, wqkv.astype(compute_dtype),
+                  preferred_element_type=f32) + bqkv
     q = qkv[:, :d] * scale
     k = qkv[:, d:2 * d]
     v = qkv[:, 2 * d:]
-    q_w = q.reshape(r, t * d)        # window-major: frame j at lanes [j*d, (j+1)*d)
-    k_w = k.reshape(r, t * d)
-    v_w = v.reshape(r, t * d)
+    q_w, k_w, v_w = (a.reshape(r, t * d) for a in (q, k, v))
 
+    P_list = []
     outs = []
     for i in range(t):
         qi = q_w[:, i * d:(i + 1) * d]                         # [R, D]
-        qi_tile = jnp.concatenate([qi] * t, axis=1)            # [R, T*D]
-        s = jnp.dot(qi_tile * k_w, BD,
+        s = jnp.dot(tile_t(qi) * k_w, BD,
                     preferred_element_type=f32)                # [R, T*H]
         # softmax over key frames j (strided groups of H lanes)
         cols = [s[:, j * num_heads:(j + 1) * num_heads] for j in range(t)]
         m = cols[0]
         for c in cols[1:]:
             m = jnp.maximum(m, c)
-        e = jnp.exp(s - jnp.concatenate([m] * t, axis=1))      # [R, T*H]
+        e = jnp.exp(s - tile_t(m))
         ecols = [e[:, j * num_heads:(j + 1) * num_heads] for j in range(t)]
         z = ecols[0]
         for c in ecols[1:]:
             z = z + c
-        p = e * jnp.concatenate([1.0 / z] * t, axis=1)         # [R, T*H]
+        p = e * tile_t(1.0 / z)                                # [R, T*H]
+        P_list.append(p)
         p_exp = jnp.dot(p, BD2, preferred_element_type=f32)    # [R, T*D]
         pv = p_exp * v_w
         acc = pv[:, :d]
@@ -230,14 +252,45 @@ def _encoder_kernel_v2(num_heads, t, d, compute_dtype, x_ref, *refs):
             acc = acc + pv[:, j * d:(j + 1) * d]
         outs.append(acc)
     attn = jnp.concatenate(outs, axis=1).reshape(r * t, d)
-    y = jnp.dot(attn.astype(compute_dtype), wproj.astype(compute_dtype),
-                preferred_element_type=f32) + bproj[0]
-    h = h + y
-    y = _layernorm(h, g2[0], b2[0]).astype(compute_dtype)
-    y = jnp.dot(y, w1.astype(compute_dtype), preferred_element_type=f32) + bm1[0]
-    y = jax.nn.gelu(y).astype(compute_dtype)
-    y = jnp.dot(y, w2.astype(compute_dtype), preferred_element_type=f32) + bm2[0]
-    out_ref[:] = (h + y).reshape(r, t * d).astype(f32)
+    attnc = attn.astype(compute_dtype)
+    a = jnp.dot(attnc, wproj.astype(compute_dtype),
+                preferred_element_type=f32) + bproj
+    h2 = h + a
+    y2, xhat2, rs2 = _ln_fwd(h2, g2, b2)
+    y2c = y2.astype(compute_dtype)
+    z1 = jnp.dot(y2c, w1.astype(compute_dtype),
+                 preferred_element_type=f32) + bm1
+    m1a = _gelu_tanh(z1)
+    m1c = m1a.astype(compute_dtype)
+    return _V2Residuals(h, xhat1, rs1, y1c, q_w, k_w, v_w, tuple(P_list),
+                        attnc, h2, xhat2, rs2, y2c, z1, m1a, m1c)
+
+
+def _head_indicators(num_heads, t, d):
+    """BD [T*D, T*H] block-diagonal head indicator and its transpose:
+    BD[(j,c),(j',h)] = 1 iff lane c belongs to head h and j == j'."""
+    f32 = jnp.float32
+    dh = d // num_heads
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 1)
+    E = (lane // dh == head).astype(f32)                       # [D, H]
+    jlane = jax.lax.broadcasted_iota(jnp.int32, (t * d, t * num_heads), 0) // d
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (t * d, t * num_heads), 1) \
+        // num_heads
+    BD = jnp.where(jlane == jcol, jnp.tile(E, (t, t)), 0.0)    # [T*D, T*H]
+    return BD, BD.T
+
+
+def _encoder_kernel_v2(num_heads, t, d, compute_dtype, x_ref, *refs):
+    """Pallas wrapper: v2 forward core + the final MLP matmul."""
+    params = tuple(r[:] for r in refs[:12])
+    out_ref = refs[12]
+    r = x_ref.shape[0]
+    w2, bm2 = params[10], params[11]
+    res = _v2_forward_core(x_ref[:], params, num_heads, t, d, compute_dtype)
+    y = jnp.dot(res.m1c, w2.astype(compute_dtype),
+                preferred_element_type=jnp.float32) + bm2
+    out_ref[:] = (res.h2 + y).reshape(r, t * d).astype(jnp.float32)
 
 
 def encoder_layer_pallas(x: jax.Array, params: Tuple[jax.Array, ...],
@@ -349,66 +402,17 @@ def _encoder_bwd_math(x2d, g2d, params, num_heads, t, d, compute_dtype):
     dh = d // num_heads
     f32 = jnp.float32
     scale = dh ** -0.5
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 0)
-    head = jax.lax.broadcasted_iota(jnp.int32, (d, num_heads), 1)
-    E = (lane // dh == head).astype(f32)
-    jlane = jax.lax.broadcasted_iota(jnp.int32, (t * d, t * num_heads), 0) // d
-    jcol = jax.lax.broadcasted_iota(jnp.int32, (t * d, t * num_heads), 1) \
-        // num_heads
-    BD = jnp.where(jlane == jcol, jnp.tile(E, (t, t)), 0.0)
-    BD2 = BD.T
+    BD, BD2 = _head_indicators(num_heads, t, d)
 
     def tile_t(a):      # [R, W] -> [R, T*W]
         return jnp.concatenate([a] * t, axis=1)
 
-    # ---- forward recompute (keep residency for the backward) ----
-    h = x2d.astype(f32).reshape(r * t, d)
-    y1, xhat1, rs1 = _ln_fwd(h, g1, b1)
-    y1c = y1.astype(compute_dtype)
-    # fused qkv matmul + section slices of the multi-sublane result —
-    # offset lane slices of the [1, 3D] bias row crash Mosaic (see
-    # _encoder_kernel_v2 docstring), so q/k/v are cut from qkv instead.
-    qkv = jnp.dot(y1c, wqkv.astype(compute_dtype),
-                  preferred_element_type=f32) + bqkv
-    q = qkv[:, :d] * scale
-    k = qkv[:, d:2 * d]
-    v = qkv[:, 2 * d:]
-    q_w, k_w, v_w = (a.reshape(r, t * d) for a in (q, k, v))
-
-    P_list = []
-    outs = []
-    for i in range(t):
-        qi = q_w[:, i * d:(i + 1) * d]
-        s = jnp.dot(tile_t(qi) * k_w, BD, preferred_element_type=f32)
-        cols = [s[:, j * num_heads:(j + 1) * num_heads] for j in range(t)]
-        m = cols[0]
-        for c in cols[1:]:
-            m = jnp.maximum(m, c)
-        e = jnp.exp(s - tile_t(m))
-        ecols = [e[:, j * num_heads:(j + 1) * num_heads] for j in range(t)]
-        z = ecols[0]
-        for c in ecols[1:]:
-            z = z + c
-        p = e * tile_t(1.0 / z)                                # [R, T*H]
-        P_list.append(p)
-        p_exp = jnp.dot(p, BD2, preferred_element_type=f32)    # [R, T*D]
-        pv = p_exp * v_w
-        acc = pv[:, :d]
-        for j in range(1, t):
-            acc = acc + pv[:, j * d:(j + 1) * d]
-        outs.append(acc)
-    attn = jnp.concatenate(outs, axis=1).reshape(r * t, d)
-    attnc = attn.astype(compute_dtype)
-    a = jnp.dot(attnc, wproj.astype(compute_dtype),
-                preferred_element_type=f32) + bproj
-    h2 = h + a
-    y2, xhat2, rs2 = _ln_fwd(h2, g2, b2)
-    y2c = y2.astype(compute_dtype)
-    z1 = jnp.dot(y2c, w1.astype(compute_dtype),
-                 preferred_element_type=f32) + bm1
-    m1a = _gelu_tanh(z1)
-    m1c = m1a.astype(compute_dtype)
+    # ---- forward recompute (keep residency for the backward): THE SAME
+    # function the forward kernel runs, so the VJP below can never
+    # silently desynchronize from the forward math ----
+    res = _v2_forward_core(x2d, params, num_heads, t, d, compute_dtype)
+    (h, xhat1, rs1, y1c, q_w, k_w, v_w, P_list,
+     attnc, h2, xhat2, rs2, y2c, z1, m1a, m1c) = res
 
     zero_grads = tuple(jnp.zeros(p.shape, f32) for p in params)
     if _BWD_DEBUG_STAGE == 1:      # forward recompute only
