@@ -228,6 +228,19 @@ def main():
     box = {}
 
     def measure():
+        # top-level guard: a crash in the unguarded stages (dataset build,
+        # device upload) must be reported as that crash, not masquerade as
+        # the watchdog ("TPU backend unresponsive") — th.join() returns
+        # immediately when the thread dies, not only at the deadline
+        try:
+            _measure_inner()
+        except Exception as e:
+            box['error'] = (f'{box.get("stage", "?")}: '
+                            f'{type(e).__name__}: {e}')
+            log(f'[bench] fatal at stage {box.get("stage")}: {e}')
+        box['done'] = True
+
+    def _measure_inner():
         box['stage'] = 'dataset_build'
         ds = _make_dataset()
         try:
@@ -290,7 +303,6 @@ def main():
         except Exception as e:
             box['error'] = f'tier2: {type(e).__name__}: {e}'
             log(f'[bench] tier2 failed: {e}')
-        box['done'] = True
 
     th = threading.Thread(target=measure, daemon=True)
     th.start()
@@ -311,8 +323,8 @@ def main():
             if box.get('torch') else None,
             'stage_reached': box.get('stage'),
             'error': err,
-        }))
-        os._exit(1)
+        }), flush=True)   # os._exit skips stdio flushing; piped stdout
+        os._exit(1)       # would otherwise lose the one contract line
     torch_wps = box.get('torch')
     result = {
         'metric': 'train_windows_per_sec',
@@ -332,7 +344,7 @@ def main():
     if box.get('b64') and torch_wps:
         result['b64_windows_per_sec'] = round(box['b64'], 1)
         result['b64_vs_baseline'] = round(box['b64'] / torch_wps, 2)
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     os._exit(0)
 
 
