@@ -22,9 +22,11 @@ class CreateSplitsCommand:
     def register_subcommand(self, subparsers) -> None:
         parser = subparsers.add_parser(
             'create-splits', help='Create train/dev splits of the dataset')
-        parser.add_argument('--data-path', type=str, default='../data',
+        parser.add_argument('--data-path', '--data-folder', dest='data_path',
+                            type=str, default='../data',
                             help='Root that contains processed/ and will '
-                                 'receive train/ and dev/.')
+                                 'receive train/ and dev/ (ref flag: '
+                                 '--data-folder).')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'create-splits':

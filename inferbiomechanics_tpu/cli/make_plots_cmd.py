@@ -707,9 +707,11 @@ class MakePlotsCommand:
         parser.add_argument('--use-cache', action='store_true',
                             help='Replay an existing cache instead of rescanning')
         parser.add_argument('--short', action='store_true')
-        parser.add_argument('--raw', action='store_true',
+        parser.add_argument('--raw', '--raw-data', dest='raw',
+                            action='store_true',
                             help='TrialRaw variant: kinematics-only stats, '
-                                 'no dynamics pass required (ref :1623-1733)')
+                                 'no dynamics pass required (ref flag: '
+                                 '--raw-data, :1623-1733)')
         parser.add_argument('--no-scatter', action='store_true',
                             help='Skip the per-DOF scatter matrix figures')
         # reference output toggles (ref :33-41). Unlike the reference

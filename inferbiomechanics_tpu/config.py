@@ -138,6 +138,11 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
     parser.add_argument('--predict-wrench-components', type=int, nargs='*',
                         default=d.predict_wrench_components)
     parser.add_argument('--trial-filter', type=str, default=d.trial_filter)
+    parser.add_argument('--device', type=str, default=None,
+                        help="Reference-compat (train.py --device): 'cpu' "
+                             "pins the CPU backend; any other value is "
+                             "accepted and ignored — device placement is "
+                             "automatic on TPU")
     parser.add_argument('--compute-report', action='store_true', default=d.compute_report)
     parser.add_argument('--d-model', type=int, default=d.d_model)
     parser.add_argument('--num-layers', type=int, default=d.num_layers)

@@ -57,6 +57,19 @@ def main(argv=None) -> int:
     if args.command is None:
         parser.print_help()
         return 1
+    # reference-compat --device: 'cpu' pins the CPU backend (same effect
+    # as IB_PLATFORM=cpu); cuda/tpu values are accepted and ignored since
+    # device placement is automatic here (ref train.py:99-102 picks a GPU)
+    device = getattr(args, 'device', None)
+    if device:
+        if device.split(':')[0] == 'cpu':
+            import jax
+            jax.config.update('jax_platforms', 'cpu')
+        else:
+            logging.getLogger(__name__).info(
+                '--device %r accepted for reference compatibility; device '
+                'placement is automatic (use IB_PLATFORM to pin a backend)',
+                device)
     for command in commands:
         if command.run(args):
             return 0

@@ -161,3 +161,28 @@ def test_all_ten_commands_registered():
     assert names == {'train', 'visualize', 'visualize-file', 'create-splits',
                      'analyze', 'sanity-check', 'make-plots', 'review-file',
                      'pickle-data', 'save-prediction-csv', 'convert-b3d'}
+
+
+def test_reference_flag_spellings_parse():
+    """Drop-in compat: the reference's exact flag spellings parse —
+    --device (train.py:33), --raw-data (make_plots.py:47),
+    --data-folder (create_splits.py:17) — even where this framework
+    renamed or automated the underlying knob."""
+    import argparse
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'ib_main2', os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), 'main.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    parser = argparse.ArgumentParser()
+    subparsers = parser.add_subparsers(dest='command')
+    for command in mod.build_commands():
+        command.register_subcommand(subparsers)
+    args = parser.parse_args(['train', '--device', 'cuda:0'])
+    assert args.device == 'cuda:0'
+    args = parser.parse_args(['make-plots', '--raw-data',
+                              '--out-path', '/tmp/x'])
+    assert args.raw and args.out_dir == '/tmp/x'
+    args = parser.parse_args(['create-splits', '--data-folder', '/tmp/y'])
+    assert args.data_path == '/tmp/y'
