@@ -116,7 +116,8 @@ class AnalyzeCommand:
                 if epoch < 0:
                     print(f'WARNING: no checkpoint found in {checkpoint_dir}')
                 sampler = make_sampler(model, DDPMSchedule(config.diffusion_timesteps),
-                                       num_steps=50)
+                                       num_steps=50,
+                                       fused_inference=config.fused_inference)
                 predict = lambda x, _s: sampler(state.params, x, jax.random.PRNGKey(7))
                 eval_fn = None
             else:

@@ -161,16 +161,69 @@ def make_diffusion_train_step(model: DiffusionDenoiser,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def fused_denoiser_eps(model: DiffusionDenoiser, params,
+                       noisy_targets: jax.Array, t: jax.Array,
+                       cond_packed: jax.Array) -> jax.Array:
+    """ε-prediction forward through the fused Pallas encoder kernel, on a
+    checkpoint TRAINED with ``attn_impl='vpu'`` (the default).
+
+    Same mechanism as ``models.transformer.fused_transformer_forward``:
+    one kernel per encoder layer instead of ~90 dodges this runtime's
+    per-kernel launch tax, and DDIM sampling pays the encoder stack
+    ``num_steps`` times per sample. Consumes the vpu parameter tree
+    (``EncoderBlock_i/ShortWindowAttention_0/...``) as-is; numerics
+    differ from ``model.apply`` at bf16-residual level (the kernel keeps
+    residuals in f32). Falls back to the jnp reference math on CPU.
+    """
+    from inferbiomechanics_tpu.ops.pallas_encoder import fused_encoder_layer
+
+    dt = model.compute_dtype
+
+    def dense(name, v):
+        return (v @ params[name]['kernel'].astype(dt)
+                + params[name]['bias'].astype(dt))
+
+    x = dense('target_proj', noisy_targets.astype(dt))
+    c = dense('cond_proj', cond_packed.astype(dt))
+    te = dense('t_mlp1', timestep_embedding(t, model.d_model).astype(dt))
+    te = dense('t_mlp2', nn.gelu(te))
+    h = x + c + te[:, None, :] + params['temporal_embedding'].astype(dt)[None]
+    h = h.astype(jnp.float32)
+    for li in range(model.num_layers):
+        blk = params[f'EncoderBlock_{li}']
+        attn = blk['ShortWindowAttention_0']
+        layer = (blk['LayerNorm_0']['scale'], blk['LayerNorm_0']['bias'],
+                 attn['qkv']['kernel'], attn['qkv']['bias'],
+                 attn['proj']['kernel'], attn['proj']['bias'],
+                 blk['LayerNorm_1']['scale'], blk['LayerNorm_1']['bias'],
+                 blk['Dense_0']['kernel'], blk['Dense_0']['bias'],
+                 blk['Dense_1']['kernel'], blk['Dense_1']['bias'])
+        h = fused_encoder_layer(h, layer, model.num_heads)
+    ln = params['LayerNorm_0']
+    mean = h.mean(-1, keepdims=True)
+    var = ((h - mean) ** 2).mean(-1, keepdims=True)
+    h = ((h - mean) * jax.lax.rsqrt(var + 1e-6)
+         * ln['scale'] + ln['bias']).astype(dt)
+    return dense('eps_head', h).astype(jnp.float32)
+
+
 def make_sampler(model: DiffusionDenoiser,
                  schedule: Optional[DDPMSchedule] = None,
                  num_steps: Optional[int] = None,
-                 eta: float = 0.0):
+                 eta: float = 0.0,
+                 fused_inference: bool = False):
     """Build ``sample(params, cond_inputs, rng) -> outputs dict``.
 
     DDIM sampling over an evenly-spaced subset of the schedule
     (``num_steps``; defaults to the full schedule → DDPM-like when
-    eta=1.0). The loop is a single ``lax.scan``.
+    eta=1.0). The loop is a single ``lax.scan``. ``fused_inference``
+    routes each denoiser call through the fused Pallas encoder
+    (``fused_denoiser_eps``) — vpu checkpoints only.
     """
+    if fused_inference and model.attn_impl != 'vpu':
+        raise ValueError('fused_inference consumes the vpu parameter tree; '
+                         f'this denoiser was built with '
+                         f'attn_impl={model.attn_impl!r}')
     sched = schedule or DDPMSchedule(model.timesteps)
     n = num_steps or sched.timesteps
     ts = np.linspace(sched.timesteps - 1, 0, n).round().astype(np.int32)
@@ -187,7 +240,11 @@ def make_sampler(model: DiffusionDenoiser,
             x, rng = carry
             t, t_prev = t_pair
             tb = jnp.full((b,), t, jnp.int32)
-            eps = model.apply({'params': params}, x, tb, cond, train=False)
+            if fused_inference:
+                eps = fused_denoiser_eps(model, params, x, tb, cond)
+            else:
+                eps = model.apply({'params': params}, x, tb, cond,
+                                  train=False)
             ab_t = sched.alpha_bars[t]
             ab_prev = jnp.where(t_prev >= 0, sched.alpha_bars[jnp.maximum(t_prev, 0)], 1.0)
             x0_pred = (x - jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(ab_t)

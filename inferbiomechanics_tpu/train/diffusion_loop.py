@@ -104,7 +104,8 @@ def train_diffusion(config: Config,
                     ' (windows packed)' if pack else '')
 
     step = make_diffusion_train_step(model, train_ds.lab_offsets, sched)
-    sampler = make_sampler(model, sched, num_steps=EVAL_SAMPLE_STEPS)
+    sampler = make_sampler(model, sched, num_steps=EVAL_SAMPLE_STEPS,
+                           fused_inference=config.fused_inference)
     dev_eval = RegressionLossEvaluator('dev', lc, wandb_logger=metric_logger)
 
     train_loader = PrefetchLoader(train_ds, config.batch_size, sharding=sharding,

@@ -103,6 +103,83 @@ def test_sampler_shapes_and_determinism(ds):
         atol=1e-6)
 
 
+def test_fused_denoiser_eps_matches_apply(ds):
+    """fused_denoiser_eps consumes the vpu parameter tree and reproduces
+    model.apply. Two checks: (a) the embedding/head wiring is EXACT —
+    substitute flax EncoderBlocks for the fused layers in an f32 model
+    and require 1e-5; (b) the full fused path (whose encoder always
+    computes bf16 internally, like the TPU kernel) matches at
+    bf16-residual tolerance."""
+    from inferbiomechanics_tpu.models.diffusion import (
+        fused_denoiser_eps, timestep_embedding)
+    from inferbiomechanics_tpu.models.transformer import EncoderBlock
+    from flax import linen as nn
+
+    model = DiffusionDenoiser(
+        num_dofs=ds.num_dofs, num_contact_bodies=ds.num_contact_bodies,
+        history_len=20, stride=5, d_model=64, num_layers=2, num_heads=4,
+        timesteps=64, compute_dtype=jnp.float32)
+    state, batch = _state(model, ds)
+    p = state.params
+    cond = jnp.asarray(batch.inputs)
+    x = jax.random.normal(jax.random.PRNGKey(3),
+                          (8, 4, model.target_channels), jnp.float32)
+    t = jnp.asarray(np.arange(8) * 7, jnp.int32)
+    ref = model.apply({'params': p}, x, t, cond, train=False)
+
+    # (a) fused embeddings/head around flax encoder blocks: exact
+    def dense(name, v):
+        return v @ p[name]['kernel'] + p[name]['bias']
+    te = dense('t_mlp2', nn.gelu(dense('t_mlp1',
+                                       timestep_embedding(t, model.d_model))))
+    h = (dense('target_proj', x) + dense('cond_proj', cond)
+         + te[:, None, :] + p['temporal_embedding'][None])
+    for li in range(model.num_layers):
+        h = EncoderBlock(64, 4, compute_dtype=jnp.float32,
+                         attn_impl='vpu').apply(
+            {'params': p[f'EncoderBlock_{li}']}, h)
+    ln = p['LayerNorm_0']
+    mean = h.mean(-1, keepdims=True)
+    var = ((h - mean) ** 2).mean(-1, keepdims=True)
+    hn = (h - mean) * jax.lax.rsqrt(var + 1e-6) * ln['scale'] + ln['bias']
+    exact = dense('eps_head', hn)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(ref),
+                               atol=1e-5)
+
+    # (b) full fused path at bf16-internals tolerance
+    got = fused_denoiser_eps(model, p, x, t, cond)
+    err = float(jnp.max(jnp.abs(ref - got)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    assert err / scale < 5e-2, (err, scale)
+
+
+def test_fused_sampler_end_to_end(ds):
+    """make_sampler(fused_inference=True) runs the scan through
+    fused_denoiser_eps and produces finite, deterministic outputs; a
+    non-vpu denoiser is rejected loudly."""
+    model = _model(ds)
+    state, batch = _state(model, ds)
+    sampler = make_sampler(model, DDPMSchedule(model.timesteps),
+                           num_steps=6, fused_inference=True)
+    out = sampler(state.params, jnp.asarray(batch.inputs),
+                  jax.random.PRNGKey(0))
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+    out2 = sampler(state.params, jnp.asarray(batch.inputs),
+                   jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(out[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]),
+        np.asarray(out2[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]),
+        atol=1e-6)
+    flax_model = DiffusionDenoiser(
+        num_dofs=ds.num_dofs, num_contact_bodies=ds.num_contact_bodies,
+        history_len=20, stride=5, d_model=64, num_layers=2, num_heads=4,
+        timesteps=64, attn_impl='flax')
+    with pytest.raises(ValueError, match='vpu parameter tree'):
+        make_sampler(flax_model, DDPMSchedule(64), num_steps=6,
+                     fused_inference=True)
+
+
 def test_device_diffusion_epoch_runner(ds):
     from inferbiomechanics_tpu.train.device_data import (
         DeviceResidentData, make_device_diffusion_epoch_runner,
