@@ -1,0 +1,68 @@
+"""``serve`` subcommand — batch-inference HTTP server (beyond parity).
+
+The reference has no serving entry point (its inference surfaces are the
+interactive ``visualize-file``/``save-prediction-csv`` commands,
+visualize_file.py:94-116); this serves the same checkpoint + featurized
+window schema over HTTP for production use. See
+``inferbiomechanics_tpu/serve.py`` for the endpoint contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from inferbiomechanics_tpu.config import add_config_flags, config_from_args
+
+logger = logging.getLogger(__name__)
+
+
+class ServeCommand:
+    name = 'serve'
+
+    def register_subcommand(self, subparsers) -> None:
+        parser = subparsers.add_parser(
+            'serve', help='Serve checkpoint predictions over HTTP '
+                          '(beyond-parity production path)')
+        add_config_flags(parser)
+        parser.add_argument('--port', type=int, default=8090)
+        parser.add_argument('--host', type=str, default='127.0.0.1',
+                            help='Bind address; 0.0.0.0 exposes the server '
+                                 'to the network')
+        parser.add_argument('--max-batch', type=int, default=4096,
+                            help='Largest accepted /predict batch (also the '
+                                 'top compile bucket)')
+
+    def run(self, args: argparse.Namespace) -> bool:
+        if args.command != 'serve':
+            return False
+        config = config_from_args(args)
+        from inferbiomechanics_tpu.data.dataset import WindowDataset
+        from inferbiomechanics_tpu.serve import InferenceService, serve
+
+        checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
+                                      config.model_type)
+        # schema source: dev split if present, else the dataset root
+        data_dir = os.path.join(config.dataset_home, 'dev')
+        if not os.path.isdir(data_dir):
+            data_dir = config.dataset_home
+        ds = WindowDataset(data_dir, window_size=config.window_size,
+                           stride=config.stride,
+                           output_data_format=config.output_data_format,
+                           testing_with_short_dataset=config.short,
+                           skip_loading_skeletons=True)
+        service = InferenceService(config, checkpoint_dir, ds,
+                                   max_batch=args.max_batch)
+        server = serve(service, host=args.host, port=args.port)
+        print(f'serving {config.model_type} '
+              f'(epoch {service.epoch}, batch {service.batch}) on '
+              f'http://{args.host}:{server.server_address[1]} — Ctrl-C stops',
+              flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.server_close()
+        return True

@@ -1,0 +1,289 @@
+"""Batch-inference HTTP server (beyond reference parity).
+
+The reference has no serving story — its inference surfaces are
+interactive commands (``visualize_file.py``, ``save_prediction_csv.py``).
+This module provides the production path the task calls for: load the
+latest checkpoint ONCE, compile bucketed batch forwards (static shapes —
+XLA recompiles per shape, so batches are padded up to power-of-two
+buckets), and answer HTTP requests with stdlib-only plumbing
+(``http.server``); device work is serialized behind one lock (one
+process owns the chip).
+
+Endpoints:
+  GET  /health         liveness + checkpoint provenance
+  GET  /schema         input/label channel layouts and expected shapes
+  POST /predict        raw packed windows: JSON ``{"inputs": [[[...]]]}``
+                       ([B, T, C_in] nested lists) or
+                       ``{"inputs_b64": <base64 float32 little-endian>,
+                          "shape": [B, T, C_in]}``
+  POST /predict_file   windows of a server-visible subject file:
+                       ``{"file": path, "trial": n}`` (optional
+                       ``"max_windows"``) — legacy ``.b3d`` files convert
+                       on first touch like every other entry point.
+
+Returned predictions use the reference's output-key schema
+(``OutputDataKeys``, AddBiomechanicsDataset.py:29-42), each value
+``[B, out_frames, C]`` nested lists (or base64 when the request asked
+with ``"encoding": "b64"``).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+from inferbiomechanics_tpu.config import Config
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+
+logger = logging.getLogger(__name__)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1)).bit_length()
+
+
+class InferenceService:
+    """Checkpointed model + bucketed, lock-serialized batch forward."""
+
+    def __init__(self, config: Config, checkpoint_dir: str,
+                 dataset: WindowDataset, max_batch: int = 4096):
+        import jax
+        import jax.numpy as jnp
+        from inferbiomechanics_tpu.train import (
+            create_train_state, load_latest_checkpoint, make_optimizer,
+        )
+        from inferbiomechanics_tpu.train.loop import build_model_for_dataset
+
+        if config.model_type == 'analytical':
+            raise ValueError('serve supports learned models; the analytical '
+                             'baseline needs per-subject skeletons — use '
+                             '`analyze --model-type analytical` instead')
+        self.config = config
+        self.ds = dataset
+        self.max_batch = int(max_batch)
+        self.model = build_model_for_dataset(config, dataset)
+        sample = dataset.gather(np.arange(min(8, max(1, len(dataset)))))
+        self.state = create_train_state(
+            self.model, jax.random.PRNGKey(0), jnp.asarray(sample.inputs),
+            make_optimizer(config.opt_type, config.learning_rate))
+        self.state, self.epoch, self.batch = load_latest_checkpoint(
+            self.state, checkpoint_dir)
+        if self.epoch < 0:
+            logger.warning('no checkpoint found in %s — serving an '
+                           'UNTRAINED model', checkpoint_dir)
+
+        batch_stats = self.state.batch_stats
+        use_fused = bool(getattr(config, 'fused_inference', False))
+        if use_fused:
+            from inferbiomechanics_tpu.models.transformer import (
+                TransformerRegressor,
+            )
+            if not (isinstance(self.model, TransformerRegressor)
+                    and self.model.attn_impl == 'vpu'
+                    and self.model.d_model % 128 == 0):
+                logger.warning('--fused-inference ignored: needs a vpu '
+                               'transformer with d_model %% 128 == 0')
+                use_fused = False
+        self._use_fused = use_fused
+
+        def fwd(params, x):
+            if use_fused:
+                from inferbiomechanics_tpu.models.transformer import (
+                    fused_transformer_forward,
+                )
+                return fused_transformer_forward(self.model, params, x)
+            variables = {'params': params}
+            if batch_stats:
+                variables['batch_stats'] = batch_stats
+            return self.model.apply(variables, x, train=False)
+
+        self._fwd = jax.jit(fwd)
+        self._lock = threading.Lock()
+        # file-mode dataset cache: path -> WindowDataset
+        self._file_ds: Dict[str, WindowDataset] = {}
+
+    # -- raw packed windows --------------------------------------------------
+
+    def predict_packed(self, x: np.ndarray) -> Dict[str, np.ndarray]:
+        """[B, T, C_in] float32 -> output dict, each [B, out_frames, C]."""
+        import jax
+        import jax.numpy as jnp
+
+        ds = self.ds
+        if x.ndim != 3 or x.shape[1] != ds.num_model_frames \
+                or x.shape[2] != ds.num_input_channels:
+            raise ValueError(
+                f'inputs must be [B, {ds.num_model_frames}, '
+                f'{ds.num_input_channels}] (got {list(x.shape)}); '
+                f'GET /schema describes the channel layout')
+        b = x.shape[0]
+        if b == 0:
+            raise ValueError('empty batch')
+        if b > self.max_batch:
+            raise ValueError(f'batch {b} exceeds max_batch {self.max_batch}; '
+                             'split the request')
+        bp = min(_next_pow2(b), self.max_batch)
+        if bp != b:
+            x = np.concatenate(
+                [x, np.zeros((bp - b,) + x.shape[1:], np.float32)])
+        with self._lock:
+            out = self._fwd(self.state.params,
+                            jnp.asarray(x, jnp.float32))
+            out = jax.device_get(out)
+        return {k: np.asarray(v)[:b] for k, v in out.items()}
+
+    # -- server-visible subject files ----------------------------------------
+
+    def predict_file(self, path: str, trial: int,
+                     max_windows: Optional[int] = None) -> dict:
+        ds = self._file_ds.get(path)
+        if ds is None:
+            ds = WindowDataset(path, window_size=self.config.window_size,
+                               stride=self.config.stride,
+                               output_data_format=self.config.output_data_format,
+                               skip_loading_skeletons=True)
+            self._file_ds[path] = ds
+        if ds.num_input_channels != self.ds.num_input_channels:
+            raise ValueError(
+                f'{path}: {ds.num_input_channels} input channels, model '
+                f'expects {self.ds.num_input_channels}')
+        mask = (ds.win_subject == 0) & (ds.win_trial == int(trial))
+        idx = np.nonzero(mask)[0]
+        if idx.size == 0:
+            raise ValueError(f'{path}: no complete windows in trial {trial}')
+        if max_windows:
+            idx = idx[:int(max_windows)]
+        outs = []
+        for i in range(0, idx.size, self.max_batch):
+            batch = ds.gather(idx[i:i + self.max_batch])
+            outs.append(self.predict_packed(np.asarray(batch.inputs)))
+        outputs = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        starts = ds.win_start[idx]
+        last = starts + (ds.num_model_frames - 1) * ds.stride
+        return {'window_starts': starts, 'last_frame': last,
+                'outputs': outputs}
+
+    # -- metadata --------------------------------------------------------------
+
+    def schema(self) -> dict:
+        ds = self.ds
+        return {
+            'model_type': self.config.model_type,
+            'checkpoint': {'epoch': self.epoch, 'batch': self.batch},
+            'fused_inference': self._use_fused,
+            'window_size': ds.window_size,
+            'stride': ds.stride,
+            'num_model_frames': ds.num_model_frames,
+            'num_dofs': ds.num_dofs,
+            'contact_bodies': list(ds.contact_bodies),
+            'num_input_channels': ds.num_input_channels,
+            'input_layout': [{'key': k, 'width': w} for k, w in ds.in_layout],
+            'label_layout': [{'key': k, 'width': w} for k, w in ds.lab_layout],
+            'output_data_format': self.config.output_data_format,
+            'max_batch': self.max_batch,
+        }
+
+
+# -----------------------------------------------------------------------------
+# HTTP layer
+# -----------------------------------------------------------------------------
+
+def _decode_inputs(payload: dict) -> np.ndarray:
+    if 'inputs_b64' in payload:
+        shape = payload.get('shape')
+        if not (isinstance(shape, list) and len(shape) == 3):
+            raise ValueError('inputs_b64 requires "shape": [B, T, C]')
+        raw = base64.b64decode(payload['inputs_b64'])
+        x = np.frombuffer(raw, dtype='<f4')
+        if x.size != int(np.prod(shape)):
+            raise ValueError(f'inputs_b64 carries {x.size} floats, '
+                             f'shape {shape} needs {int(np.prod(shape))}')
+        return x.reshape(shape).astype(np.float32)
+    if 'inputs' in payload:
+        return np.asarray(payload['inputs'], np.float32)
+    raise ValueError('request needs "inputs" or "inputs_b64"')
+
+
+def _encode_outputs(outputs: Dict[str, np.ndarray], encoding: str) -> dict:
+    if encoding == 'b64':
+        return {k: {'b64': base64.b64encode(
+                        np.ascontiguousarray(v, '<f4').tobytes()).decode(),
+                    'shape': list(v.shape)}
+                for k, v in outputs.items()}
+    return {k: np.asarray(v, np.float32).tolist() for k, v in outputs.items()}
+
+
+def make_handler(service: InferenceService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):   # route through logging, not stderr
+            logger.info('%s %s', self.address_string(), fmt % args)
+
+        def _send(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == '/health':
+                self._send(200, {'status': 'ok',
+                                 'model': service.config.model_type,
+                                 'epoch': service.epoch,
+                                 'batch': service.batch})
+            elif self.path == '/schema':
+                self._send(200, service.schema())
+            else:
+                self._send(404, {'error': f'unknown path {self.path}'})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get('Content-Length', 0))
+                payload = json.loads(self.rfile.read(n) or b'{}')
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._send(400, {'error': f'bad JSON: {e}'})
+            encoding = payload.get('encoding', 'json')
+            try:
+                if self.path == '/predict':
+                    x = _decode_inputs(payload)
+                    out = service.predict_packed(x)
+                    self._send(200, {'outputs': _encode_outputs(out, encoding),
+                                     'batch': int(x.shape[0])})
+                elif self.path == '/predict_file':
+                    if 'file' not in payload:
+                        raise ValueError('request needs "file"')
+                    res = service.predict_file(
+                        payload['file'], payload.get('trial', 0),
+                        payload.get('max_windows'))
+                    self._send(200, {
+                        'window_starts': res['window_starts'].tolist(),
+                        'last_frame': res['last_frame'].tolist(),
+                        'outputs': _encode_outputs(res['outputs'], encoding)})
+                else:
+                    self._send(404, {'error': f'unknown path {self.path}'})
+            except ValueError as e:
+                self._send(400, {'error': str(e)})
+            except FileNotFoundError as e:
+                self._send(404, {'error': str(e)})
+            except Exception as e:   # pragma: no cover — last-resort guard
+                logger.exception('predict failed')
+                self._send(500, {'error': f'{type(e).__name__}: {e}'})
+
+    return Handler
+
+
+def serve(service: InferenceService, host: str = '127.0.0.1',
+          port: int = 8090) -> ThreadingHTTPServer:
+    """Build (and return) the HTTP server; caller runs serve_forever()."""
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    logger.info('serving %s on http://%s:%d (max_batch=%d)',
+                service.config.model_type, host, server.server_address[1],
+                service.max_batch)
+    return server

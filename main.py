@@ -31,6 +31,7 @@ def build_commands():
     from inferbiomechanics_tpu.cli.review_file_cmd import ReviewFileCommand
     from inferbiomechanics_tpu.cli.save_prediction_csv_cmd import SavePredictionCsvCommand
     from inferbiomechanics_tpu.cli.convert_b3d_cmd import ConvertB3dCommand
+    from inferbiomechanics_tpu.cli.serve_cmd import ServeCommand
     return [
         TrainCommand(),
         VisualizeCommand(),
@@ -43,6 +44,7 @@ def build_commands():
         PickleDataCommand(),
         SavePredictionCsvCommand(),
         ConvertB3dCommand(),
+        ServeCommand(),
     ]
 
 

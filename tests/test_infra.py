@@ -157,10 +157,12 @@ def test_all_ten_commands_registered():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     names = {c.name for c in mod.build_commands()}
-    # the reference's 10 commands, plus the beyond-parity legacy converter
+    # the reference's 10 commands, plus the beyond-parity legacy
+    # converter and inference server
     assert names == {'train', 'visualize', 'visualize-file', 'create-splits',
                      'analyze', 'sanity-check', 'make-plots', 'review-file',
-                     'pickle-data', 'save-prediction-csv', 'convert-b3d'}
+                     'pickle-data', 'save-prediction-csv', 'convert-b3d',
+                     'serve'}
 
 
 def test_reference_flag_spellings_parse():

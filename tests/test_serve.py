@@ -1,0 +1,154 @@
+"""Batch-inference HTTP server tests (inferbiomechanics_tpu/serve.py)."""
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inferbiomechanics_tpu.config import Config
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.data.keys import OutputDataKeys
+from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+from inferbiomechanics_tpu.serve import InferenceService, serve
+from inferbiomechanics_tpu.train import (
+    create_train_state, make_optimizer, save_checkpoint,
+)
+from inferbiomechanics_tpu.train.loop import build_model_for_dataset
+
+
+@pytest.fixture(scope='module')
+def service(tmp_path_factory):
+    d = tmp_path_factory.mktemp('servedata')
+    write_synthetic_subject(str(d / 's.b3d'), num_trials=2,
+                            trial_length=120, seed=0)
+    cfg = Config()
+    cfg.model_type = 'feedforward'
+    cfg.window_size, cfg.stride = 20, 5
+    ds = WindowDataset(str(d), window_size=20, stride=5,
+                       skip_loading_skeletons=True)
+    # write a checkpoint the service will pick up
+    model = build_model_for_dataset(cfg, ds)
+    sample = ds.gather(np.arange(4))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(sample.inputs),
+                               make_optimizer('adam', 1e-3))
+    ckpt = str(tmp_path_factory.mktemp('serveckpt'))
+    save_checkpoint(ckpt, state, 3, 7)
+    svc = InferenceService(cfg, ckpt, ds, max_batch=64)
+    svc._test_file = str(d / 's.b3d')
+    return svc
+
+
+@pytest.fixture(scope='module')
+def base_url(service):
+    server = serve(service, host='127.0.0.1', port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f'http://127.0.0.1:{server.server_address[1]}'
+    server.shutdown()
+    server.server_close()
+
+
+def _post(url, payload, timeout=60):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={'Content-Type': 'application/json'})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _get(url, timeout=30):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_health_and_schema(base_url, service):
+    h = _get(base_url + '/health')
+    assert h['status'] == 'ok' and h['model'] == 'feedforward'
+    assert h['epoch'] == 3 and h['batch'] == 7   # checkpoint provenance
+    s = _get(base_url + '/schema')
+    assert s['num_model_frames'] == 4
+    assert s['num_input_channels'] == service.ds.num_input_channels
+    assert {e['key'] for e in s['label_layout']} >= {
+        OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME}
+
+
+def test_predict_raw_windows(base_url, service):
+    batch = service.ds.gather(np.arange(5))
+    x = np.asarray(batch.inputs)
+    res = _post(base_url + '/predict', {'inputs': x.tolist()})
+    assert res['batch'] == 5
+    f = np.asarray(res['outputs'][
+        OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME])
+    assert f.shape == (5, 1, 6)                  # last_frame format
+    assert np.isfinite(f).all()
+    # padding to the bucket must not change results: same rows, B=2
+    res2 = _post(base_url + '/predict', {'inputs': x[:2].tolist()})
+    f2 = np.asarray(res2['outputs'][
+        OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME])
+    np.testing.assert_allclose(f2, f[:2], rtol=1e-5, atol=1e-5)
+
+
+def test_predict_b64_roundtrip(base_url, service):
+    batch = service.ds.gather(np.arange(3))
+    x = np.ascontiguousarray(batch.inputs, '<f4')
+    res = _post(base_url + '/predict', {
+        'inputs_b64': base64.b64encode(x.tobytes()).decode(),
+        'shape': list(x.shape), 'encoding': 'b64'})
+    enc = res['outputs'][OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]
+    f = np.frombuffer(base64.b64decode(enc['b64']),
+                      '<f4').reshape(enc['shape'])
+    assert f.shape == (3, 1, 6) and np.isfinite(f).all()
+
+
+def test_predict_file(base_url, service):
+    res = _post(base_url + '/predict_file',
+                {'file': service._test_file, 'trial': 1, 'max_windows': 7})
+    assert len(res['window_starts']) == 7
+    assert res['last_frame'][0] == res['window_starts'][0] + 3 * 5
+    f = np.asarray(res['outputs'][
+        OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME])
+    assert f.shape[0] == 7
+
+
+def test_error_paths(base_url, service):
+    # wrong shape -> 400 with the schema hint
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base_url + '/predict',
+              {'inputs': np.zeros((2, 3, 4)).tolist()})
+    assert e.value.code == 400
+    assert 'schema' in json.loads(e.value.read())['error']
+    # oversized batch -> 400
+    too_big = np.zeros((65, service.ds.num_model_frames,
+                        service.ds.num_input_channels))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base_url + '/predict', {'inputs': too_big.tolist()})
+    assert e.value.code == 400
+    # bad JSON -> 400
+    req = urllib.request.Request(
+        base_url + '/predict', data=b'{not json',
+        headers={'Content-Type': 'application/json'})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    # unknown path -> 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base_url + '/nope')
+    assert e.value.code == 404
+    # missing file -> 4xx
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base_url + '/predict_file', {'file': '/tmp/does/not/exist.b3d'})
+    assert e.value.code in (400, 404)
+
+
+def test_analytical_rejected(service):
+    cfg = Config()
+    cfg.model_type = 'analytical'
+    with pytest.raises(ValueError, match='analytical'):
+        InferenceService(cfg, '/tmp/nock', service.ds)
