@@ -79,14 +79,16 @@ class TrainCommand:
                 output_data_format=config.output_data_format,
                 testing_with_short_dataset=config.short,
                 trial_filter=config.trial_filter,
-                skip_loading_skeletons=not config.compute_report)
+                skip_loading_skeletons=not config.compute_report,
+                materialize_features=config.materialize_features)
             dev_ds = WindowDataset(
                 os.path.join(config.dataset_home, 'dev'),
                 window_size=config.window_size, stride=config.stride,
                 output_data_format=config.output_data_format,
                 testing_with_short_dataset=config.short,
                 trial_filter=config.trial_filter,
-                skip_loading_skeletons=not config.compute_report)
+                skip_loading_skeletons=not config.compute_report,
+                materialize_features=config.materialize_features)
 
         if config.model_type == 'analytical':
             print('The analytical baseline has no trainable parameters; '

@@ -86,6 +86,11 @@ class Config:
     # the host PrefetchLoader path.
     device_data: str = 'auto'
     device_data_max_bytes: int = 4_000_000_000
+    # False = keep input features ON DISK (mmap) and featurize per trial
+    # on demand. With --device-data sharded on a multi-host pod each
+    # process then materializes only its own shards' trials, so HOST RAM
+    # scales with the process count like HBM scales with the mesh.
+    materialize_features: bool = True
     # window-major packed feature copy in HBM: per-step batch gather is
     # ONE take of contiguous rows instead of T scattered row reads —
     # measured 1.5x on the feedforward headline step (probe_gather.py).
@@ -176,6 +181,13 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                         choices=['auto', 'on', 'off'],
                         help='window-major packed feature copy in HBM '
                              '(1.5x step throughput for ~10x feature HBM)')
+    parser.add_argument('--no-materialize-features', action='store_false',
+                        dest='materialize_features',
+                        default=d.materialize_features,
+                        help='Keep input features on disk, featurizing per '
+                             'trial on demand; with --device-data sharded '
+                             'on multi-host, each process materializes only '
+                             'its own shards (host RAM scales with the pod)')
 
 
 def config_from_args(args: argparse.Namespace) -> Config:
@@ -205,6 +217,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'model_parallel': 'model_parallel',
         'profile': 'profile', 'profile_dir': 'profile_dir',
         'device_data': 'device_data', 'pack_windows': 'pack_windows',
+        'materialize_features': 'materialize_features',
     }
     for cfg_field, arg_name in mapping.items():
         if hasattr(args, arg_name):

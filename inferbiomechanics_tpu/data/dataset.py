@@ -288,13 +288,29 @@ class WindowDataset:
 
     # -- featurization (once per trial, fully vectorized) -------------------
 
+    def featurize_trial_features(self, ft_id: int) -> np.ndarray:
+        """Input features [T, C_in] of one flat trial, built on demand.
+
+        The per-trial entry the pod-sharded device tier uses to
+        materialize ONLY the trials owned by this process's shards
+        (train/sharded_data.py) when the dataset was opened with
+        ``materialize_features=False`` — host RAM then scales with the
+        process count instead of every host holding the full matrix.
+        """
+        s_idx, t_idx = self.ft_to_subject_trial[ft_id]
+        subject = self.subjects[s_idx]
+        F, _ = self._featurize_trial(subject, t_idx, subject.getMassKg(),
+                                     [], build_features=True,
+                                     build_labels=False)
+        return F
+
     def _featurize_trial(self, subject: SubjectOnDisk, trial: int, mass: float,
                          contact_indices: List[int],
-                         build_features: bool = True
-                         ) -> Tuple[Optional[np.ndarray], np.ndarray]:
+                         build_features: bool = True,
+                         build_labels: bool = True
+                         ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
         kin = subject.trial_pass_matrix(trial, 0)
         n_passes = subject.getTrialNumProcessingPasses(trial)
-        dyn = subject.trial_pass_matrix(trial, n_passes - 1)
         offs = subject.field_offsets
         T = kin.shape[0]
 
@@ -308,6 +324,9 @@ class WindowDataset:
             F = np.empty((T, self.num_input_channels), np.float32)
             for key, (o, w) in self.in_offsets.items():
                 F[:, o:o + w] = col(kin, key)
+        if not build_labels:
+            return F, None
+        dyn = subject.trial_pass_matrix(trial, n_passes - 1)
 
         # labels — tau/residual/comAcc from last pass; GRF groups from the
         # FIRST pass (ref asymmetry :214-247), reindexed + mass-normalized.

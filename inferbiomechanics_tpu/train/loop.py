@@ -145,12 +145,17 @@ def train(config: Config,
                            (config.device_data == 'auto' and
                             data_bytes < config.device_data_max_bytes))
     else:
-        if config.device_data in ('on', 'sharded'):
-            raise ValueError(f'--device-data {config.device_data} requires '
-                             f'materialized features (dataset was built with '
-                             f'materialize_features=False)')
+        if config.device_data == 'on':
+            raise ValueError('--device-data on requires materialized '
+                             'features (dataset was built with '
+                             'materialize_features=False); the sharded '
+                             'tier accepts lazy datasets')
         use_device_data = False
-        data_bytes = None
+        # lazy datasets still have exact metadata: rows x C_in f32 — lets
+        # 'auto' reach the sharded tier without materializing anything
+        data_bytes = (train_ds.labels_all.shape[0]
+                      * train_ds.num_input_channels * 4
+                      + train_ds.labels_all.nbytes)
     device_data = None
     device_step = None
     device_eval = None

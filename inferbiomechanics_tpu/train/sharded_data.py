@@ -20,11 +20,14 @@ draws ``batch_size / n_shards`` windows uniformly from its local window
 table. Trials are assigned to shards by greedy longest-processing-time
 balancing, so shard row counts differ by at most one trial.
 
-Multi-host: every process builds the same host-side blocks (the data
-plane is replicated across processes — each reads the same files, as
-everywhere else in the framework) and ``make_array_from_callback``
-fills each process's addressable shards from its copy, so the tier
-works unchanged on multi-host pods.
+Multi-host: construction is PROCESS-LOCAL. Each process materializes
+feature/label blocks only for the shards its devices own (ownership read
+off the sharding's device→index map) and ``make_array_from_callback``
+fills its addressable shards from them. With a
+``materialize_features=False`` dataset the owned trials are featurized
+on demand (``WindowDataset.featurize_trial_features``), so HOST RAM
+scales with the process count the same way HBM scales with the mesh —
+no host ever holds the full feature matrix.
 """
 
 from __future__ import annotations
@@ -58,7 +61,10 @@ def partition_trials(ds: WindowDataset, n_shards: int) -> List[List[int]]:
     if n_trials < n_shards:
         raise ValueError(f'{n_trials} trials < {n_shards} shards; use the '
                          f'replicated device-data tier')
-    trial_ends = np.append(ds.trial_row_offset[1:], ds.features_all.shape[0])
+    # labels_all is materialized in every dataset mode; use it for the
+    # row count so partitioning stays metadata-only under
+    # materialize_features=False
+    trial_ends = np.append(ds.trial_row_offset[1:], ds.labels_all.shape[0])
     rows = trial_ends - ds.trial_row_offset                     # [n_trials]
     order = np.argsort(rows)[::-1]                              # LPT
     loads = np.zeros(n_shards, np.int64)
@@ -80,63 +86,87 @@ class ShardedDeviceData:
 
     def __init__(self, ds: WindowDataset, mesh: Mesh,
                  feature_dtype=jnp.bfloat16):
-        if ds.features_all is None:
-            raise ValueError('sharded device data requires materialized '
-                             'features')
-        n_shards = int(mesh.shape[DATA_AXIS])
+        n_shards = S = int(mesh.shape[DATA_AXIS])
         shards = partition_trials(ds, n_shards)
         trial_ends = np.append(ds.trial_row_offset[1:],
-                               ds.features_all.shape[0])
+                               ds.labels_all.shape[0])
+        C_in = ds.num_input_channels
+        C_lab = ds.num_label_channels
 
-        feat_blocks, lab_blocks = [], []
+        # -- metadata for ALL shards (cheap; no feature bytes touched) ------
+        rows_per_trial = trial_ends - ds.trial_row_offset
+        shard_rows = [int(sum(rows_per_trial[ti] for ti in trials))
+                      for trials in shards]
         base_blocks, global_blocks = [], []
         for trials in shards:
             row_off = 0
-            feats, labs, bases, gids = [], [], [], []
+            bases, gids = [], []
             for ti in trials:
-                lo, hi = int(ds.trial_row_offset[ti]), int(trial_ends[ti])
-                feats.append(ds.features_all[lo:hi])
-                labs.append(ds.labels_all[lo:hi])
                 mask = ds.win_ft == ti
                 bases.append(ds.win_start[mask].astype(np.int64) + row_off)
                 gids.append(np.nonzero(mask)[0])
-                row_off += hi - lo
-            feat_blocks.append(np.concatenate(feats))
-            lab_blocks.append(np.concatenate(labs))
+                row_off += int(rows_per_trial[ti])
             base_blocks.append(np.concatenate(bases))
             global_blocks.append(np.concatenate(gids))
-
-        rows_pad = max(b.shape[0] for b in feat_blocks)
+        rows_pad = max(shard_rows)
         win_pad = max(b.shape[0] for b in base_blocks)
-        S = n_shards
-        feat = np.zeros((S, rows_pad, ds.features_all.shape[1]),
-                        feature_dtype)
-        lab = np.zeros((S, rows_pad, ds.labels_all.shape[1]), np.float32)
-        base = np.zeros((S, win_pad), np.int32)
-        cnt = np.zeros((S,), np.int32)
+        cnt = np.asarray([b.shape[0] for b in base_blocks], np.int32)
         self.win_global = np.zeros((S, win_pad), np.int64)   # host-side map
+        base = np.zeros((S, win_pad), np.int32)
         for s in range(S):
-            r, w = feat_blocks[s].shape[0], base_blocks[s].shape[0]
-            feat[s, :r] = feat_blocks[s].astype(feature_dtype)
-            lab[s, :r] = lab_blocks[s]
+            w = base_blocks[s].shape[0]
             base[s, :w] = base_blocks[s]
-            cnt[s] = w
             self.win_global[s, :w] = global_blocks[s]
 
-        shard = NamedSharding(mesh, P(DATA_AXIS))
-        if jax.process_count() > 1:
-            # every process holds the full host blocks (replicated data
-            # plane); fill this process's addressable shards from them
-            def put(arr):
-                return jax.make_array_from_callback(
-                    arr.shape, shard, lambda idx: arr[idx])
-        else:
-            def put(arr):
-                return jax.device_put(arr, shard)
-        self.features = put(feat)                            # [S, R_pad, C]
-        self.labels = put(lab)
-        self.win_base = put(base)                            # [S, W_pad]
-        self.win_count = put(cnt)                            # [S]
+        # -- ownership: materialize feature/label blocks ONLY for the
+        # shards on this process's devices. With materialize_features=False
+        # datasets, each owned trial is featurized on demand
+        # (WindowDataset.featurize_trial_features), so HOST RAM scales
+        # with the process count like device HBM scales with the mesh. --
+        shard_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        dev_map = shard_sharding.devices_indices_map((S, rows_pad, C_in))
+        owned = sorted({
+            int(idx[0].start or 0)
+            for dev, idx in dev_map.items()
+            if dev.process_index == jax.process_index()})
+
+        def trial_features(ti: int) -> np.ndarray:
+            if ds.features_all is not None:
+                lo, hi = int(ds.trial_row_offset[ti]), int(trial_ends[ti])
+                return ds.features_all[lo:hi]
+            return ds.featurize_trial_features(ti)
+
+        blocks = {}                          # s -> (feat_pad, lab_pad)
+        for s in owned:
+            feat_s = np.zeros((rows_pad, C_in), feature_dtype)
+            lab_s = np.zeros((rows_pad, C_lab), np.float32)
+            row_off = 0
+            for ti in shards[s]:
+                lo, hi = int(ds.trial_row_offset[ti]), int(trial_ends[ti])
+                n = hi - lo
+                feat_s[row_off:row_off + n] = \
+                    trial_features(ti).astype(feature_dtype)
+                lab_s[row_off:row_off + n] = ds.labels_all[lo:hi]
+                row_off += n
+            blocks[s] = (feat_s, lab_s)
+
+        # -- global device arrays: each process's callbacks see only its
+        # addressable shards, so `blocks` never needs the others ----------
+        def from_blocks(shape, dtype, pick):
+            def cb(idx):
+                s = int(idx[0].start or 0)
+                return pick(s)[None].astype(dtype)
+            return jax.make_array_from_callback(shape, shard_sharding, cb)
+
+        self.features = from_blocks((S, rows_pad, C_in), feature_dtype,
+                                    lambda s: blocks[s][0])
+        self.labels = from_blocks((S, rows_pad, C_lab), np.float32,
+                                  lambda s: blocks[s][1])
+        self.win_base = jax.make_array_from_callback(
+            (S, win_pad), shard_sharding,
+            lambda idx: base[idx])                           # [S, W_pad]
+        self.win_count = jax.make_array_from_callback(
+            (S,), shard_sharding, lambda idx: cnt[idx])      # [S]
         self.mesh = mesh
         self.num_shards = S
         self.num_windows = int(cnt.sum())
@@ -146,8 +176,10 @@ class ShardedDeviceData:
         self.output_data_format = ds.output_data_format
         self.lab_offsets = ds.lab_offsets
         # per-device HBM cost = ONE shard's slice (the scaling claim)
-        self.hbm_bytes_per_device = (feat.nbytes + lab.nbytes
-                                     + base.nbytes) // S
+        itemsize = np.dtype(feature_dtype).itemsize
+        self.hbm_bytes_per_device = (rows_pad * C_in * itemsize
+                                     + rows_pad * C_lab * 4
+                                     + win_pad * 4)
 
 
 def _local_gather(sdata: ShardedDeviceData):

@@ -8,10 +8,18 @@ per segment (segments are padded to a common row count, so ONE compiled
 executable serves every segment). Shuffling is hierarchical — segments
 shuffled globally, windows shuffled within a segment — the standard
 locality-constrained shuffle for out-of-core training.
+
+Segments are materialized LAZILY, one at a time (with the next segment
+prefetched on a host thread while the current one trains), so host RAM
+holds O(2 segments), not the dataset: with a
+``materialize_features=False`` dataset this is a true out-of-core tier —
+features stay on disk (mmap) and each segment's trials are featurized on
+demand (``WindowDataset.featurize_trial_features``).
 """
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Callable, List, Tuple
 
@@ -26,24 +34,28 @@ from inferbiomechanics_tpu.train.state import TrainState
 
 @dataclass
 class Segment:
-    feature_rows: np.ndarray      # [R_pad, C_in]  (zero-padded)
-    label_rows: np.ndarray        # [R_pad, C_lab]
+    """Metadata only — rows materialize via ``StreamingPlan.segment_arrays``."""
+    trials: List[int]             # flat-trial ids packed into this segment
     win_base: np.ndarray          # [W_seg] window starts, segment-local rows
+    n_rows: int                   # un-padded row count
 
 
 class StreamingPlan:
-    """Pack trials into equal-row segments under ``hbm_budget_bytes``."""
+    """Pack trials into equal-row segments under ``hbm_budget_bytes``.
+
+    Planning is metadata-only (row counts from ``labels_all``, which every
+    dataset mode materializes); feature bytes are touched only when
+    ``segment_arrays`` materializes a segment.
+    """
 
     def __init__(self, ds: WindowDataset, hbm_budget_bytes: int):
-        if ds.features_all is None:
-            raise ValueError('streaming requires materialize_features=True '
-                             '(segments are packed from the featurized matrix)')
-        bytes_per_row = (ds.features_all.shape[1] + ds.labels_all.shape[1]) * 4
+        bytes_per_row = (ds.num_input_channels + ds.num_label_channels) * 4
         budget_rows = max(1, hbm_budget_bytes // bytes_per_row)
         n_trials = ds.trial_row_offset.shape[0]
-        trial_ends = np.append(ds.trial_row_offset[1:], ds.features_all.shape[0])
+        trial_ends = np.append(ds.trial_row_offset[1:], ds.labels_all.shape[0])
 
         self.ds = ds
+        self._trial_ends = trial_ends
         self.segments: List[Segment] = []
         cur_trials: List[int] = []
         cur_rows = 0
@@ -52,21 +64,19 @@ class StreamingPlan:
             nonlocal cur_trials, cur_rows
             if not cur_trials:
                 return
-            row_chunks, base_chunks = [], []
+            base_chunks = []
             row_off = 0
             for ti in cur_trials:
                 lo, hi = int(ds.trial_row_offset[ti]), int(trial_ends[ti])
-                row_chunks.append((lo, hi))
                 mask = ds.win_ft == ti
                 base_chunks.append(ds.win_start[mask].astype(np.int64)
                                    + row_off)
                 row_off += hi - lo
-            feats = np.concatenate([ds.features_all[lo:hi] for lo, hi in row_chunks])
-            labs = np.concatenate([ds.labels_all[lo:hi] for lo, hi in row_chunks])
             self.segments.append(Segment(
-                feature_rows=feats, label_rows=labs,
-                win_base=np.concatenate(base_chunks) if base_chunks else
-                np.zeros(0, np.int64)))
+                trials=cur_trials,
+                win_base=(np.concatenate(base_chunks) if base_chunks else
+                          np.zeros(0, np.int64)),
+                n_rows=row_off))
             cur_trials, cur_rows = [], 0
 
         for ti in range(n_trials):
@@ -81,13 +91,28 @@ class StreamingPlan:
             cur_rows += rows
         flush()
 
-        # pad all segments to a common row count -> one compiled executable
-        self.rows_pad = max(s.feature_rows.shape[0] for s in self.segments)
-        for s in self.segments:
-            pad = self.rows_pad - s.feature_rows.shape[0]
-            if pad:
-                s.feature_rows = np.pad(s.feature_rows, ((0, pad), (0, 0)))
-                s.label_rows = np.pad(s.label_rows, ((0, pad), (0, 0)))
+        # common padded row count -> one compiled executable for all segments
+        self.rows_pad = max((s.n_rows for s in self.segments), default=0)
+
+    def segment_arrays(self, si: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Materialize segment ``si``: ([rows_pad, C_in] f32 features,
+        [rows_pad, C_lab] labels), zero-padded. Features come from the
+        materialized matrix when present, else per-trial on demand."""
+        ds = self.ds
+        seg = self.segments[si]
+        feats = np.zeros((self.rows_pad, ds.num_input_channels), np.float32)
+        labs = np.zeros((self.rows_pad, ds.num_label_channels), np.float32)
+        row_off = 0
+        for ti in seg.trials:
+            lo, hi = int(ds.trial_row_offset[ti]), int(self._trial_ends[ti])
+            n = hi - lo
+            if ds.features_all is not None:
+                feats[row_off:row_off + n] = ds.features_all[lo:hi]
+            else:
+                feats[row_off:row_off + n] = ds.featurize_trial_features(ti)
+            labs[row_off:row_off + n] = ds.labels_all[lo:hi]
+            row_off += n
+        return feats, labs
 
 
 def make_streaming_epoch(model, ds: WindowDataset, plan: StreamingPlan,
@@ -97,7 +122,8 @@ def make_streaming_epoch(model, ds: WindowDataset, plan: StreamingPlan,
 
     One jit program per SEGMENT shape (shared across segments); per
     segment the host uploads the padded rows once and scans that
-    segment's shuffled windows.
+    segment's shuffled windows. While segment i trains, segment i+1
+    materializes on a prefetch thread.
     """
     frames = ds.num_model_frames
     stride = ds.stride
@@ -133,21 +159,26 @@ def make_streaming_epoch(model, ds: WindowDataset, plan: StreamingPlan,
     def run_epoch(state: TrainState, rng: jax.Array):
         host_rng = np.random.default_rng(int(jax.device_get(
             jax.random.randint(rng, (), 0, 2**31 - 1))))
-        order = host_rng.permutation(len(plan.segments))
+        order = [si for si in host_rng.permutation(len(plan.segments))
+                 if plan.segments[si].win_base.shape[0] >= batch_size]
         all_metrics = []
-        for si in order:
-            seg = plan.segments[si]
-            if seg.win_base.shape[0] < batch_size:
-                continue
-            idx = host_rng.permutation(seg.win_base)
-            n_steps = idx.shape[0] // batch_size
-            idx = idx[:n_steps * batch_size].reshape(n_steps, batch_size)
-            feats = jnp.asarray(seg.feature_rows).astype(feature_dtype)
-            labs = jnp.asarray(seg.label_rows)
-            state, metrics = seg_runner(state, feats, labs,
-                                        jnp.asarray(idx, jnp.int32),
-                                        jax.random.fold_in(rng, int(si)))
-            all_metrics.append(jax.tree_util.tree_map(np.asarray, metrics))
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = (pool.submit(plan.segment_arrays, order[0])
+                       if order else None)
+            for k, si in enumerate(order):
+                feats_np, labs_np = pending.result()
+                pending = (pool.submit(plan.segment_arrays, order[k + 1])
+                           if k + 1 < len(order) else None)
+                seg = plan.segments[si]
+                idx = host_rng.permutation(seg.win_base)
+                n_steps = idx.shape[0] // batch_size
+                idx = idx[:n_steps * batch_size].reshape(n_steps, batch_size)
+                feats = jnp.asarray(feats_np).astype(feature_dtype)
+                labs = jnp.asarray(labs_np)
+                state, metrics = seg_runner(state, feats, labs,
+                                            jnp.asarray(idx, jnp.int32),
+                                            jax.random.fold_in(rng, int(si)))
+                all_metrics.append(jax.tree_util.tree_map(np.asarray, metrics))
         mean = ({k: np.mean(np.stack([m[k] for m in all_metrics]), axis=0)
                  for k in all_metrics[0]} if all_metrics else {})
         return state, mean

@@ -128,6 +128,24 @@ def test_train_sharded_device_data(tmp_path):
     assert (ckpt / 'feedforward').is_dir()
 
 
+def test_train_sharded_lazy_features(tmp_path):
+    """--no-materialize-features + --device-data sharded: the host-RAM-
+    scaling combination — features stay on disk and the sharded tier
+    featurizes per trial during block construction."""
+    data = tmp_path / 'data'
+    for split in ('train', 'dev'):
+        os.makedirs(data / split)
+        write_synthetic_subject(str(data / split / 's0.b3d'), num_trials=8,
+                                trial_length=150, seed=1)
+    ckpt = tmp_path / 'ck'
+    out = run_cmd(['train', '--dataset-home', str(data), '--checkpoint-dir',
+                   str(ckpt), '--no-wandb', '--epochs', '1', '--batch-size',
+                   '16', '--device-data', 'sharded',
+                   '--no-materialize-features'])
+    assert 'pod-sharded device data: 8 shards' in out.stderr
+    assert (ckpt / 'feedforward').is_dir()
+
+
 def test_train_from_pickled_blocks(workspace):
     """--use-pickled trains from the .npz blocks end-to-end (capability the
     reference left dangling, SURVEY.md 2.4)."""

@@ -115,12 +115,23 @@ dp_param_sum = _psum(state_g.params)
 
 # Pod-sharded residency on the multi-host mesh: each process fills only
 # its addressable shards; the shard-local sample+gather epoch must keep
-# the replicated params identical across processes.
+# the replicated params identical across processes. Construction is
+# PROCESS-LOCAL: with materialize_features=False each process featurizes
+# ONLY the trials its shards own (host RAM scales with process count).
 from inferbiomechanics_tpu.train.sharded_data import (
     ShardedDeviceData, make_sharded_epoch_runner,
 )
-sdata = ShardedDeviceData(ds, mesh)
+ds_lazy = WindowDataset(data_dir, window_size=20, stride=5,
+                        skip_loading_skeletons=True,
+                        materialize_features=False)
+_feat_calls = []
+_orig_ftf = ds_lazy.featurize_trial_features
+ds_lazy.featurize_trial_features = \
+    lambda ti: (_feat_calls.append(ti), _orig_ftf(ti))[1]
+sdata = ShardedDeviceData(ds_lazy, mesh)
 assert sdata.num_shards == len(jax.devices())
+n_trials = int(ds_lazy.trial_row_offset.shape[0])
+assert 0 < len(_feat_calls) < n_trials, (len(_feat_calls), n_trials)
 runner = make_sharded_epoch_runner(model, sdata, LossConfig(),
                                    batch_size=8, steps_per_call=2)
 state_s = replicate(mesh, create_train_state(
@@ -131,7 +142,8 @@ sharded = [float(ms['loss']), _psum(state_s.params)]
 
 print(json.dumps({'proc': proc_id, 'losses': losses, 'param_sum': psum,
                   'device_pair': device_pair, 'dp_losses': dp_losses,
-                  'dp_param_sum': dp_param_sum, 'sharded': sharded}))
+                  'dp_param_sum': dp_param_sum, 'sharded': sharded,
+                  'owned_trials': sorted(_feat_calls)}))
 '''
 
 
@@ -177,3 +189,8 @@ def test_two_process_distributed_training(tmp_path):
     np.testing.assert_allclose(r0['dp_param_sum'], r1['dp_param_sum'], rtol=1e-6)
     # pod-sharded tier: identical loss and params across processes
     np.testing.assert_allclose(r0['sharded'], r1['sharded'], rtol=1e-6)
+    # process-local construction: the two processes featurized DISJOINT
+    # trial sets whose union is the whole dataset (host-RAM scaling)
+    t0, t1 = set(r0['owned_trials']), set(r1['owned_trials'])
+    assert t0 and t1 and not (t0 & t1)
+    assert t0 | t1 == set(range(4))

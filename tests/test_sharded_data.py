@@ -70,6 +70,37 @@ def test_sharded_gather_matches_host_gather(ds):
     assert all(sh[0] == 1 for sh in shard_shapes)
 
 
+def test_sharded_lazy_dataset_parity(ds, tmp_path_factory):
+    """materialize_features=False: the sharded tier featurizes owned
+    trials on demand (featurize_trial_features) instead of requiring the
+    full matrix — byte parity with the materialized path, and exactly
+    one on-demand featurization per trial (host-RAM-scaling entry)."""
+    d = tmp_path_factory.mktemp('sharded_lazy')
+    for i in range(3):
+        write_synthetic_subject(str(d / f's{i}.b3d'), num_trials=4,
+                                trial_length=120 + 30 * i, seed=i)
+    lazy = WindowDataset(str(d), window_size=20, stride=5,
+                         skip_loading_skeletons=True,
+                         materialize_features=False)
+    assert lazy.features_all is None
+    calls = []
+    orig = lazy.featurize_trial_features
+    lazy.featurize_trial_features = lambda ti: (calls.append(ti),
+                                                orig(ti))[1]
+    mesh = make_mesh()
+    sdata = ShardedDeviceData(lazy, mesh, feature_dtype=jnp.float32)
+    # single process owns every shard -> each trial featurized exactly once
+    assert sorted(calls) == list(range(lazy.trial_row_offset.shape[0]))
+    sdata_mat = ShardedDeviceData(ds, mesh, feature_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(sdata.features),
+                                  np.asarray(sdata_mat.features))
+    np.testing.assert_array_equal(np.asarray(sdata.labels),
+                                  np.asarray(sdata_mat.labels))
+    np.testing.assert_array_equal(np.asarray(sdata.win_base),
+                                  np.asarray(sdata_mat.win_base))
+    np.testing.assert_array_equal(sdata.win_global, sdata_mat.win_global)
+
+
 def test_sharded_gather_all_frames(ds, tmp_path):
     write_synthetic_subject(str(tmp_path / 's.b3d'), num_trials=8,
                             trial_length=120, seed=9)

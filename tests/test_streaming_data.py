@@ -30,8 +30,9 @@ def test_plan_packs_all_trials_under_budget(ds):
     assert len(plan.segments) >= 2
     total_windows = sum(s.win_base.shape[0] for s in plan.segments)
     assert total_windows == len(ds)
-    for s in plan.segments:
-        assert s.feature_rows.shape[0] == plan.rows_pad
+    for si, s in enumerate(plan.segments):
+        feats, labs = plan.segment_arrays(si)
+        assert feats.shape[0] == plan.rows_pad == labs.shape[0]
         # every window's strided rows are inside the segment
         hi = s.win_base.max() + 20
         assert hi <= plan.rows_pad
@@ -94,11 +95,56 @@ def test_streaming_gather_correctness(ds):
     bytes_per_row = (ds.features_all.shape[1] + ds.labels_all.shape[1]) * 4
     plan = StreamingPlan(ds, 320 * bytes_per_row)
     seg = plan.segments[0]
+    feats0, _labs0 = plan.segment_arrays(0)
     base0 = int(seg.win_base[0])
     rows = base0 + 5 * np.arange(4)
-    from_seg = seg.feature_rows[rows]
+    from_seg = feats0[rows]
     # find the matching global window: first trial of the segment, start 0
     # -> use the dataset's own gather on the same (subject,trial,start)
     # reconstruct: segment 0 starts at trial 0 row 0
     global_rows = int(ds.trial_row_offset[0]) + (int(seg.win_base[0])) + 5 * np.arange(4)
     np.testing.assert_array_equal(from_seg, ds.features_all[global_rows])
+
+
+def test_streaming_lazy_dataset(tmp_path):
+    """materialize_features=False: planning is metadata-only and each
+    segment featurizes its trials on demand — segment arrays are
+    byte-identical to the materialized dataset's, and only the visited
+    segment's trials are touched (true out-of-core behavior)."""
+    for i in range(2):
+        write_synthetic_subject(str(tmp_path / f's{i}.b3d'), num_trials=3,
+                                trial_length=150, seed=i)
+    mat = WindowDataset(str(tmp_path), window_size=20, stride=5,
+                        skip_loading_skeletons=True)
+    lazy = WindowDataset(str(tmp_path), window_size=20, stride=5,
+                         skip_loading_skeletons=True,
+                         materialize_features=False)
+    assert lazy.features_all is None
+    calls = []
+    orig = lazy.featurize_trial_features
+    lazy.featurize_trial_features = lambda ti: (calls.append(ti),
+                                                orig(ti))[1]
+    bytes_per_row = (lazy.num_input_channels + lazy.num_label_channels) * 4
+    plan_m = StreamingPlan(mat, 320 * bytes_per_row)
+    plan_l = StreamingPlan(lazy, 320 * bytes_per_row)
+    assert not calls                       # planning touches no features
+    assert len(plan_l.segments) == len(plan_m.segments)
+    fm, lm = plan_m.segment_arrays(0)
+    fl, ll = plan_l.segment_arrays(0)
+    np.testing.assert_array_equal(fl, fm)
+    np.testing.assert_array_equal(ll, lm)
+    assert sorted(calls) == sorted(plan_l.segments[0].trials)
+
+    # end-to-end: the lazy streaming epoch trains
+    model = get_model('feedforward', num_dofs=lazy.num_dofs,
+                      num_contact_bodies=lazy.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=lazy.root_history_len)
+    sample = lazy.gather(np.arange(16))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(sample.inputs),
+                               make_optimizer('adam', 1e-3))
+    run = make_streaming_epoch(model, lazy, plan_l, LossConfig(),
+                               batch_size=16, feature_dtype=jnp.float32)
+    state, m = run(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m['loss']))
