@@ -1,0 +1,54 @@
+"""``convert-checkpoint`` subcommand — reference ``.pt`` → this format.
+
+Beyond reference parity: lets a reference user carry trained feedforward
+weights across instead of retraining (torch_compat.py documents the
+layout mapping). The output lands under ``--out-dir`` with the same
+``epoch_{e}_batch_{b}`` name, so ``train``/``analyze``/``visualize``
+resume from it directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+class ConvertCheckpointCommand:
+    name = 'convert-checkpoint'
+
+    def register_subcommand(self, subparsers) -> None:
+        parser = subparsers.add_parser(
+            'convert-checkpoint',
+            help='Convert reference PyTorch .pt checkpoints (feedforward) '
+                 'into this framework\'s format')
+        parser.add_argument('paths', nargs='+',
+                            help='.pt files or directories containing them')
+        parser.add_argument('--out-dir', type=str, required=True,
+                            help='Destination checkpoint dir (point '
+                                 '--checkpoint-dir/<model-type> here later)')
+        parser.add_argument('--opt-type', type=str, default='rmsprop',
+                            help='Optimizer whose fresh state to embed '
+                                 '(torch optimizer state is not portable)')
+        parser.add_argument('--learning-rate', type=float, default=1e-4)
+
+    def run(self, args: argparse.Namespace) -> bool:
+        if args.command != 'convert-checkpoint':
+            return False
+        from inferbiomechanics_tpu.torch_compat import convert_torch_checkpoint
+
+        files = []
+        for p in args.paths:
+            if os.path.isdir(p):
+                files.extend(sorted(glob.glob(os.path.join(p, '*.pt'))))
+            else:
+                files.append(p)
+        if not files:
+            print('no .pt checkpoints found')
+            return True
+        for f in files:
+            out = convert_torch_checkpoint(f, args.out_dir,
+                                           opt_type=args.opt_type,
+                                           learning_rate=args.learning_rate)
+            print(f'{f} -> {out}')
+        return True

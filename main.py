@@ -32,6 +32,9 @@ def build_commands():
     from inferbiomechanics_tpu.cli.save_prediction_csv_cmd import SavePredictionCsvCommand
     from inferbiomechanics_tpu.cli.convert_b3d_cmd import ConvertB3dCommand
     from inferbiomechanics_tpu.cli.serve_cmd import ServeCommand
+    from inferbiomechanics_tpu.cli.convert_checkpoint_cmd import (
+        ConvertCheckpointCommand,
+    )
     return [
         TrainCommand(),
         VisualizeCommand(),
@@ -45,6 +48,7 @@ def build_commands():
         SavePredictionCsvCommand(),
         ConvertB3dCommand(),
         ServeCommand(),
+        ConvertCheckpointCommand(),
     ]
 
 

@@ -158,11 +158,11 @@ def test_all_ten_commands_registered():
     spec.loader.exec_module(mod)
     names = {c.name for c in mod.build_commands()}
     # the reference's 10 commands, plus the beyond-parity legacy
-    # converter and inference server
+    # converter, inference server, and torch-checkpoint converter
     assert names == {'train', 'visualize', 'visualize-file', 'create-splits',
                      'analyze', 'sanity-check', 'make-plots', 'review-file',
                      'pickle-data', 'save-prediction-csv', 'convert-b3d',
-                     'serve'}
+                     'serve', 'convert-checkpoint'}
 
 
 def test_reference_flag_spellings_parse():

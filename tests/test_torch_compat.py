@@ -1,0 +1,131 @@
+"""Reference .pt checkpoint conversion (inferbiomechanics_tpu/torch_compat.py).
+
+The oracle is REAL torch: a torch model with the reference's module
+naming (``net.{i}`` Sequential of Linears, DDP 'module.' prefix) and the
+reference's output-head slicing is evaluated on the same windows as the
+converted flax model — outputs must match per key.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.data.keys import OutputDataKeys
+from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+from inferbiomechanics_tpu.models.feedforward import FeedForwardBaseline
+from inferbiomechanics_tpu.torch_compat import (
+    convert_state_dict, convert_torch_checkpoint, output_permutation,
+)
+from inferbiomechanics_tpu.train import (
+    create_train_state, load_latest_checkpoint, make_optimizer,
+)
+
+
+@pytest.fixture(scope='module')
+def ds(tmp_path_factory):
+    d = tmp_path_factory.mktemp('tc')
+    write_synthetic_subject(str(d / 's.b3d'), num_trials=1,
+                            trial_length=120, seed=0)
+    return WindowDataset(str(d), window_size=20, stride=5,
+                         skip_loading_skeletons=True)
+
+
+def _torch_net(in_size, hidden, out_size, seed=0):
+    torch.manual_seed(seed)
+    import torch.nn as tnn
+    dims = [in_size] + hidden + [out_size]
+    layers = []
+    for i, (h0, h1) in enumerate(zip(dims[:-1], dims[1:])):
+        layers.append(tnn.Linear(h0, h1))
+        if i < len(dims) - 2:
+            layers.append(tnn.Sigmoid())
+    return tnn.Sequential(*layers)
+
+
+def _ref_head_slices(y, F):
+    """The reference's output slicing (FeedForwardRegressionBaseline
+    .py:116-120): component blocks across frames."""
+    B = y.shape[0]
+    return {
+        OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME:
+            y[:, 0 * F:6 * F].reshape(B, F, 6),
+        OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME:
+            y[:, 6 * F:12 * F].reshape(B, F, 6),
+        OutputDataKeys.GROUND_CONTACT_TORQUES_IN_ROOT_FRAME:
+            y[:, 12 * F:18 * F].reshape(B, F, 6),
+        OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME:
+            y[:, 18 * F:30 * F].reshape(B, F, 12),
+    }
+
+
+def test_output_permutation_is_bijective():
+    for F in (1, 4, 10):
+        p = output_permutation(F)
+        assert sorted(p.tolist()) == list(range(30 * F))
+
+
+@pytest.mark.parametrize('F_out,fmt', [(1, 'last_frame'), (4, 'all_frames')])
+def test_converted_checkpoint_matches_torch_forward(ds, tmp_path, F_out, fmt):
+    batch = ds.gather(np.arange(8))
+    x = np.asarray(batch.inputs, np.float32)           # [B, T, C]
+    B, T, C = x.shape
+    in_size, out_size = T * C, 30 * F_out
+    net = _torch_net(in_size, [64, 32], out_size, seed=F_out)
+
+    # reference-format checkpoint, DDP-prefixed like torchrun runs
+    sd = {'module.net.' + k: v for k, v in net.state_dict().items()}
+    pt = str(tmp_path / 'epoch_3_batch_7.pt')
+    torch.save({'epoch': 3, 'model_state_dict': sd}, pt)
+
+    out_dir = str(tmp_path / 'converted')
+    written = convert_torch_checkpoint(pt, out_dir)
+    assert written.endswith('epoch_3_batch_7.ckpt')
+
+    with torch.no_grad():
+        y = net(torch.from_numpy(x.reshape(B, -1))).numpy()
+    ref = _ref_head_slices(y, F_out)
+
+    model = FeedForwardBaseline(
+        num_dofs=ds.num_dofs, num_contact_bodies=ds.num_contact_bodies,
+        history_len=20, stride=5, root_history_len=ds.root_history_len,
+        output_data_format=fmt, activation='sigmoid', hidden_dims=(64, 32),
+        compute_dtype=jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(x), make_optimizer('adam', 1e-3))
+    state, epoch, b = load_latest_checkpoint(state, out_dir)
+    assert (epoch, b) == (3, 7)
+    out = model.apply({'params': state.params}, jnp.asarray(x), train=False)
+    for k, v in ref.items():
+        np.testing.assert_allclose(np.asarray(out[k]), v,
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_batchnorm_checkpoint_rejected():
+    sd = {'net.0.weight': np.zeros((4, 4)), 'net.0.bias': np.zeros(4),
+          'net.0.running_mean': np.zeros(4), 'net.0.running_var': np.ones(4)}
+    with pytest.raises(ValueError, match='[Bb]atch[Nn]orm'):
+        convert_state_dict(sd, 1)
+
+
+def test_cli_convert_checkpoint(ds, tmp_path):
+    net = _torch_net(ds.num_model_frames * ds.num_input_channels,
+                     [16], 30, seed=1)
+    pt = str(tmp_path / 'epoch_0_batch_0.pt')
+    torch.save({'model_state_dict':
+                {'net.' + k: v for k, v in net.state_dict().items()}}, pt)
+    out_dir = str(tmp_path / 'out')
+    import subprocess, sys
+    r = subprocess.run([sys.executable,
+                        os.path.join(os.path.dirname(os.path.dirname(
+                            os.path.abspath(__file__))), 'main.py'),
+                        'convert-checkpoint', pt, '--out-dir', out_dir],
+                       capture_output=True, text=True,
+                       env={**os.environ, 'IB_PLATFORM': 'cpu'})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out_dir, 'epoch_0_batch_0.ckpt'))
