@@ -7,9 +7,9 @@ flax-msgpack ``TrainState`` under the same naming scheme
 (``train/checkpoint.py``). A reference user migrating mid-project can
 convert trained weights instead of retraining.
 
-Feedforward checkpoints are supported (the reference's production model,
-FeedForwardRegressionBaseline.py). Two representation differences are
-handled:
+Feedforward (FeedForwardRegressionBaseline.py) and GroundLink
+(Groundlink.py) checkpoints are supported — the two trainable reference
+models. Representation differences handled for the feedforward MLP:
 
 - torch ``nn.Linear`` stores ``weight [out, in]``; flax ``nn.Dense``
   stores ``kernel [in, out]`` → transpose.
@@ -103,6 +103,39 @@ def convert_state_dict(state_dict: Dict, num_output_frames: int
     return params
 
 
+def convert_groundlink_state_dict(state_dict: Dict
+                                  ) -> Dict[str, Dict[str, np.ndarray]]:
+    """Reference GroundLink ``cnn.{i}``/``fc.{i}`` -> flax ``Conv_{j}``/
+    ``Dense_{j}`` params.
+
+    torch ``Conv1d`` weight is ``[C_out, C_in, k]``; flax ``nn.Conv``
+    kernel is ``[k, C_in, C_out]`` (both are cross-correlation — no
+    kernel flip). The output head needs NO permutation: the reference
+    slices GroundLink outputs frame-major (Groundlink.py:151-156),
+    exactly this framework's ``slice_output_heads`` layout.
+    """
+    sd = _strip_ddp({k: np.asarray(v) for k, v in state_dict.items()})
+    convs = sorted(int(m.group(1)) for k, v in sd.items()
+                   if (m := re.match(r'cnn\.(\d+)\.weight$', k)))
+    fcs = sorted(int(m.group(1)) for k, v in sd.items()
+                 if (m := re.match(r'fc\.(\d+)\.weight$', k)))
+    if not convs or not fcs:
+        raise ValueError('no cnn.{i}/fc.{i} layers found — is this a '
+                         'reference Groundlink checkpoint?')
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+    for j, i in enumerate(convs):
+        params[f'Conv_{j}'] = {
+            'kernel': sd[f'cnn.{i}.weight'].astype(np.float32)
+                      .transpose(2, 1, 0),
+            'bias': sd[f'cnn.{i}.bias'].astype(np.float32)}
+    for j, i in enumerate(fcs):
+        p = {'kernel': sd[f'fc.{i}.weight'].astype(np.float32).T}
+        if f'fc.{i}.bias' in sd:
+            p['bias'] = sd[f'fc.{i}.bias'].astype(np.float32)
+        params[f'Dense_{j}'] = p
+    return params
+
+
 def convert_torch_checkpoint(pt_path: str, out_dir: str,
                              opt_type: str = 'rmsprop',
                              learning_rate: float = 1e-4) -> str:
@@ -121,11 +154,15 @@ def convert_torch_checkpoint(pt_path: str, out_dir: str,
     blob = torch.load(pt_path, map_location='cpu', weights_only=True)
     sd = blob.get('model_state_dict', blob)
     sd = {k: v.detach().numpy() for k, v in sd.items()}
-    # output frames from the final Linear width (2 contact bodies)
-    widths = [v.shape[0] for k, v in _strip_ddp(sd).items()
-              if re.match(r'net\.\d+\.weight$', k) and v.ndim == 2]
-    num_output_frames = widths[-1] // _PER_FRAME if widths else 1
-    params = convert_state_dict(sd, num_output_frames)
+    stripped = _strip_ddp(sd)
+    if any(k.startswith('cnn.') for k in stripped):
+        params = convert_groundlink_state_dict(sd)
+    else:
+        # output frames from the final Linear width (2 contact bodies)
+        widths = [v.shape[0] for k, v in stripped.items()
+                  if re.match(r'net\.\d+\.weight$', k) and v.ndim == 2]
+        num_output_frames = widths[-1] // _PER_FRAME if widths else 1
+        params = convert_state_dict(sd, num_output_frames)
 
     import jax.numpy as jnp
     tx = make_optimizer(opt_type, learning_rate)

@@ -106,6 +106,67 @@ def test_converted_checkpoint_matches_torch_forward(ds, tmp_path, F_out, fmt):
                                    rtol=1e-4, atol=1e-5, err_msg=k)
 
 
+def test_converted_groundlink_matches_torch_forward(ds, tmp_path):
+    """GroundLink conversion oracle: a torch model with the reference's
+    cnn.{i}/fc.{i} Sequential naming (Groundlink.py:41-62) and replicate-
+    padded Conv1d stack vs the converted flax Groundlink on the same
+    windows."""
+    import torch.nn as tnn
+    from inferbiomechanics_tpu.models.groundlink import Groundlink
+
+    batch = ds.gather(np.arange(6))
+    x = np.asarray(batch.inputs, np.float32)           # [B, T, C]
+    C = x.shape[2]
+    torch.manual_seed(0)
+    feats = [C, 16, 16, 24, 24]
+    cnn_layers = []
+    for c_in, c_out in zip(feats[:-1], feats[1:]):
+        cnn_layers += [tnn.Dropout(0.0),
+                       tnn.Conv1d(c_in, c_out, 7, padding=3,
+                                  padding_mode='replicate'),
+                       tnn.ELU()]
+    cnn = tnn.Sequential(*cnn_layers)
+    # reference fc: [Transpose, (Dropout, Linear, ELU) x 2, Dropout,
+    # Linear(no bias)] — Identity stands in for the param-free Transpose
+    # so the saved key indices (fc.2, fc.5, fc.8) match the reference's
+    fc = tnn.Sequential(tnn.Identity(), tnn.Dropout(0.2),
+                        tnn.Linear(24, 24), tnn.ELU(), tnn.Dropout(0.2),
+                        tnn.Linear(24, 24), tnn.ELU(), tnn.Dropout(0.2),
+                        tnn.Linear(24, 30, bias=False))
+    sd = {'cnn.' + k: v for k, v in cnn.state_dict().items()}
+    sd.update({'fc.' + k: v for k, v in fc.state_dict().items()})
+    pt = str(tmp_path / 'epoch_1_batch_2.pt')
+    torch.save({'model_state_dict': sd}, pt)
+
+    with torch.no_grad():
+        cnn.eval(), fc.eval()
+        h = cnn(torch.from_numpy(x).transpose(-2, -1))   # [B, C, T]
+        y = fc(h.transpose(-2, -1)).numpy()              # [B, T, 30]
+    ref = {
+        OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME: y[:, :, 0:6],
+        OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME: y[:, :, 6:12],
+        OutputDataKeys.GROUND_CONTACT_TORQUES_IN_ROOT_FRAME: y[:, :, 12:18],
+        OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME: y[:, :, 18:30],
+    }
+
+    out_dir = str(tmp_path / 'converted')
+    convert_torch_checkpoint(pt, out_dir)
+    model = Groundlink(num_dofs=ds.num_dofs,
+                       num_contact_bodies=ds.num_contact_bodies,
+                       root_history_len=ds.root_history_len,
+                       output_data_format='all_frames',
+                       cnn_features=(16, 16, 24, 24),
+                       compute_dtype=jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(x), make_optimizer('adam', 1e-3))
+    state, epoch, b = load_latest_checkpoint(state, out_dir)
+    assert (epoch, b) == (1, 2)
+    out = model.apply({'params': state.params}, jnp.asarray(x), train=False)
+    for k, v in ref.items():
+        np.testing.assert_allclose(np.asarray(out[k]), v,
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 def test_batchnorm_checkpoint_rejected():
     sd = {'net.0.weight': np.zeros((4, 4)), 'net.0.bias': np.zeros(4),
           'net.0.running_mean': np.zeros(4), 'net.0.running_var': np.ones(4)}
