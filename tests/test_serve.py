@@ -147,6 +147,26 @@ def test_error_paths(base_url, service):
     assert e.value.code in (400, 404)
 
 
+def test_concurrent_clients(base_url, service):
+    """ThreadingHTTPServer + the device lock: parallel clients all get
+    correct, batch-matched responses (no cross-request mixups)."""
+    import concurrent.futures
+
+    batch = service.ds.gather(np.arange(8))
+    x = np.asarray(batch.inputs)
+
+    def one(i):
+        n = 1 + (i % 4)
+        res = _post(base_url + '/predict', {'inputs': x[:n].tolist()})
+        f = np.asarray(res['outputs'][
+            OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME])
+        return n, res['batch'], f.shape
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+        for n, b, shape in ex.map(one, range(12)):
+            assert b == n and shape == (n, 1, 6)
+
+
 def test_analytical_rejected(service):
     cfg = Config()
     cfg.model_type = 'analytical'
