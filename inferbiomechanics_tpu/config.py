@@ -53,6 +53,9 @@ class Config:
     opt_type: str = 'rmsprop'
     epochs: int = 10
     batch_size: int = 64
+    # seeds init, dropout, per-epoch shuffles, diffusion noise (the
+    # reference has no seed control; runs were irreproducible)
+    seed: int = 0
 
     # loss component selection (reference train.py:58-65)
     predict_grf_components: List[int] = field(default_factory=lambda: [0, 1, 2, 3, 4, 5])
@@ -132,6 +135,10 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
     parser.add_argument('--epochs', type=int, default=d.epochs)
     parser.add_argument('--opt-type', type=str, default=d.opt_type)
     parser.add_argument('--batch-size', type=int, default=d.batch_size)
+    parser.add_argument('--seed', type=int, default=d.seed,
+                        help='Seed for init/dropout/shuffles — two runs '
+                             'with the same seed and flags are '
+                             'reproducible (reference has no seed control)')
     parser.add_argument('--short', action='store_true', default=d.short)
     parser.add_argument('--data-loading-workers', type=int, default=d.data_loading_workers)
     parser.add_argument('--predict-grf-components', type=int, nargs='*',
@@ -201,6 +208,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'dropout_prob': 'dropout_prob', 'hidden_dims': 'hidden_dims',
         'batchnorm': 'batchnorm', 'activation': 'activation',
         'epochs': 'epochs', 'opt_type': 'opt_type', 'batch_size': 'batch_size',
+        'seed': 'seed',
         'short': 'short', 'data_loading_workers': 'data_loading_workers',
         'predict_grf_components': 'predict_grf_components',
         'predict_cop_components': 'predict_cop_components',

@@ -62,7 +62,7 @@ def train_diffusion(config: Config,
     x_cond = jnp.asarray(sample_b.inputs)
     x0 = jnp.zeros((x_cond.shape[0], x_cond.shape[1], model.target_channels))
     t0 = jnp.zeros((x_cond.shape[0],), jnp.int32)
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(config.seed)
     variables = model.init({'params': rng}, x0, t0, x_cond, train=False)
     tx = make_optimizer(config.opt_type, config.learning_rate)
     state = TrainState(step=jnp.asarray(0, jnp.int32),
@@ -124,7 +124,7 @@ def train_diffusion(config: Config,
 
     for epoch in range(start_epoch, config.epochs):
         if dev_loader is not None:
-            for batch in dev_loader.epoch(seed=epoch):
+            for batch in dev_loader.epoch(seed=config.seed * 1_000_003 + epoch):
                 outputs = sampler(state.params, batch.inputs,
                                   jax.random.fold_in(rng, 777 + epoch))
                 dev_eval(batch.inputs, None, None,
@@ -144,7 +144,8 @@ def train_diffusion(config: Config,
             compute_time += time.time() - t_step
             windows_seen += n_steps * config.batch_size
         else:
-            for batch_idx, batch in enumerate(train_loader.epoch(seed=epoch)):
+            for batch_idx, batch in enumerate(train_loader.epoch(
+                    seed=config.seed * 1_000_003 + epoch)):
                 if (max_batches_per_epoch is not None
                         and batch_idx >= max_batches_per_epoch):
                     break

@@ -106,7 +106,7 @@ def train(config: Config,
         sample_inputs = sample.inputs
 
     tx = make_optimizer(config.opt_type, config.learning_rate)
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(config.seed)
     state = create_train_state(model, rng, jax.numpy.asarray(sample_inputs), tx)
     logger.info('model %s: %d params', config.model_type, num_params(state))
 
@@ -270,7 +270,7 @@ def train(config: Config,
             print(f'[epoch {epoch}] dev report:')
             final_dev = dev_eval.print_report(log_to_wandb=metric_logger is not None)
         elif dev_loader is not None:
-            for batch in dev_loader.epoch(seed=epoch):
+            for batch in dev_loader.epoch(seed=config.seed * 1_000_003 + epoch):
                 outputs, metrics = eval_step(state, batch.inputs, batch.labels)
                 dev_eval(batch.inputs, outputs,
                          dev_ds.unpack_labels(batch.labels),
@@ -299,7 +299,8 @@ def train(config: Config,
             continue
         if use_device_data:
             # per-epoch shuffle sharded across hosts, indices sent per step
-            perm = np.random.default_rng(epoch).permutation(len(train_ds))
+            perm = np.random.default_rng(
+                (config.seed, epoch)).permutation(len(train_ds))
             # equalize host shards (see WindowDataset.batches): all
             # processes must yield identical step counts per epoch
             n_proc = jax.process_count()
@@ -318,7 +319,8 @@ def train(config: Config,
                     np.int32)))
                 for k in range(n_steps))
         else:
-            batch_iter = enumerate(train_loader.epoch(seed=epoch))
+            batch_iter = enumerate(train_loader.epoch(
+                seed=config.seed * 1_000_003 + epoch))
         # windows_per_sec timing: epoch-level wall clock closed by a
         # scalar readback of the LAST step's metrics — per-step
         # time.time() deltas around async dispatches only measure host

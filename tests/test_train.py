@@ -216,6 +216,30 @@ def test_aux_head_supervision_trains_tau(ds):
     assert after < 0.5 * before, (before, after)
 
 
+def test_seed_controls_reproducibility(ds, tmp_path):
+    """--seed: same seed + same flags -> bit-identical final checkpoint;
+    different seed -> different (init, dropout streams, and epoch
+    shuffles all derive from it). The reference has no seed control."""
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.train.checkpoint import list_checkpoints
+    from inferbiomechanics_tpu.train.loop import train
+
+    def run(seed, tag):
+        cfg = Config(window_size=20, stride=5, model_type='feedforward',
+                     checkpoint_dir=str(tmp_path / tag), epochs=1,
+                     batch_size=16, opt_type='adam', learning_rate=1e-3,
+                     device_data='off', checkpoint_every_batches=1000,
+                     log_every_batches=1000, seed=seed)
+        train(cfg, ds, None, max_batches_per_epoch=4)
+        _e, _b, path = list_checkpoints(cfg.checkpoint_dir)[-1]
+        with open(path, 'rb') as f:
+            return f.read()
+
+    a = run(7, 'a')
+    assert a == run(7, 'b')
+    assert a != run(8, 'c')
+
+
 def test_mid_epoch_resume_skips_consumed_prefix(ds, tmp_path, capsys):
     """A checkpoint at (epoch e, batch k>0) resumes inside epoch e."""
     from inferbiomechanics_tpu.config import Config
