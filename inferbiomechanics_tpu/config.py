@@ -56,6 +56,10 @@ class Config:
     # seeds init, dropout, per-epoch shuffles, diffusion noise (the
     # reference has no seed control; runs were irreproducible)
     seed: int = 0
+    # beyond parity: LR schedules (reference trains at fixed LR only)
+    lr_schedule: str = 'constant'   # {constant,cosine,warmup_cosine,linear}
+    lr_decay_steps: int = 0         # total steps to decay over (required
+    lr_warmup_steps: int = 0        # for non-constant schedules)
 
     # loss component selection (reference train.py:58-65)
     predict_grf_components: List[int] = field(default_factory=lambda: [0, 1, 2, 3, 4, 5])
@@ -139,6 +143,16 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                         help='Seed for init/dropout/shuffles — two runs '
                              'with the same seed and flags are '
                              'reproducible (reference has no seed control)')
+    parser.add_argument('--lr-schedule', type=str, default=d.lr_schedule,
+                        choices=['constant', 'cosine', 'warmup_cosine',
+                                 'linear'],
+                        help='LR schedule (beyond parity; reference is '
+                             'fixed-LR)')
+    parser.add_argument('--lr-decay-steps', type=int, default=d.lr_decay_steps,
+                        help='Total steps to decay over (non-constant '
+                             'schedules)')
+    parser.add_argument('--lr-warmup-steps', type=int,
+                        default=d.lr_warmup_steps)
     parser.add_argument('--short', action='store_true', default=d.short)
     parser.add_argument('--data-loading-workers', type=int, default=d.data_loading_workers)
     parser.add_argument('--predict-grf-components', type=int, nargs='*',
@@ -208,7 +222,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'dropout_prob': 'dropout_prob', 'hidden_dims': 'hidden_dims',
         'batchnorm': 'batchnorm', 'activation': 'activation',
         'epochs': 'epochs', 'opt_type': 'opt_type', 'batch_size': 'batch_size',
-        'seed': 'seed',
+        'seed': 'seed', 'lr_schedule': 'lr_schedule',
+        'lr_decay_steps': 'lr_decay_steps',
+        'lr_warmup_steps': 'lr_warmup_steps',
         'short': 'short', 'data_loading_workers': 'data_loading_workers',
         'predict_grf_components': 'predict_grf_components',
         'predict_cop_components': 'predict_cop_components',

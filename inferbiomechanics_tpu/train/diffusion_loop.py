@@ -64,7 +64,10 @@ def train_diffusion(config: Config,
     t0 = jnp.zeros((x_cond.shape[0],), jnp.int32)
     rng = jax.random.PRNGKey(config.seed)
     variables = model.init({'params': rng}, x0, t0, x_cond, train=False)
-    tx = make_optimizer(config.opt_type, config.learning_rate)
+    tx = make_optimizer(config.opt_type, config.learning_rate,
+                        lr_schedule=config.lr_schedule,
+                        lr_decay_steps=config.lr_decay_steps,
+                        lr_warmup_steps=config.lr_warmup_steps)
     state = TrainState(step=jnp.asarray(0, jnp.int32),
                        params=variables['params'],
                        opt_state=tx.init(variables['params']),

@@ -105,7 +105,10 @@ def train(config: Config,
     else:
         sample_inputs = sample.inputs
 
-    tx = make_optimizer(config.opt_type, config.learning_rate)
+    tx = make_optimizer(config.opt_type, config.learning_rate,
+                        lr_schedule=config.lr_schedule,
+                        lr_decay_steps=config.lr_decay_steps,
+                        lr_warmup_steps=config.lr_warmup_steps)
     rng = jax.random.PRNGKey(config.seed)
     state = create_train_state(model, rng, jax.numpy.asarray(sample_inputs), tx)
     logger.info('model %s: %d params', config.model_type, num_params(state))

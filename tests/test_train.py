@@ -216,6 +216,29 @@ def test_aux_head_supervision_trains_tau(ds):
     assert after < 0.5 * before, (before, after)
 
 
+def test_lr_schedules():
+    """LR schedule factory: warmup/decay envelopes + optimizer wiring;
+    non-constant schedules demand a decay horizon."""
+    from inferbiomechanics_tpu.train.optimizers import (
+        make_lr_schedule, make_optimizer,
+    )
+    sched = make_lr_schedule('warmup_cosine', 1e-3, decay_steps=100,
+                             warmup_steps=10)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1e-3) < 1e-9
+    assert float(sched(100)) < float(sched(50)) < 1e-3
+    lin = make_lr_schedule('linear', 1e-3, decay_steps=100)
+    assert abs(float(lin(100))) < 1e-12
+    with pytest.raises(ValueError, match='lr-decay-steps'):
+        make_lr_schedule('cosine', 1e-3)
+    tx = make_optimizer('adam', 1e-3, lr_schedule='cosine',
+                        lr_decay_steps=50)
+    params = {'w': jnp.ones(3)}
+    st = tx.init(params)
+    up, _ = tx.update({'w': jnp.ones(3)}, st, params)
+    assert np.isfinite(np.asarray(up['w'])).all()
+
+
 def test_seed_controls_reproducibility(ds, tmp_path):
     """--seed: same seed + same flags -> bit-identical final checkpoint;
     different seed -> different (init, dropout streams, and epoch
