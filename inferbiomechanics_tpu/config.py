@@ -72,6 +72,10 @@ class Config:
     compute_report: bool = False
     checkpoint_every_batches: int = 1000
     log_every_batches: int = 100
+    # beyond parity: best.ckpt on dev-loss improvement / stop after N
+    # dev evals without improvement (0 = disabled)
+    keep_best: bool = False
+    early_stop_patience: int = 0
 
     # auxiliary-head supervision (transformer tau/COM-acc/contact heads)
     aux_tau_weight: float = 0.0
@@ -153,6 +157,14 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                              'schedules)')
     parser.add_argument('--lr-warmup-steps', type=int,
                         default=d.lr_warmup_steps)
+    parser.add_argument('--keep-best', action='store_true',
+                        default=d.keep_best,
+                        help='Save best.ckpt whenever the dev loss improves '
+                             '(resume still uses the latest epoch_* ckpt)')
+    parser.add_argument('--early-stop-patience', type=int,
+                        default=d.early_stop_patience,
+                        help='Stop after N dev evals without improvement '
+                             '(0 = off)')
     parser.add_argument('--short', action='store_true', default=d.short)
     parser.add_argument('--data-loading-workers', type=int, default=d.data_loading_workers)
     parser.add_argument('--predict-grf-components', type=int, nargs='*',
@@ -225,6 +237,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'seed': 'seed', 'lr_schedule': 'lr_schedule',
         'lr_decay_steps': 'lr_decay_steps',
         'lr_warmup_steps': 'lr_warmup_steps',
+        'keep_best': 'keep_best',
+        'early_stop_patience': 'early_stop_patience',
         'short': 'short', 'data_loading_workers': 'data_loading_workers',
         'predict_grf_components': 'predict_grf_components',
         'predict_cop_components': 'predict_cop_components',

@@ -32,12 +32,18 @@ def checkpoint_name(epoch: int, batch: int) -> str:
 
 
 def save_checkpoint(checkpoint_dir: str, state: TrainState,
-                    epoch: int, batch: int) -> Optional[str]:
-    """Serialize the full train state. No-op on non-zero processes."""
+                    epoch: int, batch: int,
+                    filename: Optional[str] = None) -> Optional[str]:
+    """Serialize the full train state. No-op on non-zero processes.
+
+    ``filename`` overrides the ``epoch_{e}_batch_{b}.ckpt`` name — used
+    for ``best.ckpt``, which resume's latest-checkpoint scan deliberately
+    ignores (it is a model artifact, not a resume point)."""
     if jax.process_index() != 0:
         return None
     os.makedirs(checkpoint_dir, exist_ok=True)
-    path = os.path.join(checkpoint_dir, checkpoint_name(epoch, batch))
+    path = os.path.join(checkpoint_dir,
+                        filename or checkpoint_name(epoch, batch))
     host_state = jax.device_get(state)
     blob = serialization.to_bytes({
         'step': host_state.step,

@@ -256,6 +256,8 @@ def train(config: Config,
     compute_time = 0.0
     final_dev: Dict[str, float] = {}
     epochs_run = 0
+    best_dev_loss = float('inf')
+    stale_evals = 0
 
     profiling = False
     if config.profile:
@@ -282,6 +284,26 @@ def train(config: Config,
                          precomputed_metrics=metrics)
             print(f'[epoch {epoch}] dev report:')
             final_dev = dev_eval.print_report(log_to_wandb=metric_logger is not None)
+
+        # -- best-checkpoint tracking / early stopping (beyond parity) -----
+        if final_dev and (config.keep_best or config.early_stop_patience):
+            dev_loss = final_dev['loss']
+            if dev_loss < best_dev_loss:
+                best_dev_loss = dev_loss
+                stale_evals = 0
+                if config.keep_best:
+                    # dev eval at epoch e scores the state AFTER epoch e-1
+                    save_checkpoint(config.checkpoint_dir, state,
+                                    epoch - 1, 0, filename='best.ckpt')
+                    logger.info('new best dev loss %.6f -> best.ckpt',
+                                dev_loss)
+            else:
+                stale_evals += 1
+                if (config.early_stop_patience
+                        and stale_evals >= config.early_stop_patience):
+                    print(f'early stop: dev loss has not improved in '
+                          f'{stale_evals} evals (best {best_dev_loss:.6f})')
+                    break
 
         # -- train epoch ----------------------------------------------------
         t_epoch = time.time()

@@ -216,6 +216,29 @@ def test_aux_head_supervision_trains_tau(ds):
     assert after < 0.5 * before, (before, after)
 
 
+def test_keep_best_and_early_stop(ds, tmp_path):
+    """--keep-best writes best.ckpt on dev-loss improvement (ignored by
+    the resume scan); --early-stop-patience breaks the epoch loop after
+    N stale dev evals. lr=0 makes every eval identical: the first is
+    best, the rest are stale."""
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.train.checkpoint import list_checkpoints
+    from inferbiomechanics_tpu.train.loop import train
+
+    ckpt = str(tmp_path / 'best')
+    cfg = Config(window_size=20, stride=5, model_type='feedforward',
+                 checkpoint_dir=ckpt, epochs=6, batch_size=16,
+                 opt_type='sgd', learning_rate=0.0, device_data='off',
+                 checkpoint_every_batches=1000, log_every_batches=1000,
+                 keep_best=True, early_stop_patience=2)
+    result = train(cfg, ds, ds, max_batches_per_epoch=2)
+    assert result.epochs_run < 6                    # stopped early
+    assert os.path.exists(os.path.join(ckpt, 'best.ckpt'))
+    # best.ckpt is a model artifact, not a resume point
+    assert all(not p.endswith('best.ckpt')
+               for _e, _b, p in list_checkpoints(ckpt))
+
+
 def test_lr_schedules():
     """LR schedule factory: warmup/decay envelopes + optimizer wiring;
     non-constant schedules demand a decay horizon."""
