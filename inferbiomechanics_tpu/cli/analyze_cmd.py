@@ -48,6 +48,10 @@ class AnalyzeCommand:
                             help='Write per-component GRF error PNGs '
                                  '(ref analyze=True path)')
         parser.add_argument('--plot-path-root', type=str, default='outputs/plots')
+        parser.add_argument('--checkpoint-file', type=str, default=None,
+                            help='Evaluate this specific checkpoint (e.g. '
+                                 'the --keep-best best.ckpt) instead of the '
+                                 'latest epoch_* one')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'analyze':
@@ -112,9 +116,13 @@ class AnalyzeCommand:
                                    params=variables['params'],
                                    opt_state=tx.init(variables['params']),
                                    batch_stats={}, tx=tx, apply_fn=model.apply)
-                state, epoch, _b = load_latest_checkpoint(state, checkpoint_dir)
-                if epoch < 0:
-                    print(f'WARNING: no checkpoint found in {checkpoint_dir}')
+                if getattr(args, 'checkpoint_file', None):
+                    from inferbiomechanics_tpu.train.checkpoint import load_checkpoint_file
+                    state, epoch, _b = load_checkpoint_file(state, args.checkpoint_file)
+                else:
+                    state, epoch, _b = load_latest_checkpoint(state, checkpoint_dir)
+                    if epoch < 0:
+                        print(f'WARNING: no checkpoint found in {checkpoint_dir}')
                 sampler = make_sampler(model, DDPMSchedule(config.diffusion_timesteps),
                                        num_steps=50,
                                        fused_inference=config.fused_inference)
@@ -127,10 +135,14 @@ class AnalyzeCommand:
                     model, jax.random.PRNGKey(0),
                     jax.numpy.asarray(sample.inputs),
                     make_optimizer(config.opt_type, config.learning_rate))
-                state, epoch, batch = load_latest_checkpoint(state, checkpoint_dir)
-                if epoch < 0:
-                    print(f'WARNING: no checkpoint found in {checkpoint_dir}; '
-                          f'evaluating a fresh model')
+                if getattr(args, 'checkpoint_file', None):
+                    from inferbiomechanics_tpu.train.checkpoint import load_checkpoint_file
+                    state, epoch, batch = load_checkpoint_file(state, args.checkpoint_file)
+                else:
+                    state, epoch, batch = load_latest_checkpoint(state, checkpoint_dir)
+                    if epoch < 0:
+                        print(f'WARNING: no checkpoint found in {checkpoint_dir}; '
+                              f'evaluating a fresh model')
                 eval_fn = make_eval_step(model, ds.lab_offsets, lc)
 
             csv_path = os.path.join(checkpoint_dir, f'{split}_analysis.csv')

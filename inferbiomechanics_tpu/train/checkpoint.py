@@ -84,10 +84,19 @@ def load_latest_checkpoint(state: TrainState,
     ckpts = list_checkpoints(checkpoint_dir)
     if not ckpts:
         return state, -1, 0
-    epoch, batch, path = ckpts[-1]
+    return load_checkpoint_file(state, ckpts[-1][2])
+
+
+def load_checkpoint_file(state: TrainState,
+                         path: str) -> Tuple[TrainState, int, int]:
+    """Restore one specific checkpoint file (e.g. ``best.ckpt``, which the
+    latest-checkpoint scan deliberately ignores)."""
     with open(path, 'rb') as f:
         blob = f.read()
     raw = serialization.msgpack_restore(blob)
+    # prefer the recorded epoch/batch (best.ckpt's name carries neither)
+    epoch = int(raw.get('epoch', -1))
+    batch = int(raw.get('batch', 0))
     try:
         params = serialization.from_state_dict(jax.device_get(state.params),
                                                raw['params'])

@@ -233,10 +233,26 @@ def test_keep_best_and_early_stop(ds, tmp_path):
                  keep_best=True, early_stop_patience=2)
     result = train(cfg, ds, ds, max_batches_per_epoch=2)
     assert result.epochs_run < 6                    # stopped early
-    assert os.path.exists(os.path.join(ckpt, 'best.ckpt'))
+    best = os.path.join(ckpt, 'best.ckpt')
+    assert os.path.exists(best)
     # best.ckpt is a model artifact, not a resume point
     assert all(not p.endswith('best.ckpt')
                for _e, _b, p in list_checkpoints(ckpt))
+    # ...but it loads explicitly (analyze --checkpoint-file)
+    from inferbiomechanics_tpu.train.checkpoint import load_checkpoint_file
+    from inferbiomechanics_tpu.train.loop import build_model_for_dataset
+    from inferbiomechanics_tpu.train.state import create_train_state
+    from inferbiomechanics_tpu.train.optimizers import make_optimizer
+    import jax
+    model = build_model_for_dataset(cfg, ds)
+    sample = ds.gather(np.arange(16))
+    st = create_train_state(model, jax.random.PRNGKey(1),
+                            jnp.asarray(sample.inputs),
+                            make_optimizer('sgd', 0.0))
+    st, e, b = load_checkpoint_file(st, best)
+    assert (e, b) == (-1, 0)   # best saved before any epoch completed
+    leaves = jax.tree_util.tree_leaves(st.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
 
 
 def test_lr_schedules():
