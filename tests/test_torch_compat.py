@@ -167,6 +167,44 @@ def test_converted_groundlink_matches_torch_forward(ds, tmp_path):
                                    rtol=1e-4, atol=1e-5, err_msg=k)
 
 
+def test_dropout_shifted_indices_convert(ds, tmp_path):
+    """The reference inserts Dropout modules before each Linear when
+    --dropout is set (FeedForwardRegressionBaseline.py:69-77), shifting
+    the Sequential key indices (net.1, net.4, ...). Dropout has no
+    params, so conversion must key on ORDER, not position."""
+    import torch.nn as tnn
+    batch = ds.gather(np.arange(4))
+    x = np.asarray(batch.inputs, np.float32)
+    B, T, C = x.shape
+    torch.manual_seed(2)
+    net = tnn.Sequential(
+        tnn.Dropout(0.1), tnn.Linear(T * C, 32), tnn.Sigmoid(),
+        tnn.Dropout(0.1), tnn.Linear(32, 30))
+    pt = str(tmp_path / 'epoch_0_batch_0.pt')
+    torch.save({'model_state_dict':
+                {'net.' + k: v for k, v in net.state_dict().items()}}, pt)
+    out_dir = str(tmp_path / 'conv')
+    convert_torch_checkpoint(pt, out_dir)
+
+    with torch.no_grad():
+        net.eval()
+        y = net(torch.from_numpy(x.reshape(B, -1))).numpy()
+    ref = _ref_head_slices(y, 1)
+
+    model = FeedForwardBaseline(
+        num_dofs=ds.num_dofs, num_contact_bodies=ds.num_contact_bodies,
+        history_len=20, stride=5, root_history_len=ds.root_history_len,
+        output_data_format='last_frame', activation='sigmoid',
+        hidden_dims=(32,), compute_dtype=jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(x), make_optimizer('adam', 1e-3))
+    state, _, _ = load_latest_checkpoint(state, out_dir)
+    out = model.apply({'params': state.params}, jnp.asarray(x), train=False)
+    for k, v in ref.items():
+        np.testing.assert_allclose(np.asarray(out[k]), v,
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 def test_batchnorm_checkpoint_rejected():
     sd = {'net.0.weight': np.zeros((4, 4)), 'net.0.bias': np.zeros(4),
           'net.0.running_mean': np.zeros(4), 'net.0.running_var': np.ones(4)}
