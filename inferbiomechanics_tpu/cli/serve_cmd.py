@@ -47,11 +47,14 @@ class ServeCommand:
         data_dir = os.path.join(config.dataset_home, 'dev')
         if not os.path.isdir(data_dir):
             data_dir = config.dataset_home
+        # lazy: the service needs only layouts + an 8-window init sample,
+        # so don't featurize (and hold) the whole split in host RAM
         ds = WindowDataset(data_dir, window_size=config.window_size,
                            stride=config.stride,
                            output_data_format=config.output_data_format,
                            testing_with_short_dataset=config.short,
-                           skip_loading_skeletons=True)
+                           skip_loading_skeletons=True,
+                           materialize_features=False)
         service = InferenceService(config, checkpoint_dir, ds,
                                    max_batch=args.max_batch)
         server = serve(service, host=args.host, port=args.port)

@@ -20,10 +20,12 @@ Layout (Mosaic-safe, 2-D values only — encoder kernel conventions):
   256 (+7% conv FLOPs) and the 30-wide head pads to 128 lanes; both
   paddings are zeros and sliced off outside the kernel.
 
-Training still runs the XLA path (parity tree, ``models/groundlink.py``)
-— a custom-VJP backward would recompute through XLA and measured
-training-neutral for the encoder; this kernel is the SERVING path,
-reached via ``--fused-inference`` on a GroundLink checkpoint. Parity
+MEASURED OUTCOME (BENCH_NOTES.md "GroundLink fused-forward probe"): XLA
+already runs this stack at the same rate (1.74 ms vs 1.79-1.96 fused at
+B=4096) — unlike the transformer, the conv stack is compute-bound, not
+launch-tax-bound. The kernel is therefore NOT wired into serving
+(``nn.Conv`` stays the path); it is kept as validated infrastructure
+(5 CPU/interpret tests) and as the recorded negative result. Parity
 cite: reference Groundlink.py:41-62 (stack), :151-156 (head layout —
 frame-major, identical to slice_output_heads, so no permutation).
 """

@@ -33,6 +33,7 @@ import base64
 import json
 import logging
 import threading
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
@@ -64,11 +65,16 @@ class InferenceService:
             raise ValueError('serve supports learned models; the analytical '
                              'baseline needs per-subject skeletons — use '
                              '`analyze --model-type analytical` instead')
+        if len(dataset) == 0:
+            raise ValueError('schema dataset has no complete windows '
+                             '(no .b3d files, or every trial is shorter '
+                             'than --history-len); point --dataset-home at '
+                             'data the model was built for')
         self.config = config
         self.ds = dataset
         self.max_batch = int(max_batch)
         self.model = build_model_for_dataset(config, dataset)
-        sample = dataset.gather(np.arange(min(8, max(1, len(dataset)))))
+        sample = dataset.gather(np.arange(min(8, len(dataset))))
         self.state = create_train_state(
             self.model, jax.random.PRNGKey(0), jnp.asarray(sample.inputs),
             make_optimizer(config.opt_type, config.learning_rate))
@@ -105,8 +111,12 @@ class InferenceService:
 
         self._fwd = jax.jit(fwd)
         self._lock = threading.Lock()
-        # file-mode dataset cache: path -> WindowDataset
-        self._file_ds: Dict[str, WindowDataset] = {}
+        # file-mode dataset cache: path -> WindowDataset, LRU-bounded so a
+        # long-running server can't grow host RAM without limit; its own
+        # lock since ThreadingHTTPServer handlers race on first requests
+        self._file_ds: 'OrderedDict[str, WindowDataset]' = OrderedDict()
+        self._file_ds_lock = threading.Lock()
+        self._file_ds_cap = 4
 
     # -- raw packed windows --------------------------------------------------
 
@@ -142,13 +152,20 @@ class InferenceService:
 
     def predict_file(self, path: str, trial: int,
                      max_windows: Optional[int] = None) -> dict:
-        ds = self._file_ds.get(path)
+        with self._file_ds_lock:
+            ds = self._file_ds.get(path)
+            if ds is not None:
+                self._file_ds.move_to_end(path)
         if ds is None:
             ds = WindowDataset(path, window_size=self.config.window_size,
                                stride=self.config.stride,
                                output_data_format=self.config.output_data_format,
-                               skip_loading_skeletons=True)
-            self._file_ds[path] = ds
+                               skip_loading_skeletons=True,
+                               materialize_features=False)
+            with self._file_ds_lock:
+                self._file_ds[path] = ds
+                while len(self._file_ds) > self._file_ds_cap:
+                    self._file_ds.popitem(last=False)
         if ds.num_input_channels != self.ds.num_input_channels:
             raise ValueError(
                 f'{path}: {ds.num_input_channels} input channels, model '

@@ -149,8 +149,17 @@ def convert_torch_checkpoint(pt_path: str, out_dir: str,
     from inferbiomechanics_tpu.train.optimizers import make_optimizer
     from inferbiomechanics_tpu.train.state import TrainState
 
-    m = re.search(r'epoch_(\d+)_batch_(\d+)\.pt$', os.path.basename(pt_path))
-    epoch, batch = (int(m.group(1)), int(m.group(2))) if m else (0, 0)
+    base = os.path.basename(pt_path)
+    m = re.search(r'epoch_(\d+)_batch_(\d+)\.pt$', base)
+    if m:
+        epoch, batch = int(m.group(1)), int(m.group(2))
+        filename = None                     # standard epoch_{e}_batch_{b}
+    else:
+        # keep the stem (best.pt -> best.ckpt): mapping every non-standard
+        # name to epoch_0_batch_0 would silently overwrite earlier
+        # conversions in the same --out-dir
+        epoch, batch = -1, 0
+        filename = os.path.splitext(base)[0] + '.ckpt'
     blob = torch.load(pt_path, map_location='cpu', weights_only=True)
     sd = blob.get('model_state_dict', blob)
     sd = {k: v.detach().numpy() for k, v in sd.items()}
@@ -169,4 +178,4 @@ def convert_torch_checkpoint(pt_path: str, out_dir: str,
     state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
                        opt_state=tx.init(params), batch_stats={},
                        tx=tx, apply_fn=None)
-    return save_checkpoint(out_dir, state, epoch, batch)
+    return save_checkpoint(out_dir, state, epoch, batch, filename=filename)

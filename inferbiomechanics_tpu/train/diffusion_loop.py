@@ -124,17 +124,52 @@ def train_diffusion(config: Config,
     final_dev: Dict[str, float] = {}
     last_loss = float('nan')
     epochs_run = 0
+    best_dev_loss = float('inf')
+    stale_evals = 0
 
+    def run_dev_eval(epoch: int) -> bool:
+        nonlocal final_dev
+        if dev_loader is None:
+            return False
+        for batch in dev_loader.epoch(seed=config.seed * 1_000_003 + epoch):
+            outputs = sampler(state.params, batch.inputs,
+                              jax.random.fold_in(rng, 777 + epoch))
+            dev_eval(batch.inputs, None, None,
+                     precomputed_metrics=dev_eval.compute_metrics(
+                         outputs, dev_ds.unpack_labels(batch.labels)))
+        print(f'[epoch {epoch}] dev report (sampled, {EVAL_SAMPLE_STEPS} steps):')
+        final_dev = dev_eval.print_report(log_to_wandb=metric_logger is not None)
+        return True
+
+    def track_best(epoch: int) -> bool:
+        """Same semantics as the regression loop (train/loop.py): the dev
+        eval at epoch e scores the state AFTER epoch e-1; returns True
+        when training should stop."""
+        nonlocal best_dev_loss, stale_evals
+        if not (final_dev and (config.keep_best or config.early_stop_patience)):
+            return False
+        dev_loss = final_dev['loss']
+        if dev_loss < best_dev_loss:
+            best_dev_loss = dev_loss
+            stale_evals = 0
+            if config.keep_best:
+                save_checkpoint(config.checkpoint_dir, state,
+                                epoch - 1, 0, filename='best.ckpt')
+                logger.info('new best dev loss %.6f -> best.ckpt', dev_loss)
+            return False
+        stale_evals += 1
+        if config.early_stop_patience and stale_evals >= config.early_stop_patience:
+            print(f'early stop: dev loss has not improved in '
+                  f'{stale_evals} evals (best {best_dev_loss:.6f})')
+            return True
+        return False
+
+    stopped_early = False
     for epoch in range(start_epoch, config.epochs):
-        if dev_loader is not None:
-            for batch in dev_loader.epoch(seed=config.seed * 1_000_003 + epoch):
-                outputs = sampler(state.params, batch.inputs,
-                                  jax.random.fold_in(rng, 777 + epoch))
-                dev_eval(batch.inputs, None, None,
-                         precomputed_metrics=dev_eval.compute_metrics(
-                             outputs, dev_ds.unpack_labels(batch.labels)))
-            print(f'[epoch {epoch}] dev report (sampled, {EVAL_SAMPLE_STEPS} steps):')
-            final_dev = dev_eval.print_report(log_to_wandb=metric_logger is not None)
+        run_dev_eval(epoch)
+        if track_best(epoch):
+            stopped_early = True
+            break
 
         if epoch_runner is not None:
             t_step = time.time()
@@ -169,6 +204,13 @@ def train_diffusion(config: Config,
         epochs_run += 1
         print(f'[epoch {epoch}] eps-mse {last_loss:.6f}')
         save_checkpoint(config.checkpoint_dir, state, epoch, 0)
+
+    # score the FINAL state too (the loop evals before each epoch only);
+    # parity-gated on the beyond-parity flags like train/loop.py
+    if ((config.keep_best or config.early_stop_patience)
+            and not stopped_early and epochs_run > 0
+            and run_dev_eval(config.epochs)):
+        track_best(config.epochs)
 
     wps = windows_seen / compute_time if compute_time > 0 else 0.0
     return TrainResult(epochs_run=epochs_run,

@@ -267,13 +267,12 @@ def train(config: Config,
         profiling = True
         logger.info('JAX profiler trace -> %s', config.profile_dir)
 
-    for epoch in range(start_epoch, config.epochs):
-        # -- dev eval before the epoch (ref train.py:207-226) --------------
+    def run_dev_eval(epoch: int) -> bool:
+        """Dev eval of the CURRENT state (ref train.py:207-226)."""
+        nonlocal final_dev
         if device_eval is not None:
             metrics = device_eval(state)
             dev_eval(None, None, None, precomputed_metrics=metrics)
-            print(f'[epoch {epoch}] dev report:')
-            final_dev = dev_eval.print_report(log_to_wandb=metric_logger is not None)
         elif dev_loader is not None:
             for batch in dev_loader.epoch(seed=config.seed * 1_000_003 + epoch):
                 outputs, metrics = eval_step(state, batch.inputs, batch.labels)
@@ -282,28 +281,42 @@ def train(config: Config,
                          batch.subject_indices,
                          compute_report=config.compute_report,
                          precomputed_metrics=metrics)
-            print(f'[epoch {epoch}] dev report:')
-            final_dev = dev_eval.print_report(log_to_wandb=metric_logger is not None)
+        else:
+            return False
+        print(f'[epoch {epoch}] dev report:')
+        final_dev = dev_eval.print_report(log_to_wandb=metric_logger is not None)
+        return True
 
-        # -- best-checkpoint tracking / early stopping (beyond parity) -----
-        if final_dev and (config.keep_best or config.early_stop_patience):
-            dev_loss = final_dev['loss']
-            if dev_loss < best_dev_loss:
-                best_dev_loss = dev_loss
-                stale_evals = 0
-                if config.keep_best:
-                    # dev eval at epoch e scores the state AFTER epoch e-1
-                    save_checkpoint(config.checkpoint_dir, state,
-                                    epoch - 1, 0, filename='best.ckpt')
-                    logger.info('new best dev loss %.6f -> best.ckpt',
-                                dev_loss)
-            else:
-                stale_evals += 1
-                if (config.early_stop_patience
-                        and stale_evals >= config.early_stop_patience):
-                    print(f'early stop: dev loss has not improved in '
-                          f'{stale_evals} evals (best {best_dev_loss:.6f})')
-                    break
+    def track_best(epoch: int) -> bool:
+        """Best-checkpoint / early-stop bookkeeping (beyond parity).
+        The dev eval at epoch e scores the state AFTER epoch e-1.
+        Returns True when training should stop."""
+        nonlocal best_dev_loss, stale_evals
+        if not (final_dev and (config.keep_best or config.early_stop_patience)):
+            return False
+        dev_loss = final_dev['loss']
+        if dev_loss < best_dev_loss:
+            best_dev_loss = dev_loss
+            stale_evals = 0
+            if config.keep_best:
+                save_checkpoint(config.checkpoint_dir, state,
+                                epoch - 1, 0, filename='best.ckpt')
+                logger.info('new best dev loss %.6f -> best.ckpt', dev_loss)
+            return False
+        stale_evals += 1
+        if config.early_stop_patience and stale_evals >= config.early_stop_patience:
+            print(f'early stop: dev loss has not improved in '
+                  f'{stale_evals} evals (best {best_dev_loss:.6f})')
+            return True
+        return False
+
+    stopped_early = False
+    for epoch in range(start_epoch, config.epochs):
+        # -- dev eval before the epoch (ref train.py:207-226) --------------
+        run_dev_eval(epoch)
+        if track_best(epoch):
+            stopped_early = True
+            break
 
         # -- train epoch ----------------------------------------------------
         t_epoch = time.time()
@@ -390,6 +403,14 @@ def train(config: Config,
 
     if profiling:   # e.g. every epoch took the streaming early-continue
         jax.profiler.stop_trace()
+    # the loop evals BEFORE each epoch, so without this the final epoch's
+    # state would never be scored: best.ckpt could not capture the final
+    # (often best) weights. Parity-gated: only the beyond-parity flags
+    # change the eval cadence.
+    if ((config.keep_best or config.early_stop_patience)
+            and not stopped_early and epochs_run > 0
+            and run_dev_eval(config.epochs)):
+        track_best(config.epochs)
     wps = windows_seen / compute_time if compute_time > 0 else 0.0
     return TrainResult(epochs_run=epochs_run,
                        final_train_metrics=train_metrics if epochs_run else {},

@@ -155,7 +155,11 @@ class ShardedDeviceData:
         def from_blocks(shape, dtype, pick):
             def cb(idx):
                 s = int(idx[0].start or 0)
-                return pick(s)[None].astype(dtype)
+                # np.asarray is a no-copy view when the dtype already
+                # matches (blocks are built in their final dtype) — an
+                # astype here would transiently double each shard's host
+                # footprint during upload
+                return np.asarray(pick(s), dtype)[None]
             return jax.make_array_from_callback(shape, shard_sharding, cb)
 
         self.features = from_blocks((S, rows_pad, C_in), feature_dtype,

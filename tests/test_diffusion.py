@@ -180,6 +180,23 @@ def test_fused_sampler_end_to_end(ds):
                      fused_inference=True)
 
 
+def test_diffusion_keep_best(ds, tmp_path):
+    """--keep-best works for diffusion training too (review finding: the
+    flags are global but only the regression loop implemented them)."""
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.train.diffusion_loop import train_diffusion
+
+    cfg = Config(model_type='diffusion', window_size=20, stride=5,
+                 output_data_format='all_frames', epochs=1, batch_size=8,
+                 d_model=32, num_layers=1, num_heads=4,
+                 diffusion_timesteps=8,
+                 checkpoint_dir=str(tmp_path / 'dck'), keep_best=True,
+                 device_data='off', opt_type='adam', learning_rate=1e-3,
+                 log_every_batches=1000, checkpoint_every_batches=1000)
+    train_diffusion(cfg, ds, ds, max_batches_per_epoch=2)
+    assert (tmp_path / 'dck' / 'best.ckpt').exists()
+
+
 def test_device_diffusion_epoch_runner(ds):
     from inferbiomechanics_tpu.train.device_data import (
         DeviceResidentData, make_device_diffusion_epoch_runner,

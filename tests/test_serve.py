@@ -172,3 +172,17 @@ def test_analytical_rejected(service):
     cfg.model_type = 'analytical'
     with pytest.raises(ValueError, match='analytical'):
         InferenceService(cfg, '/tmp/nock', service.ds)
+
+
+def test_empty_schema_dataset_rejected(tmp_path):
+    """A windowless schema dataset (trials shorter than the window) must
+    raise a clear startup error, not IndexError in the init gather."""
+    write_synthetic_subject(str(tmp_path / 'tiny.b3d'), num_trials=1,
+                            trial_length=10, seed=0)   # < window 20
+    ds = WindowDataset(str(tmp_path), window_size=20, stride=5,
+                       skip_loading_skeletons=True)
+    assert len(ds) == 0
+    cfg = Config()
+    cfg.window_size, cfg.stride = 20, 5
+    with pytest.raises(ValueError, match='no complete windows'):
+        InferenceService(cfg, '/tmp/nock2', ds)

@@ -212,6 +212,28 @@ def test_batchnorm_checkpoint_rejected():
         convert_state_dict(sd, 1)
 
 
+def test_nonstandard_names_do_not_collide(ds, tmp_path):
+    """Converting best.pt and final.pt into one --out-dir must produce
+    TWO checkpoints (stem-named), not silently overwrite
+    epoch_0_batch_0.ckpt twice."""
+    in_size = ds.num_model_frames * ds.num_input_channels
+    out_dir = str(tmp_path / 'out')
+    written = []
+    for name, seed in (('best.pt', 3), ('final.pt', 4)):
+        net = _torch_net(in_size, [16], 30, seed=seed)
+        pt = str(tmp_path / name)
+        torch.save({'model_state_dict':
+                    {'net.' + k: v for k, v in net.state_dict().items()}},
+                   pt)
+        written.append(convert_torch_checkpoint(pt, out_dir))
+    assert sorted(os.path.basename(w) for w in written) == \
+        ['best.ckpt', 'final.ckpt']
+    assert len(os.listdir(out_dir)) == 2
+    # stem-named conversions are NOT resume points (like --keep-best)
+    from inferbiomechanics_tpu.train.checkpoint import list_checkpoints
+    assert list_checkpoints(out_dir) == []
+
+
 def test_cli_convert_checkpoint(ds, tmp_path):
     net = _torch_net(ds.num_model_frames * ds.num_input_channels,
                      [16], 30, seed=1)

@@ -255,6 +255,35 @@ def test_keep_best_and_early_stop(ds, tmp_path):
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
 
 
+def test_keep_best_scores_final_epoch(ds, tmp_path):
+    """The epoch loop evals BEFORE each epoch, so --keep-best must run
+    one extra dev eval after the last epoch — otherwise the final (often
+    best) weights could never land in best.ckpt. With a real LR and one
+    epoch, best.ckpt must be the post-training state (epoch 0), not the
+    init-state eval (epoch -1)."""
+    import jax
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.train.checkpoint import load_checkpoint_file
+    from inferbiomechanics_tpu.train.loop import build_model_for_dataset, train
+    from inferbiomechanics_tpu.train.optimizers import make_optimizer
+    from inferbiomechanics_tpu.train.state import create_train_state
+
+    ckpt = str(tmp_path / 'bestfinal')
+    cfg = Config(window_size=20, stride=5, model_type='feedforward',
+                 checkpoint_dir=ckpt, epochs=1, batch_size=16,
+                 opt_type='adam', learning_rate=1e-3, device_data='off',
+                 checkpoint_every_batches=1000, log_every_batches=1000,
+                 keep_best=True)
+    train(cfg, ds, ds, max_batches_per_epoch=8)
+    model = build_model_for_dataset(cfg, ds)
+    sample = ds.gather(np.arange(16))
+    st = create_train_state(model, jax.random.PRNGKey(1),
+                            jnp.asarray(sample.inputs),
+                            make_optimizer('adam', 1e-3))
+    _st, e, _b = load_checkpoint_file(st, os.path.join(ckpt, 'best.ckpt'))
+    assert e == 0   # saved by the post-final-epoch eval, not the init eval
+
+
 def test_lr_schedules():
     """LR schedule factory: warmup/decay envelopes + optimizer wiring;
     non-constant schedules demand a decay horizon."""
