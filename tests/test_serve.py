@@ -174,6 +174,21 @@ def test_analytical_rejected(service):
         InferenceService(cfg, '/tmp/nock', service.ds)
 
 
+def test_transformer_service(service, tmp_path):
+    """serve works for the transformer family too (no checkpoint: warns
+    and serves the init model)."""
+    cfg = Config()
+    cfg.model_type = 'transformer'
+    cfg.window_size, cfg.stride = 20, 5
+    cfg.d_model, cfg.num_layers, cfg.num_heads = 64, 1, 4
+    svc = InferenceService(cfg, str(tmp_path / 'none'), service.ds,
+                           max_batch=32)
+    batch = service.ds.gather(np.arange(3))
+    out = svc.predict_packed(np.asarray(batch.inputs))
+    f = out[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]
+    assert f.shape == (3, 1, 6) and np.isfinite(f).all()
+
+
 def test_empty_schema_dataset_rejected(tmp_path):
     """A windowless schema dataset (trials shorter than the window) must
     raise a clear startup error, not IndexError in the init gather."""
