@@ -1,0 +1,383 @@
+"""Vmapped hyperparameter sweeps: K configs trained in ONE compiled program.
+
+Capability parity+: the reference sweeps hyperparameters as bash loops
+over sbatch — one full training job per (hidden_size, learning_rate)
+point, each re-reading the dataset and re-dispatching every step
+(reference ``src/slurm/slurm_loop.sh:13-22``). The TPU-native
+replacement trains every same-shape config SIMULTANEOUSLY: parameters,
+optimizer states, learning rates and dropout streams stack along a
+config axis and a single ``jax.vmap``-ed train step updates all K
+configs per batch. The batch is gathered (and, device-resident, HBM-read)
+ONCE per step for all configs, and the per-kernel dispatch tax the small
+models are bounded by (BENCH_NOTES.md: ~12 us/kernel; the feedforward
+step is launch/gather-bound, not FLOP-bound) is paid once instead of K
+times — so a K-way sweep costs far less than K sequential runs.
+
+Sweepable axes (shape-preserving, so one XLA program serves every
+config): learning rate x init/shuffle seed. Shape-CHANGING axes (hidden
+dims) sweep as an outer sequential loop in the CLI
+(``cli/sweep_cmd.py``), vmapping the lr x seed grid inside each shape.
+
+Exact-lr trick: every reference optimizer choice (optimizers.py — the
+six optax factories of ref train.py:183-197) ends in
+``optax.scale_by_learning_rate(lr)``, i.e. its update is exactly linear
+in the learning rate and lr appears nowhere in the optimizer STATE. The
+sweep therefore builds one optimizer at lr=1.0 and multiplies each
+config's (already sign-flipped) updates by its own lr — bit-identical
+per op to baking that lr in (IEEE multiply is commutative; the sign
+flip by -1.0 is exact), verified against all six factories in
+``tests/test_sweep.py::test_lr_scaling_exact``.
+
+Multi-chip: a sweep is embarrassingly parallel, so the natural mesh
+mapping shards the CONFIG axis (not the batch) across devices —
+each chip trains K/n configs with zero per-step collectives
+(``config_axis_sharding``). Batch data parallelism would all-reduce
+gradients every step for no cross-config benefit.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from inferbiomechanics_tpu.config import Config
+from inferbiomechanics_tpu.data.dataset import WindowDataset, unpack
+from inferbiomechanics_tpu.loss import LossConfig
+from inferbiomechanics_tpu.loss.evaluator import loss_and_metrics
+from inferbiomechanics_tpu.train.checkpoint import save_checkpoint
+from inferbiomechanics_tpu.train.optimizers import make_optimizer
+from inferbiomechanics_tpu.train.state import TrainState
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class SweepPoint:
+    """One config of the sweep grid and its outcome."""
+    index: int
+    learning_rate: float
+    seed: int
+    final_dev_loss: Optional[float] = None
+    final_train_loss: Optional[float] = None
+    checkpoint_path: Optional[str] = None
+
+
+@dataclass
+class SweepResult:
+    points: List[SweepPoint] = field(default_factory=list)
+    best_index: int = -1
+    windows_per_sec: float = 0.0   # aggregate over all configs
+
+    @property
+    def best(self) -> SweepPoint:
+        return self.points[self.best_index]
+
+    def to_json(self) -> str:
+        return json.dumps({
+            'points': [vars(p) for p in self.points],
+            'best_index': self.best_index,
+            'windows_per_sec': self.windows_per_sec,
+        }, indent=2)
+
+
+def sweep_grid(lrs: Sequence[float], seeds: Sequence[int]
+               ) -> List[Tuple[float, int]]:
+    """Cartesian lr x seed grid, lr-major (matching the reference's nested
+    bash loops, slurm_loop.sh:17-22)."""
+    return list(itertools.product([float(l) for l in lrs],
+                                  [int(s) for s in seeds]))
+
+
+# ---------------------------------------------------------------------------
+# Stacked state
+# ---------------------------------------------------------------------------
+
+
+def init_sweep_states(model, tx: optax.GradientTransformation,
+                      sample_inputs, seeds: Sequence[int]) -> TrainState:
+    """One TrainState whose leaves carry a leading [K] config axis.
+
+    Each config's parameters are initialized from its own PRNG seed —
+    exactly what K independent runs would do.
+    """
+
+    def init_one(seed):
+        rng = jax.random.PRNGKey(seed)
+        variables = model.init({'params': rng, 'dropout': rng},
+                               sample_inputs, train=False)
+        if 'batch_stats' in variables:
+            raise ValueError('sweep does not support batchnorm models '
+                             '(mutable batch_stats cannot stack under vmap '
+                             'with a shared batch); drop --batchnorm')
+        params = variables['params']
+        return params, tx.init(params)
+
+    params, opt_state = jax.vmap(init_one)(
+        jnp.asarray(list(seeds), jnp.uint32))
+    return TrainState(step=jnp.zeros((len(list(seeds)),), jnp.int32),
+                      params=params, opt_state=opt_state, batch_stats={},
+                      tx=tx, apply_fn=model.apply)
+
+
+def slice_config(state: TrainState, k: int) -> TrainState:
+    """Extract config ``k`` as a plain (unstacked) TrainState — checkpoint
+    compatible with single-run training (same pytree structure: lr is not
+    part of any reference optimizer's state)."""
+    take = lambda x: x[k]
+    return state.replace(step=state.step[k],
+                         params=jax.tree_util.tree_map(take, state.params),
+                         opt_state=jax.tree_util.tree_map(take, state.opt_state))
+
+
+def config_axis_sharding(mesh):
+    """NamedSharding placing the leading config axis on the mesh's data
+    axis — each device owns K/n configs, zero per-step collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from inferbiomechanics_tpu.parallel.mesh import DATA_AXIS
+    return NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+
+
+def shard_sweep_state(state: TrainState, mesh) -> TrainState:
+    """Constrain every stacked leaf onto the config sharding. Leaves whose
+    config axis does not divide the mesh (or 0-d leaves) stay replicated."""
+    shard = config_axis_sharding(mesh)
+    n = mesh.shape['data'] if 'data' in mesh.shape else 1
+
+    def place(x):
+        if getattr(x, 'ndim', 0) >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, shard)
+        return x
+
+    return jax.tree_util.tree_map(place, state)
+
+
+# ---------------------------------------------------------------------------
+# Steps
+# ---------------------------------------------------------------------------
+
+
+def _one_update(model, tx, loss_config, batch_inputs, labels):
+    """Per-config closure: grad + optimizer update with the exact-lr trick."""
+
+    def update(params, opt_state, lr, dropout_rng):
+        def loss_fn(p):
+            outputs = model.apply({'params': p}, batch_inputs, train=True,
+                                  rngs={'dropout': dropout_rng})
+            loss, metrics = loss_and_metrics(outputs, labels, loss_config)
+            return loss, metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        # tx was built at lr=1.0 (updates already sign-flipped); scaling by
+        # this config's lr is bit-identical to baking lr into tx (module
+        # docstring; test_lr_scaling_exact)
+        updates = jax.tree_util.tree_map(
+            lambda u: u * lr.astype(u.dtype), updates)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt, metrics
+
+    return update
+
+
+def make_sweep_train_step(model, tx: optax.GradientTransformation,
+                          lab_offsets: Dict[str, Tuple[int, int]],
+                          loss_config: LossConfig, lrs: Sequence[float],
+                          donate: bool = True):
+    """``step(state, batch_inputs, batch_labels, rng) -> (state, metrics)``
+    — one host-fed batch updates all K configs; metrics leaves are
+    [K]-stacked."""
+    lrs = jnp.asarray(list(lrs), jnp.float32)
+    k = lrs.shape[0]
+
+    def step(state: TrainState, batch_inputs, batch_labels, rng):
+        labels = unpack(batch_labels, lab_offsets)
+        update = _one_update(model, tx, loss_config, batch_inputs, labels)
+        subs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(k))
+        new_params, new_opt, metrics = jax.vmap(update)(
+            state.params, state.opt_state, lrs, subs)
+        state = state.replace(step=state.step + 1, params=new_params,
+                              opt_state=new_opt)
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sweep_device_epoch_step(model, tx, data, loss_config: LossConfig,
+                                 lrs: Sequence[float], batch_size: int,
+                                 steps_per_call: int = 8):
+    """Device-resident variant: ``run(state, rng) -> (state, mean_metrics)``
+    — ``steps_per_call`` sweep steps per jit program (lax.scan), window
+    indices sampled on device, the gathered batch read from HBM once per
+    step for ALL configs (train/device_data.py mechanics)."""
+    lrs_arr = jnp.asarray(list(lrs), jnp.float32)
+    k = lrs_arr.shape[0]
+
+    def one(carry, idx):
+        state, rng = carry
+        rng, sub = jax.random.split(rng)
+        batch_inputs, batch_labels = data.gather_in_jit(idx)
+        labels = unpack(batch_labels, data.lab_offsets)
+        update = _one_update(model, tx, loss_config, batch_inputs, labels)
+        subs = jax.vmap(lambda i: jax.random.fold_in(sub, i))(jnp.arange(k))
+        new_params, new_opt, metrics = jax.vmap(update)(
+            state.params, state.opt_state, lrs_arr, subs)
+        state = state.replace(step=state.step + 1, params=new_params,
+                              opt_state=new_opt)
+        return (state, rng), metrics
+
+    def run(state: TrainState, rng: jax.Array):
+        idx = jax.random.randint(
+            jax.random.fold_in(rng, 0x5e), (steps_per_call, batch_size),
+            0, data.num_windows, dtype=jnp.int32)
+        (state, _), metrics = jax.lax.scan(one, (state, rng), idx)
+        return state, jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def make_sweep_eval_step(model, lab_offsets, loss_config: LossConfig):
+    """``eval(params_stack, batch_inputs, batch_labels) -> metrics`` with
+    [K]-stacked leaves; the dev batch is shared across configs."""
+
+    def eval_one(params, batch_inputs, labels):
+        outputs = model.apply({'params': params}, batch_inputs, train=False)
+        _, metrics = loss_and_metrics(outputs, labels, loss_config)
+        return metrics
+
+    def eval_step(params_stack, batch_inputs, batch_labels):
+        labels = unpack(batch_labels, lab_offsets)
+        return jax.vmap(eval_one, in_axes=(0, None, None))(
+            params_stack, batch_inputs, labels)
+
+    return jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# The sweep loop
+# ---------------------------------------------------------------------------
+
+
+def run_sweep(config: Config, train_ds: WindowDataset,
+              dev_ds: Optional[WindowDataset],
+              lrs: Sequence[float], seeds: Sequence[int],
+              max_batches_per_epoch: Optional[int] = None,
+              shard_configs: bool = False) -> SweepResult:
+    """Train the full lr x seed grid simultaneously; rank the configs by
+    final dev loss (train loss when no dev split is usable).
+
+    Batch order is shared across configs (one gather per step), seeded by
+    ``config.seed`` — the per-config ``seeds`` drive init + dropout, which
+    is the part that must vary for seed sweeps to be meaningful.
+    """
+    from inferbiomechanics_tpu.data.loader import PrefetchLoader
+    from inferbiomechanics_tpu.train.loop import (
+        build_model_for_dataset, loss_config_from,
+    )
+
+    grid = sweep_grid(lrs, seeds)
+    k = len(grid)
+    grid_lrs = [g[0] for g in grid]
+    grid_seeds = [g[1] for g in grid]
+    lc = loss_config_from(config)
+    model = build_model_for_dataset(config, train_ds)
+
+    sample = train_ds.gather(
+        np.arange(min(config.batch_size, max(1, len(train_ds)))))
+    sample_inputs = sample.inputs
+    if sample_inputs.shape[0] < config.batch_size:
+        reps = -(-config.batch_size // sample_inputs.shape[0])
+        sample_inputs = np.tile(sample_inputs,
+                                (reps, 1, 1))[:config.batch_size]
+
+    tx = make_optimizer(config.opt_type, 1.0)
+    if config.lr_schedule != 'constant':
+        raise ValueError('sweep supports constant learning rates only '
+                         '(the exact-lr vmap trick needs lr out of the '
+                         'optimizer state); drop --lr-schedule')
+    state = init_sweep_states(model, tx, jnp.asarray(sample_inputs),
+                              grid_seeds)
+    if shard_configs:
+        from inferbiomechanics_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        n_dev = int(mesh.shape['data'])
+        state = shard_sweep_state(state, mesh)
+        if k % n_dev == 0:
+            logger.info('sweep configs sharded %d-way across the mesh', n_dev)
+        else:
+            logger.warning('--shard-configs: %d configs do not divide the '
+                           '%d-device data axis; configs stay replicated',
+                           k, n_dev)
+
+    step = make_sweep_train_step(model, tx, train_ds.lab_offsets, lc,
+                                 grid_lrs)
+    eval_step = make_sweep_eval_step(model, train_ds.lab_offsets, lc)
+
+    loader = PrefetchLoader(train_ds, config.batch_size,
+                            n_threads=config.data_loading_workers)
+    dev_loader = (PrefetchLoader(dev_ds, config.batch_size, shuffle=False)
+                  if dev_ds is not None and len(dev_ds) >= config.batch_size
+                  else None)
+
+    rng = jax.random.PRNGKey(config.seed)
+    windows_seen = 0
+    t0 = time.time()
+    last_train = None
+    for epoch in range(config.epochs):
+        for batch_idx, batch in enumerate(
+                loader.epoch(seed=config.seed * 1_000_003 + epoch)):
+            if (max_batches_per_epoch is not None
+                    and batch_idx >= max_batches_per_epoch):
+                break
+            step_rng = jax.random.fold_in(rng, epoch * 1_000_000 + batch_idx)
+            state, metrics = step(state, batch.inputs, batch.labels, step_rng)
+            last_train = metrics
+            windows_seen += config.batch_size * k
+        logger.info('sweep epoch %d done', epoch)
+
+    # np.asarray forces the device->host readback = the only trustworthy
+    # sync on this runtime (BENCH_NOTES.md measurement rules)
+    train_losses = (np.asarray(last_train['loss'])
+                    if last_train is not None else np.full(k, np.nan))
+    elapsed = time.time() - t0
+
+    # final dev eval, every config on the identical dev stream
+    dev_losses = None
+    if dev_loader is not None:
+        acc = np.zeros(k)
+        n = 0
+        for batch in dev_loader.epoch(seed=0):
+            m = eval_step(state.params, batch.inputs, batch.labels)
+            acc += np.asarray(m['loss'])
+            n += 1
+        if n:
+            dev_losses = acc / n
+
+    ranking = dev_losses if dev_losses is not None else train_losses
+    result = SweepResult(windows_per_sec=(windows_seen / elapsed
+                                          if elapsed > 0 else 0.0))
+    for i, (lr, seed) in enumerate(grid):
+        pt = SweepPoint(index=i, learning_rate=lr, seed=seed,
+                        final_train_loss=float(train_losses[i]),
+                        final_dev_loss=(float(dev_losses[i])
+                                        if dev_losses is not None else None))
+        if config.checkpoint_dir:
+            sub = os.path.join(config.checkpoint_dir,
+                               f'lr{lr:g}_seed{seed}')
+            pt.checkpoint_path = save_checkpoint(
+                sub, slice_config(state, i), max(0, config.epochs - 1), 0)
+        result.points.append(pt)
+    if k and np.isfinite(ranking).any():
+        result.best_index = int(np.nanargmin(ranking))
+    elif k:
+        result.best_index = 0   # nothing ran (e.g. --epochs 0): arbitrary
+    return result

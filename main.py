@@ -35,6 +35,7 @@ def build_commands():
     from inferbiomechanics_tpu.cli.convert_checkpoint_cmd import (
         ConvertCheckpointCommand,
     )
+    from inferbiomechanics_tpu.cli.sweep_cmd import SweepCommand
     return [
         TrainCommand(),
         VisualizeCommand(),
@@ -49,6 +50,7 @@ def build_commands():
         ConvertB3dCommand(),
         ServeCommand(),
         ConvertCheckpointCommand(),
+        SweepCommand(),
     ]
 
 

@@ -1,0 +1,223 @@
+"""Vmapped hyperparameter sweep (train/sweep.py + `main.py sweep`).
+
+Reference equivalent being replaced: nested bash loops launching one
+sbatch job per hyperparameter point (src/slurm/slurm_loop.sh:13-22).
+The core claims under test:
+
+  1. the exact-lr trick — optimizer built at lr=1.0, updates scaled by
+     each config's lr — is BIT-identical to baking the lr in, for all
+     six reference optimizer choices;
+  2. a config trained inside the vmapped sweep matches the same config
+     trained standalone;
+  3. the end-to-end sweep ranks configs and writes loadable checkpoints;
+  4. sharding the config axis across the mesh preserves the results.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inferbiomechanics_tpu.config import Config
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+from inferbiomechanics_tpu.loss import LossConfig
+from inferbiomechanics_tpu.models import get_model
+from inferbiomechanics_tpu.train import create_train_state, make_optimizer
+from inferbiomechanics_tpu.train.optimizers import OPT_TYPES
+from inferbiomechanics_tpu.train.step import make_train_step
+from inferbiomechanics_tpu.train.sweep import (
+    init_sweep_states, make_sweep_train_step, run_sweep, shard_sweep_state,
+    slice_config, sweep_grid,
+)
+
+MAIN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    'main.py')
+
+
+@pytest.fixture(scope='module')
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp('sweep_data')
+    for split in ('train', 'dev'):
+        os.makedirs(root / split)
+        write_synthetic_subject(str(root / split / 's0.b3d'), num_trials=1,
+                                trial_length=200, seed=0)
+    train_ds = WindowDataset(str(root / 'train'), window_size=50, stride=5,
+                             skip_loading_skeletons=True)
+    dev_ds = WindowDataset(str(root / 'dev'), window_size=50, stride=5,
+                           skip_loading_skeletons=True)
+    return {'root': root, 'train': train_ds, 'dev': dev_ds}
+
+
+def _tiny_model(ds):
+    return get_model('feedforward', num_dofs=ds.num_dofs,
+                     num_contact_bodies=ds.num_contact_bodies,
+                     history_len=50, stride=5,
+                     root_history_len=ds.root_history_len,
+                     hidden_dims=[32, 32])
+
+
+def test_lr_scaling_exact():
+    """tx(lr).update == lr * tx(1.0).update, bitwise, for all six
+    reference optimizers (the sweep's correctness precondition)."""
+    params = {'w': jnp.asarray(np.random.default_rng(0)
+                               .standard_normal((16, 8)), jnp.float32),
+              'b': jnp.asarray(np.random.default_rng(1)
+                               .standard_normal((8,)), jnp.float32)}
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(np.random.default_rng(p.shape[0])
+                              .standard_normal(p.shape), jnp.float32), params)
+    lr = 3.7e-4
+    for opt in OPT_TYPES:
+        tx_baked = make_optimizer(opt, lr)
+        tx_unit = make_optimizer(opt, 1.0)
+        s_baked = tx_baked.init(params)
+        s_unit = tx_unit.init(params)
+        # two update steps so stateful accumulators (rms, adam moments)
+        # are exercised, not just the first-step fast path
+        p_b, p_u = params, params
+        for _ in range(2):
+            u_b, s_baked = tx_baked.update(grads, s_baked, p_b)
+            u_u, s_unit = tx_unit.update(grads, s_unit, p_u)
+            u_scaled = jax.tree_util.tree_map(lambda u: u * lr, u_u)
+            for a, b in zip(jax.tree_util.tree_leaves(u_b),
+                            jax.tree_util.tree_leaves(u_scaled)):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f'{opt}: lr scaling not exact')
+            import optax
+            p_b = optax.apply_updates(p_b, u_b)
+            p_u = optax.apply_updates(p_u, u_scaled)
+
+
+def test_sweep_grid_is_lr_major():
+    assert sweep_grid([1e-3, 1e-4], [0, 1]) == [
+        (1e-3, 0), (1e-3, 1), (1e-4, 0), (1e-4, 1)]
+
+
+def test_sweep_config_matches_standalone(dataset):
+    """Config k of the vmapped sweep == that config trained alone (same
+    seed, lr, batches)."""
+    ds = dataset['train']
+    model = _tiny_model(ds)
+    lc = LossConfig()
+    lrs, seeds = [1e-3, 1e-4], [0]
+    grid = sweep_grid(lrs, seeds)
+    batch = ds.gather(np.arange(32))
+    bi, bl = jnp.asarray(batch.inputs), jnp.asarray(batch.labels)
+
+    tx_unit = make_optimizer('rmsprop', 1.0)
+    sweep_state = init_sweep_states(model, tx_unit, bi, [s for _, s in grid])
+    sweep_step = make_sweep_train_step(model, tx_unit, ds.lab_offsets, lc,
+                                       [l for l, _ in grid], donate=False)
+    rng = jax.random.PRNGKey(7)
+    for i in range(3):
+        sweep_state, metrics = sweep_step(sweep_state, bi, bl,
+                                          jax.random.fold_in(rng, i))
+    assert np.asarray(metrics['loss']).shape == (2,)
+
+    for k, (lr, seed) in enumerate(grid):
+        tx = make_optimizer('rmsprop', lr)
+        state = create_train_state(model, jax.random.PRNGKey(seed), bi, tx)
+        step = make_train_step(model, ds.lab_offsets, lc, donate=False)
+        for i in range(3):
+            state, m = step(state, bi, bl, jax.random.fold_in(rng, i))
+        got = slice_config(sweep_state, k)
+        for a, b in zip(jax.tree_util.tree_leaves(got.params),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
+
+
+def test_run_sweep_end_to_end(dataset, tmp_path):
+    ds, dev = dataset['train'], dataset['dev']
+    config = Config(dataset_home=str(dataset['root']),
+                    checkpoint_dir=str(tmp_path / 'ck'),
+                    hidden_dims=[32, 32], epochs=1, batch_size=16, seed=0)
+    result = run_sweep(config, ds, dev, lrs=[1e-3, 1e-5], seeds=[0, 1],
+                       max_batches_per_epoch=4)
+    assert len(result.points) == 4
+    assert all(p.final_dev_loss is not None for p in result.points)
+    assert 0 <= result.best_index < 4
+    # checkpoints written per config and loadable into a standalone state
+    from inferbiomechanics_tpu.train.checkpoint import load_latest_checkpoint
+    pt = result.points[0]
+    assert pt.checkpoint_path and os.path.exists(pt.checkpoint_path)
+    model = _tiny_model(ds)
+    batch = ds.gather(np.arange(16))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(batch.inputs),
+                               make_optimizer('rmsprop', pt.learning_rate))
+    state, epoch, _ = load_latest_checkpoint(
+        state, os.path.dirname(pt.checkpoint_path))
+    assert epoch == 0
+    # different configs produced different outcomes
+    a = result.points[0].final_train_loss
+    b = result.points[1].final_train_loss
+    assert a != b or result.points[0].final_dev_loss != result.points[1].final_dev_loss
+
+
+def test_shard_configs_preserves_results(dataset):
+    """Config-axis sharding across the 8-device mesh: same losses as the
+    replicated run."""
+    ds = dataset['train']
+    model = _tiny_model(ds)
+    lc = LossConfig()
+    grid = sweep_grid([1e-3, 3e-4, 1e-4, 3e-5], [0, 1])   # K=8
+    batch = ds.gather(np.arange(32))
+    bi, bl = jnp.asarray(batch.inputs), jnp.asarray(batch.labels)
+    tx = make_optimizer('adam', 1.0)
+    lrs = [l for l, _ in grid]
+    seeds = [s for _, s in grid]
+
+    def run(shard):
+        state = init_sweep_states(model, tx, bi, seeds)
+        if shard:
+            from inferbiomechanics_tpu.parallel import make_mesh
+            state = shard_sweep_state(state, make_mesh())
+        step = make_sweep_train_step(model, tx, ds.lab_offsets, lc, lrs,
+                                     donate=False)
+        rng = jax.random.PRNGKey(3)
+        for i in range(2):
+            state, metrics = step(state, bi, bl, jax.random.fold_in(rng, i))
+        return np.asarray(metrics['loss'])
+
+    plain = run(False)
+    sharded = run(True)
+    np.testing.assert_allclose(plain, sharded, rtol=1e-5)
+
+
+def test_sweep_rejects_batchnorm(dataset):
+    ds = dataset['train']
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=50, stride=5,
+                      root_history_len=ds.root_history_len,
+                      hidden_dims=[16], batchnorm=True)
+    batch = ds.gather(np.arange(8))
+    with pytest.raises(ValueError, match='batchnorm'):
+        init_sweep_states(model, make_optimizer('sgd', 1.0),
+                          jnp.asarray(batch.inputs), [0])
+
+
+def test_sweep_cli(dataset, tmp_path):
+    env = dict(os.environ, IB_PLATFORM='cpu')
+    ckpt = tmp_path / 'ck'
+    out = subprocess.run(
+        [sys.executable, MAIN, 'sweep', '--dataset-home',
+         str(dataset['root']), '--checkpoint-dir', str(ckpt), '--no-wandb',
+         '--epochs', '1', '--batch-size', '16', '--hidden-dims', '16',
+         '--lrs', '1e-3', '1e-4', '--seeds', '0',
+         '--max-batches-per-epoch', '3'],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert 'sweep winner' in out.stdout
+    results = json.load(open(ckpt / 'sweep' / 'feedforward'
+                             / 'sweep_results.json'))
+    assert len(results['points']) == 2
+    assert results['best'] is not None
