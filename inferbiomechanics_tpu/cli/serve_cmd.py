@@ -33,6 +33,14 @@ class ServeCommand:
         parser.add_argument('--max-batch', type=int, default=4096,
                             help='Largest accepted /predict batch (also the '
                                  'top compile bucket)')
+        parser.add_argument('--ensemble', type=str, nargs='+', default=None,
+                            metavar='CKPT',
+                            help='Serve the MEAN of several checkpoints '
+                                 '(dirs or .ckpt files, e.g. a seed '
+                                 'sweep\'s per-config checkpoints) in one '
+                                 'vmapped forward; /predict can also '
+                                 'return the across-member std '
+                                 '("spread": true)')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'serve':
@@ -56,10 +64,13 @@ class ServeCommand:
                            skip_loading_skeletons=True,
                            materialize_features=False)
         service = InferenceService(config, checkpoint_dir, ds,
-                                   max_batch=args.max_batch)
+                                   max_batch=args.max_batch,
+                                   ensemble=args.ensemble)
         server = serve(service, host=args.host, port=args.port)
-        print(f'serving {config.model_type} '
-              f'(epoch {service.epoch}, batch {service.batch}) on '
+        tag = (f'{len(service.members)}-member ensemble'
+               if service.members else
+               f'epoch {service.epoch}, batch {service.batch}')
+        print(f'serving {config.model_type} ({tag}) on '
               f'http://{args.host}:{server.server_address[1]} — Ctrl-C stops',
               flush=True)
         try:

@@ -25,6 +25,13 @@ Returned predictions use the reference's output-key schema
 (``OutputDataKeys``, AddBiomechanicsDataset.py:29-42), each value
 ``[B, out_frames, C]`` nested lists (or base64 when the request asked
 with ``"encoding": "b64"``).
+
+Ensembles: constructed with ``ensemble=[dir_or_ckpt, ...]`` (CLI
+``--ensemble``), every member runs in ONE vmapped forward per request —
+the stacked-params mechanism of ``train/sweep.py`` — and /predict
+returns the member MEAN; ``{"spread": true}`` adds the across-member
+std per channel as an uncertainty estimate. Pairs naturally with a seed
+sweep's per-config checkpoints.
 """
 
 from __future__ import annotations
@@ -53,12 +60,21 @@ class InferenceService:
     """Checkpointed model + bucketed, lock-serialized batch forward."""
 
     def __init__(self, config: Config, checkpoint_dir: str,
-                 dataset: WindowDataset, max_batch: int = 4096):
+                 dataset: WindowDataset, max_batch: int = 4096,
+                 ensemble: Optional[list] = None):
+        """``ensemble``: optional list of checkpoint dirs or ``.ckpt``
+        files (e.g. the per-config checkpoints a seed sweep wrote). All
+        members run as ONE vmapped forward per request — the same
+        stacked-params mechanism as ``train/sweep.py`` — and /predict
+        returns the ensemble MEAN plus (on request) the across-member
+        std as an uncertainty estimate."""
+        import os
         import jax
         import jax.numpy as jnp
         from inferbiomechanics_tpu.train import (
             create_train_state, load_latest_checkpoint, make_optimizer,
         )
+        from inferbiomechanics_tpu.train.checkpoint import load_checkpoint_file
         from inferbiomechanics_tpu.train.loop import build_model_for_dataset
 
         if config.model_type == 'analytical':
@@ -78,14 +94,42 @@ class InferenceService:
         self.state = create_train_state(
             self.model, jax.random.PRNGKey(0), jnp.asarray(sample.inputs),
             make_optimizer(config.opt_type, config.learning_rate))
-        self.state, self.epoch, self.batch = load_latest_checkpoint(
-            self.state, checkpoint_dir)
-        if self.epoch < 0:
-            logger.warning('no checkpoint found in %s — serving an '
-                           'UNTRAINED model', checkpoint_dir)
+        self.members: list = []
+        if ensemble:
+            states = []
+            for spec in ensemble:
+                if os.path.isdir(spec):
+                    st, e, b = load_latest_checkpoint(self.state, spec)
+                    if e < 0:
+                        raise ValueError(f'ensemble member {spec!r}: no '
+                                         f'checkpoints found')
+                else:
+                    if not os.path.exists(spec):
+                        raise FileNotFoundError(f'ensemble member {spec!r}')
+                    st, e, b = load_checkpoint_file(self.state, spec)
+                states.append(st)
+                self.members.append({'path': spec, 'epoch': e, 'batch': b})
+            self.state, self.epoch, self.batch = states[0], *max(
+                (m['epoch'], m['batch']) for m in self.members)
+            stack = lambda *xs: jnp.stack(xs)
+            self._params_stack = jax.tree_util.tree_map(
+                stack, *[s.params for s in states])
+            self._bs_stack = (jax.tree_util.tree_map(
+                stack, *[s.batch_stats for s in states])
+                if states[0].batch_stats else {})
+        else:
+            self.state, self.epoch, self.batch = load_latest_checkpoint(
+                self.state, checkpoint_dir)
+            if self.epoch < 0:
+                logger.warning('no checkpoint found in %s — serving an '
+                               'UNTRAINED model', checkpoint_dir)
 
         batch_stats = self.state.batch_stats
         use_fused = bool(getattr(config, 'fused_inference', False))
+        if use_fused and self.members:
+            logger.warning('--fused-inference ignored for ensembles '
+                           '(the fused kernel path is single-model)')
+            use_fused = False
         if use_fused:
             from inferbiomechanics_tpu.models.transformer import (
                 TransformerRegressor,
@@ -109,6 +153,23 @@ class InferenceService:
                 variables['batch_stats'] = batch_stats
             return self.model.apply(variables, x, train=False)
 
+        if self.members:
+            has_bs = bool(self._bs_stack)
+
+            def fwd_ens(params_stack, bs_stack, x):
+                def one(p, bs):
+                    variables = {'params': p}
+                    if has_bs:
+                        variables['batch_stats'] = bs
+                    return self.model.apply(variables, x, train=False)
+
+                outs = jax.vmap(one, in_axes=(0, 0 if has_bs else None))(
+                    params_stack, bs_stack if has_bs else None)
+                mean = jax.tree_util.tree_map(lambda o: o.mean(0), outs)
+                spread = jax.tree_util.tree_map(lambda o: o.std(0), outs)
+                return mean, spread
+
+            self._fwd_ens = jax.jit(fwd_ens)
         self._fwd = jax.jit(fwd)
         self._lock = threading.Lock()
         # file-mode dataset cache: path -> WindowDataset, LRU-bounded so a
@@ -120,8 +181,12 @@ class InferenceService:
 
     # -- raw packed windows --------------------------------------------------
 
-    def predict_packed(self, x: np.ndarray) -> Dict[str, np.ndarray]:
-        """[B, T, C_in] float32 -> output dict, each [B, out_frames, C]."""
+    def predict_packed(self, x: np.ndarray, with_spread: bool = False):
+        """[B, T, C_in] float32 -> output dict, each [B, out_frames, C].
+
+        With ``with_spread=True`` returns ``(outputs, spread)`` where
+        spread holds the across-ensemble std per output channel
+        (zeros-shaped ``None`` for single-model services)."""
         import jax
         import jax.numpy as jnp
 
@@ -142,11 +207,21 @@ class InferenceService:
         if bp != b:
             x = np.concatenate(
                 [x, np.zeros((bp - b,) + x.shape[1:], np.float32)])
+        spread = None
         with self._lock:
-            out = self._fwd(self.state.params,
-                            jnp.asarray(x, jnp.float32))
-            out = jax.device_get(out)
-        return {k: np.asarray(v)[:b] for k, v in out.items()}
+            if self.members:
+                out, spread = jax.device_get(self._fwd_ens(
+                    self._params_stack, self._bs_stack,
+                    jnp.asarray(x, jnp.float32)))
+            else:
+                out = jax.device_get(self._fwd(self.state.params,
+                                               jnp.asarray(x, jnp.float32)))
+        out = {k: np.asarray(v)[:b] for k, v in out.items()}
+        if with_spread:
+            if spread is not None:
+                spread = {k: np.asarray(v)[:b] for k, v in spread.items()}
+            return out, spread
+        return out
 
     # -- server-visible subject files ----------------------------------------
 
@@ -193,6 +268,8 @@ class InferenceService:
         return {
             'model_type': self.config.model_type,
             'checkpoint': {'epoch': self.epoch, 'batch': self.batch},
+            'ensemble': {'size': len(self.members),
+                         'members': self.members} if self.members else None,
             'fused_inference': self._use_fused,
             'window_size': ds.window_size,
             'stride': ds.stride,
@@ -254,7 +331,8 @@ def make_handler(service: InferenceService):
                 self._send(200, {'status': 'ok',
                                  'model': service.config.model_type,
                                  'epoch': service.epoch,
-                                 'batch': service.batch})
+                                 'batch': service.batch,
+                                 'ensemble_size': len(service.members)})
             elif self.path == '/schema':
                 self._send(200, service.schema())
             else:
@@ -270,9 +348,20 @@ def make_handler(service: InferenceService):
             try:
                 if self.path == '/predict':
                     x = _decode_inputs(payload)
-                    out = service.predict_packed(x)
-                    self._send(200, {'outputs': _encode_outputs(out, encoding),
-                                     'batch': int(x.shape[0])})
+                    want_spread = bool(payload.get('spread'))
+                    if want_spread:
+                        out, spread = service.predict_packed(
+                            x, with_spread=True)
+                    else:
+                        out, spread = service.predict_packed(x), None
+                    resp = {'outputs': _encode_outputs(out, encoding),
+                            'batch': int(x.shape[0])}
+                    if want_spread:
+                        # across-ensemble std per channel; all-zeros has no
+                        # meaning for a single model, so null there
+                        resp['spread'] = (_encode_outputs(spread, encoding)
+                                          if spread is not None else None)
+                    self._send(200, resp)
                 elif self.path == '/predict_file':
                     if 'file' not in payload:
                         raise ValueError('request needs "file"')

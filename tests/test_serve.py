@@ -201,3 +201,99 @@ def test_empty_schema_dataset_rejected(tmp_path):
     cfg.window_size, cfg.stride = 20, 5
     with pytest.raises(ValueError, match='no complete windows'):
         InferenceService(cfg, '/tmp/nock2', ds)
+
+
+# -----------------------------------------------------------------------------
+# Ensemble serving
+# -----------------------------------------------------------------------------
+
+
+@pytest.fixture(scope='module')
+def ensemble_service(service, tmp_path_factory):
+    """Two checkpoints with DIFFERENT params served as one ensemble."""
+    cfg = Config()
+    cfg.model_type = 'feedforward'
+    cfg.window_size, cfg.stride = 20, 5
+    ds = service.ds
+    model = build_model_for_dataset(cfg, ds)
+    sample = ds.gather(np.arange(4))
+    dirs = []
+    for seed in (0, 1):
+        st = create_train_state(model, jax.random.PRNGKey(seed),
+                                jnp.asarray(sample.inputs),
+                                make_optimizer('adam', 1e-3))
+        d = str(tmp_path_factory.mktemp(f'ens{seed}'))
+        save_checkpoint(d, st, seed, 0)
+        dirs.append(d)
+    svc = InferenceService(cfg, dirs[0], ds, max_batch=64, ensemble=dirs)
+    svc._member_dirs = dirs
+    return svc
+
+
+def test_ensemble_mean_and_spread(ensemble_service, service):
+    """Ensemble mean == average of per-member predictions; spread is the
+    across-member std (here: |a-b|/2 for two members)."""
+    ds = ensemble_service.ds
+    batch = ds.gather(np.arange(4))
+    x = np.asarray(batch.inputs)
+    out, spread = ensemble_service.predict_packed(x, with_spread=True)
+    key = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+
+    # per-member predictions via single-model services
+    cfg = ensemble_service.config
+    singles = [InferenceService(cfg, d, ds, max_batch=64).predict_packed(x)
+               for d in ensemble_service._member_dirs]
+    np.testing.assert_allclose(
+        out[key], (singles[0][key] + singles[1][key]) / 2,
+        rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        spread[key], np.abs(singles[0][key] - singles[1][key]) / 2,
+        rtol=2e-4, atol=1e-5)
+    assert float(np.max(spread[key])) > 0   # members genuinely differ
+
+
+def test_ensemble_http(ensemble_service):
+    server = serve(ensemble_service, host='127.0.0.1', port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f'http://127.0.0.1:{server.server_address[1]}'
+    try:
+        h = _get(url + '/health')
+        assert h['ensemble_size'] == 2
+        s = _get(url + '/schema')
+        assert s['ensemble']['size'] == 2
+        assert len(s['ensemble']['members']) == 2
+        batch = ensemble_service.ds.gather(np.arange(3))
+        res = _post(url + '/predict', {'inputs': np.asarray(batch.inputs).tolist(),
+                                       'spread': True})
+        key = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+        assert np.asarray(res['outputs'][key]).shape == (3, 1, 6)
+        assert np.asarray(res['spread'][key]).shape == (3, 1, 6)
+        # spread is optional and off by default
+        res2 = _post(url + '/predict',
+                     {'inputs': np.asarray(batch.inputs).tolist()})
+        assert 'spread' not in res2
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_ensemble_single_model_spread_is_null(base_url, service):
+    batch = service.ds.gather(np.arange(2))
+    res = _post(base_url + '/predict',
+                {'inputs': np.asarray(batch.inputs).tolist(), 'spread': True})
+    assert res['spread'] is None
+
+
+def test_ensemble_bad_member_rejected(service, tmp_path):
+    cfg = Config()
+    cfg.model_type = 'feedforward'
+    cfg.window_size, cfg.stride = 20, 5
+    empty = str(tmp_path / 'empty')
+    import os
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match='no\\s+checkpoints'):
+        InferenceService(cfg, empty, service.ds, ensemble=[empty])
+    with pytest.raises(FileNotFoundError):
+        InferenceService(cfg, empty, service.ds,
+                         ensemble=[str(tmp_path / 'nope.ckpt')])
