@@ -31,24 +31,40 @@ class ConvertCheckpointCommand:
                             help='Optimizer whose fresh state to embed '
                                  '(torch optimizer state is not portable)')
         parser.add_argument('--learning-rate', type=float, default=1e-4)
+        parser.add_argument('--to-torch', action='store_true',
+                            help='Reverse direction: convert this '
+                                 'framework\'s .ckpt files into reference-'
+                                 'format .pt blobs (paths then name .ckpt '
+                                 'files or dirs containing them)')
+        parser.add_argument('--dropout', action='store_true',
+                            help='--to-torch only: the reference model was '
+                                 'built with --dropout (shifts its '
+                                 'Sequential layer indices)')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'convert-checkpoint':
             return False
-        from inferbiomechanics_tpu.torch_compat import convert_torch_checkpoint
+        from inferbiomechanics_tpu.torch_compat import (
+            convert_torch_checkpoint, export_torch_checkpoint,
+        )
 
+        ext = '*.ckpt' if args.to_torch else '*.pt'
         files = []
         for p in args.paths:
             if os.path.isdir(p):
-                files.extend(sorted(glob.glob(os.path.join(p, '*.pt'))))
+                files.extend(sorted(glob.glob(os.path.join(p, ext))))
             else:
                 files.append(p)
         if not files:
-            print('no .pt checkpoints found')
+            print(f'no {ext} checkpoints found')
             return True
         for f in files:
-            out = convert_torch_checkpoint(f, args.out_dir,
-                                           opt_type=args.opt_type,
-                                           learning_rate=args.learning_rate)
+            if args.to_torch:
+                out = export_torch_checkpoint(f, args.out_dir,
+                                              dropout=args.dropout)
+            else:
+                out = convert_torch_checkpoint(f, args.out_dir,
+                                               opt_type=args.opt_type,
+                                               learning_rate=args.learning_rate)
             print(f'{f} -> {out}')
         return True

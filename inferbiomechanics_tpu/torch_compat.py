@@ -26,6 +26,11 @@ models. Representation differences handled for the feedforward MLP:
 
 torch is only needed to *read* the pickle; it is an optional dependency
 gated at call time.
+
+The REVERSE direction (``export_*``, ``convert-checkpoint --to-torch``)
+writes this framework's checkpoints back out as reference-format ``.pt``
+blobs loadable by the reference's own loader
+(abstract_command.py:86-120) — migration is two-way.
 """
 
 from __future__ import annotations
@@ -179,3 +184,137 @@ def convert_torch_checkpoint(pt_path: str, out_dir: str,
                        opt_state=tx.init(params), batch_stats={},
                        tx=tx, apply_fn=None)
     return save_checkpoint(out_dir, state, epoch, batch, filename=filename)
+
+
+# -----------------------------------------------------------------------------
+# Reverse direction: this framework's checkpoints -> reference .pt
+# -----------------------------------------------------------------------------
+
+
+def _linear_index(j: int, dropout: bool, batchnorm: bool) -> int:
+    """Sequential index of the j-th Linear in the reference feedforward
+    ``net`` (FeedForwardRegressionBaseline.py:65-77: per layer
+    ``[Dropout?][BatchNorm?] Linear [act if not last]``)."""
+    block = int(dropout) + int(batchnorm) + 2   # every preceding block has an act
+    return j * block + int(dropout) + int(batchnorm)
+
+
+def export_state_dict(params: Dict[str, Dict[str, np.ndarray]],
+                      num_output_frames: int,
+                      dropout: bool = False,
+                      batchnorm: bool = False) -> Dict[str, np.ndarray]:
+    """Flax feedforward params -> reference ``net.{i}.weight/bias`` state
+    dict (the exact inverse of :func:`convert_state_dict`): kernels
+    transposed back to ``[out, in]`` and the final layer's outputs
+    permuted back from frame-major to the reference's component-grouped
+    head (FeedForwardRegressionBaseline.py:116-120)."""
+    if batchnorm:
+        raise ValueError('batchnorm models are not exportable (flax '
+                         'batch_stats have no torch-BatchNorm layout here)')
+    dense = sorted((int(m.group(1)) for k in params
+                    if (m := re.match(r'Dense_(\d+)$', k))))
+    if not dense or dense != list(range(len(dense))):
+        raise ValueError(f'expected Dense_0..Dense_n params, got '
+                         f'{sorted(params)} — is this a feedforward '
+                         f'checkpoint?')
+    perm = output_permutation(num_output_frames)
+    inv = np.argsort(perm)                       # ref_flat[r] = ours_flat[inv[r]]
+    sd: Dict[str, np.ndarray] = {}
+    for j in dense:
+        w = np.asarray(params[f'Dense_{j}']['kernel'], np.float32)  # [in, out]
+        b = np.asarray(params[f'Dense_{j}']['bias'], np.float32)
+        if j == dense[-1]:
+            if w.shape[1] != inv.size:
+                raise ValueError(
+                    f'final layer emits {w.shape[1]} outputs, expected '
+                    f'{inv.size} (= 30 x {num_output_frames} output frames '
+                    f'/ 2 contact bodies)')
+            w = w[:, inv]
+            b = b[inv]
+        i = _linear_index(j, dropout, batchnorm)
+        sd[f'net.{i}.weight'] = w.T.copy()       # [out, in]
+        sd[f'net.{i}.bias'] = b.copy()
+    return sd
+
+
+def export_groundlink_state_dict(params: Dict[str, Dict[str, np.ndarray]]
+                                 ) -> Dict[str, np.ndarray]:
+    """Flax GroundLink params -> reference ``cnn.{i}``/``fc.{i}`` state
+    dict (inverse of :func:`convert_groundlink_state_dict`). Reference
+    Sequential indices (Groundlink.py:41-62): cnn blocks are
+    ``[Dropout, Conv1d, ELU]`` (Conv at 3j+1); fc is ``[Transpose] +
+    (depth-1) x [Dropout, Linear, ELU] + [Dropout, Linear(bias=False)]``
+    (Linear at 3j+2, the last one biasless)."""
+    convs = sorted((int(m.group(1)) for k in params
+                    if (m := re.match(r'Conv_(\d+)$', k))))
+    denses = sorted((int(m.group(1)) for k in params
+                     if (m := re.match(r'Dense_(\d+)$', k))))
+    if not convs or not denses:
+        raise ValueError(f'expected Conv_*/Dense_* params, got '
+                         f'{sorted(params)} — is this a GroundLink '
+                         f'checkpoint?')
+    sd: Dict[str, np.ndarray] = {}
+    for j in convs:
+        sd[f'cnn.{3 * j + 1}.weight'] = np.asarray(
+            params[f'Conv_{j}']['kernel'],
+            np.float32).transpose(2, 1, 0).copy()     # [C_out, C_in, k]
+        sd[f'cnn.{3 * j + 1}.bias'] = np.asarray(
+            params[f'Conv_{j}']['bias'], np.float32).copy()
+    for j in denses:
+        p = params[f'Dense_{j}']
+        sd[f'fc.{3 * j + 2}.weight'] = np.asarray(
+            p['kernel'], np.float32).T.copy()
+        if 'bias' in p:
+            sd[f'fc.{3 * j + 2}.bias'] = np.asarray(p['bias'],
+                                                    np.float32).copy()
+    return sd
+
+
+def export_torch_checkpoint(ckpt_path: str, out_dir: str,
+                            dropout: bool = False,
+                            batchnorm: bool = False) -> str:
+    """Convert one of this framework's ``.ckpt`` files back into a
+    reference-format ``torch.save`` blob (``{'epoch',
+    'model_state_dict'}``, bare — non-DDP — key names, loadable by the
+    reference's ``load_latest_checkpoint``/``analyze`` path,
+    abstract_command.py:86-120). Optimizer state is not exported (optax
+    and torch layouts differ). The model family is detected from the
+    parameter tree; returns the written path."""
+    import torch
+    from flax import serialization
+
+    with open(ckpt_path, 'rb') as f:
+        raw = serialization.msgpack_restore(f.read())
+    params = raw['params']
+    epoch = int(raw.get('epoch', 0))
+    batch = int(raw.get('batch', 0))
+    if raw.get('batch_stats'):
+        raise ValueError('batchnorm checkpoints are not exportable')
+    if any(re.match(r'Conv_\d+$', k) for k in params):
+        sd = export_groundlink_state_dict(params)
+    elif any(re.match(r'Dense_\d+$', k) for k in params):
+        last = max(int(m.group(1)) for k in params
+                   if (m := re.match(r'Dense_(\d+)$', k)))
+        out_width = np.asarray(params[f'Dense_{last}']['kernel']).shape[1]
+        if out_width % _PER_FRAME:
+            raise ValueError(f'final layer width {out_width} is not a '
+                             f'multiple of {_PER_FRAME} — not a 2-contact-'
+                             f'body feedforward head')
+        sd = export_state_dict(params, out_width // _PER_FRAME,
+                               dropout=dropout, batchnorm=batchnorm)
+    else:
+        raise ValueError(f'unrecognized parameter tree ({sorted(params)[:4]}'
+                         f'...): only feedforward and GroundLink export '
+                         f'to the reference format')
+    base = os.path.basename(ckpt_path)
+    m = re.search(r'epoch_(\d+)_batch_(\d+)\.ckpt$', base)
+    if m:
+        epoch, batch = int(m.group(1)), int(m.group(2))
+    name = (f'epoch_{epoch}_batch_{batch}.pt' if m or epoch >= 0
+            else os.path.splitext(base)[0] + '.pt')
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, name)
+    torch.save({'epoch': max(epoch, 0),
+                'model_state_dict': {k: torch.from_numpy(np.ascontiguousarray(v))
+                                     for k, v in sd.items()}}, out)
+    return out

@@ -250,3 +250,173 @@ def test_cli_convert_checkpoint(ds, tmp_path):
                        env={**os.environ, 'IB_PLATFORM': 'cpu'})
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(out_dir, 'epoch_0_batch_0.ckpt'))
+
+
+# -----------------------------------------------------------------------------
+# Reverse direction: .ckpt -> reference .pt (export_*)
+# -----------------------------------------------------------------------------
+
+
+def test_export_feedforward_matches_reference_model(ds, tmp_path):
+    """Two-way oracle: a flax feedforward checkpoint exported with
+    --to-torch loads STRICTLY into a reference-shaped torch net and both
+    models produce identical predictions on the same windows."""
+    from inferbiomechanics_tpu.torch_compat import export_torch_checkpoint
+    from inferbiomechanics_tpu.train.checkpoint import save_checkpoint
+
+    batch = ds.gather(np.arange(6))
+    x = np.asarray(batch.inputs, np.float32)
+    B, T, C = x.shape
+    F_out = 4
+    model = FeedForwardBaseline(
+        num_dofs=ds.num_dofs, num_contact_bodies=ds.num_contact_bodies,
+        history_len=20, stride=5, root_history_len=ds.root_history_len,
+        output_data_format='all_frames', activation='sigmoid',
+        hidden_dims=(48, 24), compute_dtype=jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(5),
+                               jnp.asarray(x), make_optimizer('adam', 1e-3))
+    ckpt_dir = str(tmp_path / 'native')
+    save_checkpoint(ckpt_dir, state, 2, 9)
+
+    out = export_torch_checkpoint(
+        os.path.join(ckpt_dir, 'epoch_2_batch_9.ckpt'),
+        str(tmp_path / 'torch'))
+    assert out.endswith('epoch_2_batch_9.pt')
+    blob = torch.load(out, map_location='cpu', weights_only=True)
+    assert blob['epoch'] == 2
+
+    # reference-shaped torch net (Linear at 0, 2, 4 — no dropout/bn)
+    net = _torch_net(T * C, [48, 24], 30 * F_out, seed=0)
+    net.load_state_dict({k.replace('net.', ''): v
+                         for k, v in blob['model_state_dict'].items()},
+                        strict=True)
+    with torch.no_grad():
+        y = net(torch.from_numpy(x.reshape(B, -1))).numpy()
+    ref = _ref_head_slices(y, F_out)
+    ours = model.apply({'params': state.params}, jnp.asarray(x), train=False)
+    for k, v in ref.items():
+        np.testing.assert_allclose(np.asarray(ours[k]), v,
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_export_convert_roundtrip_is_identity(ds, tmp_path):
+    """export (--to-torch) then convert back: parameters bit-identical."""
+    from inferbiomechanics_tpu.torch_compat import export_torch_checkpoint
+    from inferbiomechanics_tpu.train.checkpoint import save_checkpoint
+
+    batch = ds.gather(np.arange(4))
+    x = jnp.asarray(batch.inputs, jnp.float32)
+    model = FeedForwardBaseline(
+        num_dofs=ds.num_dofs, num_contact_bodies=ds.num_contact_bodies,
+        history_len=20, stride=5, root_history_len=ds.root_history_len,
+        output_data_format='last_frame', activation='sigmoid',
+        hidden_dims=(32,), compute_dtype=jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(1), x,
+                               make_optimizer('adam', 1e-3))
+    d1 = str(tmp_path / 'a')
+    save_checkpoint(d1, state, 0, 0)
+    pt = export_torch_checkpoint(os.path.join(d1, 'epoch_0_batch_0.ckpt'),
+                                 str(tmp_path / 'b'))
+    d2 = str(tmp_path / 'c')
+    convert_torch_checkpoint(pt, d2)
+    state2 = create_train_state(model, jax.random.PRNGKey(2), x,
+                                make_optimizer('adam', 1e-3))
+    state2, _, _ = load_latest_checkpoint(state2, d2)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_groundlink_matches_reference_model(ds, tmp_path):
+    """GroundLink reverse oracle: exported .pt loads strictly into the
+    reference-shaped cnn/fc Sequentials; forwards match."""
+    import torch.nn as tnn
+    from inferbiomechanics_tpu.models.groundlink import Groundlink
+    from inferbiomechanics_tpu.torch_compat import export_torch_checkpoint
+    from inferbiomechanics_tpu.train.checkpoint import save_checkpoint
+
+    batch = ds.gather(np.arange(5))
+    x = np.asarray(batch.inputs, np.float32)
+    C = x.shape[2]
+    model = Groundlink(num_dofs=ds.num_dofs,
+                       num_contact_bodies=ds.num_contact_bodies,
+                       root_history_len=ds.root_history_len,
+                       output_data_format='all_frames',
+                       cnn_features=(16, 16, 24, 24),
+                       compute_dtype=jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(3),
+                               jnp.asarray(x), make_optimizer('adam', 1e-3))
+    d1 = str(tmp_path / 'native')
+    save_checkpoint(d1, state, 1, 0)
+    pt = export_torch_checkpoint(os.path.join(d1, 'epoch_1_batch_0.ckpt'),
+                                 str(tmp_path / 'torch'))
+
+    feats = [C, 16, 16, 24, 24]
+    cnn_layers = []
+    for c_in, c_out in zip(feats[:-1], feats[1:]):
+        cnn_layers += [tnn.Dropout(0.0),
+                       tnn.Conv1d(c_in, c_out, 7, padding=3,
+                                  padding_mode='replicate'),
+                       tnn.ELU()]
+    cnn = tnn.Sequential(*cnn_layers)
+    fc = tnn.Sequential(tnn.Identity(), tnn.Dropout(0.2),
+                        tnn.Linear(24, 24), tnn.ELU(), tnn.Dropout(0.2),
+                        tnn.Linear(24, 24), tnn.ELU(), tnn.Dropout(0.2),
+                        tnn.Linear(24, 30, bias=False))
+    blob = torch.load(pt, map_location='cpu', weights_only=True)
+    sd = blob['model_state_dict']
+    cnn.load_state_dict({k[len('cnn.'):]: v for k, v in sd.items()
+                         if k.startswith('cnn.')}, strict=True)
+    fc.load_state_dict({k[len('fc.'):]: v for k, v in sd.items()
+                        if k.startswith('fc.')}, strict=True)
+    with torch.no_grad():
+        cnn.eval(), fc.eval()
+        h = cnn(torch.from_numpy(x).transpose(-2, -1))
+        y = fc(h.transpose(-2, -1)).numpy()
+    ours = model.apply({'params': state.params}, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(ours[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]),
+        y[:, :, 6:12], rtol=1e-4, atol=1e-5)
+
+
+def test_export_dropout_index_shift():
+    from inferbiomechanics_tpu.torch_compat import export_state_dict
+    params = {'Dense_0': {'kernel': np.zeros((4, 8), np.float32),
+                          'bias': np.zeros(8, np.float32)},
+              'Dense_1': {'kernel': np.zeros((8, 30), np.float32),
+                          'bias': np.zeros(30, np.float32)}}
+    plain = export_state_dict(params, 1)
+    assert set(plain) == {'net.0.weight', 'net.0.bias',
+                          'net.2.weight', 'net.2.bias'}
+    shifted = export_state_dict(params, 1, dropout=True)
+    assert set(shifted) == {'net.1.weight', 'net.1.bias',
+                            'net.4.weight', 'net.4.bias'}
+
+
+def test_cli_convert_checkpoint_to_torch(ds, tmp_path):
+    import subprocess
+    import sys
+    from inferbiomechanics_tpu.train.checkpoint import save_checkpoint
+
+    batch = ds.gather(np.arange(4))
+    x = jnp.asarray(batch.inputs, jnp.float32)
+    model = FeedForwardBaseline(
+        num_dofs=ds.num_dofs, num_contact_bodies=ds.num_contact_bodies,
+        history_len=20, stride=5, root_history_len=ds.root_history_len,
+        output_data_format='last_frame', activation='sigmoid',
+        hidden_dims=(16,), compute_dtype=jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), x,
+                               make_optimizer('adam', 1e-3))
+    d = str(tmp_path / 'native')
+    save_checkpoint(d, state, 4, 2)
+    main = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'main.py')
+    out = subprocess.run(
+        [sys.executable, main, 'convert-checkpoint', d, '--to-torch',
+         '--out-dir', str(tmp_path / 'pt')],
+        capture_output=True, text=True,
+        env=dict(os.environ, IB_PLATFORM='cpu'), timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    blob = torch.load(str(tmp_path / 'pt' / 'epoch_4_batch_2.pt'),
+                      map_location='cpu', weights_only=True)
+    assert blob['epoch'] == 4 and 'net.0.weight' in blob['model_state_dict']
