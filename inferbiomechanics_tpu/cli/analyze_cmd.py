@@ -52,6 +52,12 @@ class AnalyzeCommand:
                             help='Evaluate this specific checkpoint (e.g. '
                                  'the --keep-best best.ckpt) instead of the '
                                  'latest epoch_* one')
+        parser.add_argument('--ensemble', type=str, nargs='+', default=None,
+                            metavar='CKPT',
+                            help='Evaluate the MEAN of several checkpoints '
+                                 '(dirs or .ckpt files, e.g. a seed sweep\'s '
+                                 'outputs) — quantifies what ensembling '
+                                 'buys on the dev metrics')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'analyze':
@@ -127,6 +133,17 @@ class AnalyzeCommand:
                                        num_steps=50,
                                        fused_inference=config.fused_inference)
                 predict = lambda x, _s: sampler(state.params, x, jax.random.PRNGKey(7))
+                eval_fn = None
+            elif getattr(args, 'ensemble', None):
+                # ensemble mean via the serving path's vmapped forward
+                # (serve.py): one compiled forward evaluates every member
+                from inferbiomechanics_tpu.serve import InferenceService
+                svc = InferenceService(config, checkpoint_dir, ds,
+                                       max_batch=max(config.batch_size, 1),
+                                       ensemble=args.ensemble)
+                print(f'ensemble of {len(svc.members)}: '
+                      + ', '.join(m['path'] for m in svc.members))
+                predict = lambda x, _s: svc.predict_packed(np.asarray(x))
                 eval_fn = None
             else:
                 model = build_model_for_dataset(config, ds)

@@ -157,3 +157,19 @@ def test_train_from_pickled_blocks(workspace):
                    '--no-wandb', '--epochs', '1', '--batch-size', '32',
                    '--use-pickled'])
     assert 'Training done' in out.stdout
+
+
+def test_analyze_ensemble(workspace, tmp_path):
+    """analyze --ensemble evaluates the vmapped mean of two checkpoints."""
+    ckpt2 = tmp_path / 'ck2'
+    run_cmd(['train', '--dataset-home', workspace['data'],
+             '--checkpoint-dir', str(ckpt2), '--no-wandb', '--epochs', '1',
+             '--batch-size', '32', '--short', '--seed', '1'])
+    out = run_cmd(['analyze', '--dataset-home', workspace['data'],
+                   '--checkpoint-dir', workspace['ckpt'], '--no-wandb',
+                   '--batch-size', '8', '--short',
+                   '--ensemble',
+                   os.path.join(workspace['ckpt'], 'feedforward'),
+                   os.path.join(str(ckpt2), 'feedforward')])
+    assert 'ensemble of 2' in out.stdout
+    assert 'final report' in out.stdout
