@@ -104,8 +104,8 @@ class SweepCommand:
             for p in result.points:
                 row = {**vars(p), 'hidden_dims': list(config.hidden_dims)}
                 all_points.append(row)
-                score = (row['final_dev_loss']
-                         if row['final_dev_loss'] is not None
+                score = (row['best_dev_loss']
+                         if row.get('best_dev_loss') is not None
                          else row['final_train_loss'])
                 if score is not None and (best is None or score < best[0]):
                     best = (score, row)

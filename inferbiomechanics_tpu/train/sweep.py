@@ -70,6 +70,9 @@ class SweepPoint:
     final_dev_loss: Optional[float] = None
     final_train_loss: Optional[float] = None
     checkpoint_path: Optional[str] = None
+    best_dev_loss: Optional[float] = None     # min over per-epoch evals
+    best_epoch: Optional[int] = None
+    dev_curve: Optional[List[float]] = None   # dev loss after each epoch
 
 
 @dataclass
@@ -272,8 +275,11 @@ def run_sweep(config: Config, train_ds: WindowDataset,
               lrs: Sequence[float], seeds: Sequence[int],
               max_batches_per_epoch: Optional[int] = None,
               shard_configs: bool = False) -> SweepResult:
-    """Train the full lr x seed grid simultaneously; rank the configs by
-    final dev loss (train loss when no dev split is usable).
+    """Train the full lr x seed grid simultaneously; every config is
+    dev-evaluated after every epoch and ranked by its BEST dev loss
+    (final train loss when no dev split is usable). With
+    ``config.early_stop_patience`` set, the whole grid stops early once
+    no config has improved for that many evals.
 
     Batch order is shared across configs (one gather per step), seeded by
     ``config.seed`` — the per-config ``seeds`` drive init + dropout, which
@@ -328,10 +334,25 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                   if dev_ds is not None and len(dev_ds) >= config.batch_size
                   else None)
 
+    def dev_losses_now() -> Optional[np.ndarray]:
+        """Every config scored on the identical dev stream; [K] or None."""
+        if dev_loader is None:
+            return None
+        acc, n = np.zeros(k), 0
+        for batch in dev_loader.epoch(seed=0):
+            m = eval_step(state.params, batch.inputs, batch.labels)
+            acc += np.asarray(m['loss'])
+            n += 1
+        return acc / n if n else None
+
     rng = jax.random.PRNGKey(config.seed)
     windows_seen = 0
     t0 = time.time()
     last_train = None
+    dev_curves: List[np.ndarray] = []      # [epoch][K]: dev loss AFTER epoch
+    best_dev = np.full(k, np.inf)
+    best_epoch = np.full(k, -1, np.int64)
+    stale = 0
     for epoch in range(config.epochs):
         for batch_idx, batch in enumerate(
                 loader.epoch(seed=config.seed * 1_000_003 + epoch)):
@@ -342,7 +363,24 @@ def run_sweep(config: Config, train_ds: WindowDataset,
             state, metrics = step(state, batch.inputs, batch.labels, step_rng)
             last_train = metrics
             windows_seen += config.batch_size * k
-        logger.info('sweep epoch %d done', epoch)
+        dl = dev_losses_now()
+        if dl is None:
+            logger.info('sweep epoch %d done', epoch)
+            continue
+        dev_curves.append(dl)
+        improved = dl < best_dev
+        best_epoch = np.where(improved, epoch, best_epoch)
+        best_dev = np.minimum(best_dev, dl)
+        logger.info('sweep epoch %d: best dev loss %.6f (config %d)',
+                    epoch, float(best_dev.min()), int(best_dev.argmin()))
+        # grid-wide early stop: when NO config improved for
+        # --early-stop-patience consecutive evals, more epochs will not
+        # change the ranking
+        stale = 0 if improved.any() else stale + 1
+        if config.early_stop_patience and stale >= config.early_stop_patience:
+            logger.info('sweep early stop after epoch %d: no config '
+                        'improved in %d evals', epoch, stale)
+            break
 
     # np.asarray forces the device->host readback = the only trustworthy
     # sync on this runtime (BENCH_NOTES.md measurement rules)
@@ -350,26 +388,23 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                     if last_train is not None else np.full(k, np.nan))
     elapsed = time.time() - t0
 
-    # final dev eval, every config on the identical dev stream
-    dev_losses = None
-    if dev_loader is not None:
-        acc = np.zeros(k)
-        n = 0
-        for batch in dev_loader.epoch(seed=0):
-            m = eval_step(state.params, batch.inputs, batch.labels)
-            acc += np.asarray(m['loss'])
-            n += 1
-        if n:
-            dev_losses = acc / n
-
-    ranking = dev_losses if dev_losses is not None else train_losses
+    dev_losses = dev_curves[-1] if dev_curves else None
+    # rank on each config's BEST dev loss (robust to a final-epoch blip);
+    # fall back to final train loss without a usable dev split
+    ranking = best_dev if dev_curves else train_losses
     result = SweepResult(windows_per_sec=(windows_seen / elapsed
                                           if elapsed > 0 else 0.0))
     for i, (lr, seed) in enumerate(grid):
         pt = SweepPoint(index=i, learning_rate=lr, seed=seed,
                         final_train_loss=float(train_losses[i]),
                         final_dev_loss=(float(dev_losses[i])
-                                        if dev_losses is not None else None))
+                                        if dev_losses is not None else None),
+                        best_dev_loss=(float(best_dev[i])
+                                       if dev_curves else None),
+                        best_epoch=(int(best_epoch[i])
+                                    if dev_curves else None),
+                        dev_curve=([float(c[i]) for c in dev_curves]
+                                   if dev_curves else None))
         if config.checkpoint_dir:
             sub = os.path.join(config.checkpoint_dir,
                                f'lr{lr:g}_seed{seed}')

@@ -144,6 +144,11 @@ def test_run_sweep_end_to_end(dataset, tmp_path):
     assert len(result.points) == 4
     assert all(p.final_dev_loss is not None for p in result.points)
     assert 0 <= result.best_index < 4
+    # per-epoch dev curves recorded; best == min of the curve
+    for p in result.points:
+        assert p.dev_curve is not None and len(p.dev_curve) == config.epochs
+        assert p.best_dev_loss == pytest.approx(min(p.dev_curve))
+        assert 0 <= p.best_epoch < config.epochs
     # checkpoints written per config and loadable into a standalone state
     from inferbiomechanics_tpu.train.checkpoint import load_latest_checkpoint
     pt = result.points[0]
