@@ -215,6 +215,30 @@ def make_sweep_train_step(model, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_sweep_device_train_step(model, tx: optax.GradientTransformation,
+                                 data, loss_config: LossConfig,
+                                 lrs: Sequence[float], donate: bool = True):
+    """Device-resident variant of :func:`make_sweep_train_step`:
+    ``step(state, idx, rng)`` gathers the batch from HBM inside the jit
+    program (one gather feeds ALL configs) — per-step host traffic is
+    one [B] int32 index vector (train/device_data.py mechanics)."""
+    lrs_arr = jnp.asarray(list(lrs), jnp.float32)
+    k = lrs_arr.shape[0]
+
+    def step(state: TrainState, idx: jax.Array, rng: jax.Array):
+        batch_inputs, batch_labels = data.gather_in_jit(idx)
+        labels = unpack(batch_labels, data.lab_offsets)
+        update = _one_update(model, tx, loss_config, batch_inputs, labels)
+        subs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(k))
+        new_params, new_opt, metrics = jax.vmap(update)(
+            state.params, state.opt_state, lrs_arr, subs)
+        state = state.replace(step=state.step + 1, params=new_params,
+                              opt_state=new_opt)
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_sweep_device_epoch_step(model, tx, data, loss_config: LossConfig,
                                  lrs: Sequence[float], batch_size: int,
                                  steps_per_call: int = 8):
@@ -324,12 +348,36 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                            '%d-device data axis; configs stay replicated',
                            k, n_dev)
 
-    step = make_sweep_train_step(model, tx, train_ds.lab_offsets, lc,
-                                 grid_lrs)
     eval_step = make_sweep_eval_step(model, train_ds.lab_offsets, lc)
 
-    loader = PrefetchLoader(train_ds, config.batch_size,
-                            n_threads=config.data_loading_workers)
+    # device-resident train data (same gating as train/loop.py, simplified):
+    # one HBM gather per step feeds every config; host traffic = [B] int32
+    device_data = None
+    if train_ds.features_all is not None and config.device_data != 'off':
+        data_bytes = (train_ds.features_all.nbytes
+                      + train_ds.labels_all.nbytes)
+        if (config.device_data in ('on', 'sharded', 'stream')
+                or data_bytes < config.device_data_max_bytes):
+            from inferbiomechanics_tpu.train.device_data import (
+                DeviceResidentData,
+            )
+            device_data = DeviceResidentData(
+                train_ds,
+                pack_windows=(config.pack_windows == 'on' or
+                              (config.pack_windows == 'auto' and
+                               data_bytes * (1 + train_ds.num_model_frames)
+                               < config.device_data_max_bytes)))
+            logger.info('sweep device-resident data: %.0f MB in HBM',
+                        device_data.hbm_bytes / 1e6)
+    if device_data is not None:
+        step = make_sweep_device_train_step(model, tx, device_data, lc,
+                                            grid_lrs)
+        loader = None
+    else:
+        step = make_sweep_train_step(model, tx, train_ds.lab_offsets, lc,
+                                     grid_lrs)
+        loader = PrefetchLoader(train_ds, config.batch_size,
+                                n_threads=config.data_loading_workers)
     dev_loader = (PrefetchLoader(dev_ds, config.batch_size, shuffle=False)
                   if dev_ds is not None and len(dev_ds) >= config.batch_size
                   else None)
@@ -354,13 +402,27 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     best_epoch = np.full(k, -1, np.int64)
     stale = 0
     for epoch in range(config.epochs):
-        for batch_idx, batch in enumerate(
-                loader.epoch(seed=config.seed * 1_000_003 + epoch)):
+        if device_data is not None:
+            perm = np.random.default_rng(
+                (config.seed, epoch)).permutation(len(train_ds))
+            n_steps = max(1, perm.shape[0] // config.batch_size)
+            batch_iter = (
+                jnp.asarray(np.resize(
+                    perm[i * config.batch_size:(i + 1) * config.batch_size],
+                    config.batch_size), jnp.int32)
+                for i in range(n_steps))
+        else:
+            batch_iter = loader.epoch(seed=config.seed * 1_000_003 + epoch)
+        for batch_idx, batch in enumerate(batch_iter):
             if (max_batches_per_epoch is not None
                     and batch_idx >= max_batches_per_epoch):
                 break
             step_rng = jax.random.fold_in(rng, epoch * 1_000_000 + batch_idx)
-            state, metrics = step(state, batch.inputs, batch.labels, step_rng)
+            if device_data is not None:
+                state, metrics = step(state, batch, step_rng)
+            else:
+                state, metrics = step(state, batch.inputs, batch.labels,
+                                      step_rng)
             last_train = metrics
             windows_seen += config.batch_size * k
         dl = dev_losses_now()

@@ -167,6 +167,23 @@ def test_run_sweep_end_to_end(dataset, tmp_path):
     assert a != b or result.points[0].final_dev_loss != result.points[1].final_dev_loss
 
 
+def test_run_sweep_device_and_host_paths(dataset, tmp_path):
+    """run_sweep produces finite ranked results on both the
+    device-resident (gather-in-jit) and host-loader data paths."""
+    import math
+    for mode in ('on', 'off'):
+        config = Config(dataset_home=str(dataset['root']),
+                        checkpoint_dir=str(tmp_path / f'ck_{mode}'),
+                        hidden_dims=[16], epochs=1, batch_size=16, seed=0,
+                        device_data=mode)
+        result = run_sweep(config, dataset['train'], dataset['dev'],
+                           lrs=[1e-3, 1e-4], seeds=[0],
+                           max_batches_per_epoch=3)
+        assert len(result.points) == 2
+        assert all(math.isfinite(p.final_train_loss) for p in result.points)
+        assert all(math.isfinite(p.best_dev_loss) for p in result.points)
+
+
 def test_shard_configs_preserves_results(dataset):
     """Config-axis sharding across the 8-device mesh: same losses as the
     replicated run."""
