@@ -107,17 +107,20 @@ def sweep_grid(lrs: Sequence[float], seeds: Sequence[int]
 
 
 def init_sweep_states(model, tx: optax.GradientTransformation,
-                      sample_inputs, seeds: Sequence[int]) -> TrainState:
+                      sample_inputs, seeds: Sequence[int],
+                      init_fn=None) -> TrainState:
     """One TrainState whose leaves carry a leading [K] config axis.
 
     Each config's parameters are initialized from its own PRNG seed —
-    exactly what K independent runs would do.
-    """
+    exactly what K independent runs would do. ``init_fn(rngs)`` overrides
+    the default regression-model init for models with other apply
+    signatures (diffusion)."""
 
     def init_one(seed):
         rng = jax.random.PRNGKey(seed)
-        variables = model.init({'params': rng, 'dropout': rng},
-                               sample_inputs, train=False)
+        rngs = {'params': rng, 'dropout': rng}
+        variables = (init_fn(rngs) if init_fn is not None
+                     else model.init(rngs, sample_inputs, train=False))
         if 'batch_stats' in variables:
             raise ValueError('sweep does not support batchnorm models '
                              '(mutable batch_stats cannot stack under vmap '
@@ -272,6 +275,108 @@ def make_sweep_device_epoch_step(model, tx, data, loss_config: LossConfig,
     return jax.jit(run, donate_argnums=(0,))
 
 
+def _diffusion_update(model, tx, sched, x_t, t, cond, noise):
+    """Per-config diffusion closure: shared noising, per-config params/lr
+    (the denoiser uses no dropout rng — matching
+    models/diffusion.py::make_diffusion_train_step)."""
+
+    def update(params, opt_state, lr):
+        def loss_fn(p):
+            eps = model.apply({'params': p}, x_t, t, cond, train=True)
+            loss = jnp.mean((eps - noise) ** 2)
+            return loss, {'loss': loss}
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(
+            lambda u: u * lr.astype(u.dtype), updates)
+        return optax.apply_updates(params, updates), new_opt, metrics
+
+    return update
+
+
+def _noising(sched, x0, rng):
+    b = x0.shape[0]
+    rng_t, rng_n = jax.random.split(rng)
+    t = jax.random.randint(rng_t, (b,), 0, sched.timesteps)
+    noise = jax.random.normal(rng_n, x0.shape, x0.dtype)
+    return sched.q_sample(x0, t, noise), t, noise
+
+
+def make_sweep_diffusion_step(model, tx, lab_offsets, lrs: Sequence[float],
+                              schedule=None, donate: bool = True):
+    """Diffusion (ε-MSE) sweep step: every config denoises the SAME
+    noised batch (shared t/noise draw, the analogue of the shared batch
+    gather) with its own params and lr."""
+    from inferbiomechanics_tpu.models.diffusion import (
+        DDPMSchedule, diffusion_targets_from_labels,
+    )
+    sched = schedule or DDPMSchedule(model.timesteps)
+    lrs_arr = jnp.asarray(list(lrs), jnp.float32)
+
+    def step(state: TrainState, batch_inputs, batch_labels, rng):
+        x0 = diffusion_targets_from_labels(batch_labels, lab_offsets,
+                                           model.num_contact_bodies)
+        x_t, t, noise = _noising(sched, x0, rng)
+        update = _diffusion_update(model, tx, sched, x_t, t, batch_inputs,
+                                   noise)
+        new_params, new_opt, metrics = jax.vmap(update)(
+            state.params, state.opt_state, lrs_arr)
+        return state.replace(step=state.step + 1, params=new_params,
+                             opt_state=new_opt), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sweep_device_diffusion_step(model, tx, data,
+                                     lrs: Sequence[float], schedule=None,
+                                     donate: bool = True):
+    """Device-resident diffusion sweep step: ``step(state, idx, rng)``."""
+    from inferbiomechanics_tpu.models.diffusion import (
+        DDPMSchedule, diffusion_targets_from_labels,
+    )
+    sched = schedule or DDPMSchedule(model.timesteps)
+    lrs_arr = jnp.asarray(list(lrs), jnp.float32)
+
+    def step(state: TrainState, idx: jax.Array, rng: jax.Array):
+        batch_inputs, batch_labels = data.gather_in_jit(idx)
+        x0 = diffusion_targets_from_labels(batch_labels, data.lab_offsets,
+                                           model.num_contact_bodies)
+        x_t, t, noise = _noising(sched, x0, rng)
+        update = _diffusion_update(model, tx, sched, x_t, t, batch_inputs,
+                                   noise)
+        new_params, new_opt, metrics = jax.vmap(update)(
+            state.params, state.opt_state, lrs_arr)
+        return state.replace(step=state.step + 1, params=new_params,
+                             opt_state=new_opt), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sweep_diffusion_eval(model, lab_offsets, schedule=None):
+    """Deterministic ε-MSE comparator: every config scored on the SAME
+    fixed noising of the dev batch (fixed PRNG), so per-epoch dev values
+    are comparable across configs and epochs."""
+    from inferbiomechanics_tpu.models.diffusion import (
+        DDPMSchedule, diffusion_targets_from_labels,
+    )
+    sched = schedule or DDPMSchedule(model.timesteps)
+
+    def eval_step(params_stack, batch_inputs, batch_labels):
+        x0 = diffusion_targets_from_labels(batch_labels, lab_offsets,
+                                           model.num_contact_bodies)
+        x_t, t, noise = _noising(sched, x0, jax.random.PRNGKey(123))
+
+        def one(params):
+            eps = model.apply({'params': params}, x_t, t, batch_inputs,
+                              train=False)
+            return {'loss': jnp.mean((eps - noise) ** 2)}
+
+        return jax.vmap(one)(params_stack)
+
+    return jax.jit(eval_step)
+
+
 def make_sweep_eval_step(model, lab_offsets, loss_config: LossConfig):
     """``eval(params_stack, batch_inputs, batch_labels) -> metrics`` with
     [K]-stacked leaves; the dev batch is shared across configs."""
@@ -320,6 +425,13 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     grid_seeds = [g[1] for g in grid]
     lc = loss_config_from(config)
     model = build_model_for_dataset(config, train_ds)
+    is_diffusion = config.model_type == 'diffusion'
+    if is_diffusion and config.output_data_format != 'all_frames':
+        raise ValueError('sweep --model-type diffusion requires '
+                         '--output-data-format all_frames (like train); '
+                         'dev ranking uses a fixed-noise eps-MSE '
+                         'comparator. NOTE: the sweep uses the model\'s '
+                         'default timestep count, not --diffusion-timesteps')
 
     sample = train_ds.gather(
         np.arange(min(config.batch_size, max(1, len(train_ds)))))
@@ -334,8 +446,17 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         raise ValueError('sweep supports constant learning rates only '
                          '(the exact-lr vmap trick needs lr out of the '
                          'optimizer state); drop --lr-schedule')
-    state = init_sweep_states(model, tx, jnp.asarray(sample_inputs),
-                              grid_seeds)
+    if is_diffusion:
+        x_cond = jnp.asarray(sample_inputs)
+        x0_init = jnp.zeros((x_cond.shape[0], x_cond.shape[1],
+                             model.target_channels))
+        t_init = jnp.zeros((x_cond.shape[0],), jnp.int32)
+        state = init_sweep_states(
+            model, tx, None, grid_seeds,
+            init_fn=lambda rngs: model.init(rngs, x0_init, t_init, x_cond))
+    else:
+        state = init_sweep_states(model, tx, jnp.asarray(sample_inputs),
+                                  grid_seeds)
     if shard_configs:
         from inferbiomechanics_tpu.parallel import make_mesh
         mesh = make_mesh()
@@ -348,7 +469,9 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                            '%d-device data axis; configs stay replicated',
                            k, n_dev)
 
-    eval_step = make_sweep_eval_step(model, train_ds.lab_offsets, lc)
+    eval_step = (make_sweep_diffusion_eval(model, train_ds.lab_offsets)
+                 if is_diffusion
+                 else make_sweep_eval_step(model, train_ds.lab_offsets, lc))
 
     # device-resident train data (same gating as train/loop.py, simplified):
     # one HBM gather per step feeds every config; host traffic = [B] int32
@@ -370,12 +493,18 @@ def run_sweep(config: Config, train_ds: WindowDataset,
             logger.info('sweep device-resident data: %.0f MB in HBM',
                         device_data.hbm_bytes / 1e6)
     if device_data is not None:
-        step = make_sweep_device_train_step(model, tx, device_data, lc,
-                                            grid_lrs)
+        step = (make_sweep_device_diffusion_step(model, tx, device_data,
+                                                 grid_lrs)
+                if is_diffusion else
+                make_sweep_device_train_step(model, tx, device_data, lc,
+                                             grid_lrs))
         loader = None
     else:
-        step = make_sweep_train_step(model, tx, train_ds.lab_offsets, lc,
-                                     grid_lrs)
+        step = (make_sweep_diffusion_step(model, tx, train_ds.lab_offsets,
+                                          grid_lrs)
+                if is_diffusion else
+                make_sweep_train_step(model, tx, train_ds.lab_offsets, lc,
+                                      grid_lrs))
         loader = PrefetchLoader(train_ds, config.batch_size,
                                 n_threads=config.data_loading_workers)
     dev_loader = (PrefetchLoader(dev_ds, config.batch_size, shuffle=False)

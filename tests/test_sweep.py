@@ -214,6 +214,41 @@ def test_shard_configs_preserves_results(dataset):
     np.testing.assert_allclose(plain, sharded, rtol=1e-5)
 
 
+def test_run_sweep_diffusion(dataset, tmp_path):
+    """The diffusion family sweeps too: eps-MSE steps, fixed-noise dev
+    comparator, ranked results."""
+    import math
+    root = dataset['root']
+    tds = WindowDataset(str(root / 'train'), window_size=50, stride=5,
+                        output_data_format='all_frames',
+                        skip_loading_skeletons=True)
+    dds = WindowDataset(str(root / 'dev'), window_size=50, stride=5,
+                        output_data_format='all_frames',
+                        skip_loading_skeletons=True)
+    config = Config(dataset_home=str(root), model_type='diffusion',
+                    output_data_format='all_frames',
+                    checkpoint_dir=str(tmp_path / 'ck'),
+                    d_model=32, num_layers=1, num_heads=4,
+                    epochs=2, batch_size=16, seed=0)
+    result = run_sweep(config, tds, dds, lrs=[1e-3, 1e-4], seeds=[0],
+                       max_batches_per_epoch=2)
+    assert len(result.points) == 2
+    assert all(math.isfinite(p.final_train_loss) for p in result.points)
+    assert all(p.dev_curve is not None and len(p.dev_curve) == 2
+               for p in result.points)
+    # deterministic comparator: same fixed noise scored both configs
+    assert result.points[0].best_dev_loss != result.points[1].best_dev_loss
+
+
+def test_run_sweep_diffusion_requires_all_frames(dataset, tmp_path):
+    config = Config(dataset_home=str(dataset['root']),
+                    model_type='diffusion',
+                    checkpoint_dir=str(tmp_path / 'ck'))
+    with pytest.raises(ValueError, match='all_frames'):
+        run_sweep(config, dataset['train'], dataset['dev'],
+                  lrs=[1e-3], seeds=[0])
+
+
 def test_sweep_rejects_batchnorm(dataset):
     ds = dataset['train']
     model = get_model('feedforward', num_dofs=ds.num_dofs,
