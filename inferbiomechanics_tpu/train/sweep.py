@@ -426,12 +426,14 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     lc = loss_config_from(config)
     model = build_model_for_dataset(config, train_ds)
     is_diffusion = config.model_type == 'diffusion'
-    if is_diffusion and config.output_data_format != 'all_frames':
-        raise ValueError('sweep --model-type diffusion requires '
-                         '--output-data-format all_frames (like train); '
-                         'dev ranking uses a fixed-noise eps-MSE '
-                         'comparator. NOTE: the sweep uses the model\'s '
-                         'default timestep count, not --diffusion-timesteps')
+    if is_diffusion:
+        if config.output_data_format != 'all_frames':
+            raise ValueError('sweep --model-type diffusion requires '
+                             '--output-data-format all_frames (like train)')
+        if config.diffusion_timesteps != model.timesteps:
+            logger.warning('sweep uses the model default of %d diffusion '
+                           'timesteps, not --diffusion-timesteps %d',
+                           model.timesteps, config.diffusion_timesteps)
 
     sample = train_ds.gather(
         np.arange(min(config.batch_size, max(1, len(train_ds)))))
