@@ -38,6 +38,13 @@ class ConvertB3dCommand:
                                  'non-zero exit on any problem')
         parser.add_argument('--verify-frames', type=int, default=None,
                             help='With --verify: cap frames checked per trial')
+        parser.add_argument('--infer-schema', action='store_true',
+                            help='Table-free wire analysis: propose the '
+                                 'file\'s own field-number tables from '
+                                 'structural invariants and diff them '
+                                 'against the built-in reconstruction '
+                                 '(the tool to run FIRST when a real '
+                                 'nimble-written file mis-parses)')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'convert-b3d':
@@ -54,6 +61,25 @@ class ConvertB3dCommand:
                         paths.append(os.path.join(root, f))
         else:
             paths.append(args.input)
+
+        if args.infer_schema:
+            import sys
+            from inferbiomechanics_tpu.data.b3d_infer import (
+                format_infer_report, infer_legacy_schema,
+            )
+            disagree = 0
+            for path in paths:
+                if not is_legacy_b3d(path):
+                    print(f'skip (already B3D-TPU): {path}')
+                    continue
+                report = infer_legacy_schema(path)
+                print(format_infer_report(report))
+                disagree += 1 if report['builtin_diff'] else 0
+            if disagree:
+                print(f'SCHEMA DISAGREEMENT in {disagree} of {len(paths)} '
+                      f'files — edit the b3d_legacy.py tables as printed')
+                sys.exit(1)
+            return True
 
         if args.verify:
             from inferbiomechanics_tpu.data.b3d_legacy import (
