@@ -53,6 +53,12 @@ class SweepCommand:
                                  'of replicating it')
         parser.add_argument('--max-batches-per-epoch', type=int, default=None,
                             help='clamp epochs for smoke runs')
+        parser.add_argument('--pbt-every', type=int, default=0,
+                            help='population-based training: every N dev '
+                                 'evals the worst quartile of configs '
+                                 'copies the best quartile\'s weights and '
+                                 'adopts its lr x0.8/x1.25 (0 = plain '
+                                 'grid)')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'sweep':
@@ -91,6 +97,7 @@ class SweepCommand:
             dev_ds = None
 
         all_points = []
+        all_events = []
         best = None
         for spec in shapes:
             if spec is not None:
@@ -100,7 +107,13 @@ class SweepCommand:
             config.checkpoint_dir = os.path.join(root, shape_tag)
             result = run_sweep(config, train_ds, dev_ds, lrs, seeds,
                                max_batches_per_epoch=args.max_batches_per_epoch,
-                               shard_configs=args.shard_configs)
+                               shard_configs=args.shard_configs,
+                               pbt_every=args.pbt_every)
+            if result.pbt_events:
+                all_events.extend({**e, 'hidden_dims': list(config.hidden_dims)}
+                                  for e in result.pbt_events)
+                print(f'[sweep] {len(result.pbt_events)} PBT '
+                      f'exploit/explore events (see sweep_results.json)')
             for p in result.points:
                 row = {**vars(p), 'hidden_dims': list(config.hidden_dims)}
                 all_points.append(row)
@@ -109,19 +122,27 @@ class SweepCommand:
                          else row['final_train_loss'])
                 if score is not None and (best is None or score < best[0]):
                     best = (score, row)
+            b = result.best
+            lr_tag = (f'lr={b.learning_rate:g}'
+                      if b.final_learning_rate in (None, b.learning_rate)
+                      else f'slot lr={b.learning_rate:g} (PBT final '
+                           f'{b.final_learning_rate:g})')
             print(f'[sweep {shape_tag}] {len(result.points)} configs, '
                   f'{result.windows_per_sec:,.0f} windows/sec aggregate; '
-                  f'best: lr={result.best.learning_rate:g} '
-                  f'seed={result.best.seed}')
+                  f'best: {lr_tag} seed={b.seed}')
 
         os.makedirs(root, exist_ok=True)
         out = os.path.join(root, 'sweep_results.json')
         with open(out, 'w') as f:
             json.dump({'points': all_points,
-                       'best': best[1] if best else None}, f, indent=2)
+                       'best': best[1] if best else None,
+                       'pbt_events': all_events}, f, indent=2)
         if best:
             b = best[1]
-            print(f'sweep winner: lr={b["learning_rate"]:g} '
+            flr = b.get('final_learning_rate')
+            pbt_tag = (f' (PBT final lr {flr:g})'
+                       if flr not in (None, b['learning_rate']) else '')
+            print(f'sweep winner: lr={b["learning_rate"]:g}{pbt_tag} '
                   f'seed={b["seed"]} hidden_dims={b["hidden_dims"]} '
                   f'loss={best[0]:.6f}\nresults -> {out}')
         return True

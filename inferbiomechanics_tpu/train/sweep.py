@@ -73,6 +73,7 @@ class SweepPoint:
     best_dev_loss: Optional[float] = None     # min over per-epoch evals
     best_epoch: Optional[int] = None
     dev_curve: Optional[List[float]] = None   # dev loss after each epoch
+    final_learning_rate: Optional[float] = None   # != learning_rate under PBT
 
 
 @dataclass
@@ -80,6 +81,7 @@ class SweepResult:
     points: List[SweepPoint] = field(default_factory=list)
     best_index: int = -1
     windows_per_sec: float = 0.0   # aggregate over all configs
+    pbt_events: List[dict] = field(default_factory=list)
 
     @property
     def best(self) -> SweepPoint:
@@ -90,6 +92,7 @@ class SweepResult:
             'points': [vars(p) for p in self.points],
             'best_index': self.best_index,
             'windows_per_sec': self.windows_per_sec,
+            'pbt_events': self.pbt_events,
         }, indent=2)
 
 
@@ -199,13 +202,16 @@ def make_sweep_train_step(model, tx: optax.GradientTransformation,
                           lab_offsets: Dict[str, Tuple[int, int]],
                           loss_config: LossConfig, lrs: Sequence[float],
                           donate: bool = True):
-    """``step(state, batch_inputs, batch_labels, rng) -> (state, metrics)``
-    — one host-fed batch updates all K configs; metrics leaves are
-    [K]-stacked."""
-    lrs = jnp.asarray(list(lrs), jnp.float32)
-    k = lrs.shape[0]
+    """``step(state, batch_inputs, batch_labels, rng[, lrs]) -> (state,
+    metrics)`` — one host-fed batch updates all K configs; metrics leaves
+    are [K]-stacked. The build-time ``lrs`` are the default; passing a
+    [K] array at call time overrides them (how PBT mutates learning
+    rates without retracing)."""
+    lrs_default = jnp.asarray(list(lrs), jnp.float32)
+    k = lrs_default.shape[0]
 
-    def step(state: TrainState, batch_inputs, batch_labels, rng):
+    def step(state: TrainState, batch_inputs, batch_labels, rng,
+             lrs=lrs_default):
         labels = unpack(batch_labels, lab_offsets)
         update = _one_update(model, tx, loss_config, batch_inputs, labels)
         subs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(k))
@@ -228,13 +234,14 @@ def make_sweep_device_train_step(model, tx: optax.GradientTransformation,
     lrs_arr = jnp.asarray(list(lrs), jnp.float32)
     k = lrs_arr.shape[0]
 
-    def step(state: TrainState, idx: jax.Array, rng: jax.Array):
+    def step(state: TrainState, idx: jax.Array, rng: jax.Array,
+             lrs=lrs_arr):
         batch_inputs, batch_labels = data.gather_in_jit(idx)
         labels = unpack(batch_labels, data.lab_offsets)
         update = _one_update(model, tx, loss_config, batch_inputs, labels)
         subs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(k))
         new_params, new_opt, metrics = jax.vmap(update)(
-            state.params, state.opt_state, lrs_arr, subs)
+            state.params, state.opt_state, lrs, subs)
         state = state.replace(step=state.step + 1, params=new_params,
                               opt_state=new_opt)
         return state, metrics
@@ -314,14 +321,15 @@ def make_sweep_diffusion_step(model, tx, lab_offsets, lrs: Sequence[float],
     sched = schedule or DDPMSchedule(model.timesteps)
     lrs_arr = jnp.asarray(list(lrs), jnp.float32)
 
-    def step(state: TrainState, batch_inputs, batch_labels, rng):
+    def step(state: TrainState, batch_inputs, batch_labels, rng,
+             lrs=lrs_arr):
         x0 = diffusion_targets_from_labels(batch_labels, lab_offsets,
                                            model.num_contact_bodies)
         x_t, t, noise = _noising(sched, x0, rng)
         update = _diffusion_update(model, tx, sched, x_t, t, batch_inputs,
                                    noise)
         new_params, new_opt, metrics = jax.vmap(update)(
-            state.params, state.opt_state, lrs_arr)
+            state.params, state.opt_state, lrs)
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=new_opt), metrics
 
@@ -338,7 +346,8 @@ def make_sweep_device_diffusion_step(model, tx, data,
     sched = schedule or DDPMSchedule(model.timesteps)
     lrs_arr = jnp.asarray(list(lrs), jnp.float32)
 
-    def step(state: TrainState, idx: jax.Array, rng: jax.Array):
+    def step(state: TrainState, idx: jax.Array, rng: jax.Array,
+             lrs=lrs_arr):
         batch_inputs, batch_labels = data.gather_in_jit(idx)
         x0 = diffusion_targets_from_labels(batch_labels, data.lab_offsets,
                                            model.num_contact_bodies)
@@ -346,7 +355,7 @@ def make_sweep_device_diffusion_step(model, tx, data,
         update = _diffusion_update(model, tx, sched, x_t, t, batch_inputs,
                                    noise)
         new_params, new_opt, metrics = jax.vmap(update)(
-            state.params, state.opt_state, lrs_arr)
+            state.params, state.opt_state, lrs)
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=new_opt), metrics
 
@@ -403,12 +412,21 @@ def run_sweep(config: Config, train_ds: WindowDataset,
               dev_ds: Optional[WindowDataset],
               lrs: Sequence[float], seeds: Sequence[int],
               max_batches_per_epoch: Optional[int] = None,
-              shard_configs: bool = False) -> SweepResult:
+              shard_configs: bool = False,
+              pbt_every: int = 0) -> SweepResult:
     """Train the full lr x seed grid simultaneously; every config is
     dev-evaluated after every epoch and ranked by its BEST dev loss
     (final train loss when no dev split is usable). With
     ``config.early_stop_patience`` set, the whole grid stops early once
     no config has improved for that many evals.
+
+    ``pbt_every=N`` turns the grid into population-based training: after
+    every N-th dev eval the bottom quartile of configs EXPLOITS (copies
+    the top quartile's params + optimizer state — a [K]-gather on the
+    stacked state, one cheap device op) and EXPLORES (adopts the
+    winner's lr perturbed by x0.8 / x1.25). Slot lineage is recorded in
+    ``SweepResult.pbt_events``; a slot's ``dev_curve`` then describes
+    the SLOT, not one fixed hyperparameter point.
 
     Batch order is shared across configs (one gather per step), seeded by
     ``config.seed`` — the per-config ``seeds`` drive init + dropout, which
@@ -532,6 +550,8 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     best_dev = np.full(k, np.inf)
     best_epoch = np.full(k, -1, np.int64)
     stale = 0
+    cur_lrs = np.asarray(grid_lrs, np.float32)
+    pbt_events: List[dict] = []
     for epoch in range(config.epochs):
         if device_data is not None:
             perm = np.random.default_rng(
@@ -549,11 +569,12 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                     and batch_idx >= max_batches_per_epoch):
                 break
             step_rng = jax.random.fold_in(rng, epoch * 1_000_000 + batch_idx)
+            lrs_now = jnp.asarray(cur_lrs)
             if device_data is not None:
-                state, metrics = step(state, batch, step_rng)
+                state, metrics = step(state, batch, step_rng, lrs_now)
             else:
                 state, metrics = step(state, batch.inputs, batch.labels,
-                                      step_rng)
+                                      step_rng, lrs_now)
             last_train = metrics
             windows_seen += config.batch_size * k
         dl = dev_losses_now()
@@ -574,6 +595,29 @@ def run_sweep(config: Config, train_ds: WindowDataset,
             logger.info('sweep early stop after epoch %d: no config '
                         'improved in %d evals', epoch, stale)
             break
+        # -- population-based training: exploit + explore ------------------
+        if (pbt_every and k >= 2 and (len(dev_curves) % pbt_every == 0)
+                and epoch + 1 < config.epochs):
+            order = np.argsort(dl)                      # best loss first
+            n_rep = max(1, k // 4)
+            src, dst = order[:n_rep], order[-n_rep:]
+            perm = np.arange(k)
+            perm[dst] = src
+            pj = jnp.asarray(perm)
+            take = lambda x: x[pj]                      # all leaves are [K,...]
+            state = state.replace(
+                params=jax.tree_util.tree_map(take, state.params),
+                opt_state=jax.tree_util.tree_map(take, state.opt_state))
+            pbt_rng = np.random.default_rng((config.seed, 0x9b7, epoch))
+            for d, s in zip(dst, src):
+                factor = float(pbt_rng.choice([0.8, 1.25]))
+                cur_lrs[d] = cur_lrs[s] * factor
+                pbt_events.append({'epoch': int(epoch), 'winner': int(s),
+                                   'replaced': int(d),
+                                   'new_lr': float(cur_lrs[d])})
+            logger.info('PBT at epoch %d: slots %s adopted %s (lrs now %s)',
+                        epoch, dst.tolist(), src.tolist(),
+                        ['%.2g' % v for v in cur_lrs])
 
     # np.asarray forces the device->host readback = the only trustworthy
     # sync on this runtime (BENCH_NOTES.md measurement rules)
@@ -586,7 +630,8 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     # fall back to final train loss without a usable dev split
     ranking = best_dev if dev_curves else train_losses
     result = SweepResult(windows_per_sec=(windows_seen / elapsed
-                                          if elapsed > 0 else 0.0))
+                                          if elapsed > 0 else 0.0),
+                         pbt_events=pbt_events)
     for i, (lr, seed) in enumerate(grid):
         pt = SweepPoint(index=i, learning_rate=lr, seed=seed,
                         final_train_loss=float(train_losses[i]),
@@ -597,7 +642,8 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                         best_epoch=(int(best_epoch[i])
                                     if dev_curves else None),
                         dev_curve=([float(c[i]) for c in dev_curves]
-                                   if dev_curves else None))
+                                   if dev_curves else None),
+                        final_learning_rate=float(cur_lrs[i]))
         if config.checkpoint_dir:
             sub = os.path.join(config.checkpoint_dir,
                                f'lr{lr:g}_seed{seed}')

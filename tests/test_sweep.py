@@ -278,3 +278,61 @@ def test_sweep_cli(dataset, tmp_path):
                              / 'sweep_results.json'))
     assert len(results['points']) == 2
     assert results['best'] is not None
+
+
+def test_pbt_exploit_and_explore(dataset, tmp_path):
+    """PBT: the worst config adopts the best config's weights (its next
+    dev loss tracks the winner's) and a perturbed lr; events recorded."""
+    ds, dev = dataset['train'], dataset['dev']
+    # lr=50.0 diverges immediately -> guaranteed loser slot
+    config = Config(dataset_home=str(dataset['root']),
+                    checkpoint_dir=str(tmp_path / 'ck'),
+                    hidden_dims=[16], epochs=3, batch_size=16, seed=0)
+    result = run_sweep(config, ds, dev, lrs=[1e-3, 50.0], seeds=[0],
+                       max_batches_per_epoch=3, pbt_every=1)
+    assert result.pbt_events, 'no PBT events recorded'
+    ev = result.pbt_events[0]
+    assert ev['epoch'] == 0
+    assert {ev['winner'], ev['replaced']} == {0, 1}
+    # the diverged slot (lr=50) lost and adopted the winner's lr x{0.8,1.25}
+    winner_lr = [1e-3, 50.0][ev['winner']]
+    assert ev['new_lr'] == pytest.approx(winner_lr * 0.8) \
+        or ev['new_lr'] == pytest.approx(winner_lr * 1.25)
+    # after exploiting, the replaced slot's NEXT dev loss is near the
+    # winner's (same params, one epoch of slightly different lr)
+    loser = ev['replaced']
+    curve = result.points[loser].dev_curve
+    assert curve[1] < curve[0] * 0.9 or curve[1] < 1e3, \
+        'replaced slot did not recover after exploit'
+    # final lrs recorded per slot
+    assert result.points[loser].final_learning_rate == pytest.approx(
+        ev['new_lr']) or len(result.pbt_events) > 1
+    # plain grid run records no events
+    result2 = run_sweep(config, ds, dev, lrs=[1e-3, 1e-4], seeds=[0],
+                        max_batches_per_epoch=2)
+    assert result2.pbt_events == []
+
+
+def test_sweep_step_lr_override_matches_baked(dataset):
+    """Passing lrs at call time is equivalent to baking them at build
+    time (the PBT mechanism's correctness)."""
+    ds = dataset['train']
+    model = _tiny_model(ds)
+    lc = LossConfig()
+    batch = ds.gather(np.arange(16))
+    bi, bl = jnp.asarray(batch.inputs), jnp.asarray(batch.labels)
+    tx = make_optimizer('rmsprop', 1.0)
+    rng = jax.random.PRNGKey(0)
+
+    s1 = init_sweep_states(model, tx, bi, [0, 1])
+    step_a = make_sweep_train_step(model, tx, ds.lab_offsets, lc,
+                                   [1e-3, 1e-4], donate=False)
+    s1, m1 = step_a(s1, bi, bl, rng)
+
+    s2 = init_sweep_states(model, tx, bi, [0, 1])
+    step_b = make_sweep_train_step(model, tx, ds.lab_offsets, lc,
+                                   [9.0, 9.0], donate=False)   # wrong bake
+    s2, m2 = step_b(s2, bi, bl, rng, jnp.asarray([1e-3, 1e-4], jnp.float32))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
