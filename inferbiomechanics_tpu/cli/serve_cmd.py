@@ -33,6 +33,13 @@ class ServeCommand:
         parser.add_argument('--max-batch', type=int, default=4096,
                             help='Largest accepted /predict batch (also the '
                                  'top compile bucket)')
+        parser.add_argument('--batch-wait-ms', type=float, default=0.0,
+                            help='Dynamic batching: wait this long after '
+                                 'a /predict arrives so concurrent '
+                                 'requests coalesce into ONE device '
+                                 'forward (0 = off). Trades ~that much '
+                                 'latency for near-flat throughput '
+                                 'scaling with client count')
         parser.add_argument('--ensemble', type=str, nargs='+', default=None,
                             metavar='CKPT',
                             help='Serve the MEAN of several checkpoints '
@@ -65,7 +72,8 @@ class ServeCommand:
                            materialize_features=False)
         service = InferenceService(config, checkpoint_dir, ds,
                                    max_batch=args.max_batch,
-                                   ensemble=args.ensemble)
+                                   ensemble=args.ensemble,
+                                   batch_wait_ms=args.batch_wait_ms)
         server = serve(service, host=args.host, port=args.port)
         tag = (f'{len(service.members)}-member ensemble'
                if service.members else

@@ -56,12 +56,101 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (int(n) - 1)).bit_length()
 
 
+class _DynamicBatcher:
+    """Coalesce concurrent /predict requests into one device forward.
+
+    Each handler thread enqueues its rows and blocks on an event; a
+    single batcher thread drains the queue (waiting ``wait_ms`` after
+    the first arrival so concurrent requests can pile in, the classic
+    serving trade of a little latency for a lot of throughput), runs ONE
+    padded forward for up to ``max_batch`` rows, and scatters the row
+    slices back to the waiting requests. With the measured launch-bound
+    forwards (BENCH_NOTES.md: a B=4096 forward costs barely more than a
+    B=64 one) coalescing N small clients costs ~1 forward instead of N.
+    """
+
+    def __init__(self, service: 'InferenceService', wait_ms: float):
+        self.service = service
+        self.wait_s = max(0.0, wait_ms) / 1e3
+        self._cv = threading.Condition()
+        self._queue: list = []
+        self._closed = False
+        self.forwards = 0           # instrumentation (tests/telemetry)
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name='ib-serve-batcher')
+        self._thread.start()
+
+    def predict(self, x: np.ndarray, with_spread: bool):
+        item = {'x': x, 'spread': with_spread, 'ev': threading.Event()}
+        with self._cv:
+            self._queue.append(item)
+            self._cv.notify()
+        item['ev'].wait()
+        if 'err' in item:
+            raise item['err']
+        return item['out']
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+
+    def _run(self):
+        import time
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._queue:
+                    return
+            if self.wait_s:
+                time.sleep(self.wait_s)     # let concurrent requests pile in
+            with self._cv:
+                group: list = []
+                rows = 0
+                while self._queue and rows + self._queue[0]['x'].shape[0] \
+                        <= self.service.max_batch:
+                    item = self._queue.pop(0)
+                    group.append(item)
+                    rows += item['x'].shape[0]
+                if not group and self._queue:
+                    # single oversized request: let predict_packed raise
+                    group = [self._queue.pop(0)]
+            if not group:
+                continue
+            try:
+                x = np.concatenate([it['x'] for it in group]) \
+                    if len(group) > 1 else group[0]['x']
+                want_spread = any(it['spread'] for it in group)
+                if want_spread:
+                    out, spread = self.service.predict_packed(
+                        x, with_spread=True)
+                else:
+                    out, spread = self.service.predict_packed(x), None
+                self.forwards += 1
+                off = 0
+                for it in group:
+                    n = it['x'].shape[0]
+                    o = {k: v[off:off + n] for k, v in out.items()}
+                    s = ({k: v[off:off + n] for k, v in spread.items()}
+                         if spread is not None else None)
+                    it['out'] = (o, s) if it['spread'] else o
+                    off += n
+            except Exception as e:   # propagate to every waiting request
+                for it in group:
+                    it['err'] = e
+            finally:
+                for it in group:
+                    it['ev'].set()
+
+
 class InferenceService:
     """Checkpointed model + bucketed, lock-serialized batch forward."""
 
     def __init__(self, config: Config, checkpoint_dir: str,
                  dataset: WindowDataset, max_batch: int = 4096,
-                 ensemble: Optional[list] = None):
+                 ensemble: Optional[list] = None,
+                 batch_wait_ms: float = 0.0):
         """``ensemble``: optional list of checkpoint dirs or ``.ckpt``
         files (e.g. the per-config checkpoints a seed sweep wrote). All
         members run as ONE vmapped forward per request — the same
@@ -172,6 +261,10 @@ class InferenceService:
             self._fwd_ens = jax.jit(fwd_ens)
         self._fwd = jax.jit(fwd)
         self._lock = threading.Lock()
+        # dynamic batching: coalesce concurrent /predict requests into one
+        # forward (enabled by batch_wait_ms > 0, CLI --batch-wait-ms)
+        self.batcher = (_DynamicBatcher(self, batch_wait_ms)
+                        if batch_wait_ms > 0 else None)
         # file-mode dataset cache: path -> WindowDataset, LRU-bounded so a
         # long-running server can't grow host RAM without limit; its own
         # lock since ThreadingHTTPServer handlers race on first requests
@@ -180,6 +273,29 @@ class InferenceService:
         self._file_ds_cap = 4
 
     # -- raw packed windows --------------------------------------------------
+
+    def predict(self, x: np.ndarray, with_spread: bool = False):
+        """Request-facing entry: through the dynamic batcher when enabled
+        (shape-validated FIRST so bad requests fail fast, not in the
+        batcher thread where they would poison a coalesced group)."""
+        if self.batcher is not None:
+            self._validate(x)
+            return self.batcher.predict(x, with_spread)
+        return self.predict_packed(x, with_spread)
+
+    def _validate(self, x: np.ndarray) -> None:
+        ds = self.ds
+        if x.ndim != 3 or x.shape[1] != ds.num_model_frames \
+                or x.shape[2] != ds.num_input_channels:
+            raise ValueError(
+                f'inputs must be [B, {ds.num_model_frames}, '
+                f'{ds.num_input_channels}] (got {list(x.shape)}); '
+                f'GET /schema describes the channel layout')
+        if x.shape[0] == 0:
+            raise ValueError('empty batch')
+        if x.shape[0] > self.max_batch:
+            raise ValueError(f'batch {x.shape[0]} exceeds max_batch '
+                             f'{self.max_batch}; split the request')
 
     def predict_packed(self, x: np.ndarray, with_spread: bool = False):
         """[B, T, C_in] float32 -> output dict, each [B, out_frames, C].
@@ -190,19 +306,8 @@ class InferenceService:
         import jax
         import jax.numpy as jnp
 
-        ds = self.ds
-        if x.ndim != 3 or x.shape[1] != ds.num_model_frames \
-                or x.shape[2] != ds.num_input_channels:
-            raise ValueError(
-                f'inputs must be [B, {ds.num_model_frames}, '
-                f'{ds.num_input_channels}] (got {list(x.shape)}); '
-                f'GET /schema describes the channel layout')
+        self._validate(x)
         b = x.shape[0]
-        if b == 0:
-            raise ValueError('empty batch')
-        if b > self.max_batch:
-            raise ValueError(f'batch {b} exceeds max_batch {self.max_batch}; '
-                             'split the request')
         bp = min(_next_pow2(b), self.max_batch)
         if bp != b:
             x = np.concatenate(
@@ -281,6 +386,9 @@ class InferenceService:
             'label_layout': [{'key': k, 'width': w} for k, w in ds.lab_layout],
             'output_data_format': self.config.output_data_format,
             'max_batch': self.max_batch,
+            'dynamic_batching': (None if self.batcher is None else
+                                 {'wait_ms': self.batcher.wait_s * 1e3,
+                                  'forwards': self.batcher.forwards}),
         }
 
 
@@ -350,10 +458,9 @@ def make_handler(service: InferenceService):
                     x = _decode_inputs(payload)
                     want_spread = bool(payload.get('spread'))
                     if want_spread:
-                        out, spread = service.predict_packed(
-                            x, with_spread=True)
+                        out, spread = service.predict(x, with_spread=True)
                     else:
-                        out, spread = service.predict_packed(x), None
+                        out, spread = service.predict(x), None
                     resp = {'outputs': _encode_outputs(out, encoding),
                             'batch': int(x.shape[0])}
                     if want_spread:

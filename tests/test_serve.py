@@ -297,3 +297,75 @@ def test_ensemble_bad_member_rejected(service, tmp_path):
     with pytest.raises(FileNotFoundError):
         InferenceService(cfg, empty, service.ds,
                          ensemble=[str(tmp_path / 'nope.ckpt')])
+
+
+# -----------------------------------------------------------------------------
+# Dynamic batching
+# -----------------------------------------------------------------------------
+
+
+def test_dynamic_batching_coalesces_and_is_correct(tmp_path_factory, service):
+    """Concurrent clients coalesce into fewer device forwards; every
+    client still receives exactly its own rows' predictions."""
+    import concurrent.futures
+
+    cfg = Config()
+    cfg.model_type = 'feedforward'
+    cfg.window_size, cfg.stride = 20, 5
+    ds = service.ds
+    model = build_model_for_dataset(cfg, ds)
+    sample = ds.gather(np.arange(4))
+    state = create_train_state(model, jax.random.PRNGKey(2),
+                               jnp.asarray(sample.inputs),
+                               make_optimizer('adam', 1e-3))
+    ckpt = str(tmp_path_factory.mktemp('dynckpt'))
+    save_checkpoint(ckpt, state, 0, 0)
+    svc = InferenceService(cfg, ckpt, ds, max_batch=64, batch_wait_ms=30.0)
+    direct = InferenceService(cfg, ckpt, ds, max_batch=64)
+
+    batch = ds.gather(np.arange(12))
+    x = np.asarray(batch.inputs)
+    key = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    want = direct.predict_packed(x)[key]
+
+    def one(i):
+        rows = x[i:i + 2]                      # client i asks for rows i..i+1
+        out = svc.predict(rows)
+        return i, out[key]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=10) as ex:
+        results = list(ex.map(one, range(10)))
+    for i, got in results:
+        np.testing.assert_allclose(got, want[i:i + 2], rtol=1e-5, atol=1e-6,
+                                   err_msg=f'client {i} got wrong rows')
+    # 10 concurrent 2-row requests must coalesce into FEWER forwards
+    assert svc.batcher.forwards < 10, svc.batcher.forwards
+    svc.batcher.close()
+
+
+def test_dynamic_batching_error_isolation(tmp_path_factory, service):
+    """A bad request fails fast at validation and never poisons a
+    coalesced group."""
+    cfg = Config()
+    cfg.model_type = 'feedforward'
+    cfg.window_size, cfg.stride = 20, 5
+    ds = service.ds
+    model = build_model_for_dataset(cfg, ds)
+    sample = ds.gather(np.arange(4))
+    state = create_train_state(model, jax.random.PRNGKey(2),
+                               jnp.asarray(sample.inputs),
+                               make_optimizer('adam', 1e-3))
+    ckpt = str(tmp_path_factory.mktemp('dynckpt2'))
+    save_checkpoint(ckpt, state, 0, 0)
+    svc = InferenceService(cfg, ckpt, ds, max_batch=8, batch_wait_ms=5.0)
+    with pytest.raises(ValueError, match='inputs must be'):
+        svc.predict(np.zeros((2, 3, 4), np.float32))
+    with pytest.raises(ValueError, match='exceeds max_batch'):
+        svc.predict(np.zeros((9, ds.num_model_frames,
+                              ds.num_input_channels), np.float32))
+    # good request still works afterwards
+    batch = ds.gather(np.arange(2))
+    out = svc.predict(np.asarray(batch.inputs))
+    key = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    assert np.isfinite(np.asarray(out[key])).all()
+    svc.batcher.close()
