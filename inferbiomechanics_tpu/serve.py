@@ -265,12 +265,38 @@ class InferenceService:
         # forward (enabled by batch_wait_ms > 0, CLI --batch-wait-ms)
         self.batcher = (_DynamicBatcher(self, batch_wait_ms)
                         if batch_wait_ms > 0 else None)
+        # /metrics counters (lock-protected; latencies in a bounded ring)
+        self._stats_lock = threading.Lock()
+        self.stats = {'requests': 0, 'rows': 0, 'errors': 0,
+                      'device_forwards': 0}
+        self._latencies_ms: list = []
         # file-mode dataset cache: path -> WindowDataset, LRU-bounded so a
         # long-running server can't grow host RAM without limit; its own
         # lock since ThreadingHTTPServer handlers race on first requests
         self._file_ds: 'OrderedDict[str, WindowDataset]' = OrderedDict()
         self._file_ds_lock = threading.Lock()
         self._file_ds_cap = 4
+
+    def record_request(self, rows: int, dt_ms: float, error: bool) -> None:
+        with self._stats_lock:
+            self.stats['requests'] += 1
+            self.stats['rows'] += rows
+            self.stats['errors'] += int(error)
+            self._latencies_ms.append(dt_ms)
+            if len(self._latencies_ms) > 4096:
+                del self._latencies_ms[:2048]
+
+    def metrics(self) -> dict:
+        with self._stats_lock:
+            lat = sorted(self._latencies_ms)
+            out = dict(self.stats)
+        if lat:
+            pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]
+            out['latency_ms'] = {'p50': round(pick(0.50), 2),
+                                 'p90': round(pick(0.90), 2),
+                                 'p99': round(pick(0.99), 2),
+                                 'max': round(lat[-1], 2)}
+        return out
 
     # -- raw packed windows --------------------------------------------------
 
@@ -313,6 +339,8 @@ class InferenceService:
             x = np.concatenate(
                 [x, np.zeros((bp - b,) + x.shape[1:], np.float32)])
         spread = None
+        with self._stats_lock:
+            self.stats['device_forwards'] += 1
         with self._lock:
             if self.members:
                 out, spread = jax.device_get(self._fwd_ens(
@@ -443,31 +471,41 @@ def make_handler(service: InferenceService):
                                  'ensemble_size': len(service.members)})
             elif self.path == '/schema':
                 self._send(200, service.schema())
+            elif self.path == '/metrics':
+                self._send(200, service.metrics())
             else:
                 self._send(404, {'error': f'unknown path {self.path}'})
 
         def do_POST(self):
+            import time
+            t_start = time.time()
+            rows = 0
+            ok = False
             try:
                 n = int(self.headers.get('Content-Length', 0))
                 payload = json.loads(self.rfile.read(n) or b'{}')
             except (ValueError, json.JSONDecodeError) as e:
+                service.record_request(0, (time.time() - t_start) * 1e3,
+                                       error=True)
                 return self._send(400, {'error': f'bad JSON: {e}'})
             encoding = payload.get('encoding', 'json')
             try:
                 if self.path == '/predict':
                     x = _decode_inputs(payload)
+                    rows = int(x.shape[0])
                     want_spread = bool(payload.get('spread'))
                     if want_spread:
                         out, spread = service.predict(x, with_spread=True)
                     else:
                         out, spread = service.predict(x), None
                     resp = {'outputs': _encode_outputs(out, encoding),
-                            'batch': int(x.shape[0])}
+                            'batch': rows}
                     if want_spread:
                         # across-ensemble std per channel; all-zeros has no
                         # meaning for a single model, so null there
                         resp['spread'] = (_encode_outputs(spread, encoding)
                                           if spread is not None else None)
+                    ok = True
                     self._send(200, resp)
                 elif self.path == '/predict_file':
                     if 'file' not in payload:
@@ -475,6 +513,8 @@ def make_handler(service: InferenceService):
                     res = service.predict_file(
                         payload['file'], payload.get('trial', 0),
                         payload.get('max_windows'))
+                    rows = len(res['window_starts'])
+                    ok = True
                     self._send(200, {
                         'window_starts': res['window_starts'].tolist(),
                         'last_frame': res['last_frame'].tolist(),
@@ -488,6 +528,9 @@ def make_handler(service: InferenceService):
             except Exception as e:   # pragma: no cover — last-resort guard
                 logger.exception('predict failed')
                 self._send(500, {'error': f'{type(e).__name__}: {e}'})
+            finally:
+                service.record_request(rows, (time.time() - t_start) * 1e3,
+                                       error=not ok)
 
     return Handler
 

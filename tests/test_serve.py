@@ -369,3 +369,17 @@ def test_dynamic_batching_error_isolation(tmp_path_factory, service):
     key = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
     assert np.isfinite(np.asarray(out[key])).all()
     svc.batcher.close()
+
+
+def test_metrics_endpoint(base_url, service):
+    batch = service.ds.gather(np.arange(3))
+    _post(base_url + '/predict', {'inputs': np.asarray(batch.inputs).tolist()})
+    with pytest.raises(urllib.error.HTTPError):
+        _post(base_url + '/predict', {'inputs': [[[0.0]]]})   # bad shape
+    m = _get(base_url + '/metrics')
+    assert m['requests'] >= 2
+    assert m['rows'] >= 3
+    assert m['errors'] >= 1
+    assert m['device_forwards'] >= 1
+    assert m['latency_ms']['p50'] >= 0
+    assert m['latency_ms']['max'] >= m['latency_ms']['p50']
