@@ -36,6 +36,7 @@ def build_commands():
         ConvertCheckpointCommand,
     )
     from inferbiomechanics_tpu.cli.sweep_cmd import SweepCommand
+    from inferbiomechanics_tpu.cli.doctor_cmd import DoctorCommand
     return [
         TrainCommand(),
         VisualizeCommand(),
@@ -51,6 +52,7 @@ def build_commands():
         ServeCommand(),
         ConvertCheckpointCommand(),
         SweepCommand(),
+        DoctorCommand(),
     ]
 
 

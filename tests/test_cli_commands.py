@@ -173,3 +173,12 @@ def test_analyze_ensemble(workspace, tmp_path):
                    os.path.join(str(ckpt2), 'feedforward')])
     assert 'ensemble of 2' in out.stdout
     assert 'final report' in out.stdout
+
+
+def test_doctor(workspace):
+    out = run_cmd(['doctor', '--dataset-home', workspace['data'],
+                   '--transfer-mb', '0.5'])
+    assert 'compile probe' in out.stdout
+    assert 'host->device' in out.stdout
+    assert 'subjects' in out.stdout
+    assert 'DOCTOR: healthy' in out.stdout

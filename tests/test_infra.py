@@ -158,12 +158,12 @@ def test_all_ten_commands_registered():
     spec.loader.exec_module(mod)
     names = {c.name for c in mod.build_commands()}
     # the reference's 10 commands, plus the beyond-parity legacy
-    # converter, inference server, torch-checkpoint converter, and the
-    # vmapped hyperparameter sweep
+    # converter, inference server, torch-checkpoint converter, the
+    # vmapped hyperparameter sweep, and environment diagnostics
     assert names == {'train', 'visualize', 'visualize-file', 'create-splits',
                      'analyze', 'sanity-check', 'make-plots', 'review-file',
                      'pickle-data', 'save-prediction-csv', 'convert-b3d',
-                     'serve', 'convert-checkpoint', 'sweep'}
+                     'serve', 'convert-checkpoint', 'sweep', 'doctor'}
 
 
 def test_reference_flag_spellings_parse():
