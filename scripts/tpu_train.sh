@@ -8,6 +8,12 @@ DATASET_HOME="${DATASET_HOME:-../data}"
 CHECKPOINT_DIR="${CHECKPOINT_DIR:-../checkpoints}"
 MODEL="${MODEL:-feedforward}"
 
+# DOCTOR=1: gate the run on backend health (compile-latency + transfer
+# probes; `main.py doctor` exits 1 when the backend looks degraded)
+if [[ "${DOCTOR:-0}" == "1" ]]; then
+  python main.py doctor || { echo "backend degraded — not launching"; exit 1; }
+fi
+
 exec python main.py train \
   --dataset-home "$DATASET_HOME" \
   --checkpoint-dir "$CHECKPOINT_DIR" \
