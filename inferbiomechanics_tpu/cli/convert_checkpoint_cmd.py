@@ -24,9 +24,10 @@ class ConvertCheckpointCommand:
                  'into this framework\'s format')
         parser.add_argument('paths', nargs='+',
                             help='.pt files or directories containing them')
-        parser.add_argument('--out-dir', type=str, required=True,
+        parser.add_argument('--out-dir', type=str, default=None,
                             help='Destination checkpoint dir (point '
-                                 '--checkpoint-dir/<model-type> here later)')
+                                 '--checkpoint-dir/<model-type> here later); '
+                                 'required except with --soup')
         parser.add_argument('--opt-type', type=str, default='rmsprop',
                             help='Optimizer whose fresh state to embed '
                                  '(torch optimizer state is not portable)')
@@ -40,6 +41,13 @@ class ConvertCheckpointCommand:
                             help='--to-torch only: the reference model was '
                                  'built with --dropout (shifts its '
                                  'Sequential layer indices)')
+        parser.add_argument('--soup', type=str, default=None, metavar='OUT',
+                            help='Merge the given native .ckpt files into '
+                                 'ONE checkpoint by uniform parameter '
+                                 'averaging (a "model soup": ensemble-'
+                                 'flavored accuracy at single-model '
+                                 'serving cost); paths name same-'
+                                 'architecture .ckpt files or dirs')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'convert-checkpoint':
@@ -48,7 +56,7 @@ class ConvertCheckpointCommand:
             convert_torch_checkpoint, export_torch_checkpoint,
         )
 
-        ext = '*.ckpt' if args.to_torch else '*.pt'
+        ext = '*.ckpt' if (args.to_torch or args.soup) else '*.pt'
         files = []
         for p in args.paths:
             if os.path.isdir(p):
@@ -58,6 +66,16 @@ class ConvertCheckpointCommand:
         if not files:
             print(f'no {ext} checkpoints found')
             return True
+        if args.soup:
+            from inferbiomechanics_tpu.train.checkpoint import soup_checkpoints
+            out = soup_checkpoints(files, args.soup)
+            print(f'souped {len(files)} checkpoints -> {out}')
+            return True
+        if not args.out_dir:
+            import sys
+            print('convert-checkpoint: --out-dir is required (except with '
+                  '--soup)', file=sys.stderr)
+            sys.exit(2)
         for f in files:
             if args.to_torch:
                 out = export_torch_checkpoint(f, args.out_dir,

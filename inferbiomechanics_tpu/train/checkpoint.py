@@ -125,3 +125,46 @@ def load_checkpoint_file(state: TrainState,
             'checkpoint %s: optimizer state not restored (%s); '
             'parameters restored, optimizer starts fresh', path, e)
     return state, epoch, batch
+
+
+def soup_checkpoints(paths, out_path: str) -> str:
+    """Uniform parameter average of same-architecture checkpoints — a
+    "model soup": one merged checkpoint that serves at single-model cost
+    (vs `serve --ensemble`, which keeps K models and averages
+    predictions). Opt-state/step are taken from the newest member (the
+    soup is an eval/serving artifact; resuming training from it is a
+    warm restart). Raises when the parameter trees disagree in structure
+    or shape."""
+    if len(paths) < 2:
+        raise ValueError('soup needs at least 2 checkpoints')
+    raws = []
+    for p in paths:
+        with open(p, 'rb') as f:
+            raws.append(serialization.msgpack_restore(f.read()))
+    trees = [r['params'] for r in raws]
+    flat0, td0 = jax.tree_util.tree_flatten(trees[0])
+    for p, t in zip(paths[1:], trees[1:]):
+        flat, td = jax.tree_util.tree_flatten(t)
+        if td != td0:
+            raise ValueError(f'{p}: parameter tree structure differs from '
+                             f'{paths[0]} — not the same architecture')
+        for a, b in zip(flat0, flat):
+            if np.asarray(a).shape != np.asarray(b).shape:
+                raise ValueError(f'{p}: shape mismatch '
+                                 f'{np.asarray(b).shape} vs '
+                                 f'{np.asarray(a).shape}')
+    n = len(trees)
+    avg = jax.tree_util.tree_map(
+        lambda *xs: (np.sum([np.asarray(x, np.float64) for x in xs], axis=0)
+                     / n).astype(np.asarray(xs[0]).dtype), *trees)
+    newest = max(range(n), key=lambda i: (int(raws[i].get('epoch', -1)),
+                                          int(raws[i].get('batch', 0))))
+    out = dict(raws[newest])
+    out['params'] = avg
+    blob = serialization.to_bytes(out)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    tmp = out_path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(blob)
+    os.replace(tmp, out_path)
+    return out_path

@@ -420,3 +420,62 @@ def test_cli_convert_checkpoint_to_torch(ds, tmp_path):
     blob = torch.load(str(tmp_path / 'pt' / 'epoch_4_batch_2.pt'),
                       map_location='cpu', weights_only=True)
     assert blob['epoch'] == 4 and 'net.0.weight' in blob['model_state_dict']
+
+
+def test_soup_checkpoints(ds, tmp_path):
+    """Model soup: the merged checkpoint's params are the exact uniform
+    mean of the members and the result loads + runs."""
+    from inferbiomechanics_tpu.train.checkpoint import (
+        load_checkpoint_file, save_checkpoint, soup_checkpoints,
+    )
+    batch = ds.gather(np.arange(4))
+    x = jnp.asarray(batch.inputs, jnp.float32)
+    model = FeedForwardBaseline(
+        num_dofs=ds.num_dofs, num_contact_bodies=ds.num_contact_bodies,
+        history_len=20, stride=5, root_history_len=ds.root_history_len,
+        output_data_format='last_frame', activation='sigmoid',
+        hidden_dims=(16,), compute_dtype=jnp.float32)
+    states, files = [], []
+    for seed in (0, 1, 2):
+        st = create_train_state(model, jax.random.PRNGKey(seed), x,
+                                make_optimizer('adam', 1e-3))
+        states.append(st)
+        files.append(save_checkpoint(str(tmp_path / f'm{seed}'), st, seed, 0))
+    out = soup_checkpoints(files, str(tmp_path / 'soup.ckpt'))
+
+    target = create_train_state(model, jax.random.PRNGKey(9), x,
+                                make_optimizer('adam', 1e-3))
+    souped, epoch, _ = load_checkpoint_file(target, out)
+    assert epoch == 2                      # newest member's provenance
+    mean = jax.tree_util.tree_map(
+        lambda a, b, c: (np.asarray(a, np.float64) + np.asarray(b, np.float64)
+                         + np.asarray(c, np.float64)) / 3,
+        states[0].params, states[1].params, states[2].params)
+    for a, b in zip(jax.tree_util.tree_leaves(souped.params),
+                    jax.tree_util.tree_leaves(mean)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7)
+    out_fwd = model.apply({'params': souped.params}, x, train=False)
+    k = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    assert np.isfinite(np.asarray(out_fwd[k])).all()
+
+
+def test_soup_rejects_mismatched_architectures(ds, tmp_path):
+    from inferbiomechanics_tpu.train.checkpoint import (
+        save_checkpoint, soup_checkpoints,
+    )
+    batch = ds.gather(np.arange(4))
+    x = jnp.asarray(batch.inputs, jnp.float32)
+    files = []
+    for i, hidden in enumerate([(16,), (24,)]):
+        model = FeedForwardBaseline(
+            num_dofs=ds.num_dofs, num_contact_bodies=ds.num_contact_bodies,
+            history_len=20, stride=5, root_history_len=ds.root_history_len,
+            output_data_format='last_frame', activation='sigmoid',
+            hidden_dims=hidden, compute_dtype=jnp.float32)
+        st = create_train_state(model, jax.random.PRNGKey(i), x,
+                                make_optimizer('adam', 1e-3))
+        files.append(save_checkpoint(str(tmp_path / f'a{i}'), st, 0, 0))
+    with pytest.raises(ValueError, match='shape mismatch|structure differs'):
+        soup_checkpoints(files, str(tmp_path / 'bad.ckpt'))
+    with pytest.raises(ValueError, match='at least 2'):
+        soup_checkpoints(files[:1], str(tmp_path / 'bad2.ckpt'))
