@@ -70,6 +70,11 @@ class SweepCommand:
             return True
 
         from inferbiomechanics_tpu.train.sweep import run_sweep
+        from inferbiomechanics_tpu.utils.wandb_compat import MetricLogger
+
+        ml = MetricLogger(config=vars(args),
+                          group=os.environ.get('WANDB_RUN_GROUP'),
+                          enabled=not config.no_wandb)
 
         lrs = args.lrs or [config.learning_rate]
         seeds = args.seeds if args.seeds is not None else [config.seed]
@@ -108,7 +113,8 @@ class SweepCommand:
             result = run_sweep(config, train_ds, dev_ds, lrs, seeds,
                                max_batches_per_epoch=args.max_batches_per_epoch,
                                shard_configs=args.shard_configs,
-                               pbt_every=args.pbt_every)
+                               pbt_every=args.pbt_every,
+                               metric_logger=ml)
             if result.pbt_events:
                 all_events.extend({**e, 'hidden_dims': list(config.hidden_dims)}
                                   for e in result.pbt_events)
@@ -122,11 +128,14 @@ class SweepCommand:
                          else row['final_train_loss'])
                 if score is not None and (best is None or score < best[0]):
                     best = (score, row)
+            import math
             b = result.best
-            lr_tag = (f'lr={b.learning_rate:g}'
-                      if b.final_learning_rate in (None, b.learning_rate)
-                      else f'slot lr={b.learning_rate:g} (PBT final '
-                           f'{b.final_learning_rate:g})')
+            lr_moved = (b.final_learning_rate is not None
+                        and not math.isclose(b.final_learning_rate,
+                                             b.learning_rate, rel_tol=1e-6))
+            lr_tag = (f'slot lr={b.learning_rate:g} (PBT final '
+                      f'{b.final_learning_rate:g})' if lr_moved
+                      else f'lr={b.learning_rate:g}')
             print(f'[sweep {shape_tag}] {len(result.points)} configs, '
                   f'{result.windows_per_sec:,.0f} windows/sec aggregate; '
                   f'best: {lr_tag} seed={b.seed}')
@@ -139,10 +148,13 @@ class SweepCommand:
                        'pbt_events': all_events}, f, indent=2)
         if best:
             b = best[1]
+            import math
             flr = b.get('final_learning_rate')
             pbt_tag = (f' (PBT final lr {flr:g})'
-                       if flr not in (None, b['learning_rate']) else '')
+                       if flr is not None and not math.isclose(
+                           flr, b['learning_rate'], rel_tol=1e-6) else '')
             print(f'sweep winner: lr={b["learning_rate"]:g}{pbt_tag} '
                   f'seed={b["seed"]} hidden_dims={b["hidden_dims"]} '
                   f'loss={best[0]:.6f}\nresults -> {out}')
+        ml.finish()
         return True

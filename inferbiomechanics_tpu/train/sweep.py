@@ -413,7 +413,8 @@ def run_sweep(config: Config, train_ds: WindowDataset,
               lrs: Sequence[float], seeds: Sequence[int],
               max_batches_per_epoch: Optional[int] = None,
               shard_configs: bool = False,
-              pbt_every: int = 0) -> SweepResult:
+              pbt_every: int = 0,
+              metric_logger=None) -> SweepResult:
     """Train the full lr x seed grid simultaneously; every config is
     dev-evaluated after every epoch and ranked by its BEST dev loss
     (final train loss when no dev split is usable). With
@@ -582,6 +583,11 @@ def run_sweep(config: Config, train_ds: WindowDataset,
             logger.info('sweep epoch %d done', epoch)
             continue
         dev_curves.append(dl)
+        if metric_logger is not None:
+            metric_logger.log({'epoch': epoch,
+                               **{f'sweep/config_{i}/dev_loss': float(v)
+                                  for i, v in enumerate(dl)},
+                               'sweep/best_dev_loss': float(dl.min())})
         improved = dl < best_dev
         best_epoch = np.where(improved, epoch, best_epoch)
         best_dev = np.minimum(best_dev, dl)

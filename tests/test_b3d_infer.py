@@ -117,3 +117,35 @@ def test_infer_rejects_non_framed_garbage(tmp_path):
         f.write(b'\xff' * 64)
     with pytest.raises(ValueError):
         infer_legacy_schema(p)
+
+
+@pytest.mark.parametrize('seed', [1, 2, 3])
+def test_infer_under_fully_shuffled_pf_tables(tmp_path, monkeypatch, seed):
+    """Fuzz: write a fixture under a RANDOM permutation of the pass-frame
+    field numbering; every unique-width field must be re-located and the
+    order mismatch must be flagged (unless the permutation happens to be
+    order-preserving for the unique fields)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    names = list(L._PF)
+    new_nums = rng.permutation(np.arange(1, len(names) + 1)).tolist()
+    pf = dict(zip(names, new_nums))
+    monkeypatch.setattr(L, '_PF', pf)
+    monkeypatch.setattr(L, '_PF_CONTACT_FIELD', pf['contact'])
+    p = str(tmp_path / f'shuf{seed}.b3d')
+    write_synthetic_legacy_subject(p, num_trials=1, trial_length=30,
+                                   seed=seed)
+    monkeypatch.undo()
+
+    r = infer_legacy_schema(p)
+    # the unique-width field (joint centers, 36 wide) must be found at
+    # its shuffled number
+    jc = [e for e in r['proposed']['PF_width_classes']
+          if e['candidates'] == ['jointCentersInRootFrame']]
+    assert jc and jc[0]['field'] == pf['jointCentersInRootFrame']
+    # contact (packed ints) found at its shuffled number
+    ct = [e for e in r['proposed']['PF_width_classes']
+          if e['candidates'] == ['contact']]
+    assert ct and ct[0]['field'] == pf['contact']
+    if pf['jointCentersInRootFrame'] != L._PF['jointCentersInRootFrame']:
+        assert any('jointCentersInRootFrame' in d for d in r['builtin_diff'])
