@@ -63,6 +63,12 @@ class AnalyzeCommand:
         if args.command != 'analyze':
             return False
         config = config_from_args(args)
+        if getattr(args, 'ensemble', None) and config.model_type in (
+                'analytical', 'diffusion'):
+            raise SystemExit(f'analyze --ensemble supports learned '
+                             f'regression models; --model-type '
+                             f'{config.model_type} has its own evaluation '
+                             f'path and would silently ignore the ensemble')
         checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
                                       config.model_type)
 

@@ -79,16 +79,27 @@ class DoctorCommand:
                     f'— the documented degraded-backend signature; park TPU '
                     f'work and retry later)')
 
-            # host->device transfer probe (readback-synced)
-            n = int(args.transfer_mb * 1e6 / 4)
-            host = np.ones(n, np.float32)
+            # host->device transfer probe, chunked small-first so a
+            # collapsed tunnel (~KB/s) is diagnosed from the 64 KB chunk
+            # in seconds instead of stalling doctor for minutes on the
+            # full payload — the exact failure mode the probe exists for
+            small_mb = min(0.064, args.transfer_mb)
             t0 = time.time()
-            dev = jnp.asarray(host)
+            dev = jnp.asarray(np.ones(int(small_mb * 1e6 / 4), np.float32))
             float(dev[0])                       # force completion
             dt = max(time.time() - t0, 1e-9)
-            mbps = args.transfer_mb / dt
+            mbps = small_mb / dt
+            probed_mb = small_mb
+            if mbps >= TRANSFER_DEGRADED_MBPS and args.transfer_mb > small_mb:
+                rest = args.transfer_mb - small_mb
+                t0 = time.time()
+                dev = jnp.asarray(np.ones(int(rest * 1e6 / 4), np.float32))
+                float(dev[0])
+                dt = max(time.time() - t0, 1e-9)
+                mbps = rest / dt
+                probed_mb = rest
             status = 'ok' if mbps >= TRANSFER_DEGRADED_MBPS else 'DEGRADED'
-            print(f'host->device: {args.transfer_mb:.1f} MB in {dt:.2f}s '
+            print(f'host->device: {probed_mb:.3f} MB in {dt:.2f}s '
                   f'= {mbps:.2f} MB/s ({status})')
             if mbps < TRANSFER_DEGRADED_MBPS:
                 degraded.append(
@@ -108,8 +119,13 @@ class DoctorCommand:
 
         if args.dataset_home:
             from inferbiomechanics_tpu.data.dataset import WindowDataset
-            for split in ('train', 'dev', ''):
-                root = os.path.join(args.dataset_home, split)
+            splits = [s for s in ('train', 'dev')
+                      if os.path.isdir(os.path.join(args.dataset_home, s))]
+            # bare dataset root only when no split subdirs exist (walking
+            # the root WITH splits would re-featurize everything twice)
+            roots = ([os.path.join(args.dataset_home, s) for s in splits]
+                     or [args.dataset_home])
+            for root in roots:
                 if not os.path.isdir(root):
                     continue
                 try:

@@ -114,7 +114,9 @@ class SweepCommand:
                                max_batches_per_epoch=args.max_batches_per_epoch,
                                shard_configs=args.shard_configs,
                                pbt_every=args.pbt_every,
-                               metric_logger=ml)
+                               metric_logger=ml,
+                               metric_prefix=(f'{shape_tag}/'
+                                              if len(shapes) > 1 else ''))
             if result.pbt_events:
                 all_events.extend({**e, 'hidden_dims': list(config.hidden_dims)}
                                   for e in result.pbt_events)

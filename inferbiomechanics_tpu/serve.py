@@ -83,9 +83,16 @@ class _DynamicBatcher:
     def predict(self, x: np.ndarray, with_spread: bool):
         item = {'x': x, 'spread': with_spread, 'ev': threading.Event()}
         with self._cv:
+            if self._closed or not self._thread.is_alive():
+                raise RuntimeError('dynamic batcher is shut down')
             self._queue.append(item)
             self._cv.notify()
-        item['ev'].wait()
+        # bounded wait + liveness recheck: if the batcher thread dies the
+        # request must error out, not hang the HTTP handler forever
+        while not item['ev'].wait(timeout=5.0):
+            if not self._thread.is_alive():
+                raise RuntimeError('dynamic batcher thread died; '
+                                   'request abandoned')
         if 'err' in item:
             raise item['err']
         return item['out']
@@ -93,6 +100,12 @@ class _DynamicBatcher:
     def close(self):
         with self._cv:
             self._closed = True
+            # fail any queued-but-unserved requests instead of leaving
+            # their handler threads blocked
+            for it in self._queue:
+                it['err'] = RuntimeError('dynamic batcher shut down')
+                it['ev'].set()
+            self._queue.clear()
             self._cv.notify()
 
     def _run(self):

@@ -310,10 +310,22 @@ def export_torch_checkpoint(ckpt_path: str, out_dir: str,
     m = re.search(r'epoch_(\d+)_batch_(\d+)\.ckpt$', base)
     if m:
         epoch, batch = int(m.group(1)), int(m.group(2))
-    name = (f'epoch_{epoch}_batch_{batch}.pt' if m or epoch >= 0
-            else os.path.splitext(base)[0] + '.pt')
+    # name from the SOURCE stem (best.ckpt -> best.pt), mirroring the
+    # forward converter: recorded-epoch naming would silently collapse
+    # best.ckpt onto its sibling epoch_{e}_batch_{b} conversion
+    name = os.path.splitext(base)[0] + '.pt'
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, name)
+    if os.path.exists(out):
+        # same-named sources from different dirs (e.g. two sweep configs'
+        # epoch_4_batch_0.ckpt): disambiguate with the parent dir name
+        # instead of silently overwriting the earlier export
+        parent = os.path.basename(os.path.dirname(os.path.abspath(ckpt_path)))
+        out = os.path.join(out_dir,
+                           f'{parent}_{name}' if parent else f'dup_{name}')
+        if os.path.exists(out):
+            raise ValueError(f'output {out} already exists — exports from '
+                             f'{ckpt_path} would overwrite it')
     torch.save({'epoch': max(epoch, 0),
                 'model_state_dict': {k: torch.from_numpy(np.ascontiguousarray(v))
                                      for k, v in sd.items()}}, out)

@@ -74,6 +74,7 @@ class SweepPoint:
     best_epoch: Optional[int] = None
     dev_curve: Optional[List[float]] = None   # dev loss after each epoch
     final_learning_rate: Optional[float] = None   # != learning_rate under PBT
+    best_checkpoint_path: Optional[str] = None    # params at best_epoch
 
 
 @dataclass
@@ -414,7 +415,8 @@ def run_sweep(config: Config, train_ds: WindowDataset,
               max_batches_per_epoch: Optional[int] = None,
               shard_configs: bool = False,
               pbt_every: int = 0,
-              metric_logger=None) -> SweepResult:
+              metric_logger=None,
+              metric_prefix: str = '') -> SweepResult:
     """Train the full lr x seed grid simultaneously; every config is
     dev-evaluated after every epoch and ranked by its BEST dev loss
     (final train loss when no dev split is usable). With
@@ -500,8 +502,8 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     if train_ds.features_all is not None and config.device_data != 'off':
         data_bytes = (train_ds.features_all.nbytes
                       + train_ds.labels_all.nbytes)
-        if (config.device_data in ('on', 'sharded', 'stream')
-                or data_bytes < config.device_data_max_bytes):
+        fits = data_bytes < config.device_data_max_bytes
+        if config.device_data == 'on' or fits:
             from inferbiomechanics_tpu.train.device_data import (
                 DeviceResidentData,
             )
@@ -513,6 +515,14 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                                < config.device_data_max_bytes)))
             logger.info('sweep device-resident data: %.0f MB in HBM',
                         device_data.hbm_bytes / 1e6)
+        elif config.device_data in ('sharded', 'stream'):
+            # the sweep has no sharded/streaming tier; do NOT force an
+            # over-budget replicated upload in their name — fall back to
+            # the host loader like any other oversized dataset
+            logger.warning('sweep has no %r data tier; dataset (%.0f MB) '
+                           'exceeds --device-data-max-bytes, using the '
+                           'host loader', config.device_data,
+                           data_bytes / 1e6)
     if device_data is not None:
         step = (make_sweep_device_diffusion_step(model, tx, device_data,
                                                  grid_lrs)
@@ -531,6 +541,13 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     dev_loader = (PrefetchLoader(dev_ds, config.batch_size, shuffle=False)
                   if dev_ds is not None and len(dev_ds) >= config.batch_size
                   else None)
+    if dev_loader is None:
+        logger.warning(
+            'sweep: no usable dev split (%s) — configs will be ranked by '
+            'FINAL TRAIN loss, which favors overfitting',
+            'none provided' if dev_ds is None else
+            f'{len(dev_ds)} dev windows < batch size {config.batch_size}; '
+            f'lower --batch-size to enable dev ranking')
 
     def dev_losses_now() -> Optional[np.ndarray]:
         """Every config scored on the identical dev stream; [K] or None."""
@@ -553,7 +570,10 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     stale = 0
     cur_lrs = np.asarray(grid_lrs, np.float32)
     pbt_events: List[dict] = []
+    best_params: List[Optional[dict]] = [None] * k   # host snapshots
+    last_epoch = -1
     for epoch in range(config.epochs):
+        last_epoch = epoch
         if device_data is not None:
             perm = np.random.default_rng(
                 (config.seed, epoch)).permutation(len(train_ds))
@@ -584,13 +604,21 @@ def run_sweep(config: Config, train_ds: WindowDataset,
             continue
         dev_curves.append(dl)
         if metric_logger is not None:
+            p = metric_prefix
             metric_logger.log({'epoch': epoch,
-                               **{f'sweep/config_{i}/dev_loss': float(v)
+                               **{f'sweep/{p}config_{i}/dev_loss': float(v)
                                   for i, v in enumerate(dl)},
-                               'sweep/best_dev_loss': float(dl.min())})
+                               f'sweep/{p}best_dev_loss': float(dl.min())})
         improved = dl < best_dev
         best_epoch = np.where(improved, epoch, best_epoch)
         best_dev = np.minimum(best_dev, dl)
+        # snapshot improved configs' params to host: the ranked best-dev
+        # number must correspond to a SAVED artifact (best.ckpt below) —
+        # final-epoch params may be worse, and under PBT the best params
+        # may be overwritten by an exploit
+        for i in np.nonzero(improved)[0]:
+            best_params[int(i)] = jax.tree_util.tree_map(
+                lambda x, j=int(i): np.asarray(x[j]), state.params)
         logger.info('sweep epoch %d: best dev loss %.6f (config %d)',
                     epoch, float(best_dev.min()), int(best_dev.argmin()))
         # grid-wide early stop: when NO config improved for
@@ -653,8 +681,17 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         if config.checkpoint_dir:
             sub = os.path.join(config.checkpoint_dir,
                                f'lr{lr:g}_seed{seed}')
+            # name by the epoch actually reached (early stop may end the
+            # grid before config.epochs)
             pt.checkpoint_path = save_checkpoint(
-                sub, slice_config(state, i), max(0, config.epochs - 1), 0)
+                sub, slice_config(state, i), max(0, last_epoch), 0)
+            if best_params[i] is not None:
+                # the artifact the ranked best_dev_loss refers to
+                bstate = slice_config(state, i).replace(
+                    params=best_params[i])
+                pt.best_checkpoint_path = save_checkpoint(
+                    sub, bstate, int(best_epoch[i]), 0,
+                    filename='best.ckpt')
         result.points.append(pt)
     if k and np.isfinite(ranking).any():
         result.best_index = int(np.nanargmin(ranking))

@@ -336,3 +336,28 @@ def test_sweep_step_lr_override_matches_baked(dataset):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sweep_writes_best_checkpoint_artifact(dataset, tmp_path):
+    """The ranked best-dev loss corresponds to a SAVED best.ckpt whose
+    recorded epoch is the best epoch (final-epoch params may be worse)."""
+    from inferbiomechanics_tpu.train.checkpoint import load_checkpoint_file
+    ds, dev = dataset['train'], dataset['dev']
+    config = Config(dataset_home=str(dataset['root']),
+                    checkpoint_dir=str(tmp_path / 'ck'),
+                    hidden_dims=[16], epochs=2, batch_size=16, seed=0)
+    result = run_sweep(config, ds, dev, lrs=[1e-3], seeds=[0, 1],
+                       max_batches_per_epoch=3)
+    for p in result.points:
+        assert p.best_checkpoint_path and os.path.exists(p.best_checkpoint_path)
+        model = _tiny_model2 = get_model(
+            'feedforward', num_dofs=ds.num_dofs,
+            num_contact_bodies=ds.num_contact_bodies, history_len=50,
+            stride=5, root_history_len=ds.root_history_len,
+            hidden_dims=[16])
+        batch = ds.gather(np.arange(8))
+        st = create_train_state(model, jax.random.PRNGKey(0),
+                                jnp.asarray(batch.inputs),
+                                make_optimizer('rmsprop', 1e-3))
+        st, epoch, _ = load_checkpoint_file(st, p.best_checkpoint_path)
+        assert epoch == p.best_epoch

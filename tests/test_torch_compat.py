@@ -479,3 +479,37 @@ def test_soup_rejects_mismatched_architectures(ds, tmp_path):
         soup_checkpoints(files, str(tmp_path / 'bad.ckpt'))
     with pytest.raises(ValueError, match='at least 2'):
         soup_checkpoints(files[:1], str(tmp_path / 'bad2.ckpt'))
+
+
+def test_export_to_torch_name_collisions(ds, tmp_path):
+    """best.ckpt exports under its stem; same-named .ckpt files from two
+    dirs disambiguate with the parent-dir name instead of overwriting."""
+    from inferbiomechanics_tpu.torch_compat import export_torch_checkpoint
+    from inferbiomechanics_tpu.train.checkpoint import save_checkpoint
+    batch = ds.gather(np.arange(4))
+    x = jnp.asarray(batch.inputs, jnp.float32)
+    model = FeedForwardBaseline(
+        num_dofs=ds.num_dofs, num_contact_bodies=ds.num_contact_bodies,
+        history_len=20, stride=5, root_history_len=ds.root_history_len,
+        output_data_format='last_frame', activation='sigmoid',
+        hidden_dims=(16,), compute_dtype=jnp.float32)
+    out_dir = str(tmp_path / 'pt')
+    # same dir: epoch ckpt + best.ckpt must produce TWO .pt files
+    st = create_train_state(model, jax.random.PRNGKey(0), x,
+                            make_optimizer('adam', 1e-3))
+    d = str(tmp_path / 'cfg0')
+    save_checkpoint(d, st, 4, 0)
+    save_checkpoint(d, st, 4, 0, filename='best.ckpt')
+    w1 = export_torch_checkpoint(os.path.join(d, 'epoch_4_batch_0.ckpt'), out_dir)
+    w2 = export_torch_checkpoint(os.path.join(d, 'best.ckpt'), out_dir)
+    assert os.path.basename(w1) == 'epoch_4_batch_0.pt'
+    assert os.path.basename(w2) == 'best.pt'
+    # second dir with the SAME epoch name: disambiguated, not overwritten
+    st2 = create_train_state(model, jax.random.PRNGKey(1), x,
+                             make_optimizer('adam', 1e-3))
+    d2 = str(tmp_path / 'cfg1')
+    save_checkpoint(d2, st2, 4, 0)
+    w3 = export_torch_checkpoint(os.path.join(d2, 'epoch_4_batch_0.ckpt'),
+                                 out_dir)
+    assert os.path.basename(w3) == 'cfg1_epoch_4_batch_0.pt'
+    assert len(os.listdir(out_dir)) == 3
