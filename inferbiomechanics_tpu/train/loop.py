@@ -46,6 +46,7 @@ class TrainResult:
     final_dev_metrics: Dict[str, float]
     windows_per_sec: float
     windows_seen: int = 0
+    preempted: bool = False   # SIGTERM checkpoint-and-exit (see train())
 
 
 def loss_config_from(config: Config) -> LossConfig:
@@ -87,7 +88,29 @@ def train(config: Config,
           dev_ds: Optional[WindowDataset] = None,
           metric_logger=None,
           max_batches_per_epoch: Optional[int] = None) -> TrainResult:
-    """Run the full training workflow on the current device mesh."""
+    """Run the full training workflow on the current device mesh.
+
+    Preemption-safe: SIGTERM (the signal TPU VMs and batch schedulers
+    deliver before eviction) requests a checkpoint at the next step
+    boundary and a clean exit; the run resumes mid-epoch from that
+    checkpoint (the resume path below replays the exact remaining batch
+    stream). The reference had no preemption story — a killed run lost
+    everything since its last 1000-batch checkpoint.
+    """
+    stop_requested = {'flag': False}
+
+    def _on_term(signum, frame):
+        stop_requested['flag'] = True
+        logger.warning('SIGTERM received: writing a checkpoint at the '
+                       'next step boundary and exiting cleanly')
+
+    import signal as _signal
+    old_handler = None
+    try:
+        old_handler = _signal.signal(_signal.SIGTERM, _on_term)
+    except ValueError:
+        pass   # not the main thread (e.g. tests driving train() directly)
+
     mesh = make_mesh(model_parallel=config.model_parallel)
     sharding = batch_sharding(mesh)
     n_dp = mesh.shape['data']
@@ -311,6 +334,7 @@ def train(config: Config,
         return False
 
     stopped_early = False
+    preempted = False
     for epoch in range(start_epoch, config.epochs):
         # -- dev eval before the epoch (ref train.py:207-226) --------------
         run_dev_eval(epoch)
@@ -334,6 +358,9 @@ def train(config: Config,
             print(f'[epoch {epoch}] train report ({time.time() - t_epoch:.1f}s):')
             train_metrics = train_eval.print_report(log_to_wandb=metric_logger is not None)
             save_checkpoint(config.checkpoint_dir, state, epoch, 0)
+            if stop_requested['flag']:
+                preempted = True
+                break
             continue
         if use_device_data:
             # per-epoch shuffle sharded across hosts, indices sent per step
@@ -379,6 +406,17 @@ def train(config: Config,
                                             step_rng)
             train_eval(None, None, None, precomputed_metrics=metrics)
             last_metrics = metrics
+            # preemption: checkpoint after this step and exit cleanly.
+            # Only at batch_idx >= 1 — a batch-0 mid-epoch checkpoint is
+            # indistinguishable from an end-of-epoch one to the resume
+            # logic (it would skip the rest of this epoch).
+            if stop_requested['flag'] and batch_idx >= 1:
+                save_checkpoint(config.checkpoint_dir, state, epoch, batch_idx)
+                logger.info('preemption checkpoint written: epoch %d '
+                            'batch %d', epoch, batch_idx)
+                preempted = True
+                windows_seen += config.batch_size
+                break
             if batch_idx % config.log_every_batches == 0:
                 loss = float(metrics['loss'])
                 if metric_logger is not None:
@@ -391,6 +429,8 @@ def train(config: Config,
         if last_metrics is not None:
             float(last_metrics['loss'])   # sync: chained through state
             compute_time += time.time() - t_compute
+        if preempted:
+            break
         epochs_run += 1
         if profiling:
             jax.block_until_ready(state.params)
@@ -411,9 +451,15 @@ def train(config: Config,
             and not stopped_early and epochs_run > 0
             and run_dev_eval(config.epochs)):
         track_best(config.epochs)
+    if old_handler is not None:
+        _signal.signal(_signal.SIGTERM, old_handler)
+    if preempted:
+        print('training preempted (SIGTERM): checkpoint written, resume '
+              'with the same command')
     wps = windows_seen / compute_time if compute_time > 0 else 0.0
     return TrainResult(epochs_run=epochs_run,
                        final_train_metrics=train_metrics if epochs_run else {},
                        final_dev_metrics=final_dev,
                        windows_per_sec=wps,
-                       windows_seen=windows_seen)
+                       windows_seen=windows_seen,
+                       preempted=preempted)

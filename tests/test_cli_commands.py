@@ -182,3 +182,43 @@ def test_doctor(workspace):
     assert 'host->device' in out.stdout
     assert 'subjects' in out.stdout
     assert 'DOCTOR: healthy' in out.stdout
+
+
+def test_sigterm_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-training writes a mid-epoch checkpoint and exits 0;
+    the same command resumes from it (TPU-preemption safety)."""
+    import signal
+    import time as _time
+    data = tmp_path / 'data'
+    os.makedirs(data / 'train')
+    os.makedirs(data / 'dev')
+    write_synthetic_subject(str(data / 'train' / 's0.b3d'), num_trials=2,
+                            trial_length=1500, seed=0)
+    write_synthetic_subject(str(data / 'dev' / 's0.b3d'), num_trials=1,
+                            trial_length=150, seed=1)
+    ckpt = tmp_path / 'ck'
+    env = dict(os.environ, IB_PLATFORM='cpu')
+    args = [sys.executable, MAIN, 'train', '--dataset-home', str(data),
+            '--checkpoint-dir', str(ckpt), '--no-wandb', '--epochs', '500',
+            '--batch-size', '16', '--device-data', 'off']
+    proc = subprocess.Popen(args, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    # let it get past compile and into the step loop, then preempt
+    deadline = _time.time() + 240
+    ckdir = ckpt / 'feedforward'
+    _time.sleep(30)
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=max(10.0, deadline - _time.time()))
+    assert proc.returncode == 0, out[-3000:]
+    assert 'preempted' in out
+    assert 'preemption checkpoint written' in out, out[-2000:]
+    from inferbiomechanics_tpu.train.checkpoint import list_checkpoints
+    cks = list_checkpoints(str(ckdir))
+    assert cks, out[-2000:]
+    epoch, batch, _path = cks[-1]
+    # resume completes (clamped to a quick finish)
+    out2 = run_cmd(['train', '--dataset-home', str(data),
+                    '--checkpoint-dir', str(ckpt), '--no-wandb',
+                    '--epochs', str(epoch + 1), '--batch-size', '16',
+                    '--device-data', 'off'])
+    assert 'Training done' in out2.stdout
