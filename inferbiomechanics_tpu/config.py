@@ -76,6 +76,9 @@ class Config:
     # dev evals without improvement (0 = disabled)
     keep_best: bool = False
     early_stop_patience: int = 0
+    # retention: keep only the newest N epoch_*_batch_* checkpoints
+    # (0 = keep all, the reference behavior); best.ckpt is never pruned
+    keep_checkpoints: int = 0
 
     # auxiliary-head supervision (transformer tau/COM-acc/contact heads)
     aux_tau_weight: float = 0.0
@@ -165,6 +168,11 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                         default=d.early_stop_patience,
                         help='Stop after N dev evals without improvement '
                              '(0 = off)')
+    parser.add_argument('--keep-checkpoints', type=int,
+                        default=d.keep_checkpoints,
+                        help='Keep only the newest N epoch_* checkpoints '
+                             '(0 = keep all, reference behavior; best.ckpt '
+                             'is never pruned)')
     parser.add_argument('--short', action='store_true', default=d.short)
     parser.add_argument('--data-loading-workers', type=int, default=d.data_loading_workers)
     parser.add_argument('--predict-grf-components', type=int, nargs='*',
@@ -239,6 +247,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'lr_warmup_steps': 'lr_warmup_steps',
         'keep_best': 'keep_best',
         'early_stop_patience': 'early_stop_patience',
+        'keep_checkpoints': 'keep_checkpoints',
         'short': 'short', 'data_loading_workers': 'data_loading_workers',
         'predict_grf_components': 'predict_grf_components',
         'predict_cop_components': 'predict_cop_components',

@@ -168,3 +168,17 @@ def soup_checkpoints(paths, out_path: str) -> str:
         f.write(blob)
     os.replace(tmp, out_path)
     return out_path
+
+
+def prune_checkpoints(checkpoint_dir: str, keep: int):
+    """Delete all but the newest ``keep`` epoch_* checkpoints (rank-0
+    only). Named artifacts (best.ckpt) are never touched — they are not
+    resume points and the latest-checkpoint scan ignores them anyway.
+    Returns the removed paths."""
+    if keep <= 0 or jax.process_index() != 0:
+        return []
+    removed = []
+    for _e, _b, path in list_checkpoints(checkpoint_dir)[:-keep]:
+        os.remove(path)
+        removed.append(path)
+    return removed

@@ -30,7 +30,7 @@ from inferbiomechanics_tpu.loss import LossConfig, RegressionLossEvaluator
 from inferbiomechanics_tpu.models import get_model
 from inferbiomechanics_tpu.parallel import make_mesh, batch_sharding, replicate
 from inferbiomechanics_tpu.train.checkpoint import (
-    load_latest_checkpoint, save_checkpoint,
+    load_latest_checkpoint, prune_checkpoints, save_checkpoint,
 )
 from inferbiomechanics_tpu.train.optimizers import make_optimizer
 from inferbiomechanics_tpu.train.state import create_train_state, num_params
@@ -358,6 +358,9 @@ def train(config: Config,
             print(f'[epoch {epoch}] train report ({time.time() - t_epoch:.1f}s):')
             train_metrics = train_eval.print_report(log_to_wandb=metric_logger is not None)
             save_checkpoint(config.checkpoint_dir, state, epoch, 0)
+            if config.keep_checkpoints:
+                prune_checkpoints(config.checkpoint_dir,
+                                  config.keep_checkpoints)
             if stop_requested['flag']:
                 preempted = True
                 break
@@ -412,6 +415,9 @@ def train(config: Config,
             # logic (it would skip the rest of this epoch).
             if stop_requested['flag'] and batch_idx >= 1:
                 save_checkpoint(config.checkpoint_dir, state, epoch, batch_idx)
+                if config.keep_checkpoints:
+                    prune_checkpoints(config.checkpoint_dir,
+                                      config.keep_checkpoints)
                 logger.info('preemption checkpoint written: epoch %d '
                             'batch %d', epoch, batch_idx)
                 preempted = True
@@ -425,6 +431,9 @@ def train(config: Config,
                 logger.info('epoch %d batch %d loss %.6f', epoch, batch_idx, loss)
             if batch_idx > 0 and batch_idx % config.checkpoint_every_batches == 0:
                 save_checkpoint(config.checkpoint_dir, state, epoch, batch_idx)
+                if config.keep_checkpoints:
+                    prune_checkpoints(config.checkpoint_dir,
+                                      config.keep_checkpoints)
             windows_seen += config.batch_size
         if last_metrics is not None:
             float(last_metrics['loss'])   # sync: chained through state
@@ -440,6 +449,9 @@ def train(config: Config,
         print(f'[epoch {epoch}] train report ({time.time() - t_epoch:.1f}s):')
         train_metrics = train_eval.print_report(log_to_wandb=metric_logger is not None)
         save_checkpoint(config.checkpoint_dir, state, epoch, 0)
+        if config.keep_checkpoints:
+            prune_checkpoints(config.checkpoint_dir,
+                              config.keep_checkpoints)
 
     if profiling:   # e.g. every epoch took the streaming early-continue
         jax.profiler.stop_trace()

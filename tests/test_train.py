@@ -389,3 +389,37 @@ def test_checkpoint_param_mismatch_guided_error(tmp_path, ds):
     # matching impl loads fine
     state, epoch, batch = load_latest_checkpoint(build('flax'), str(tmp_path))
     assert epoch == 0
+
+
+def test_keep_checkpoints_retention(tmp_path):
+    """--keep-checkpoints N prunes older epoch_* checkpoints; best.ckpt
+    survives pruning."""
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    from inferbiomechanics_tpu.train.checkpoint import (
+        list_checkpoints, prune_checkpoints,
+    )
+    from inferbiomechanics_tpu.train.loop import train
+
+    data = tmp_path / 'data'
+    os.makedirs(data / 'train'); os.makedirs(data / 'dev')
+    for split, seed in (('train', 0), ('dev', 1)):
+        write_synthetic_subject(str(data / split / 's.b3d'), num_trials=1,
+                                trial_length=150, seed=seed)
+    train_ds = WindowDataset(str(data / 'train'), window_size=50, stride=5,
+                             skip_loading_skeletons=True)
+    dev_ds = WindowDataset(str(data / 'dev'), window_size=50, stride=5,
+                           skip_loading_skeletons=True)
+    ck = str(tmp_path / 'ck')
+    cfg = Config(dataset_home=str(data), checkpoint_dir=ck,
+                 hidden_dims=[16], epochs=4, batch_size=16,
+                 keep_checkpoints=2, keep_best=True)
+    train(cfg, train_ds, dev_ds, max_batches_per_epoch=2)
+    cks = list_checkpoints(ck)
+    assert len(cks) == 2, cks                  # pruned to the newest 2
+    assert cks[-1][0] == 3                     # latest epoch kept
+    assert os.path.exists(os.path.join(ck, 'best.ckpt'))   # never pruned
+    # direct helper: keep=0 is a no-op
+    assert prune_checkpoints(ck, 0) == []
+    assert len(list_checkpoints(ck)) == 2
