@@ -159,16 +159,43 @@ def config_axis_sharding(mesh):
 
 def shard_sweep_state(state: TrainState, mesh) -> TrainState:
     """Constrain every stacked leaf onto the config sharding. Leaves whose
-    config axis does not divide the mesh (or 0-d leaves) stay replicated."""
+    config axis does not divide the mesh (or 0-d leaves) stay replicated.
+
+    Multi-process safe: the stacked state is a deterministic function of
+    the seeds, so every process holds the identical host value and
+    ``jax.device_put`` onto the global sharding is well-defined."""
     shard = config_axis_sharding(mesh)
     n = mesh.shape['data'] if 'data' in mesh.shape else 1
+    multiproc = jax.process_count() > 1
 
     def place(x):
         if getattr(x, 'ndim', 0) >= 1 and x.shape[0] % n == 0:
+            if multiproc:
+                x = np.asarray(x)   # global device_put wants a host value
             return jax.device_put(x, shard)
         return x
 
     return jax.tree_util.tree_map(place, state)
+
+
+def gather_replicated(tree, mesh):
+    """All-gather a (possibly config-sharded) pytree to fully replicated —
+    after this every process can address every leaf (checkpoint slicing,
+    best-params snapshots, np conversion)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(mesh, PartitionSpec())
+    return jax.jit(lambda t: t, out_shardings=rep)(tree)
+
+
+def _metrics_replicated(metrics, mesh):
+    """Pin [K]-stacked metrics replicated so hosts can read them under a
+    config-sharded state on a multi-process mesh (a K-float all-gather)."""
+    if mesh is None:
+        return metrics
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(mesh, PartitionSpec())
+    return jax.tree_util.tree_map(
+        lambda m: jax.lax.with_sharding_constraint(m, rep), metrics)
 
 
 # ---------------------------------------------------------------------------
@@ -202,7 +229,7 @@ def _one_update(model, tx, loss_config, batch_inputs, labels):
 def make_sweep_train_step(model, tx: optax.GradientTransformation,
                           lab_offsets: Dict[str, Tuple[int, int]],
                           loss_config: LossConfig, lrs: Sequence[float],
-                          donate: bool = True):
+                          donate: bool = True, mesh=None):
     """``step(state, batch_inputs, batch_labels, rng[, lrs]) -> (state,
     metrics)`` — one host-fed batch updates all K configs; metrics leaves
     are [K]-stacked. The build-time ``lrs`` are the default; passing a
@@ -220,14 +247,15 @@ def make_sweep_train_step(model, tx: optax.GradientTransformation,
             state.params, state.opt_state, lrs, subs)
         state = state.replace(step=state.step + 1, params=new_params,
                               opt_state=new_opt)
-        return state, metrics
+        return state, _metrics_replicated(metrics, mesh)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_sweep_device_train_step(model, tx: optax.GradientTransformation,
                                  data, loss_config: LossConfig,
-                                 lrs: Sequence[float], donate: bool = True):
+                                 lrs: Sequence[float], donate: bool = True,
+                                 mesh=None):
     """Device-resident variant of :func:`make_sweep_train_step`:
     ``step(state, idx, rng)`` gathers the batch from HBM inside the jit
     program (one gather feeds ALL configs) — per-step host traffic is
@@ -245,7 +273,7 @@ def make_sweep_device_train_step(model, tx: optax.GradientTransformation,
             state.params, state.opt_state, lrs, subs)
         state = state.replace(step=state.step + 1, params=new_params,
                               opt_state=new_opt)
-        return state, metrics
+        return state, _metrics_replicated(metrics, mesh)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -363,7 +391,7 @@ def make_sweep_device_diffusion_step(model, tx, data,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_sweep_diffusion_eval(model, lab_offsets, schedule=None):
+def make_sweep_diffusion_eval(model, lab_offsets, schedule=None, mesh=None):
     """Deterministic ε-MSE comparator: every config scored on the SAME
     fixed noising of the dev batch (fixed PRNG), so per-epoch dev values
     are comparable across configs and epochs."""
@@ -382,12 +410,13 @@ def make_sweep_diffusion_eval(model, lab_offsets, schedule=None):
                               train=False)
             return {'loss': jnp.mean((eps - noise) ** 2)}
 
-        return jax.vmap(one)(params_stack)
+        return _metrics_replicated(jax.vmap(one)(params_stack), mesh)
 
     return jax.jit(eval_step)
 
 
-def make_sweep_eval_step(model, lab_offsets, loss_config: LossConfig):
+def make_sweep_eval_step(model, lab_offsets, loss_config: LossConfig,
+                         mesh=None):
     """``eval(params_stack, batch_inputs, batch_labels) -> metrics`` with
     [K]-stacked leaves; the dev batch is shared across configs."""
 
@@ -398,8 +427,9 @@ def make_sweep_eval_step(model, lab_offsets, loss_config: LossConfig):
 
     def eval_step(params_stack, batch_inputs, batch_labels):
         labels = unpack(batch_labels, lab_offsets)
-        return jax.vmap(eval_one, in_axes=(0, None, None))(
+        metrics = jax.vmap(eval_one, in_axes=(0, None, None))(
             params_stack, batch_inputs, labels)
+        return _metrics_replicated(metrics, mesh)
 
     return jax.jit(eval_step)
 
@@ -480,6 +510,7 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     else:
         state = init_sweep_states(model, tx, jnp.asarray(sample_inputs),
                                   grid_seeds)
+    mesh = None
     if shard_configs:
         from inferbiomechanics_tpu.parallel import make_mesh
         mesh = make_mesh()
@@ -492,9 +523,11 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                            '%d-device data axis; configs stay replicated',
                            k, n_dev)
 
-    eval_step = (make_sweep_diffusion_eval(model, train_ds.lab_offsets)
+    eval_step = (make_sweep_diffusion_eval(model, train_ds.lab_offsets,
+                                           mesh=mesh)
                  if is_diffusion
-                 else make_sweep_eval_step(model, train_ds.lab_offsets, lc))
+                 else make_sweep_eval_step(model, train_ds.lab_offsets, lc,
+                                           mesh=mesh))
 
     # device-resident train data (same gating as train/loop.py, simplified):
     # one HBM gather per step feeds every config; host traffic = [B] int32
@@ -528,14 +561,14 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                                                  grid_lrs)
                 if is_diffusion else
                 make_sweep_device_train_step(model, tx, device_data, lc,
-                                             grid_lrs))
+                                             grid_lrs, mesh=mesh))
         loader = None
     else:
         step = (make_sweep_diffusion_step(model, tx, train_ds.lab_offsets,
                                           grid_lrs)
                 if is_diffusion else
                 make_sweep_train_step(model, tx, train_ds.lab_offsets, lc,
-                                      grid_lrs))
+                                      grid_lrs, mesh=mesh))
         loader = PrefetchLoader(train_ds, config.batch_size,
                                 n_threads=config.data_loading_workers)
     dev_loader = (PrefetchLoader(dev_ds, config.batch_size, shuffle=False)
@@ -615,10 +648,14 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         # snapshot improved configs' params to host: the ranked best-dev
         # number must correspond to a SAVED artifact (best.ckpt below) —
         # final-epoch params may be worse, and under PBT the best params
-        # may be overwritten by an exploit
-        for i in np.nonzero(improved)[0]:
-            best_params[int(i)] = jax.tree_util.tree_map(
-                lambda x, j=int(i): np.asarray(x[j]), state.params)
+        # may be overwritten by an exploit. Config-sharded states are
+        # all-gathered first so every process can address every slice.
+        if improved.any():
+            params_host = (gather_replicated(state.params, mesh)
+                           if mesh is not None else state.params)
+            for i in np.nonzero(improved)[0]:
+                best_params[int(i)] = jax.tree_util.tree_map(
+                    lambda x, j=int(i): np.asarray(x[j]), params_host)
         logger.info('sweep epoch %d: best dev loss %.6f (config %d)',
                     epoch, float(best_dev.min()), int(best_dev.argmin()))
         # grid-wide early stop: when NO config improved for
@@ -663,6 +700,10 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     # rank on each config's BEST dev loss (robust to a final-epoch blip);
     # fall back to final train loss without a usable dev split
     ranking = best_dev if dev_curves else train_losses
+    if mesh is not None:
+        # checkpoint slicing below reads every config's leaves on every
+        # process: all-gather the final state off the config sharding
+        state = gather_replicated(state, mesh)
     result = SweepResult(windows_per_sec=(windows_seen / elapsed
                                           if elapsed > 0 else 0.0),
                          pbt_events=pbt_events)

@@ -140,10 +140,38 @@ state_s = replicate(mesh, create_train_state(
 state_s, ms = runner(state_s, jax.random.PRNGKey(30))
 sharded = [float(ms['loss']), _psum(state_s.params)]
 
+# Config-sharded SWEEP on the multi-process mesh (train/sweep.py): 4
+# configs on the 4-device global mesh, one per device. Metrics are
+# pinned replicated (readable on every process) and the final state is
+# all-gathered for checkpoint slicing.
+from inferbiomechanics_tpu.train.sweep import (
+    gather_replicated, init_sweep_states, make_sweep_train_step,
+    shard_sweep_state, slice_config,
+)
+tx_u = make_optimizer('adam', 1.0)
+sw = init_sweep_states(model, tx_u, jnp.asarray(sample.inputs), [0, 1, 2, 3])
+sw = shard_sweep_state(sw, mesh)
+sw_step = make_sweep_train_step(model, tx_u, ds.lab_offsets, LossConfig(),
+                                [1e-3, 3e-4, 1e-4, 3e-5], donate=False,
+                                mesh=mesh)
+gb = ds.gather(np.arange(num_procs * B))
+sw_losses = []
+for kk in range(2):
+    sw, sm = sw_step(sw, jnp.asarray(gb.inputs), jnp.asarray(gb.labels),
+                     jax.random.PRNGKey(40 + kk))
+    sw_losses.append([float(v) for v in np.asarray(sm['loss'])])
+sw = gather_replicated(sw, mesh)
+sweep_param_sums = [float(np.sum([np.asarray(x).sum() for x in
+                                  jax.tree_util.tree_leaves(
+                                      slice_config(sw, i).params)]))
+                    for i in range(4)]
+
 print(json.dumps({'proc': proc_id, 'losses': losses, 'param_sum': psum,
                   'device_pair': device_pair, 'dp_losses': dp_losses,
                   'dp_param_sum': dp_param_sum, 'sharded': sharded,
-                  'owned_trials': sorted(_feat_calls)}))
+                  'owned_trials': sorted(_feat_calls),
+                  'sweep_losses': sw_losses,
+                  'sweep_param_sums': sweep_param_sums}))
 '''
 
 
@@ -194,3 +222,11 @@ def test_two_process_distributed_training(tmp_path):
     t0, t1 = set(r0['owned_trials']), set(r1['owned_trials'])
     assert t0 and t1 and not (t0 & t1)
     assert t0 | t1 == set(range(4))
+    # config-sharded sweep: both processes read identical replicated
+    # per-config losses and, after the final all-gather, identical
+    # per-config parameters
+    np.testing.assert_allclose(r0['sweep_losses'], r1['sweep_losses'],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r0['sweep_param_sums'],
+                               r1['sweep_param_sums'], rtol=1e-6)
+    assert len(set(np.round(r0['sweep_param_sums'], 6))) == 4  # distinct configs
