@@ -248,6 +248,17 @@ def main():
             log(f'[bench] torch baseline: {box["torch"]:.0f} w/s')
         except Exception as e:
             log(f'[bench] torch baseline failed: {e}')
+        # tunnel probe FIRST (doctor-style): when the tunnel collapses
+        # (observed down to ~2 KB/s) every later stage hangs at upload;
+        # a 64 KB probe pins the diagnosis in the output line instead of
+        # leaving a bare "unresponsive" error
+        box['stage'] = 'tunnel_probe'
+        import jax.numpy as jnp
+        t = time.time()
+        probe = jnp.asarray(np.ones(16384, np.float32))
+        float(probe[0])
+        box['tunnel_mbps'] = round(0.064 / max(time.time() - t, 1e-9), 3)
+        log(f'[bench] tunnel probe: {box["tunnel_mbps"]} MB/s')
         from inferbiomechanics_tpu.train.device_data import TiledDeviceData
         box['stage'] = 'device_upload'
         t = time.time()
@@ -322,6 +333,7 @@ def main():
             'torch_baseline_windows_per_sec': round(box['torch'], 1)
             if box.get('torch') else None,
             'stage_reached': box.get('stage'),
+            'tunnel_mbps': box.get('tunnel_mbps'),
             'error': err,
         }), flush=True)   # os._exit skips stdio flushing; piped stdout
         os._exit(1)       # would otherwise lose the one contract line
@@ -344,6 +356,8 @@ def main():
     if box.get('b64') and torch_wps:
         result['b64_windows_per_sec'] = round(box['b64'], 1)
         result['b64_vs_baseline'] = round(box['b64'] / torch_wps, 2)
+    if box.get('tunnel_mbps') is not None:
+        result['tunnel_mbps'] = box['tunnel_mbps']
     print(json.dumps(result), flush=True)
     os._exit(0)
 
