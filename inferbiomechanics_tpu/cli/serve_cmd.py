@@ -33,6 +33,10 @@ class ServeCommand:
         parser.add_argument('--max-batch', type=int, default=4096,
                             help='Largest accepted /predict batch (also the '
                                  'top compile bucket)')
+        parser.add_argument('--sample-steps', type=int, default=50,
+                            help='Diffusion serving: DDIM steps per '
+                                 '/predict request (the whole chain is '
+                                 'one compiled program)')
         parser.add_argument('--batch-wait-ms', type=float, default=0.0,
                             help='Dynamic batching: wait this long after '
                                  'a /predict arrives so concurrent '
@@ -73,7 +77,8 @@ class ServeCommand:
         service = InferenceService(config, checkpoint_dir, ds,
                                    max_batch=args.max_batch,
                                    ensemble=args.ensemble,
-                                   batch_wait_ms=args.batch_wait_ms)
+                                   batch_wait_ms=args.batch_wait_ms,
+                                   sample_steps=args.sample_steps)
         server = serve(service, host=args.host, port=args.port)
         tag = (f'{len(service.members)}-member ensemble'
                if service.members else

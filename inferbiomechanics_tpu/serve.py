@@ -163,7 +163,8 @@ class InferenceService:
     def __init__(self, config: Config, checkpoint_dir: str,
                  dataset: WindowDataset, max_batch: int = 4096,
                  ensemble: Optional[list] = None,
-                 batch_wait_ms: float = 0.0):
+                 batch_wait_ms: float = 0.0,
+                 sample_steps: int = 50):
         """``ensemble``: optional list of checkpoint dirs or ``.ckpt``
         files (e.g. the per-config checkpoints a seed sweep wrote). All
         members run as ONE vmapped forward per request — the same
@@ -191,11 +192,38 @@ class InferenceService:
         self.config = config
         self.ds = dataset
         self.max_batch = int(max_batch)
+        self.is_diffusion = config.model_type == 'diffusion'
+        self.sample_steps = int(sample_steps)
+        if self.is_diffusion:
+            if ensemble:
+                raise ValueError('ensembles are not supported for diffusion '
+                                 'serving (each member would run a full '
+                                 'sampling chain); soup the checkpoints '
+                                 'instead (convert-checkpoint --soup)')
+            if config.output_data_format != 'all_frames':
+                raise ValueError('serve --model-type diffusion requires '
+                                 '--output-data-format all_frames '
+                                 '(like diffusion training/analyze)')
         self.model = build_model_for_dataset(config, dataset)
         sample = dataset.gather(np.arange(min(8, len(dataset))))
-        self.state = create_train_state(
-            self.model, jax.random.PRNGKey(0), jnp.asarray(sample.inputs),
-            make_optimizer(config.opt_type, config.learning_rate))
+        if self.is_diffusion:
+            from inferbiomechanics_tpu.train.state import TrainState
+            x_cond = jnp.asarray(sample.inputs)
+            x0 = jnp.zeros((x_cond.shape[0], x_cond.shape[1],
+                            self.model.target_channels))
+            t0 = jnp.zeros((x_cond.shape[0],), jnp.int32)
+            variables = self.model.init({'params': jax.random.PRNGKey(0)},
+                                        x0, t0, x_cond)
+            tx = make_optimizer(config.opt_type, config.learning_rate)
+            self.state = TrainState(step=jnp.asarray(0, jnp.int32),
+                                    params=variables['params'],
+                                    opt_state=tx.init(variables['params']),
+                                    batch_stats={}, tx=tx,
+                                    apply_fn=self.model.apply)
+        else:
+            self.state = create_train_state(
+                self.model, jax.random.PRNGKey(0), jnp.asarray(sample.inputs),
+                make_optimizer(config.opt_type, config.learning_rate))
         self.members: list = []
         if ensemble:
             states = []
@@ -232,7 +260,7 @@ class InferenceService:
             logger.warning('--fused-inference ignored for ensembles '
                            '(the fused kernel path is single-model)')
             use_fused = False
-        if use_fused:
+        if use_fused and not self.is_diffusion:
             from inferbiomechanics_tpu.models.transformer import (
                 TransformerRegressor,
             )
@@ -244,16 +272,26 @@ class InferenceService:
                 use_fused = False
         self._use_fused = use_fused
 
-        def fwd(params, x):
-            if use_fused:
-                from inferbiomechanics_tpu.models.transformer import (
-                    fused_transformer_forward,
-                )
-                return fused_transformer_forward(self.model, params, x)
-            variables = {'params': params}
-            if batch_stats:
-                variables['batch_stats'] = batch_stats
-            return self.model.apply(variables, x, train=False)
+        if self.is_diffusion:
+            # a /predict is a full DDIM sampling chain conditioned on the
+            # request windows (one lax.scan program; models/diffusion.py)
+            from inferbiomechanics_tpu.models.diffusion import make_sampler
+            sampler = make_sampler(self.model, num_steps=self.sample_steps,
+                                   fused_inference=use_fused)
+
+            def fwd(params, x):
+                return sampler(params, x, jax.random.PRNGKey(0))
+        else:
+            def fwd(params, x):
+                if use_fused:
+                    from inferbiomechanics_tpu.models.transformer import (
+                        fused_transformer_forward,
+                    )
+                    return fused_transformer_forward(self.model, params, x)
+                variables = {'params': params}
+                if batch_stats:
+                    variables['batch_stats'] = batch_stats
+                return self.model.apply(variables, x, train=False)
 
         if self.members:
             has_bs = bool(self._bs_stack)
@@ -416,6 +454,8 @@ class InferenceService:
             'checkpoint': {'epoch': self.epoch, 'batch': self.batch},
             'ensemble': {'size': len(self.members),
                          'members': self.members} if self.members else None,
+            'diffusion_sample_steps': (self.sample_steps
+                                       if self.is_diffusion else None),
             'fused_inference': self._use_fused,
             'window_size': ds.window_size,
             'stride': ds.stride,

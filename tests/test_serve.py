@@ -383,3 +383,37 @@ def test_metrics_endpoint(base_url, service):
     assert m['device_forwards'] >= 1
     assert m['latency_ms']['p50'] >= 0
     assert m['latency_ms']['max'] >= m['latency_ms']['p50']
+
+
+def test_diffusion_service(service, tmp_path):
+    """Diffusion serving: /predict runs a DDIM sampling chain conditioned
+    on the request windows and returns all_frames outputs."""
+    cfg = Config()
+    cfg.model_type = 'diffusion'
+    cfg.output_data_format = 'all_frames'
+    cfg.window_size, cfg.stride = 20, 5
+    cfg.d_model, cfg.num_layers, cfg.num_heads = 32, 1, 4
+    svc = InferenceService(cfg, str(tmp_path / 'none'), service.ds,
+                           max_batch=8, sample_steps=4)
+    batch = service.ds.gather(np.arange(2))
+    out = svc.predict_packed(np.asarray(batch.inputs))
+    k = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    assert out[k].shape == (2, 4, 6)            # all frames, T=4
+    assert np.isfinite(out[k]).all()
+    s = svc.schema()
+    assert s['diffusion_sample_steps'] == 4
+    # deterministic: same request, same samples
+    out2 = svc.predict_packed(np.asarray(batch.inputs))
+    np.testing.assert_allclose(out[k], out2[k], rtol=1e-6)
+
+
+def test_diffusion_service_rejections(service, tmp_path):
+    cfg = Config()
+    cfg.model_type = 'diffusion'
+    cfg.window_size, cfg.stride = 20, 5
+    with pytest.raises(ValueError, match='all_frames'):
+        InferenceService(cfg, str(tmp_path / 'x'), service.ds)
+    cfg.output_data_format = 'all_frames'
+    with pytest.raises(ValueError, match='soup'):
+        InferenceService(cfg, str(tmp_path / 'x'), service.ds,
+                         ensemble=['a', 'b'])
