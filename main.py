@@ -37,6 +37,7 @@ def build_commands():
     )
     from inferbiomechanics_tpu.cli.sweep_cmd import SweepCommand
     from inferbiomechanics_tpu.cli.doctor_cmd import DoctorCommand
+    from inferbiomechanics_tpu.cli.export_cmd import ExportCommand
     return [
         TrainCommand(),
         VisualizeCommand(),
@@ -53,6 +54,7 @@ def build_commands():
         ConvertCheckpointCommand(),
         SweepCommand(),
         DoctorCommand(),
+        ExportCommand(),
     ]
 
 

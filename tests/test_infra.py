@@ -163,7 +163,8 @@ def test_all_ten_commands_registered():
     assert names == {'train', 'visualize', 'visualize-file', 'create-splits',
                      'analyze', 'sanity-check', 'make-plots', 'review-file',
                      'pickle-data', 'save-prediction-csv', 'convert-b3d',
-                     'serve', 'convert-checkpoint', 'sweep', 'doctor'}
+                     'serve', 'convert-checkpoint', 'sweep', 'doctor',
+                     'export'}
 
 
 def test_reference_flag_spellings_parse():
