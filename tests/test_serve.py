@@ -417,3 +417,36 @@ def test_diffusion_service_rejections(service, tmp_path):
     with pytest.raises(ValueError, match='soup'):
         InferenceService(cfg, str(tmp_path / 'x'), service.ds,
                          ensemble=['a', 'b'])
+
+
+def test_ensemble_with_dynamic_batching(ensemble_service, service):
+    """The batcher coalesces mixed spread/no-spread ensemble requests and
+    hands each client its own rows (tuple-output path)."""
+    import concurrent.futures
+    cfg = ensemble_service.config
+    svc = InferenceService(cfg, ensemble_service._member_dirs[0], service.ds,
+                           max_batch=64,
+                           ensemble=ensemble_service._member_dirs,
+                           batch_wait_ms=25.0)
+    batch = service.ds.gather(np.arange(8))
+    x = np.asarray(batch.inputs)
+    key = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    want, want_spread = ensemble_service.predict_packed(x, with_spread=True)
+
+    def one(i):
+        rows = x[i:i + 2]
+        if i % 2:
+            out, spread = svc.predict(rows, with_spread=True)
+            return i, out[key], spread[key]
+        return i, svc.predict(rows)[key], None
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(one, range(6)))
+    for i, got, spread in results:
+        np.testing.assert_allclose(got, want[key][i:i + 2],
+                                   rtol=1e-5, atol=1e-5)
+        if spread is not None:
+            np.testing.assert_allclose(spread, want_spread[key][i:i + 2],
+                                       rtol=1e-4, atol=1e-5)
+    assert svc.batcher.forwards < 6
+    svc.batcher.close()
