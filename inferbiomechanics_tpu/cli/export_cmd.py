@@ -8,7 +8,8 @@ call without this package, its model code, or its checkpoint machinery.
 A sidecar JSON records the input schema and provenance.
 
 Regression models export their forward; diffusion exports the full DDIM
-sampling chain (fixed PRNG, ``--sample-steps``). The analytical baseline
+sampling chain (``--sample-steps`` DDIM steps baked in, PRNG seed passed
+at call time as a second int32 scalar argument). The analytical baseline
 has per-subject skeleton state and does not export.
 
 Usage::
@@ -124,8 +125,10 @@ class ExportCommand:
             from inferbiomechanics_tpu.models.diffusion import make_sampler
             sampler = make_sampler(model, num_steps=args.sample_steps)
 
-            def fwd(x):
-                return sampler(params, x, jax.random.PRNGKey(0))
+            # Seed travels as a runtime argument so one artifact serves
+            # both deterministic replay (same seed) and fresh draws.
+            def fwd(x, seed):
+                return sampler(params, x, jax.random.PRNGKey(seed))
         else:
             def fwd(x):
                 variables = {'params': params}
@@ -139,7 +142,11 @@ class ExportCommand:
             (bdim,) = jexport.symbolic_shape('b')
         spec = jax.ShapeDtypeStruct(
             (bdim, ds.num_model_frames, ds.num_input_channels), jnp.float32)
-        exported = jexport.export(jax.jit(fwd))(spec)
+        if is_diffusion:
+            seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
+            exported = jexport.export(jax.jit(fwd))(spec, seed_spec)
+        else:
+            exported = jexport.export(jax.jit(fwd))(spec)
         blob = exported.serialize()
         os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
         with open(args.out, 'wb') as f:
@@ -156,6 +163,8 @@ class ExportCommand:
             'output_data_format': config.output_data_format,
             'diffusion_sample_steps': (args.sample_steps if is_diffusion
                                        else None),
+            'extra_inputs': ([{'name': 'seed', 'shape': [],
+                               'dtype': 'int32'}] if is_diffusion else []),
             'jax_version': jax.__version__,
             'stablehlo_bytes': len(blob),
         }

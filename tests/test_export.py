@@ -94,6 +94,33 @@ def test_export_static_batch(trained, tmp_path):
     assert sidecar['input']['shape'][0] == 4
 
 
+def test_export_diffusion_runtime_seed(trained, tmp_path):
+    """Diffusion artifact takes the PRNG seed as a call-time argument:
+    same seed -> bitwise-identical samples, different seed -> different."""
+    out_path = str(tmp_path / 'diff.stablehlo')
+    run_cmd(['export', '--dataset-home', trained['data'],
+             '--checkpoint-dir', trained['ck'], '--model-type', 'diffusion',
+             '--output-data-format', 'all_frames', '--d-model', '16',
+             '--num-layers', '1', '--num-heads', '2',
+             '--diffusion-timesteps', '8', '--sample-steps', '2',
+             '--static-batch', '2', '--out', out_path])
+    sidecar = json.load(open(out_path + '.json'))
+    assert sidecar['extra_inputs'] == [{'name': 'seed', 'shape': [],
+                                        'dtype': 'int32'}]
+    import jax.numpy as jnp
+    from jax import export as jexport
+    fn = jexport.deserialize(open(out_path, 'rb').read())
+    x = np.random.default_rng(0).normal(
+        size=(2, sidecar['input']['shape'][1],
+              sidecar['input']['shape'][2])).astype(np.float32)
+    a = fn.call(x, jnp.int32(7))
+    b = fn.call(x, jnp.int32(7))
+    c = fn.call(x, jnp.int32(8))
+    ka = sorted(a)[0]
+    np.testing.assert_array_equal(np.asarray(a[ka]), np.asarray(b[ka]))
+    assert not np.array_equal(np.asarray(a[ka]), np.asarray(c[ka]))
+
+
 def test_export_rejects_analytical(trained, tmp_path):
     env = dict(os.environ, IB_PLATFORM='cpu')
     out = subprocess.run(
