@@ -60,6 +60,12 @@ class Config:
     lr_schedule: str = 'constant'   # {constant,cosine,warmup_cosine,linear}
     lr_decay_steps: int = 0         # total steps to decay over (required
     lr_warmup_steps: int = 0        # for non-constant schedules)
+    # beyond parity: split each batch into N sequential microbatches and
+    # average the gradients before the optimizer update — activation
+    # memory scales with batch_size/N, so effective batches far beyond
+    # HBM fit. batch_size must divide evenly. Dropout draws fresh noise
+    # per microbatch (same distribution, not bitwise == one big batch).
+    grad_accum_steps: int = 1
 
     # loss component selection (reference train.py:58-65)
     predict_grf_components: List[int] = field(default_factory=lambda: [0, 1, 2, 3, 4, 5])
@@ -160,6 +166,12 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                              'schedules)')
     parser.add_argument('--lr-warmup-steps', type=int,
                         default=d.lr_warmup_steps)
+    parser.add_argument('--grad-accum-steps', type=int,
+                        default=d.grad_accum_steps,
+                        help='Split each batch into N sequential '
+                             'microbatches, averaging gradients before the '
+                             'update — effective batches beyond activation-'
+                             'memory fit (batch-size must divide evenly)')
     parser.add_argument('--keep-best', action='store_true',
                         default=d.keep_best,
                         help='Save best.ckpt whenever the dev loss improves '
@@ -245,6 +257,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'seed': 'seed', 'lr_schedule': 'lr_schedule',
         'lr_decay_steps': 'lr_decay_steps',
         'lr_warmup_steps': 'lr_warmup_steps',
+        'grad_accum_steps': 'grad_accum_steps',
         'keep_best': 'keep_best',
         'early_stop_patience': 'early_stop_patience',
         'keep_checkpoints': 'keep_checkpoints',

@@ -215,7 +215,8 @@ def _constrain(batch_shard, *arrays):
 def make_device_train_step(model, data: DeviceResidentData,
                            loss_config: LossConfig,
                            donate: bool = True,
-                           batch_shard=None) -> Callable:
+                           batch_shard=None,
+                           grad_accum: int = 1) -> Callable:
     """``step(state, idx, rng) -> (state, metrics)`` — gather fused in.
 
     ``batch_shard``: optional ``NamedSharding`` (e.g.
@@ -224,35 +225,53 @@ def make_device_train_step(model, data: DeviceResidentData,
     must ALSO ship ``idx`` as a global array
     (``parallel.shard_batch(mesh, idx)``) — a plain per-process numpy
     vector is treated as replicated, and differing per-process values
-    silently diverge the replicated parameters."""
+    silently diverge the replicated parameters.
 
-    def step(state: TrainState, idx: jax.Array, dropout_rng: jax.Array):
-        batch_inputs, batch_labels = data.gather_in_jit(idx)
-        batch_inputs, batch_labels = _constrain(batch_shard, batch_inputs,
-                                                batch_labels)
-        labels = unpack(batch_labels, data.lab_offsets)
-        mutable = ['batch_stats'] if state.batch_stats else []
+    ``grad_accum > 1`` splits ``idx`` into that many microbatches and
+    gathers each INSIDE the accumulation scan — neither the full batch
+    nor its activations ever materialize, so the effective batch is
+    bounded by HBM left over after the resident dataset, not by the
+    activation footprint."""
 
-        def loss_fn(params):
+    def loss_for_builder(state, mutable):
+        def loss_for(params, bstats, idx, _labels_unused, rng):
+            batch_inputs, batch_labels = data.gather_in_jit(idx)
+            batch_inputs, batch_labels = _constrain(batch_shard, batch_inputs,
+                                                    batch_labels)
+            labels = unpack(batch_labels, data.lab_offsets)
             variables = {'params': params}
-            if state.batch_stats:
-                variables['batch_stats'] = state.batch_stats
+            if bstats:
+                variables['batch_stats'] = bstats
             if mutable:
                 outputs, new_ms = model.apply(variables, batch_inputs,
                                               train=True,
-                                              rngs={'dropout': dropout_rng},
+                                              rngs={'dropout': rng},
                                               mutable=mutable)
             else:
                 outputs = model.apply(variables, batch_inputs, train=True,
-                                      rngs={'dropout': dropout_rng})
+                                      rngs={'dropout': rng})
                 new_ms = {}
             loss, metrics = loss_and_metrics(outputs, labels, loss_config)
             return loss, (metrics, new_ms)
+        return loss_for
 
-        grads, (metrics, new_ms) = jax.grad(loss_fn, has_aux=True)(state.params)
+    def step(state: TrainState, idx: jax.Array, dropout_rng: jax.Array):
+        mutable = ['batch_stats'] if state.batch_stats else []
+        loss_for = loss_for_builder(state, mutable)
+        if grad_accum > 1:
+            from inferbiomechanics_tpu.train.step import accumulate_grads
+            # the index vector stands in for the batch: it reshapes to
+            # [A, B/A] and each microbatch gathers its own rows in-scan
+            grads, metrics, bstats = accumulate_grads(
+                state, idx, jnp.zeros((idx.shape[0], 0), jnp.float32),
+                dropout_rng, grad_accum, loss_for)
+        else:
+            grads, (metrics, new_ms) = jax.grad(loss_for, has_aux=True)(
+                state.params, state.batch_stats, idx, None, dropout_rng)
+            bstats = new_ms['batch_stats'] if mutable else state.batch_stats
         state = state.apply_gradients(grads=grads)
         if mutable:
-            state = state.replace(batch_stats=new_ms['batch_stats'])
+            state = state.replace(batch_stats=bstats)
         return state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

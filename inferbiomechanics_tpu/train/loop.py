@@ -117,6 +117,17 @@ def train(config: Config,
     if config.batch_size % n_dp != 0:
         raise ValueError(f'batch_size={config.batch_size} not divisible by '
                          f'data-parallel size {n_dp}')
+    if config.grad_accum_steps > 1:
+        micro = config.batch_size // config.grad_accum_steps
+        if config.batch_size % config.grad_accum_steps or micro % n_dp:
+            raise ValueError(
+                f'batch_size={config.batch_size} must split into '
+                f'--grad-accum-steps {config.grad_accum_steps} microbatches '
+                f'each divisible by data-parallel size {n_dp}')
+        if config.device_data in ('sharded', 'stream'):
+            raise ValueError('--grad-accum-steps applies to the host and '
+                             'device-resident tiers; the sharded/streaming '
+                             'tiers run fixed whole-batch epoch programs')
 
     model = build_model_for_dataset(config, train_ds)
     lc = loss_config_from(config)
@@ -194,6 +205,7 @@ def train(config: Config,
     n_data_shards = int(mesh.shape[DATA_AXIS])
     want_sharded = (config.device_data == 'sharded' or
                     (config.device_data == 'auto' and not use_device_data
+                     and config.grad_accum_steps == 1
                      and data_bytes is not None and n_data_shards > 1
                      and data_bytes <
                      config.device_data_max_bytes * n_data_shards))
@@ -243,7 +255,8 @@ def train(config: Config,
         device_data = DeviceResidentData(train_ds, sharding=replicated(mesh),
                                          pack_windows=pack)
         device_step = make_device_train_step(model, device_data, lc,
-                                             batch_shard=sharding)
+                                             batch_shard=sharding,
+                                             grad_accum=config.grad_accum_steps)
         logger.info('device-resident data: %.0f MB in HBM%s',
                     device_data.hbm_bytes / 1e6,
                     ' (windows packed)' if pack else '')
@@ -254,7 +267,8 @@ def train(config: Config,
                                                   config.batch_size,
                                                   batch_shard=sharding)
 
-    train_step = make_train_step(model, train_ds.lab_offsets, lc)
+    train_step = make_train_step(model, train_ds.lab_offsets, lc,
+                                 grad_accum=config.grad_accum_steps)
     eval_step = make_eval_step(model, train_ds.lab_offsets, lc)
 
     tau_fn = None

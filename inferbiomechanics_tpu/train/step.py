@@ -23,36 +23,90 @@ from inferbiomechanics_tpu.loss.evaluator import LossConfig, loss_and_metrics
 from inferbiomechanics_tpu.train.state import TrainState
 
 
+def accumulate_grads(state: TrainState, batch_inputs: jax.Array,
+                     batch_labels: jax.Array, dropout_rng: jax.Array,
+                     grad_accum: int, loss_for) -> Tuple[object, dict, dict]:
+    """Microbatched grad computation shared by the host and device steps.
+
+    Splits the batch into ``grad_accum`` equal microbatches, runs them
+    sequentially under ``lax.scan`` (activation memory = one microbatch),
+    and returns ``(grads, metrics, new_batch_stats)`` with gradients and
+    metrics averaged over microbatches — numerically the full-batch mean
+    because the microbatches are equal-sized. ``loss_for(params,
+    batch_stats, inputs, labels, rng) -> (loss, (metrics, new_ms))`` is
+    the per-microbatch loss closure.
+    """
+    import jax.numpy as jnp
+
+    b = batch_inputs.shape[0]
+    if b % grad_accum:
+        raise ValueError(f'batch size {b} not divisible by '
+                         f'--grad-accum-steps {grad_accum}')
+    mb = b // grad_accum
+    mb_in = batch_inputs.reshape(grad_accum, mb, *batch_inputs.shape[1:])
+    mb_lab = batch_labels.reshape(grad_accum, mb, *batch_labels.shape[1:])
+    rngs = jax.random.split(dropout_rng, grad_accum)
+
+    def one(carry, xs):
+        gsum, bstats = carry
+        inputs, labels, rng = xs
+        grads, (metrics, new_ms) = jax.grad(loss_for, has_aux=True)(
+            state.params, bstats, inputs, labels, rng)
+        if new_ms:
+            bstats = new_ms['batch_stats']
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+        return (gsum, bstats), metrics
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    (gsum, bstats), metrics = jax.lax.scan(
+        one, (zeros, state.batch_stats), (mb_in, mb_lab, rngs))
+    grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+    metrics = jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+    return grads, metrics, bstats
+
+
 def make_train_step(model, lab_offsets: Dict[str, Tuple[int, int]],
                     loss_config: LossConfig,
-                    donate: bool = True) -> Callable:
-    """Build ``step(state, inputs, labels, rng) -> (state, metrics)``."""
-    has_batch_stats = None  # resolved at first trace from the state pytree
+                    donate: bool = True,
+                    grad_accum: int = 1) -> Callable:
+    """Build ``step(state, inputs, labels, rng) -> (state, metrics)``.
+
+    ``grad_accum > 1`` splits the batch into that many sequential
+    microbatches and averages the gradients before the single optimizer
+    update (one XLA program either way)."""
 
     def step(state: TrainState, batch_inputs: jax.Array,
              batch_labels: jax.Array, dropout_rng: jax.Array):
-        labels = unpack(batch_labels, lab_offsets)
         mutable = ['batch_stats'] if state.batch_stats else []
 
-        def loss_fn(params):
+        def loss_for(params, bstats, inputs, labels_packed, rng):
+            labels = unpack(labels_packed, lab_offsets)
             variables = {'params': params}
-            if state.batch_stats:
-                variables['batch_stats'] = state.batch_stats
+            if bstats:
+                variables['batch_stats'] = bstats
             if mutable:
                 outputs, new_model_state = model.apply(
-                    variables, batch_inputs, train=True,
-                    rngs={'dropout': dropout_rng}, mutable=mutable)
+                    variables, inputs, train=True,
+                    rngs={'dropout': rng}, mutable=mutable)
             else:
-                outputs = model.apply(variables, batch_inputs, train=True,
-                                      rngs={'dropout': dropout_rng})
+                outputs = model.apply(variables, inputs, train=True,
+                                      rngs={'dropout': rng})
                 new_model_state = {}
             loss, metrics = loss_and_metrics(outputs, labels, loss_config)
             return loss, (metrics, new_model_state)
 
-        grads, (metrics, new_model_state) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if grad_accum > 1:
+            grads, metrics, bstats = accumulate_grads(
+                state, batch_inputs, batch_labels, dropout_rng,
+                grad_accum, loss_for)
+        else:
+            grads, (metrics, new_ms) = jax.grad(loss_for, has_aux=True)(
+                state.params, state.batch_stats, batch_inputs, batch_labels,
+                dropout_rng)
+            bstats = new_ms['batch_stats'] if mutable else state.batch_stats
         state = state.apply_gradients(grads=grads)
         if mutable:
-            state = state.replace(batch_stats=new_model_state['batch_stats'])
+            state = state.replace(batch_stats=bstats)
         return state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

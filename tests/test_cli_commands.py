@@ -222,3 +222,22 @@ def test_sigterm_preemption_checkpoint(tmp_path):
                     '--epochs', str(epoch + 1), '--batch-size', '16',
                     '--device-data', 'off'])
     assert 'Training done' in out2.stdout
+
+
+def test_train_grad_accum(workspace, tmp_path):
+    """--grad-accum-steps trains end-to-end (beyond parity: effective
+    batches past activation-memory fit); indivisible splits fail fast."""
+    ckpt = tmp_path / 'ck_ga'
+    run_cmd(['train', '--dataset-home', workspace['data'],
+             '--checkpoint-dir', str(ckpt), '--no-wandb', '--epochs', '1',
+             '--batch-size', '32', '--grad-accum-steps', '2', '--short'])
+    assert (ckpt / 'feedforward').is_dir()
+    env = dict(os.environ, IB_PLATFORM='cpu')
+    bad = subprocess.run(
+        [sys.executable, MAIN, 'train', '--dataset-home', workspace['data'],
+         '--checkpoint-dir', str(tmp_path / 'ck_bad'), '--no-wandb',
+         '--epochs', '1', '--batch-size', '32', '--grad-accum-steps', '8',
+         '--short'],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert bad.returncode != 0
+    assert 'grad-accum-steps' in (bad.stderr + bad.stdout)

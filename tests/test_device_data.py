@@ -24,11 +24,11 @@ def ds(tmp_path_factory):
                          skip_loading_skeletons=True)
 
 
-def _state(ds, model):
+def _state(ds, model, opt='adam'):
     b = ds.gather(np.arange(16))
     return create_train_state(model, jax.random.PRNGKey(0),
                               jnp.asarray(b.inputs),
-                              make_optimizer('adam', 1e-3)), b
+                              make_optimizer(opt, 1e-3)), b
 
 
 def test_gather_in_jit_matches_host_gather(ds):
@@ -287,3 +287,92 @@ def test_tiled_device_data_matches_interface(ds):
     f = np.asarray(tiled.features_all)
     np.testing.assert_array_equal(f[0], f[16 % f.shape[0] and 16])
     assert np.isfinite(np.asarray(tl)).all()
+
+
+def test_grad_accum_matches_full_batch_host(ds):
+    """make_train_step(grad_accum=4) on a 16-row batch produces the same
+    update as one full-batch step (equal microbatches -> identical mean
+    gradient up to float reassociation). Dropout off so the per-
+    microbatch RNG split cannot differ from the full-batch draw."""
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=ds.root_history_len, dropout=False)
+    state, batch = _state(ds, model, opt='sgd')
+    rng = jax.random.PRNGKey(1)
+    x, y = jnp.asarray(batch.inputs), jnp.asarray(batch.labels)
+    full = make_train_step(model, ds.lab_offsets, LossConfig(), donate=False)
+    accum = make_train_step(model, ds.lab_offsets, LossConfig(),
+                            donate=False, grad_accum=4)
+    s_f, m_f = full(state, x, y, rng)
+    s_a, m_a = accum(state, x, y, rng)
+    np.testing.assert_allclose(float(m_a['loss']), float(m_f['loss']),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_a.params),
+                    jax.tree_util.tree_leaves(s_f.params)):
+        # bf16 matmuls reassociate across the microbatch split: tiny
+        # absolute noise on near-zero params, hence the tolerances
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_grad_accum_matches_full_batch_device(ds):
+    """Device-resident accumulation gathers each microbatch inside the
+    scan; the result must still match the whole-batch device step."""
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=ds.root_history_len, dropout=False)
+    state, _ = _state(ds, model, opt='sgd')
+    data = DeviceResidentData(ds, feature_dtype=jnp.float32)
+    full = make_device_train_step(model, data, LossConfig(), donate=False)
+    accum = make_device_train_step(model, data, LossConfig(), donate=False,
+                                   grad_accum=2)
+    rng = jax.random.PRNGKey(2)
+    idx = jnp.asarray(np.arange(16), jnp.int32)
+    s_f, m_f = full(state, idx, rng)
+    s_a, m_a = accum(state, idx, rng)
+    np.testing.assert_allclose(float(m_a['loss']), float(m_f['loss']),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_a.params),
+                    jax.tree_util.tree_leaves(s_f.params)):
+        # bf16 matmuls reassociate across the microbatch split: tiny
+        # absolute noise on near-zero params, hence the tolerances
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_grad_accum_batch_stats_chain(ds):
+    """Batchnorm stats thread through the accumulation scan (each
+    microbatch updates the running stats the next one consumes)."""
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=ds.root_history_len,
+                      batchnorm=True, dropout=False)
+    state, batch = _state(ds, model)
+    assert state.batch_stats
+    accum = make_train_step(model, ds.lab_offsets, LossConfig(),
+                            donate=False, grad_accum=4)
+    before = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    s_a, m_a = accum(state, jnp.asarray(batch.inputs),
+                     jnp.asarray(batch.labels), jax.random.PRNGKey(3))
+    assert np.isfinite(float(m_a['loss']))
+    changed = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(s_a.batch_stats)))
+    assert changed
+
+
+def test_grad_accum_rejects_indivisible(ds):
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=ds.root_history_len, dropout=False)
+    state, batch = _state(ds, model)
+    accum = make_train_step(model, ds.lab_offsets, LossConfig(),
+                            donate=False, grad_accum=5)
+    with pytest.raises(ValueError, match='not divisible'):
+        accum(state, jnp.asarray(batch.inputs), jnp.asarray(batch.labels),
+              jax.random.PRNGKey(0))
