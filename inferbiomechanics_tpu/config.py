@@ -60,6 +60,11 @@ class Config:
     lr_schedule: str = 'constant'   # {constant,cosine,warmup_cosine,linear}
     lr_decay_steps: int = 0         # total steps to decay over (required
     lr_warmup_steps: int = 0        # for non-constant schedules)
+    # beyond parity: dtype of the cross-device gradient all-reduce on
+    # multi-chip data-parallel meshes. 'bf16' halves the ICI bytes of
+    # dp training's dominant collective (explicit shard_map psum; GSPMD
+    # cannot express a reduced-precision reduction). Not with batchnorm.
+    grad_allreduce_dtype: str = 'f32'   # {f32,bf16}
     # beyond parity: split each batch into N sequential microbatches and
     # average the gradients before the optimizer update — activation
     # memory scales with batch_size/N, so effective batches far beyond
@@ -166,6 +171,12 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                              'schedules)')
     parser.add_argument('--lr-warmup-steps', type=int,
                         default=d.lr_warmup_steps)
+    parser.add_argument('--grad-allreduce-dtype', type=str,
+                        default=d.grad_allreduce_dtype,
+                        choices=['f32', 'bf16'],
+                        help='Gradient all-reduce dtype on multi-chip '
+                             'data-parallel meshes; bf16 halves the ICI '
+                             'bytes of the dominant dp collective')
     parser.add_argument('--grad-accum-steps', type=int,
                         default=d.grad_accum_steps,
                         help='Split each batch into N sequential '
@@ -258,6 +269,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'lr_decay_steps': 'lr_decay_steps',
         'lr_warmup_steps': 'lr_warmup_steps',
         'grad_accum_steps': 'grad_accum_steps',
+        'grad_allreduce_dtype': 'grad_allreduce_dtype',
         'keep_best': 'keep_best',
         'early_stop_patience': 'early_stop_patience',
         'keep_checkpoints': 'keep_checkpoints',

@@ -216,7 +216,9 @@ def make_device_train_step(model, data: DeviceResidentData,
                            loss_config: LossConfig,
                            donate: bool = True,
                            batch_shard=None,
-                           grad_accum: int = 1) -> Callable:
+                           grad_accum: int = 1,
+                           grad_allreduce_dtype=None,
+                           mesh=None) -> Callable:
     """``step(state, idx, rng) -> (state, metrics)`` — gather fused in.
 
     ``batch_shard``: optional ``NamedSharding`` (e.g.
@@ -231,12 +233,22 @@ def make_device_train_step(model, data: DeviceResidentData,
     gathers each INSIDE the accumulation scan — neither the full batch
     nor its activations ever materialize, so the effective batch is
     bounded by HBM left over after the resident dataset, not by the
-    activation footprint."""
+    activation footprint.
 
-    def loss_for_builder(state, mutable):
+    ``grad_allreduce_dtype`` (e.g. ``jnp.bfloat16``, requires ``mesh``)
+    switches the step to an explicit-collective ``shard_map`` over the
+    data axis: each shard computes its local gradient, the cross-device
+    reduction runs as a ``psum`` in the reduced dtype (halving the ICI
+    bytes of data-parallel training's dominant collective), and the
+    mean is finished in the parameter dtype. GSPMD cannot express this
+    — its implicit all-reduce inherits the gradient dtype. Models with
+    batchnorm are rejected (running stats would need their own
+    cross-shard reduction)."""
+
+    def loss_for_builder(state, mutable, shard=batch_shard):
         def loss_for(params, bstats, idx, _labels_unused, rng):
             batch_inputs, batch_labels = data.gather_in_jit(idx)
-            batch_inputs, batch_labels = _constrain(batch_shard, batch_inputs,
+            batch_inputs, batch_labels = _constrain(shard, batch_inputs,
                                                     batch_labels)
             labels = unpack(batch_labels, data.lab_offsets)
             variables = {'params': params}
@@ -254,6 +266,73 @@ def make_device_train_step(model, data: DeviceResidentData,
             loss, metrics = loss_and_metrics(outputs, labels, loss_config)
             return loss, (metrics, new_ms)
         return loss_for
+
+    if grad_allreduce_dtype is not None:
+        if mesh is None:
+            raise ValueError('grad_allreduce_dtype requires the mesh')
+        from jax.sharding import PartitionSpec as P
+
+        from inferbiomechanics_tpu.parallel.mesh import DATA_AXIS
+        from inferbiomechanics_tpu.train.step import accumulate_grads
+        n_dp = int(mesh.shape[DATA_AXIS])
+        rd = jnp.dtype(grad_allreduce_dtype)
+
+        def step_lowp(state: TrainState, idx: jax.Array,
+                      dropout_rng: jax.Array):
+            if state.batch_stats:
+                raise ValueError('--grad-allreduce-dtype does not support '
+                                 'batchnorm models (running stats would '
+                                 'need their own cross-shard reduction)')
+            # no GSPMD constraint inside the manual shard_map region —
+            # the in_specs already pin the batch split
+            loss_for = loss_for_builder(state, [], shard=None)
+
+            if hasattr(jax.lax, 'pcast'):
+                def to_varying(x):
+                    return jax.lax.pcast(x, DATA_AXIS, to='varying')
+            else:                               # pragma: no cover - old jax
+                def to_varying(x):
+                    return jax.lax.pvary(x, (DATA_AXIS,))
+
+            def shard_fn(params, idx_shard, rng):
+                # decorrelate dropout across shards (GSPMD partitions one
+                # global noise tensor; explicit shards must fold the
+                # shard id in themselves)
+                rng = jax.random.fold_in(rng,
+                                         jax.lax.axis_index(DATA_AXIS))
+                # mark the params device-varying BEFORE differentiating:
+                # the cotangent of a replicated input is auto-psummed in
+                # f32 (transpose-of-broadcast), which would both bypass
+                # the reduced-precision reduction and double-count it
+                params = jax.tree_util.tree_map(to_varying, params)
+                shard_state = state.replace(params=params)
+                if grad_accum > 1:
+                    grads, metrics, _ = accumulate_grads(
+                        shard_state, idx_shard,
+                        jnp.zeros((idx_shard.shape[0], 0), jnp.float32),
+                        rng, grad_accum, loss_for)
+                else:
+                    grads, (metrics, _) = jax.grad(
+                        loss_for, has_aux=True)(params, {}, idx_shard,
+                                                None, rng)
+                grads = jax.tree_util.tree_map(
+                    lambda g: (jax.lax.psum(g.astype(rd), DATA_AXIS)
+                               .astype(g.dtype) / n_dp), grads)
+                metrics = jax.tree_util.tree_map(
+                    lambda m: jax.lax.pmean(m, DATA_AXIS), metrics)
+                return grads, metrics
+
+            try:                                    # jax >= 0.8
+                from jax import shard_map as _shard_map
+            except ImportError:                     # pragma: no cover
+                from jax.experimental.shard_map import shard_map as _shard_map
+            fn = _shard_map(shard_fn, mesh=mesh,
+                            in_specs=(P(), P(DATA_AXIS), P()),
+                            out_specs=(P(), P()))
+            grads, metrics = fn(state.params, idx, dropout_rng)
+            return state.apply_gradients(grads=grads), metrics
+
+        return jax.jit(step_lowp, donate_argnums=(0,) if donate else ())
 
     def step(state: TrainState, idx: jax.Array, dropout_rng: jax.Array):
         mutable = ['batch_stats'] if state.batch_stats else []

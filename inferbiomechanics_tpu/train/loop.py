@@ -128,6 +128,20 @@ def train(config: Config,
             raise ValueError('--grad-accum-steps applies to the host and '
                              'device-resident tiers; the sharded/streaming '
                              'tiers run fixed whole-batch epoch programs')
+    lowp_allreduce = (jax.numpy.bfloat16
+                      if config.grad_allreduce_dtype == 'bf16' else None)
+    if lowp_allreduce is not None:
+        if config.batchnorm:
+            raise ValueError('--grad-allreduce-dtype bf16 does not support '
+                             'batchnorm models (running stats would need '
+                             'their own cross-shard reduction)')
+        if config.device_data in ('sharded', 'stream'):
+            raise ValueError('--grad-allreduce-dtype bf16 applies to the '
+                             'host and device-resident tiers')
+        if n_dp == 1:
+            logger.info('--grad-allreduce-dtype bf16: single data shard, '
+                        'no cross-device reduction to reduce — ignored')
+            lowp_allreduce = None
 
     model = build_model_for_dataset(config, train_ds)
     lc = loss_config_from(config)
@@ -256,7 +270,9 @@ def train(config: Config,
                                          pack_windows=pack)
         device_step = make_device_train_step(model, device_data, lc,
                                              batch_shard=sharding,
-                                             grad_accum=config.grad_accum_steps)
+                                             grad_accum=config.grad_accum_steps,
+                                             grad_allreduce_dtype=lowp_allreduce,
+                                             mesh=mesh)
         logger.info('device-resident data: %.0f MB in HBM%s',
                     device_data.hbm_bytes / 1e6,
                     ' (windows packed)' if pack else '')
@@ -268,7 +284,9 @@ def train(config: Config,
                                                   batch_shard=sharding)
 
     train_step = make_train_step(model, train_ds.lab_offsets, lc,
-                                 grad_accum=config.grad_accum_steps)
+                                 grad_accum=config.grad_accum_steps,
+                                 grad_allreduce_dtype=lowp_allreduce,
+                                 mesh=mesh)
     eval_step = make_eval_step(model, train_ds.lab_offsets, lc)
 
     tau_fn = None

@@ -68,17 +68,22 @@ def accumulate_grads(state: TrainState, batch_inputs: jax.Array,
 def make_train_step(model, lab_offsets: Dict[str, Tuple[int, int]],
                     loss_config: LossConfig,
                     donate: bool = True,
-                    grad_accum: int = 1) -> Callable:
+                    grad_accum: int = 1,
+                    grad_allreduce_dtype=None,
+                    mesh=None) -> Callable:
     """Build ``step(state, inputs, labels, rng) -> (state, metrics)``.
 
     ``grad_accum > 1`` splits the batch into that many sequential
     microbatches and averages the gradients before the single optimizer
-    update (one XLA program either way)."""
+    update (one XLA program either way).
 
-    def step(state: TrainState, batch_inputs: jax.Array,
-             batch_labels: jax.Array, dropout_rng: jax.Array):
-        mutable = ['batch_stats'] if state.batch_stats else []
+    ``grad_allreduce_dtype`` (requires ``mesh``) runs the step as an
+    explicit-collective ``shard_map`` over the data axis with the
+    gradient psum cast to the reduced dtype — see
+    ``device_data.make_device_train_step`` for the full rationale.
+    Batchnorm models are rejected on that path."""
 
+    def make_loss_for(mutable):
         def loss_for(params, bstats, inputs, labels_packed, rng):
             labels = unpack(labels_packed, lab_offsets)
             variables = {'params': params}
@@ -94,7 +99,68 @@ def make_train_step(model, lab_offsets: Dict[str, Tuple[int, int]],
                 new_model_state = {}
             loss, metrics = loss_and_metrics(outputs, labels, loss_config)
             return loss, (metrics, new_model_state)
+        return loss_for
 
+    if grad_allreduce_dtype is not None:
+        if mesh is None:
+            raise ValueError('grad_allreduce_dtype requires the mesh')
+        from jax.sharding import PartitionSpec as P
+
+        from inferbiomechanics_tpu.parallel.mesh import DATA_AXIS
+        n_dp = int(mesh.shape[DATA_AXIS])
+        rd = jax.numpy.dtype(grad_allreduce_dtype)
+        if hasattr(jax.lax, 'pcast'):
+            def to_varying(x):
+                return jax.lax.pcast(x, DATA_AXIS, to='varying')
+        else:                                   # pragma: no cover - old jax
+            def to_varying(x):
+                return jax.lax.pvary(x, (DATA_AXIS,))
+
+        def step_lowp(state: TrainState, batch_inputs: jax.Array,
+                      batch_labels: jax.Array, dropout_rng: jax.Array):
+            if state.batch_stats:
+                raise ValueError('--grad-allreduce-dtype does not support '
+                                 'batchnorm models')
+            loss_for = make_loss_for([])
+
+            def shard_fn(params, inputs, labels, rng):
+                rng = jax.random.fold_in(rng,
+                                         jax.lax.axis_index(DATA_AXIS))
+                # params must be device-varying before the grad or the
+                # replicated-input cotangent rule auto-psums in f32
+                params = jax.tree_util.tree_map(to_varying, params)
+                if grad_accum > 1:
+                    grads, metrics, _ = accumulate_grads(
+                        state.replace(params=params), inputs, labels,
+                        rng, grad_accum, loss_for)
+                else:
+                    grads, (metrics, _) = jax.grad(
+                        loss_for, has_aux=True)(params, {}, inputs,
+                                                labels, rng)
+                grads = jax.tree_util.tree_map(
+                    lambda g: (jax.lax.psum(g.astype(rd), DATA_AXIS)
+                               .astype(g.dtype) / n_dp), grads)
+                metrics = jax.tree_util.tree_map(
+                    lambda m: jax.lax.pmean(m, DATA_AXIS), metrics)
+                return grads, metrics
+
+            try:                                    # jax >= 0.8
+                from jax import shard_map as _shard_map
+            except ImportError:                     # pragma: no cover
+                from jax.experimental.shard_map import shard_map as _shard_map
+            fn = _shard_map(shard_fn, mesh=mesh,
+                            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+                            out_specs=(P(), P()))
+            grads, metrics = fn(state.params, batch_inputs, batch_labels,
+                                dropout_rng)
+            return state.apply_gradients(grads=grads), metrics
+
+        return jax.jit(step_lowp, donate_argnums=(0,) if donate else ())
+
+    def step(state: TrainState, batch_inputs: jax.Array,
+             batch_labels: jax.Array, dropout_rng: jax.Array):
+        mutable = ['batch_stats'] if state.batch_stats else []
+        loss_for = make_loss_for(mutable)
         if grad_accum > 1:
             grads, metrics, bstats = accumulate_grads(
                 state, batch_inputs, batch_labels, dropout_rng,

@@ -241,3 +241,19 @@ def test_train_grad_accum(workspace, tmp_path):
         capture_output=True, text=True, env=env, timeout=300)
     assert bad.returncode != 0
     assert 'grad-accum-steps' in (bad.stderr + bad.stdout)
+
+
+def test_train_bf16_grad_allreduce(workspace, tmp_path):
+    """--grad-allreduce-dtype bf16 trains end-to-end on an 8-device mesh
+    (explicit shard_map psum path)."""
+    ckpt = tmp_path / 'ck_bf16ar'
+    env = dict(os.environ, IB_PLATFORM='cpu',
+               XLA_FLAGS=(os.environ.get('XLA_FLAGS', '')
+                          + ' --xla_force_host_platform_device_count=8').strip())
+    out = subprocess.run(
+        [sys.executable, MAIN, 'train', '--dataset-home', workspace['data'],
+         '--checkpoint-dir', str(ckpt), '--no-wandb', '--epochs', '1',
+         '--batch-size', '32', '--grad-allreduce-dtype', 'bf16', '--short'],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert (ckpt / 'feedforward').is_dir()

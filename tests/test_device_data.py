@@ -376,3 +376,127 @@ def test_grad_accum_rejects_indivisible(ds):
     with pytest.raises(ValueError, match='not divisible'):
         accum(state, jnp.asarray(batch.inputs), jnp.asarray(batch.labels),
               jax.random.PRNGKey(0))
+
+
+def _mesh8():
+    from inferbiomechanics_tpu.parallel.mesh import make_mesh
+    return make_mesh()
+
+
+def test_bf16_allreduce_matches_plain_device_step(ds):
+    """--grad-allreduce-dtype bf16 (explicit shard_map psum in bf16):
+    per-step update within bf16 rounding of the GSPMD f32 step, for both
+    plain and accumulating variants."""
+    from inferbiomechanics_tpu.parallel.mesh import (
+        batch_sharding, replicate, replicated,
+    )
+    mesh = _mesh8()
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=ds.root_history_len, dropout=False)
+    state, _ = _state(ds, model, opt='sgd')
+    state = replicate(mesh, state)
+    data = DeviceResidentData(ds, sharding=replicated(mesh),
+                              feature_dtype=jnp.float32)
+    plain = make_device_train_step(model, data, LossConfig(), donate=False,
+                                   batch_shard=batch_sharding(mesh))
+    idx = jax.device_put(jnp.arange(16, dtype=jnp.int32),
+                         batch_sharding(mesh))
+    rng = jax.random.PRNGKey(1)
+    s_p, m_p = plain(state, idx, rng)
+    for accum in (1, 2):
+        lowp = make_device_train_step(model, data, LossConfig(),
+                                      donate=False, grad_accum=accum,
+                                      grad_allreduce_dtype=jnp.bfloat16,
+                                      mesh=mesh)
+        s_l, m_l = lowp(state, idx, rng)
+        np.testing.assert_allclose(float(m_l['loss']), float(m_p['loss']),
+                                   rtol=1e-5)
+        for pa, pb, p0 in zip(jax.tree_util.tree_leaves(s_p.params),
+                              jax.tree_util.tree_leaves(s_l.params),
+                              jax.tree_util.tree_leaves(state.params)):
+            ua = np.asarray(pa - p0)
+            ub = np.asarray(pb - p0)
+            # updates agree to bf16 rounding of the gradient (~0.6%)
+            assert np.abs(ua - ub).max() <= 0.02 * max(np.abs(ua).max(),
+                                                       1e-12)
+
+
+def test_bf16_allreduce_lowers_to_bf16_collective(ds):
+    """The lowered StableHLO must carry all_reduce ops whose reduction
+    region computes in bf16 — the whole point of the flag. (The compiled
+    CPU HLO can't show this: the CPU backend promotes small-type
+    all-reduces to f32; TPU consumes the lowered module below.)"""
+    from inferbiomechanics_tpu.parallel.mesh import (
+        batch_sharding, replicate, replicated,
+    )
+    mesh = _mesh8()
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=ds.root_history_len, dropout=False)
+    state, _ = _state(ds, model, opt='sgd')
+    state = replicate(mesh, state)
+    data = DeviceResidentData(ds, sharding=replicated(mesh),
+                              feature_dtype=jnp.float32)
+    lowp = make_device_train_step(model, data, LossConfig(), donate=False,
+                                  grad_allreduce_dtype=jnp.bfloat16,
+                                  mesh=mesh)
+    idx = jax.device_put(jnp.arange(16, dtype=jnp.int32),
+                         batch_sharding(mesh))
+    text = lowp.lower(state, idx, jax.random.PRNGKey(0)).as_text()
+    chunks = text.split('stablehlo.all_reduce')[1:]
+    bf16_regions = sum('tensor<bf16>' in c[:400] for c in chunks)
+    assert bf16_regions >= 4, f'{bf16_regions} bf16 all_reduce regions'
+
+
+def test_bf16_allreduce_rejects_batchnorm(ds):
+    from inferbiomechanics_tpu.parallel.mesh import replicate, replicated
+    mesh = _mesh8()
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=ds.root_history_len,
+                      batchnorm=True, dropout=False)
+    state, _ = _state(ds, model)
+    state = replicate(mesh, state)
+    data = DeviceResidentData(ds, sharding=replicated(mesh),
+                              feature_dtype=jnp.float32)
+    lowp = make_device_train_step(model, data, LossConfig(), donate=False,
+                                  grad_allreduce_dtype=jnp.bfloat16,
+                                  mesh=mesh)
+    with pytest.raises(ValueError, match='batchnorm'):
+        lowp(state, jnp.arange(16, dtype=jnp.int32), jax.random.PRNGKey(0))
+
+
+def test_bf16_allreduce_host_step_matches(ds):
+    """Host-path make_train_step honors grad_allreduce_dtype too."""
+    from inferbiomechanics_tpu.parallel.mesh import (
+        batch_sharding, replicate, shard_batch,
+    )
+    mesh = _mesh8()
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=ds.root_history_len, dropout=False)
+    state, batch = _state(ds, model, opt='sgd')
+    state = replicate(mesh, state)
+    x, y = shard_batch(mesh, jnp.asarray(batch.inputs),
+                       jnp.asarray(batch.labels))
+    plain = make_train_step(model, ds.lab_offsets, LossConfig(),
+                            donate=False)
+    lowp = make_train_step(model, ds.lab_offsets, LossConfig(),
+                           donate=False, grad_allreduce_dtype=jnp.bfloat16,
+                           mesh=mesh)
+    rng = jax.random.PRNGKey(1)
+    s_p, m_p = plain(state, x, y, rng)
+    s_l, m_l = lowp(state, x, y, rng)
+    np.testing.assert_allclose(float(m_l['loss']), float(m_p['loss']),
+                               rtol=1e-5)
+    for pa, pb, p0 in zip(jax.tree_util.tree_leaves(s_p.params),
+                          jax.tree_util.tree_leaves(s_l.params),
+                          jax.tree_util.tree_leaves(state.params)):
+        ua = np.asarray(pa - p0)
+        ub = np.asarray(pb - p0)
+        assert np.abs(ua - ub).max() <= 0.02 * max(np.abs(ua).max(), 1e-12)
