@@ -44,6 +44,13 @@ class ServeCommand:
                                  'forward (0 = off). Trades ~that much '
                                  'latency for near-flat throughput '
                                  'scaling with client count')
+        parser.add_argument('--quantize', type=str, default=None,
+                            choices=['int8'],
+                            help='Serve through int8 weight+activation '
+                                 'quantization (feedforward family): the '
+                                 'MXU runs int8 matmuls at 2x the bf16 '
+                                 'rate with 1/4 the weight HBM traffic '
+                                 '(ops/quant.py)')
         parser.add_argument('--ensemble', type=str, nargs='+', default=None,
                             metavar='CKPT',
                             help='Serve the MEAN of several checkpoints '
@@ -78,7 +85,8 @@ class ServeCommand:
                                    max_batch=args.max_batch,
                                    ensemble=args.ensemble,
                                    batch_wait_ms=args.batch_wait_ms,
-                                   sample_steps=args.sample_steps)
+                                   sample_steps=args.sample_steps,
+                                   quantize=args.quantize)
         server = serve(service, host=args.host, port=args.port)
         tag = (f'{len(service.members)}-member ensemble'
                if service.members else

@@ -164,7 +164,8 @@ class InferenceService:
                  dataset: WindowDataset, max_batch: int = 4096,
                  ensemble: Optional[list] = None,
                  batch_wait_ms: float = 0.0,
-                 sample_steps: int = 50):
+                 sample_steps: int = 50,
+                 quantize: Optional[str] = None):
         """``ensemble``: optional list of checkpoint dirs or ``.ckpt``
         files (e.g. the per-config checkpoints a seed sweep wrote). All
         members run as ONE vmapped forward per request — the same
@@ -255,6 +256,21 @@ class InferenceService:
                                'UNTRAINED model', checkpoint_dir)
 
         batch_stats = self.state.batch_stats
+        self.quantize = quantize if quantize not in (None, 'none') else None
+        if self.quantize:
+            from inferbiomechanics_tpu.models.feedforward import (
+                FeedForwardBaseline,
+            )
+            if self.quantize != 'int8':
+                raise ValueError(f'unknown --quantize {self.quantize!r}; '
+                                 f'expected int8')
+            if self.is_diffusion or self.members:
+                raise ValueError('--quantize int8 serves a single '
+                                 'feedforward checkpoint (not diffusion '
+                                 'or ensembles)')
+            if not isinstance(self.model, FeedForwardBaseline):
+                raise ValueError('--quantize int8 currently supports the '
+                                 'feedforward family only')
         use_fused = bool(getattr(config, 'fused_inference', False))
         if use_fused and self.members:
             logger.warning('--fused-inference ignored for ensembles '
@@ -281,6 +297,18 @@ class InferenceService:
 
             def fwd(params, x):
                 return sampler(params, x, jax.random.PRNGKey(0))
+        elif self.quantize:
+            # weights quantized ONCE here; the closure constants fold
+            # into the compiled program as int8 tensors (ops/quant.py)
+            from inferbiomechanics_tpu.ops.quant import (
+                quantized_feedforward_forward,
+            )
+            qfwd = quantized_feedforward_forward(
+                self.model, jax.device_get(self.state.params))
+
+            def fwd(params, x):
+                del params          # baked into the quantized closure
+                return qfwd(x)
         else:
             def fwd(params, x):
                 if use_fused:
@@ -457,6 +485,7 @@ class InferenceService:
             'diffusion_sample_steps': (self.sample_steps
                                        if self.is_diffusion else None),
             'fused_inference': self._use_fused,
+            'quantize': self.quantize,
             'window_size': ds.window_size,
             'stride': ds.stride,
             'num_model_frames': ds.num_model_frames,
