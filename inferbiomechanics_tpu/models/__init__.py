@@ -35,7 +35,8 @@ def get_model(model_type: str,
               num_heads: int = 8,
               use_pallas: bool = False,
               attn_impl: str = 'vpu',
-              conv_impl: str = 'xla'):
+              conv_impl: str = 'xla',
+              diffusion_timesteps: int = 1000):
     """Build a model by name. 'analytical' has no learnable parameters and is
     served by :mod:`inferbiomechanics_tpu.models.analytical` instead."""
     if model_type == 'feedforward':
@@ -66,7 +67,7 @@ def get_model(model_type: str,
             num_dofs=num_dofs, num_contact_bodies=num_contact_bodies,
             history_len=history_len, stride=stride,
             d_model=d_model, num_layers=num_layers, num_heads=num_heads,
-            attn_impl=attn_impl)
+            attn_impl=attn_impl, timesteps=diffusion_timesteps)
     raise ValueError(f'unknown model type {model_type!r}; expected one of {MODEL_TYPES}')
 
 

@@ -80,6 +80,7 @@ def build_model_for_dataset(config: Config, ds: WindowDataset):
         num_heads=config.num_heads,
         attn_impl=config.attn_impl,
         conv_impl=config.conv_impl,
+        diffusion_timesteps=config.diffusion_timesteps,
     )
 
 

@@ -481,10 +481,9 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         if config.output_data_format != 'all_frames':
             raise ValueError('sweep --model-type diffusion requires '
                              '--output-data-format all_frames (like train)')
-        if config.diffusion_timesteps != model.timesteps:
-            logger.warning('sweep uses the model default of %d diffusion '
-                           'timesteps, not --diffusion-timesteps %d',
-                           model.timesteps, config.diffusion_timesteps)
+        # --diffusion-timesteps reaches the denoiser via
+        # build_model_for_dataset since round 3; no silent default
+        assert config.diffusion_timesteps == model.timesteps
 
     sample = train_ds.gather(
         np.arange(min(config.batch_size, max(1, len(train_ds)))))

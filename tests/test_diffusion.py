@@ -212,3 +212,22 @@ def test_device_diffusion_epoch_runner(ds):
         state, m = run(state, jax.random.fold_in(rng, e))
     assert np.isfinite(float(m['loss']))
     assert float(m['loss']) < float(m0['loss'])
+
+
+def test_diffusion_timesteps_flag_reaches_model(tmp_path):
+    """--diffusion-timesteps flows through build_model_for_dataset (sweep,
+    serve, export all build the denoiser there; previously they silently
+    used the 1000-step default)."""
+    import numpy as np
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    from inferbiomechanics_tpu.train.loop import build_model_for_dataset
+    write_synthetic_subject(str(tmp_path / 's.b3d'), num_trials=1,
+                            trial_length=60, seed=0)
+    ds = WindowDataset(str(tmp_path), window_size=20, stride=5,
+                       skip_loading_skeletons=True)
+    cfg = Config(model_type='diffusion', window_size=20, stride=5,
+                 output_data_format='all_frames', diffusion_timesteps=8)
+    model = build_model_for_dataset(cfg, ds)
+    assert model.timesteps == 8
