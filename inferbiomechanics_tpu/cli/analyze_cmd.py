@@ -52,6 +52,10 @@ class AnalyzeCommand:
                             help='Evaluate this specific checkpoint (e.g. '
                                  'the --keep-best best.ckpt) instead of the '
                                  'latest epoch_* one')
+        parser.add_argument('--use-ema', action='store_true',
+                            help='Diffusion: evaluate the checkpoint\'s EMA '
+                                 'parameter tree (written by train '
+                                 '--ema-decay) instead of the raw params')
         parser.add_argument('--ensemble', type=str, nargs='+', default=None,
                             metavar='CKPT',
                             help='Evaluate the MEAN of several checkpoints '
@@ -135,6 +139,19 @@ class AnalyzeCommand:
                     state, epoch, _b = load_latest_checkpoint(state, checkpoint_dir)
                     if epoch < 0:
                         print(f'WARNING: no checkpoint found in {checkpoint_dir}')
+                if getattr(args, 'use_ema', False):
+                    from inferbiomechanics_tpu.train.checkpoint import (
+                        load_ema_params, resolve_checkpoint_path,
+                    )
+                    path = (args.checkpoint_file
+                            or resolve_checkpoint_path(checkpoint_dir))
+                    ema = load_ema_params(path, state.params) if path else None
+                    if ema is None:
+                        raise SystemExit(f'--use-ema: checkpoint {path} '
+                                         f'carries no ema_params (train '
+                                         f'with --ema-decay)')
+                    state = state.replace(params=ema)
+                    print('evaluating EMA parameters')
                 sampler = make_sampler(model, DDPMSchedule(config.diffusion_timesteps),
                                        num_steps=50,
                                        fused_inference=config.fused_inference)

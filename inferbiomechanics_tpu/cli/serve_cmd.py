@@ -44,6 +44,9 @@ class ServeCommand:
                                  'forward (0 = off). Trades ~that much '
                                  'latency for near-flat throughput '
                                  'scaling with client count')
+        parser.add_argument('--use-ema', action='store_true',
+                            help='Serve the checkpoint\'s EMA parameter '
+                                 'tree (train --ema-decay)')
         parser.add_argument('--quantize', type=str, default=None,
                             choices=['int8'],
                             help='Serve through int8 weight+activation '
@@ -86,7 +89,8 @@ class ServeCommand:
                                    ensemble=args.ensemble,
                                    batch_wait_ms=args.batch_wait_ms,
                                    sample_steps=args.sample_steps,
-                                   quantize=args.quantize)
+                                   quantize=args.quantize,
+                                   use_ema=args.use_ema)
         server = serve(service, host=args.host, port=args.port)
         tag = (f'{len(service.members)}-member ensemble'
                if service.members else

@@ -98,6 +98,10 @@ class Config:
 
     # diffusion
     diffusion_timesteps: int = 1000
+    # beyond parity: exponential moving average of the denoiser params
+    # (standard diffusion practice; 0 = off). The EMA tree rides in the
+    # checkpoint under 'ema_params'; evaluate/serve it with --use-ema.
+    ema_decay: float = 0.0
 
     # parallelism
     model_parallel: int = 1
@@ -228,6 +232,11 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                         help='GroundLink conv lowering (checkpoints are '
                              'interchangeable between the two)')
     parser.add_argument('--diffusion-timesteps', type=int, default=d.diffusion_timesteps)
+    parser.add_argument('--ema-decay', type=float, default=d.ema_decay,
+                        help='Diffusion: track an exponential moving '
+                             'average of the denoiser params (e.g. 0.999; '
+                             '0 = off); saved in checkpoints as '
+                             'ema_params, evaluated with --use-ema')
     parser.add_argument('--aux-tau-weight', type=float, default=d.aux_tau_weight,
                         help='Weight of the joint-torque aux loss (transformer)')
     parser.add_argument('--aux-com-acc-weight', type=float, default=d.aux_com_acc_weight)
@@ -286,6 +295,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'num_heads': 'num_heads', 'attn_impl': 'attn_impl',
         'fused_inference': 'fused_inference', 'conv_impl': 'conv_impl',
         'diffusion_timesteps': 'diffusion_timesteps',
+        'ema_decay': 'ema_decay',
         'model_parallel': 'model_parallel',
         'profile': 'profile', 'profile_dir': 'profile_dir',
         'device_data': 'device_data', 'pack_windows': 'pack_windows',

@@ -165,7 +165,8 @@ class InferenceService:
                  ensemble: Optional[list] = None,
                  batch_wait_ms: float = 0.0,
                  sample_steps: int = 50,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 use_ema: bool = False):
         """``ensemble``: optional list of checkpoint dirs or ``.ckpt``
         files (e.g. the per-config checkpoints a seed sweep wrote). All
         members run as ONE vmapped forward per request — the same
@@ -254,6 +255,21 @@ class InferenceService:
             if self.epoch < 0:
                 logger.warning('no checkpoint found in %s — serving an '
                                'UNTRAINED model', checkpoint_dir)
+        self.use_ema = bool(use_ema)
+        if self.use_ema:
+            from inferbiomechanics_tpu.train.checkpoint import (
+                load_ema_params, resolve_checkpoint_path,
+            )
+            if self.members:
+                raise ValueError('--use-ema serves a single checkpoint, '
+                                 'not an ensemble')
+            path = resolve_checkpoint_path(checkpoint_dir)
+            ema = load_ema_params(path, self.state.params) if path else None
+            if ema is None:
+                raise ValueError(f'--use-ema: checkpoint in '
+                                 f'{checkpoint_dir} carries no ema_params '
+                                 f'(train with --ema-decay)')
+            self.state = self.state.replace(params=ema)
 
         batch_stats = self.state.batch_stats
         self.quantize = quantize if quantize not in (None, 'none') else None
@@ -486,6 +502,7 @@ class InferenceService:
                                        if self.is_diffusion else None),
             'fused_inference': self._use_fused,
             'quantize': self.quantize,
+            'use_ema': self.use_ema,
             'window_size': ds.window_size,
             'stride': ds.stride,
             'num_model_frames': ds.num_model_frames,

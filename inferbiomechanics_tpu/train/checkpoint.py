@@ -33,26 +33,34 @@ def checkpoint_name(epoch: int, batch: int) -> str:
 
 def save_checkpoint(checkpoint_dir: str, state: TrainState,
                     epoch: int, batch: int,
-                    filename: Optional[str] = None) -> Optional[str]:
+                    filename: Optional[str] = None,
+                    ema_params=None) -> Optional[str]:
     """Serialize the full train state. No-op on non-zero processes.
 
     ``filename`` overrides the ``epoch_{e}_batch_{b}.ckpt`` name — used
     for ``best.ckpt``, which resume's latest-checkpoint scan deliberately
-    ignores (it is a model artifact, not a resume point)."""
+    ignores (it is a model artifact, not a resume point).
+
+    ``ema_params``: optional exponential-moving-average parameter tree
+    (diffusion ``--ema-decay``); stored under its own key so checkpoints
+    without one stay byte-compatible."""
     if jax.process_index() != 0:
         return None
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = os.path.join(checkpoint_dir,
                         filename or checkpoint_name(epoch, batch))
     host_state = jax.device_get(state)
-    blob = serialization.to_bytes({
+    payload = {
         'step': host_state.step,
         'params': host_state.params,
         'opt_state': host_state.opt_state,
         'batch_stats': host_state.batch_stats,
         'epoch': np.asarray(epoch, np.int64),
         'batch': np.asarray(batch, np.int64),
-    })
+    }
+    if ema_params is not None:
+        payload['ema_params'] = jax.device_get(ema_params)
+    blob = serialization.to_bytes(payload)
     tmp = path + '.tmp'
     with open(tmp, 'wb') as f:
         f.write(blob)
@@ -125,6 +133,24 @@ def load_checkpoint_file(state: TrainState,
             'checkpoint %s: optimizer state not restored (%s); '
             'parameters restored, optimizer starts fresh', path, e)
     return state, epoch, batch
+
+
+def load_ema_params(path: str, like_params):
+    """Return the checkpoint's EMA parameter tree (``--ema-decay``
+    training), structured like ``like_params``; ``None`` when the
+    checkpoint carries no EMA."""
+    with open(path, 'rb') as f:
+        raw = serialization.msgpack_restore(f.read())
+    if 'ema_params' not in raw:
+        return None
+    return serialization.from_state_dict(jax.device_get(like_params),
+                                         raw['ema_params'])
+
+
+def resolve_checkpoint_path(checkpoint_dir: str) -> Optional[str]:
+    """Path of the newest epoch_* checkpoint, or None."""
+    ckpts = list_checkpoints(checkpoint_dir)
+    return ckpts[-1][2] if ckpts else None
 
 
 def soup_checkpoints(paths, out_path: str) -> str:

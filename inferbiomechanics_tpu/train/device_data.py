@@ -414,12 +414,18 @@ def make_device_epoch_step(model, data: DeviceResidentData,
 
 def make_device_diffusion_epoch_runner(model, data: DeviceResidentData,
                                        schedule, batch_size: int,
-                                       batch_shard=None) -> Callable:
+                                       batch_shard=None,
+                                       ema_decay: float = 0.0) -> Callable:
     """Whole-epoch diffusion (ε-prediction) training in one jit program.
 
     Same shape as :func:`make_device_epoch_runner` but the step is the
     DDPM objective (models/diffusion.py): sample t and noise, q_sample the
     packed all-frames targets, regress the noise.
+
+    ``ema_decay > 0`` threads an exponential moving average of the params
+    through the scan — signature becomes ``run(state, ema, rng) ->
+    (state, ema, metrics)`` and the per-step EMA update rides free inside
+    the compiled epoch.
     """
     from inferbiomechanics_tpu.models.diffusion import (
         diffusion_targets_from_labels,
@@ -459,7 +465,27 @@ def make_device_diffusion_epoch_runner(model, data: DeviceResidentData,
         (state, _), metrics = jax.lax.scan(one, (state, step_rng), idx)
         return state, jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
 
-    return jax.jit(run_epoch, donate_argnums=(0,))
+    if not ema_decay:
+        return jax.jit(run_epoch, donate_argnums=(0,))
+
+    def one_ema(carry, idx):
+        state, ema, rng = carry
+        (state, rng), metrics = one((state, rng), idx)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            ema, state.params)
+        return (state, ema, rng), metrics
+
+    def run_epoch_ema(state: TrainState, ema, rng: jax.Array):
+        perm_rng, step_rng = jax.random.split(rng)
+        perm = jax.random.permutation(perm_rng, data.num_windows)
+        idx = perm[:n_steps * batch_size].reshape(n_steps, batch_size)
+        (state, ema, _), metrics = jax.lax.scan(
+            one_ema, (state, ema, step_rng), idx)
+        return state, ema, jax.tree_util.tree_map(lambda m: m.mean(0),
+                                                  metrics)
+
+    return jax.jit(run_epoch_ema, donate_argnums=(0, 1))
 
 
 def make_device_eval_runner(model, data: DeviceResidentData,

@@ -101,7 +101,7 @@ def train_diffusion(config: Config,
                                          pack_windows=pack)
         epoch_runner = make_device_diffusion_epoch_runner(
             model, device_data, sched, config.batch_size,
-            batch_shard=sharding)
+            batch_shard=sharding, ema_decay=config.ema_decay)
         logger.info('diffusion device-resident data: %.0f MB in HBM%s',
                     device_data.hbm_bytes / 1e6,
                     ' (windows packed)' if pack else '')
@@ -109,6 +109,27 @@ def train_diffusion(config: Config,
     step = make_diffusion_train_step(model, train_ds.lab_offsets, sched)
     sampler = make_sampler(model, sched, num_steps=EVAL_SAMPLE_STEPS,
                            fused_inference=config.fused_inference)
+
+    # EMA of the denoiser params (--ema-decay; standard diffusion
+    # practice). Initialized from the (possibly checkpoint-restored)
+    # params; the device epoch runner updates it inside its scan, the
+    # host path with one fused jit per step.
+    ema = None
+    ema_update = None
+    if config.ema_decay:
+        from inferbiomechanics_tpu.train.checkpoint import (
+            load_ema_params, resolve_checkpoint_path,
+        )
+        ckpt_path = resolve_checkpoint_path(config.checkpoint_dir)
+        restored = (load_ema_params(ckpt_path, state.params)
+                    if ckpt_path else None)
+        ema = replicate(mesh, restored if restored is not None
+                        else jax.device_get(state.params))
+        d = float(config.ema_decay)
+        ema_update = jax.jit(
+            lambda e, p: jax.tree_util.tree_map(
+                lambda a, b: a * d + b * (1.0 - d), e, p),
+            donate_argnums=(0,))
     dev_eval = RegressionLossEvaluator('dev', lc, wandb_logger=metric_logger)
 
     train_loader = PrefetchLoader(train_ds, config.batch_size, sharding=sharding,
@@ -154,7 +175,8 @@ def train_diffusion(config: Config,
             stale_evals = 0
             if config.keep_best:
                 save_checkpoint(config.checkpoint_dir, state,
-                                epoch - 1, 0, filename='best.ckpt')
+                                epoch - 1, 0, filename='best.ckpt',
+                                ema_params=ema)
                 logger.info('new best dev loss %.6f -> best.ckpt', dev_loss)
             return False
         stale_evals += 1
@@ -173,7 +195,12 @@ def train_diffusion(config: Config,
 
         if epoch_runner is not None:
             t_step = time.time()
-            state, metrics = epoch_runner(state, jax.random.fold_in(rng, epoch))
+            if ema is not None:
+                state, ema, metrics = epoch_runner(
+                    state, ema, jax.random.fold_in(rng, epoch))
+            else:
+                state, metrics = epoch_runner(state,
+                                              jax.random.fold_in(rng, epoch))
             last_loss = float(metrics['loss'])
             n_steps = len(train_ds) // config.batch_size
             if metric_logger is not None:
@@ -190,6 +217,8 @@ def train_diffusion(config: Config,
                 t_step = time.time()
                 state, metrics = step(state, batch.inputs, batch.labels,
                                       jax.random.fold_in(rng, epoch * 1_000_000 + batch_idx))
+                if ema is not None:
+                    ema = ema_update(ema, state.params)
                 last_loss = float(metrics['loss'])
                 if batch_idx % config.log_every_batches == 0:
                     if metric_logger is not None:
@@ -198,12 +227,14 @@ def train_diffusion(config: Config,
                     logger.info('epoch %d batch %d eps-mse %.6f',
                                 epoch, batch_idx, last_loss)
                 if batch_idx > 0 and batch_idx % config.checkpoint_every_batches == 0:
-                    save_checkpoint(config.checkpoint_dir, state, epoch, batch_idx)
+                    save_checkpoint(config.checkpoint_dir, state, epoch,
+                                    batch_idx, ema_params=ema)
                 compute_time += time.time() - t_step
                 windows_seen += config.batch_size
         epochs_run += 1
         print(f'[epoch {epoch}] eps-mse {last_loss:.6f}')
-        save_checkpoint(config.checkpoint_dir, state, epoch, 0)
+        save_checkpoint(config.checkpoint_dir, state, epoch, 0,
+                        ema_params=ema)
 
     # score the FINAL state too (the loop evals before each epoch only);
     # parity-gated on the beyond-parity flags like train/loop.py

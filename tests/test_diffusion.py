@@ -231,3 +231,119 @@ def test_diffusion_timesteps_flag_reaches_model(tmp_path):
                  output_data_format='all_frames', diffusion_timesteps=8)
     model = build_model_for_dataset(cfg, ds)
     assert model.timesteps == 8
+
+
+def _tiny_diffusion_data(tmp_path, trials=1, length=120):
+    import os
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    for split in ('train', 'dev'):
+        os.makedirs(tmp_path / split, exist_ok=True)
+        write_synthetic_subject(str(tmp_path / split / 's.b3d'),
+                                num_trials=trials, trial_length=length,
+                                seed=4)
+    return str(tmp_path)
+
+
+def test_ema_update_math():
+    """The jitted EMA update matches the closed form over several steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    d = 0.9
+    upd = jax.jit(lambda e, p: jax.tree_util.tree_map(
+        lambda a, b: a * d + b * (1.0 - d), e, p))
+    ema = {'w': jnp.zeros((3,))}
+    seq = [jnp.full((3,), float(i + 1)) for i in range(4)]
+    for p in seq:
+        ema = upd(ema, {'w': p})
+    want = np.zeros(3)
+    for p in seq:
+        want = want * d + np.asarray(p) * (1 - d)
+    np.testing.assert_allclose(np.asarray(ema['w']), want, rtol=1e-6)
+
+
+def test_diffusion_train_writes_and_uses_ema(tmp_path):
+    """train --ema-decay writes ema_params into checkpoints; the EMA tree
+    differs from the raw params (it lags them); analyze --use-ema swaps
+    it in; serve --use-ema refuses checkpoints without one."""
+    import os
+    import subprocess
+    import sys
+    import numpy as np
+    home = _tiny_diffusion_data(tmp_path)
+    ck = tmp_path / 'ck'
+    env = dict(os.environ, IB_PLATFORM='cpu')
+    MAIN = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'main.py')
+    base = ['--dataset-home', home, '--checkpoint-dir', str(ck),
+            '--no-wandb', '--model-type', 'diffusion',
+            '--output-data-format', 'all_frames', '--d-model', '16',
+            '--num-layers', '1', '--num-heads', '2',
+            '--diffusion-timesteps', '8', '--batch-size', '16', '--short']
+    out = subprocess.run([sys.executable, MAIN, 'train', *base,
+                          '--epochs', '1', '--ema-decay', '0.9'],
+                         capture_output=True, text=True, env=env,
+                         timeout=420)
+    assert out.returncode == 0, out.stderr[-3000:]
+
+    from inferbiomechanics_tpu.train.checkpoint import (
+        load_ema_params, resolve_checkpoint_path,
+    )
+    from flax import serialization
+    path = resolve_checkpoint_path(str(ck / 'diffusion'))
+    raw = serialization.msgpack_restore(open(path, 'rb').read())
+    assert 'ema_params' in raw
+    flat_p = jax.tree_util.tree_leaves(raw['params'])
+    flat_e = jax.tree_util.tree_leaves(raw['ema_params'])
+    assert any(not np.array_equal(a, b) for a, b in zip(flat_p, flat_e))
+    ema = load_ema_params(path, raw['params'])
+    assert ema is not None
+
+    out = subprocess.run([sys.executable, MAIN, 'analyze', *base,
+                          '--use-ema'],
+                         capture_output=True, text=True, env=env,
+                         timeout=420)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert 'evaluating EMA parameters' in out.stdout
+
+    # a checkpoint trained WITHOUT --ema-decay has no EMA to serve
+    ck2 = tmp_path / 'ck2'
+    out = subprocess.run([sys.executable, MAIN, 'train', *base[:3],
+                          str(ck2), *base[4:], '--epochs', '1'],
+                         capture_output=True, text=True, env=env,
+                         timeout=420)
+    assert out.returncode == 0, out.stderr[-3000:]
+    out = subprocess.run([sys.executable, MAIN, 'serve', *base[:3],
+                          str(ck2), *base[4:], '--use-ema', '--port', '0'],
+                         capture_output=True, text=True, env=env,
+                         timeout=300)
+    assert out.returncode != 0
+    assert 'ema_params' in (out.stderr + out.stdout)
+
+
+def test_diffusion_host_path_ema(tmp_path):
+    """EMA also updates on the host loader path (max_batches_per_epoch
+    forces it off the device epoch runner)."""
+    import numpy as np
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.train.diffusion_loop import train_diffusion
+    from inferbiomechanics_tpu.train.checkpoint import (
+        load_ema_params, resolve_checkpoint_path,
+    )
+    from flax import serialization
+    home = _tiny_diffusion_data(tmp_path)
+    cfg = Config(model_type='diffusion', window_size=20, stride=5,
+                 output_data_format='all_frames', d_model=16, num_layers=1,
+                 num_heads=2, diffusion_timesteps=8, batch_size=16,
+                 epochs=1, ema_decay=0.9, no_wandb=True,
+                 checkpoint_dir=str(tmp_path / 'ckh'))
+    tr = WindowDataset(home + '/train', window_size=20, stride=5,
+                       skip_loading_skeletons=True)
+    train_diffusion(cfg, tr, None, max_batches_per_epoch=2)
+    path = resolve_checkpoint_path(cfg.checkpoint_dir)
+    raw = serialization.msgpack_restore(open(path, 'rb').read())
+    assert 'ema_params' in raw
+    flat_p = jax.tree_util.tree_leaves(raw['params'])
+    flat_e = jax.tree_util.tree_leaves(raw['ema_params'])
+    assert any(not np.array_equal(a, b) for a, b in zip(flat_p, flat_e))
