@@ -223,6 +223,32 @@ def gather_by_local_indices(sdata: ShardedDeviceData, sel: np.ndarray):
     return jax.jit(fn)(sdata.features, sdata.labels, sdata.win_base, sel_dev)
 
 
+def make_sharded_sample_gather(sdata: ShardedDeviceData,
+                               batch_size: int) -> Callable:
+    """``sample_gather(feats, labs, base, cnt, rng) -> (inputs, labels)``
+    — each shard samples ``batch_size/S`` windows uniformly from its
+    local table and gathers them locally (DistributedSampler semantics);
+    the result is the global batch, sharded on the data axis."""
+    S = sdata.num_shards
+    if batch_size % S != 0:
+        raise ValueError(f'batch_size {batch_size} not divisible by '
+                         f'{S} shards')
+    b_local = batch_size // S
+    gather = _local_gather(sdata)
+
+    def sample_gather(feats, labs, base, cnt, rng):
+        # per-shard rng stream: fold the step key by the shard index
+        r = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        sel = jax.random.randint(r, (1, b_local), 0, cnt[0], dtype=jnp.int32)
+        return gather(feats, labs, base, sel)
+
+    return _shard_map(
+        sample_gather, mesh=sdata.mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
+
+
 def make_sharded_epoch_runner(model, sdata: ShardedDeviceData,
                               loss_config: LossConfig,
                               batch_size: int,
@@ -236,28 +262,11 @@ def make_sharded_epoch_runner(model, sdata: ShardedDeviceData,
     step then runs on the batch-sharded result with GSPMD inserting the
     gradient all-reduce.
     """
-    S = sdata.num_shards
-    if batch_size % S != 0:
-        raise ValueError(f'batch_size {batch_size} not divisible by '
-                         f'{S} shards')
-    b_local = batch_size // S
     n_steps = steps_per_call or sdata.num_windows // batch_size
     if n_steps == 0:
         raise ValueError(f'dataset has {sdata.num_windows} windows < '
                          f'batch_size {batch_size}')
-    gather = _local_gather(sdata)
-
-    def sample_gather(feats, labs, base, cnt, rng):
-        # per-shard rng stream: fold the step key by the shard index
-        r = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
-        sel = jax.random.randint(r, (1, b_local), 0, cnt[0], dtype=jnp.int32)
-        return gather(feats, labs, base, sel)
-
-    sample_gather = _shard_map(
-        sample_gather, mesh=sdata.mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                  P()),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
+    sample_gather = make_sharded_sample_gather(sdata, batch_size)
 
     # the sharded blocks must be jit ARGUMENTS, not closure constants:
     # multi-host jit rejects closing over arrays that span non-addressable

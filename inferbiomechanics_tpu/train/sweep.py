@@ -278,6 +278,54 @@ def make_sweep_device_train_step(model, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_sweep_sharded_train_step(model, tx: optax.GradientTransformation,
+                                  sdata, loss_config: LossConfig,
+                                  lrs: Sequence[float], batch_size: int,
+                                  donate: bool = True):
+    """Pod-sharded variant: ``step(state, rng[, lrs]) -> (state, metrics)``.
+
+    The dataset lives as trial blocks sharded across the mesh's data
+    axis (train/sharded_data.py — HBM capacity scales with the chip
+    count); each step every shard samples and gathers its
+    ``batch_size/S`` windows locally, and the batch-sharded result feeds
+    the vmapped K-config update with GSPMD inserting the per-config
+    gradient all-reduce. Configs are REPLICATED here — the data axis is
+    spent on the batch — so this tier is mutually exclusive with
+    ``--shard-configs``.
+    """
+    from inferbiomechanics_tpu.train.sharded_data import (
+        make_sharded_sample_gather,
+    )
+    lrs_arr = jnp.asarray(list(lrs), jnp.float32)
+    k = lrs_arr.shape[0]
+    sample_gather = make_sharded_sample_gather(sdata, batch_size)
+
+    def step(state: TrainState, rng: jax.Array, lrs=lrs_arr,
+             *, feats, labs, base, cnt):
+        rng_s, rng_k = jax.random.split(rng)
+        batch_inputs, batch_labels = sample_gather(feats, labs, base, cnt,
+                                                   rng_s)
+        labels = unpack(batch_labels, sdata.lab_offsets)
+        update = _one_update(model, tx, loss_config, batch_inputs, labels)
+        subs = jax.vmap(lambda i: jax.random.fold_in(rng_k, i))(jnp.arange(k))
+        new_params, new_opt, metrics = jax.vmap(update)(
+            state.params, state.opt_state, lrs, subs)
+        state = state.replace(step=state.step + 1, params=new_params,
+                              opt_state=new_opt)
+        return state, metrics
+
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def run(state: TrainState, rng: jax.Array, lrs=lrs_arr):
+        # sharded blocks travel as jit arguments (multi-host jit rejects
+        # closures over non-addressable arrays — sharded_data.py)
+        return jitted(state, rng, lrs, feats=sdata.features,
+                      labs=sdata.labels, base=sdata.win_base,
+                      cnt=sdata.win_count)
+
+    return run
+
+
 def make_sweep_device_epoch_step(model, tx, data, loss_config: LossConfig,
                                  lrs: Sequence[float], batch_size: int,
                                  steps_per_call: int = 8):
@@ -528,10 +576,28 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                  else make_sweep_eval_step(model, train_ds.lab_offsets, lc,
                                            mesh=mesh))
 
-    # device-resident train data (same gating as train/loop.py, simplified):
-    # one HBM gather per step feeds every config; host traffic = [B] int32
+    # data tiers (same ladder as train/loop.py, simplified): pod-sharded
+    # residency on request; else single-chip residency when the dataset
+    # fits HBM; else the host loader. The sharded tier spends the mesh's
+    # data axis on the BATCH, so it is mutually exclusive with
+    # --shard-configs (which spends it on the config axis).
     device_data = None
-    if train_ds.features_all is not None and config.device_data != 'off':
+    sharded_data = None
+    if config.device_data == 'sharded' and is_diffusion:
+        logger.warning('sweep diffusion has no sharded tier; falling back '
+                       'to the resident/host ladder')
+    if config.device_data == 'sharded' and not is_diffusion:
+        if shard_configs:
+            raise ValueError('--device-data sharded and --shard-configs '
+                             'both claim the mesh\'s data axis; pick one')
+        from inferbiomechanics_tpu.parallel import make_mesh
+        from inferbiomechanics_tpu.train.sharded_data import ShardedDeviceData
+        data_mesh = make_mesh()
+        sharded_data = ShardedDeviceData(train_ds, data_mesh)
+        logger.info('sweep pod-sharded data: %d shards, %.0f MB HBM/device',
+                    sharded_data.num_shards,
+                    sharded_data.hbm_bytes_per_device / 1e6)
+    elif train_ds.features_all is not None and config.device_data != 'off':
         data_bytes = (train_ds.features_all.nbytes
                       + train_ds.labels_all.nbytes)
         fits = data_bytes < config.device_data_max_bytes
@@ -547,15 +613,20 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                                < config.device_data_max_bytes)))
             logger.info('sweep device-resident data: %.0f MB in HBM',
                         device_data.hbm_bytes / 1e6)
-        elif config.device_data in ('sharded', 'stream'):
-            # the sweep has no sharded/streaming tier; do NOT force an
-            # over-budget replicated upload in their name — fall back to
-            # the host loader like any other oversized dataset
+        elif config.device_data == 'stream':
+            # the sweep has no streaming tier; do NOT force an over-budget
+            # replicated upload in its name — fall back to the host loader
+            # like any other oversized dataset (the sharded tier above
+            # covers >single-chip-HBM datasets on multi-chip meshes)
             logger.warning('sweep has no %r data tier; dataset (%.0f MB) '
                            'exceeds --device-data-max-bytes, using the '
                            'host loader', config.device_data,
                            data_bytes / 1e6)
-    if device_data is not None:
+    if sharded_data is not None:
+        step = make_sweep_sharded_train_step(model, tx, sharded_data, lc,
+                                             grid_lrs, config.batch_size)
+        loader = None
+    elif device_data is not None:
         step = (make_sweep_device_diffusion_step(model, tx, device_data,
                                                  grid_lrs)
                 if is_diffusion else
@@ -606,7 +677,12 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     last_epoch = -1
     for epoch in range(config.epochs):
         last_epoch = epoch
-        if device_data is not None:
+        if sharded_data is not None:
+            # shard-local sampling happens in-program; the "batch" is
+            # just the step index
+            batch_iter = range(max(1, sharded_data.num_windows
+                                   // config.batch_size))
+        elif device_data is not None:
             perm = np.random.default_rng(
                 (config.seed, epoch)).permutation(len(train_ds))
             n_steps = max(1, perm.shape[0] // config.batch_size)
@@ -623,7 +699,9 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                 break
             step_rng = jax.random.fold_in(rng, epoch * 1_000_000 + batch_idx)
             lrs_now = jnp.asarray(cur_lrs)
-            if device_data is not None:
+            if sharded_data is not None:
+                state, metrics = step(state, step_rng, lrs_now)
+            elif device_data is not None:
                 state, metrics = step(state, batch, step_rng, lrs_now)
             else:
                 state, metrics = step(state, batch.inputs, batch.labels,

@@ -361,3 +361,42 @@ def test_sweep_writes_best_checkpoint_artifact(dataset, tmp_path):
                                 make_optimizer('rmsprop', 1e-3))
         st, epoch, _ = load_checkpoint_file(st, p.best_checkpoint_path)
         assert epoch == p.best_epoch
+
+
+def test_sweep_sharded_data_tier(tmp_path):
+    """--device-data sharded: the sweep trains on pod-sharded trial
+    blocks (shard-local sample+gather feeding every config); configs
+    replicated; finite per-config losses; rejects --shard-configs."""
+    import subprocess
+    import sys
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    data = tmp_path / 'data'
+    for split in ('train', 'dev'):
+        os.makedirs(data / split)
+        write_synthetic_subject(str(data / split / 's.b3d'), num_trials=8,
+                                trial_length=150, seed=2)
+    MAIN = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'main.py')
+    env = dict(os.environ, IB_PLATFORM='cpu',
+               XLA_FLAGS=(os.environ.get('XLA_FLAGS', '')
+                          + ' --xla_force_host_platform_device_count=8').strip())
+    base = ['sweep', '--dataset-home', str(data), '--checkpoint-dir',
+            str(tmp_path / 'ck'), '--no-wandb', '--epochs', '1',
+            '--batch-size', '16', '--lrs', '1e-4', '3e-4',
+            '--device-data', 'sharded', '--hidden-dims', '16', '--short']
+    out = subprocess.run([sys.executable, MAIN, *base],
+                         capture_output=True, text=True, env=env,
+                         timeout=420)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert 'sweep pod-sharded data: 8 shards' in out.stderr
+    assert 'sweep winner' in out.stdout
+    res = json.load(open(tmp_path / 'ck' / 'sweep' / 'feedforward'
+                         / 'sweep_results.json'))
+    assert len(res['points']) == 2
+    assert all(np.isfinite(p['final_train_loss']) for p in res['points'])
+
+    out = subprocess.run([sys.executable, MAIN, *base, '--shard-configs'],
+                         capture_output=True, text=True, env=env,
+                         timeout=300)
+    assert out.returncode != 0
+    assert 'claim the mesh' in (out.stderr + out.stdout)
