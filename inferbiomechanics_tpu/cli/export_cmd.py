@@ -54,6 +54,11 @@ class ExportCommand:
         parser.add_argument('--sample-steps', type=int, default=50,
                             help='Diffusion: DDIM steps baked into the '
                                  'exported sampling chain')
+        parser.add_argument('--quantize', type=str, default=None,
+                            choices=['int8'],
+                            help='Export the int8-quantized forward '
+                                 '(feedforward family; ops/quant.py) — '
+                                 'weights serialize as int8 constants')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'export':
@@ -121,6 +126,13 @@ class ExportCommand:
 
         params = jax.device_get(state.params)
         batch_stats = jax.device_get(state.batch_stats) or {}
+        if args.quantize:
+            from inferbiomechanics_tpu.models.feedforward import (
+                FeedForwardBaseline,
+            )
+            if is_diffusion or not isinstance(model, FeedForwardBaseline):
+                raise SystemExit('export --quantize int8 supports the '
+                                 'feedforward family only')
         if is_diffusion:
             from inferbiomechanics_tpu.models.diffusion import make_sampler
             sampler = make_sampler(model, num_steps=args.sample_steps)
@@ -129,6 +141,11 @@ class ExportCommand:
             # both deterministic replay (same seed) and fresh draws.
             def fwd(x, seed):
                 return sampler(params, x, jax.random.PRNGKey(seed))
+        elif args.quantize:
+            from inferbiomechanics_tpu.ops.quant import (
+                quantized_feedforward_forward,
+            )
+            fwd = quantized_feedforward_forward(model, params)
         else:
             def fwd(x):
                 variables = {'params': params}
@@ -165,6 +182,7 @@ class ExportCommand:
                                        else None),
             'extra_inputs': ([{'name': 'seed', 'shape': [],
                                'dtype': 'int32'}] if is_diffusion else []),
+            'quantize': args.quantize,
             'jax_version': jax.__version__,
             'stablehlo_bytes': len(blob),
         }

@@ -130,3 +130,27 @@ def test_export_rejects_analytical(trained, tmp_path):
         capture_output=True, text=True, env=env, timeout=300)
     assert out.returncode != 0
     assert 'analytical' in (out.stderr + out.stdout)
+
+
+def test_export_quantized(trained, tmp_path):
+    """export --quantize int8 serializes the quantized forward; outputs
+    stay within quantization error of the f32 artifact and the int8
+    weights shrink the blob."""
+    f32_path = str(tmp_path / 'f32.stablehlo')
+    q_path = str(tmp_path / 'q.stablehlo')
+    common = ['export', '--dataset-home', trained['data'],
+              '--checkpoint-dir', trained['ck'], '--hidden-dims', '16']
+    run_cmd([*common, '--out', f32_path])
+    run_cmd([*common, '--out', q_path, '--quantize', 'int8'])
+    assert json.load(open(q_path + '.json'))['quantize'] == 'int8'
+    from jax import export as jexport
+    f32 = jexport.deserialize(open(f32_path, 'rb').read())
+    q = jexport.deserialize(open(q_path, 'rb').read())
+    sc = json.load(open(q_path + '.json'))
+    x = np.random.default_rng(0).normal(
+        size=(4, sc['input']['shape'][1],
+              sc['input']['shape'][2])).astype(np.float32)
+    a, b = f32.call(x), q.call(x)
+    for k in a:
+        scale = max(np.abs(np.asarray(a[k])).max(), 1e-6)
+        assert np.abs(np.asarray(a[k]) - np.asarray(b[k])).max() / scale < 0.05
