@@ -51,6 +51,10 @@ class Config:
     # optimization
     learning_rate: float = 1e-4
     opt_type: str = 'rmsprop'
+    # beyond parity: adamw decoupled weight decay + global-norm gradient
+    # clipping (0 = off)
+    weight_decay: float = 1e-4
+    grad_clip_norm: float = 0.0
     epochs: int = 10
     batch_size: int = 64
     # seeds init, dropout, per-epoch shuffles, diffusion noise (the
@@ -160,6 +164,12 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
     parser.add_argument('--activation', type=str, default=d.activation)
     parser.add_argument('--epochs', type=int, default=d.epochs)
     parser.add_argument('--opt-type', type=str, default=d.opt_type)
+    parser.add_argument('--weight-decay', type=float, default=d.weight_decay,
+                        help='Decoupled weight decay (adamw only)')
+    parser.add_argument('--grad-clip-norm', type=float,
+                        default=d.grad_clip_norm,
+                        help='Clip gradients to this global norm before '
+                             'the optimizer update (0 = off)')
     parser.add_argument('--batch-size', type=int, default=d.batch_size)
     parser.add_argument('--seed', type=int, default=d.seed,
                         help='Seed for init/dropout/shuffles — two runs '
@@ -277,6 +287,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'seed': 'seed', 'lr_schedule': 'lr_schedule',
         'lr_decay_steps': 'lr_decay_steps',
         'lr_warmup_steps': 'lr_warmup_steps',
+        'weight_decay': 'weight_decay',
+        'grad_clip_norm': 'grad_clip_norm',
         'grad_accum_steps': 'grad_accum_steps',
         'grad_allreduce_dtype': 'grad_allreduce_dtype',
         'keep_best': 'keep_best',

@@ -67,7 +67,9 @@ def train_diffusion(config: Config,
     tx = make_optimizer(config.opt_type, config.learning_rate,
                         lr_schedule=config.lr_schedule,
                         lr_decay_steps=config.lr_decay_steps,
-                        lr_warmup_steps=config.lr_warmup_steps)
+                        lr_warmup_steps=config.lr_warmup_steps,
+                        weight_decay=config.weight_decay,
+                        grad_clip_norm=config.grad_clip_norm)
     state = TrainState(step=jnp.asarray(0, jnp.int32),
                        params=variables['params'],
                        opt_state=tx.init(variables['params']),

@@ -157,7 +157,9 @@ def train(config: Config,
     tx = make_optimizer(config.opt_type, config.learning_rate,
                         lr_schedule=config.lr_schedule,
                         lr_decay_steps=config.lr_decay_steps,
-                        lr_warmup_steps=config.lr_warmup_steps)
+                        lr_warmup_steps=config.lr_warmup_steps,
+                        weight_decay=config.weight_decay,
+                        grad_clip_norm=config.grad_clip_norm)
     rng = jax.random.PRNGKey(config.seed)
     state = create_train_state(model, rng, jax.numpy.asarray(sample_inputs), tx)
     logger.info('model %s: %d params', config.model_type, num_params(state))

@@ -2,8 +2,14 @@
 
 Capability parity: reference ``src/cli/train.py:183-197`` — the six
 selectable optimizers {adagrad, adam, sgd, rmsprop (default), adadelta,
-adamax}, built on optax. Beyond parity: optional learning-rate schedules
-(the reference trains at a fixed LR only).
+adamax}, built on optax. Beyond parity: 'adamw' (decoupled weight
+decay), optional learning-rate schedules, and global-norm gradient
+clipping (the reference trains at a fixed LR with none of these).
+
+Every factory keeps the update LINEAR in the learning rate with lr
+absent from the optimizer state — the sweep's exact-lr precondition
+(train/sweep.py module docstring; test_lr_scaling_exact covers all
+types including adamw and clipping).
 """
 
 from __future__ import annotations
@@ -12,7 +18,8 @@ from typing import Optional, Union
 
 import optax
 
-OPT_TYPES = ('adagrad', 'adam', 'sgd', 'rmsprop', 'adadelta', 'adamax')
+OPT_TYPES = ('adagrad', 'adam', 'sgd', 'rmsprop', 'adadelta', 'adamax',
+             'adamw')
 LR_SCHEDULES = ('constant', 'cosine', 'warmup_cosine', 'linear')
 
 
@@ -42,20 +49,32 @@ def make_optimizer(opt_type: str,
                    learning_rate: Union[float, optax.Schedule],
                    lr_schedule: str = 'constant',
                    lr_decay_steps: int = 0,
-                   lr_warmup_steps: int = 0) -> optax.GradientTransformation:
+                   lr_warmup_steps: int = 0,
+                   weight_decay: float = 1e-4,
+                   grad_clip_norm: float = 0.0) -> optax.GradientTransformation:
+    """``weight_decay`` applies to 'adamw' only; ``grad_clip_norm > 0``
+    prepends global-norm clipping (clip-then-update, the standard
+    composition)."""
     if isinstance(learning_rate, float):
         learning_rate = make_lr_schedule(lr_schedule, learning_rate,
                                          lr_decay_steps, lr_warmup_steps)
     if opt_type == 'adagrad':
-        return optax.adagrad(learning_rate)
-    if opt_type == 'adam':
-        return optax.adam(learning_rate)
-    if opt_type == 'sgd':
-        return optax.sgd(learning_rate)
-    if opt_type == 'rmsprop':
-        return optax.rmsprop(learning_rate)
-    if opt_type == 'adadelta':
-        return optax.adadelta(learning_rate)
-    if opt_type == 'adamax':
-        return optax.adamax(learning_rate)
-    raise ValueError(f'unknown optimizer {opt_type!r}; expected one of {OPT_TYPES}')
+        tx = optax.adagrad(learning_rate)
+    elif opt_type == 'adam':
+        tx = optax.adam(learning_rate)
+    elif opt_type == 'sgd':
+        tx = optax.sgd(learning_rate)
+    elif opt_type == 'rmsprop':
+        tx = optax.rmsprop(learning_rate)
+    elif opt_type == 'adadelta':
+        tx = optax.adadelta(learning_rate)
+    elif opt_type == 'adamax':
+        tx = optax.adamax(learning_rate)
+    elif opt_type == 'adamw':
+        tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    else:
+        raise ValueError(f'unknown optimizer {opt_type!r}; expected one of '
+                         f'{OPT_TYPES}')
+    if grad_clip_norm and grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    return tx

@@ -541,7 +541,9 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         sample_inputs = np.tile(sample_inputs,
                                 (reps, 1, 1))[:config.batch_size]
 
-    tx = make_optimizer(config.opt_type, 1.0)
+    tx = make_optimizer(config.opt_type, 1.0,
+                        weight_decay=config.weight_decay,
+                        grad_clip_norm=config.grad_clip_norm)
     if config.lr_schedule != 'constant':
         raise ValueError('sweep supports constant learning rates only '
                          '(the exact-lr vmap trick needs lr out of the '

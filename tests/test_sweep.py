@@ -400,3 +400,25 @@ def test_sweep_sharded_data_tier(tmp_path):
                          timeout=300)
     assert out.returncode != 0
     assert 'claim the mesh' in (out.stderr + out.stdout)
+
+
+def test_lr_scaling_exact_with_clipping():
+    """Global-norm clipping (--grad-clip-norm) preserves the sweep's
+    exact-lr precondition: tx(lr, clip).update == lr * tx(1.0, clip).update."""
+    params = {'w': jnp.asarray(np.random.default_rng(0)
+                               .standard_normal((16, 8)), jnp.float32)}
+    grads = jax.tree_util.tree_map(
+        lambda p: 50.0 * jnp.asarray(np.random.default_rng(2)
+                                     .standard_normal(p.shape), jnp.float32),
+        params)
+    lr = 3.7e-4
+    for opt in ('rmsprop', 'adamw'):
+        tx_b = make_optimizer(opt, lr, grad_clip_norm=1.0)
+        tx_u = make_optimizer(opt, 1.0, grad_clip_norm=1.0)
+        s_b, s_u = tx_b.init(params), tx_u.init(params)
+        u_b, _ = tx_b.update(grads, s_b, params)
+        u_u, _ = tx_u.update(grads, s_u, params)
+        for a, b in zip(jax.tree_util.tree_leaves(u_b),
+                        jax.tree_util.tree_leaves(
+                            jax.tree_util.tree_map(lambda u: u * lr, u_u))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
