@@ -52,6 +52,12 @@ class AnalyzeCommand:
                             help='Evaluate this specific checkpoint (e.g. '
                                  'the --keep-best best.ckpt) instead of the '
                                  'latest epoch_* one')
+        parser.add_argument('--quantize', type=str, default=None,
+                            choices=['int8'],
+                            help='Evaluate the int8-quantized forward '
+                                 '(feedforward; ops/quant.py) — quantifies '
+                                 'the accuracy cost of serve --quantize on '
+                                 'the standard metrics')
         parser.add_argument('--use-ema', action='store_true',
                             help='Diffusion: evaluate the checkpoint\'s EMA '
                                  'parameter tree (written by train '
@@ -183,7 +189,17 @@ class AnalyzeCommand:
                     if epoch < 0:
                         print(f'WARNING: no checkpoint found in {checkpoint_dir}; '
                               f'evaluating a fresh model')
-                eval_fn = make_eval_step(model, ds.lab_offsets, lc)
+                if getattr(args, 'quantize', None):
+                    from inferbiomechanics_tpu.ops.quant import (
+                        quantized_feedforward_forward,
+                    )
+                    qfwd = jax.jit(quantized_feedforward_forward(
+                        model, jax.device_get(state.params)))
+                    predict = lambda x, _s: qfwd(x)
+                    eval_fn = None
+                    print('evaluating int8-quantized forward')
+                else:
+                    eval_fn = make_eval_step(model, ds.lab_offsets, lc)
 
             csv_path = os.path.join(checkpoint_dir, f'{split}_analysis.csv')
             os.makedirs(checkpoint_dir, exist_ok=True)

@@ -124,3 +124,42 @@ def test_quantized_service_rejects_unsupported(ds, tmp_path):
     cfg_t.window_size, cfg_t.stride = 20, 5
     with pytest.raises(ValueError, match='feedforward'):
         InferenceService(cfg_t, str(tmp_path / 'nock'), ds, quantize='int8')
+
+
+def test_analyze_quantized_cli(ds, tmp_path):
+    """analyze --quantize int8 reports metrics close to the f32 analyze
+    (quantifying serve --quantize's accuracy cost)."""
+    import os
+    import re
+    import subprocess
+    import sys
+    cfg, model, state, _ = _trained_bits(ds)
+    ckpt_root = tmp_path / 'ck'
+    save_checkpoint(str(ckpt_root / 'feedforward'), state, 0, 0)
+    data = tmp_path / 'data'
+    os.makedirs(data / 'dev')
+    os.makedirs(data / 'train')
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    for split in ('dev', 'train'):
+        write_synthetic_subject(str(data / split / 's.b3d'), num_trials=2,
+                                trial_length=200, seed=11)
+    MAIN = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'main.py')
+    env = dict(os.environ, IB_PLATFORM='cpu')
+    base = ['analyze', '--dataset-home', str(data), '--checkpoint-dir',
+            str(ckpt_root), '--no-wandb', '--history-len', '20',
+            '--stride', '5', '--short']
+
+    def force_err(extra):
+        out = subprocess.run([sys.executable, MAIN, *base, *extra],
+                             capture_output=True, text=True, env=env,
+                             timeout=420)
+        assert out.returncode == 0, out.stderr[-3000:]
+        m = re.search(r'Force Avg Err: ([0-9.]+)', out.stdout)
+        assert m, out.stdout[-2000:]
+        return float(m.group(1)), out.stdout
+
+    f32_err, _ = force_err([])
+    q_err, q_out = force_err(['--quantize', 'int8'])
+    assert 'evaluating int8-quantized forward' in q_out
+    assert abs(q_err - f32_err) / max(f32_err, 1e-6) < 0.05
