@@ -355,6 +355,19 @@ class InferenceService:
 
             self._fwd_ens = jax.jit(fwd_ens)
         self._fwd = jax.jit(fwd)
+        # multi-chip serving: on a multi-device host the request batch is
+        # sharded across the mesh's data axis — GSPMD splits the forward
+        # (throughput scales with the chip count) and gathers the outputs
+        # on fetch. Params stay replicated; single-chip behavior is
+        # unchanged.
+        self.mesh = None
+        if len(jax.devices()) > 1:
+            from inferbiomechanics_tpu.parallel import (
+                batch_sharding, make_mesh,
+            )
+            self.mesh = make_mesh()
+            self._x_sharding = batch_sharding(self.mesh)
+            self._n_dp = int(self.mesh.shape['data'])
         self._lock = threading.Lock()
         # dynamic batching: coalesce concurrent /predict requests into one
         # forward (enabled by batch_wait_ms > 0, CLI --batch-wait-ms)
@@ -430,6 +443,11 @@ class InferenceService:
         self._validate(x)
         b = x.shape[0]
         bp = min(_next_pow2(b), self.max_batch)
+        if self.mesh is not None:
+            # keep the padded batch divisible by the data axis so it
+            # shards evenly (compile buckets stay pow2-aligned)
+            bp = max(bp, self._n_dp)
+            bp = -(-bp // self._n_dp) * self._n_dp
         if bp != b:
             x = np.concatenate(
                 [x, np.zeros((bp - b,) + x.shape[1:], np.float32)])
@@ -437,13 +455,14 @@ class InferenceService:
         with self._stats_lock:
             self.stats['device_forwards'] += 1
         with self._lock:
+            xj = jnp.asarray(x, jnp.float32)
+            if self.mesh is not None:
+                xj = jax.device_put(xj, self._x_sharding)
             if self.members:
                 out, spread = jax.device_get(self._fwd_ens(
-                    self._params_stack, self._bs_stack,
-                    jnp.asarray(x, jnp.float32)))
+                    self._params_stack, self._bs_stack, xj))
             else:
-                out = jax.device_get(self._fwd(self.state.params,
-                                               jnp.asarray(x, jnp.float32)))
+                out = jax.device_get(self._fwd(self.state.params, xj))
         out = {k: np.asarray(v)[:b] for k, v in out.items()}
         if with_spread:
             if spread is not None:
@@ -503,6 +522,8 @@ class InferenceService:
             'fused_inference': self._use_fused,
             'quantize': self.quantize,
             'use_ema': self.use_ema,
+            'mesh_devices': (int(np.prod(list(self.mesh.shape.values())))
+                             if self.mesh is not None else 1),
             'window_size': ds.window_size,
             'stride': ds.stride,
             'num_model_frames': ds.num_model_frames,

@@ -450,3 +450,26 @@ def test_ensemble_with_dynamic_batching(ensemble_service, service):
                                        rtol=1e-4, atol=1e-5)
     assert svc.batcher.forwards < 6
     svc.batcher.close()
+
+
+def test_multichip_serving_shards_batch(service):
+    """On the 8-device mesh the service shards /predict batches across
+    the data axis; results must match a direct (unsharded) forward and
+    /schema reports the mesh size."""
+    assert service.mesh is not None
+    assert service.schema()['mesh_devices'] == 8
+    ds = service.ds
+    batch = ds.gather(np.arange(11))          # pads to 16 = 2 x 8
+    x = np.asarray(batch.inputs)
+    got = service.predict_packed(x)
+    want = service.state.apply_fn({'params': service.state.params},
+                                  jnp.asarray(x), train=False)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-2, atol=1e-3, err_msg=k)
+    # sharded-input program really splits the batch: the compiled fwd
+    # for the padded shape consumed a [16,...] input across 8 devices
+    xj = jax.device_put(jnp.asarray(np.concatenate(
+        [x, np.zeros((5,) + x.shape[1:], np.float32)])),
+        service._x_sharding)
+    assert len(xj.sharding.device_set) == 8
