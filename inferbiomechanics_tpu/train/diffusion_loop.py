@@ -45,6 +45,26 @@ def train_diffusion(config: Config,
     if config.output_data_format != 'all_frames':
         raise ValueError('diffusion training requires --output-data-format '
                          'all_frames (the denoiser models whole windows)')
+    # preemption safety (same contract as the regression loop,
+    # train/loop.py): SIGTERM checkpoints at the next step/epoch boundary
+    # and exits cleanly. Diffusion resume is epoch-granular
+    # (start_epoch = ckpt_epoch + 1), so a mid-epoch preemption
+    # checkpoint preserves the params/EMA but the interrupted epoch's
+    # remaining batches are not replayed — the reference's own resume
+    # has the same coarseness (abstract_command.py:118-120).
+    stop_requested = {'flag': False}
+
+    def _on_term(signum, frame):
+        stop_requested['flag'] = True
+        logger.warning('SIGTERM received: writing a checkpoint at the '
+                       'next boundary and exiting cleanly')
+
+    import signal as _signal
+    try:
+        _signal.signal(_signal.SIGTERM, _on_term)
+    except ValueError:
+        pass   # not the main thread (tests driving train_diffusion())
+
     mesh = make_mesh(model_parallel=config.model_parallel)
     sharding = batch_sharding(mesh)
 
@@ -189,6 +209,7 @@ def train_diffusion(config: Config,
         return False
 
     stopped_early = False
+    preempted = False
     for epoch in range(start_epoch, config.epochs):
         run_dev_eval(epoch)
         if track_best(epoch):
@@ -233,10 +254,15 @@ def train_diffusion(config: Config,
                                     batch_idx, ema_params=ema)
                 compute_time += time.time() - t_step
                 windows_seen += config.batch_size
+                if stop_requested['flag']:
+                    break
         epochs_run += 1
         print(f'[epoch {epoch}] eps-mse {last_loss:.6f}')
         save_checkpoint(config.checkpoint_dir, state, epoch, 0,
                         ema_params=ema)
+        if stop_requested['flag']:
+            preempted = True
+            break
 
     # score the FINAL state too (the loop evals before each epoch only);
     # parity-gated on the beyond-parity flags like train/loop.py
@@ -245,8 +271,12 @@ def train_diffusion(config: Config,
             and run_dev_eval(config.epochs)):
         track_best(config.epochs)
 
+    if preempted:
+        print('training preempted (SIGTERM): checkpoint written, resume '
+              'with the same command')
     wps = windows_seen / compute_time if compute_time > 0 else 0.0
     return TrainResult(epochs_run=epochs_run,
                        final_train_metrics={'eps_mse': last_loss},
                        final_dev_metrics=final_dev,
-                       windows_per_sec=wps)
+                       windows_per_sec=wps,
+                       preempted=preempted)

@@ -347,3 +347,48 @@ def test_diffusion_host_path_ema(tmp_path):
     flat_p = jax.tree_util.tree_leaves(raw['params'])
     flat_e = jax.tree_util.tree_leaves(raw['ema_params'])
     assert any(not np.array_equal(a, b) for a, b in zip(flat_p, flat_e))
+
+
+def test_diffusion_sigterm_preemption(tmp_path):
+    """SIGTERM during diffusion training checkpoints (with EMA) and
+    exits 0; resume continues at the next epoch."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+    home = _tiny_diffusion_data(tmp_path, trials=2, length=1200)
+    ck = tmp_path / 'ck'
+    env = dict(os.environ, IB_PLATFORM='cpu')
+    MAIN = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'main.py')
+    args = [sys.executable, MAIN, 'train', '--dataset-home', home,
+            '--checkpoint-dir', str(ck), '--no-wandb', '--model-type',
+            'diffusion', '--output-data-format', 'all_frames',
+            '--d-model', '16', '--num-layers', '1', '--num-heads', '2',
+            '--diffusion-timesteps', '8', '--batch-size', '16',
+            '--epochs', '500', '--ema-decay', '0.9',
+            '--device-data', 'off']
+    proc = subprocess.Popen(args, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    _time.sleep(45)
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=240)
+    assert proc.returncode == 0, out[-3000:]
+    assert 'preempted' in out, out[-2000:]
+    from flax import serialization
+    from inferbiomechanics_tpu.train.checkpoint import (
+        list_checkpoints, resolve_checkpoint_path,
+    )
+    cks = list_checkpoints(str(ck / 'diffusion'))
+    assert cks, out[-2000:]
+    raw = serialization.msgpack_restore(
+        open(resolve_checkpoint_path(str(ck / 'diffusion')), 'rb').read())
+    assert 'ema_params' in raw
+    epoch = cks[-1][0]
+    out2 = subprocess.run([*args[:args.index('--epochs') + 1],
+                           str(epoch + 2), *args[args.index('--epochs') + 2:]],
+                          capture_output=True, text=True, env=env,
+                          timeout=420)
+    assert out2.returncode == 0, out2.stderr[-3000:]
+    assert 'Training done' in out2.stdout
