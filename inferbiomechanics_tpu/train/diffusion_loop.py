@@ -26,7 +26,7 @@ from inferbiomechanics_tpu.models.diffusion import (
 )
 from inferbiomechanics_tpu.parallel import make_mesh, batch_sharding, replicate
 from inferbiomechanics_tpu.train.checkpoint import (
-    load_latest_checkpoint, save_checkpoint,
+    load_latest_checkpoint, prune_checkpoints, save_checkpoint,
 )
 from inferbiomechanics_tpu.train.loop import TrainResult, loss_config_from
 from inferbiomechanics_tpu.train.optimizers import make_optimizer
@@ -208,6 +208,14 @@ def train_diffusion(config: Config,
             return True
         return False
 
+    profiling = False
+    if config.profile:
+        import os as _os
+        _os.makedirs(config.profile_dir, exist_ok=True)
+        jax.profiler.start_trace(config.profile_dir)
+        profiling = True
+        logger.info('JAX profiler trace -> %s', config.profile_dir)
+
     stopped_early = False
     preempted = False
     for epoch in range(start_epoch, config.epochs):
@@ -257,9 +265,16 @@ def train_diffusion(config: Config,
                 if stop_requested['flag']:
                     break
         epochs_run += 1
+        if profiling:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info('profiler trace written to %s', config.profile_dir)
         print(f'[epoch {epoch}] eps-mse {last_loss:.6f}')
         save_checkpoint(config.checkpoint_dir, state, epoch, 0,
                         ema_params=ema)
+        if config.keep_checkpoints:
+            prune_checkpoints(config.checkpoint_dir, config.keep_checkpoints)
         if stop_requested['flag']:
             preempted = True
             break
@@ -271,6 +286,8 @@ def train_diffusion(config: Config,
             and run_dev_eval(config.epochs)):
         track_best(config.epochs)
 
+    if profiling:   # zero epochs ran (e.g. resume already at --epochs)
+        jax.profiler.stop_trace()
     if preempted:
         print('training preempted (SIGTERM): checkpoint written, resume '
               'with the same command')
