@@ -79,6 +79,17 @@ class AnalyzeCommand:
                              f'regression models; --model-type '
                              f'{config.model_type} has its own evaluation '
                              f'path and would silently ignore the ensemble')
+        if (getattr(args, 'use_ema', False)
+                and config.model_type != 'diffusion'):
+            raise SystemExit('analyze --use-ema applies to diffusion '
+                             'checkpoints (train --ema-decay); '
+                             f'--model-type {config.model_type} would '
+                             'silently evaluate the raw params')
+        if (getattr(args, 'quantize', None)
+                and config.model_type != 'feedforward'):
+            raise SystemExit('analyze --quantize int8 currently supports '
+                             'the feedforward family only (like serve '
+                             'and export)')
         checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
                                       config.model_type)
 
@@ -147,15 +158,14 @@ class AnalyzeCommand:
                         print(f'WARNING: no checkpoint found in {checkpoint_dir}')
                 if getattr(args, 'use_ema', False):
                     from inferbiomechanics_tpu.train.checkpoint import (
-                        load_ema_params, resolve_checkpoint_path,
+                        require_ema_params, resolve_checkpoint_path,
                     )
                     path = (args.checkpoint_file
                             or resolve_checkpoint_path(checkpoint_dir))
-                    ema = load_ema_params(path, state.params) if path else None
-                    if ema is None:
-                        raise SystemExit(f'--use-ema: checkpoint {path} '
-                                         f'carries no ema_params (train '
-                                         f'with --ema-decay)')
+                    try:
+                        ema = require_ema_params(path, state.params)
+                    except ValueError as e:
+                        raise SystemExit(str(e))
                     state = state.replace(params=ema)
                     print('evaluating EMA parameters')
                 sampler = make_sampler(model, DDPMSchedule(config.diffusion_timesteps),

@@ -258,17 +258,13 @@ class InferenceService:
         self.use_ema = bool(use_ema)
         if self.use_ema:
             from inferbiomechanics_tpu.train.checkpoint import (
-                load_ema_params, resolve_checkpoint_path,
+                require_ema_params, resolve_checkpoint_path,
             )
             if self.members:
                 raise ValueError('--use-ema serves a single checkpoint, '
                                  'not an ensemble')
-            path = resolve_checkpoint_path(checkpoint_dir)
-            ema = load_ema_params(path, self.state.params) if path else None
-            if ema is None:
-                raise ValueError(f'--use-ema: checkpoint in '
-                                 f'{checkpoint_dir} carries no ema_params '
-                                 f'(train with --ema-decay)')
+            ema = require_ema_params(resolve_checkpoint_path(checkpoint_dir),
+                                     self.state.params)
             self.state = self.state.replace(params=ema)
 
         batch_stats = self.state.batch_stats
@@ -368,6 +364,16 @@ class InferenceService:
             self.mesh = make_mesh()
             self._x_sharding = batch_sharding(self.mesh)
             self._n_dp = int(self.mesh.shape['data'])
+            if self.max_batch % self._n_dp:
+                # keep max_batch an exact compile-bucket/HBM ceiling: the
+                # divisibility round-up must never push a padded batch
+                # past it
+                aligned = max(self._n_dp,
+                              (self.max_batch // self._n_dp) * self._n_dp)
+                logger.warning('--max-batch %d not divisible by the %d-way '
+                               'data axis; aligning to %d',
+                               self.max_batch, self._n_dp, aligned)
+                self.max_batch = aligned
         self._lock = threading.Lock()
         # dynamic batching: coalesce concurrent /predict requests into one
         # forward (enabled by batch_wait_ms > 0, CLI --batch-wait-ms)

@@ -153,6 +153,19 @@ def resolve_checkpoint_path(checkpoint_dir: str) -> Optional[str]:
     return ckpts[-1][2] if ckpts else None
 
 
+def require_ema_params(checkpoint_path: Optional[str], like_params):
+    """The EMA tree of ``checkpoint_path`` (a file path, from
+    ``resolve_checkpoint_path`` or a --checkpoint-file); raises ValueError
+    with the canonical --use-ema guidance when the checkpoint is missing
+    or carries none."""
+    ema = (load_ema_params(checkpoint_path, like_params)
+           if checkpoint_path else None)
+    if ema is None:
+        raise ValueError(f'--use-ema: checkpoint {checkpoint_path} carries '
+                         f'no ema_params (train with --ema-decay)')
+    return ema
+
+
 def soup_checkpoints(paths, out_path: str) -> str:
     """Uniform parameter average of same-architecture checkpoints — a
     "model soup": one merged checkpoint that serves at single-model cost

@@ -270,12 +270,7 @@ def make_device_train_step(model, data: DeviceResidentData,
     if grad_allreduce_dtype is not None:
         if mesh is None:
             raise ValueError('grad_allreduce_dtype requires the mesh')
-        from jax.sharding import PartitionSpec as P
-
-        from inferbiomechanics_tpu.parallel.mesh import DATA_AXIS
-        from inferbiomechanics_tpu.train.step import accumulate_grads
-        n_dp = int(mesh.shape[DATA_AXIS])
-        rd = jnp.dtype(grad_allreduce_dtype)
+        from inferbiomechanics_tpu.train.step import lowp_allreduce_grads
 
         def step_lowp(state: TrainState, idx: jax.Array,
                       dropout_rng: jax.Array):
@@ -284,52 +279,14 @@ def make_device_train_step(model, data: DeviceResidentData,
                                  'batchnorm models (running stats would '
                                  'need their own cross-shard reduction)')
             # no GSPMD constraint inside the manual shard_map region —
-            # the in_specs already pin the batch split
+            # the in_specs already pin the batch split. The index vector
+            # stands in for the batch; the zero-width placeholder fills
+            # loss_for's (ignored) labels slot.
             loss_for = loss_for_builder(state, [], shard=None)
-
-            if hasattr(jax.lax, 'pcast'):
-                def to_varying(x):
-                    return jax.lax.pcast(x, DATA_AXIS, to='varying')
-            else:                               # pragma: no cover - old jax
-                def to_varying(x):
-                    return jax.lax.pvary(x, (DATA_AXIS,))
-
-            def shard_fn(params, idx_shard, rng):
-                # decorrelate dropout across shards (GSPMD partitions one
-                # global noise tensor; explicit shards must fold the
-                # shard id in themselves)
-                rng = jax.random.fold_in(rng,
-                                         jax.lax.axis_index(DATA_AXIS))
-                # mark the params device-varying BEFORE differentiating:
-                # the cotangent of a replicated input is auto-psummed in
-                # f32 (transpose-of-broadcast), which would both bypass
-                # the reduced-precision reduction and double-count it
-                params = jax.tree_util.tree_map(to_varying, params)
-                shard_state = state.replace(params=params)
-                if grad_accum > 1:
-                    grads, metrics, _ = accumulate_grads(
-                        shard_state, idx_shard,
-                        jnp.zeros((idx_shard.shape[0], 0), jnp.float32),
-                        rng, grad_accum, loss_for)
-                else:
-                    grads, (metrics, _) = jax.grad(
-                        loss_for, has_aux=True)(params, {}, idx_shard,
-                                                None, rng)
-                grads = jax.tree_util.tree_map(
-                    lambda g: (jax.lax.psum(g.astype(rd), DATA_AXIS)
-                               .astype(g.dtype) / n_dp), grads)
-                metrics = jax.tree_util.tree_map(
-                    lambda m: jax.lax.pmean(m, DATA_AXIS), metrics)
-                return grads, metrics
-
-            try:                                    # jax >= 0.8
-                from jax import shard_map as _shard_map
-            except ImportError:                     # pragma: no cover
-                from jax.experimental.shard_map import shard_map as _shard_map
-            fn = _shard_map(shard_fn, mesh=mesh,
-                            in_specs=(P(), P(DATA_AXIS), P()),
-                            out_specs=(P(), P()))
-            grads, metrics = fn(state.params, idx, dropout_rng)
+            grads, metrics = lowp_allreduce_grads(
+                state, loss_for,
+                (idx, jnp.zeros((idx.shape[0], 0), jnp.float32)),
+                dropout_rng, mesh, grad_allreduce_dtype, grad_accum)
             return state.apply_gradients(grads=grads), metrics
 
         return jax.jit(step_lowp, donate_argnums=(0,) if donate else ())

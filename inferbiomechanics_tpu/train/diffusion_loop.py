@@ -60,8 +60,9 @@ def train_diffusion(config: Config,
                        'next boundary and exiting cleanly')
 
     import signal as _signal
+    old_handler = None
     try:
-        _signal.signal(_signal.SIGTERM, _on_term)
+        old_handler = _signal.signal(_signal.SIGTERM, _on_term)
     except ValueError:
         pass   # not the main thread (tests driving train_diffusion())
 
@@ -288,6 +289,8 @@ def train_diffusion(config: Config,
 
     if profiling:   # zero epochs ran (e.g. resume already at --epochs)
         jax.profiler.stop_trace()
+    if old_handler is not None:
+        _signal.signal(_signal.SIGTERM, old_handler)
     if preempted:
         print('training preempted (SIGTERM): checkpoint written, resume '
               'with the same command')

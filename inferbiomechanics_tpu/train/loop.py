@@ -223,6 +223,7 @@ def train(config: Config,
     want_sharded = (config.device_data == 'sharded' or
                     (config.device_data == 'auto' and not use_device_data
                      and config.grad_accum_steps == 1
+                     and lowp_allreduce is None
                      and data_bytes is not None and n_data_shards > 1
                      and data_bytes <
                      config.device_data_max_bytes * n_data_shards))

@@ -65,6 +65,65 @@ def accumulate_grads(state: TrainState, batch_inputs: jax.Array,
     return grads, metrics, bstats
 
 
+def lowp_allreduce_grads(state: TrainState, loss_for, batch: Tuple,
+                         dropout_rng, mesh, reduce_dtype,
+                         grad_accum: int = 1):
+    """Per-shard grads + explicit reduced-precision psum over the data
+    axis — the core of ``--grad-allreduce-dtype`` shared by the host and
+    device-resident steps.
+
+    ``batch`` is a tuple of (data-axis-sharded) arrays matching
+    ``loss_for(params, bstats, batch[0], batch[1], rng)``; batchnorm is
+    the caller's responsibility to reject. Params are marked
+    device-varying BEFORE differentiating: the cotangent of a replicated
+    input is auto-psummed in f32 (transpose-of-broadcast), which would
+    both bypass the reduced-precision reduction and double-count it.
+    Returns ``(grads, metrics)`` with grads mean-reduced across shards
+    (reduction in ``reduce_dtype``, mean finished in the param dtype)
+    and metrics pmean'd.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from inferbiomechanics_tpu.parallel.mesh import DATA_AXIS
+    n_dp = int(mesh.shape[DATA_AXIS])
+    rd = jnp.dtype(reduce_dtype)
+    if hasattr(jax.lax, 'pcast'):
+        def to_varying(x):
+            return jax.lax.pcast(x, DATA_AXIS, to='varying')
+    else:                                   # pragma: no cover - old jax
+        def to_varying(x):
+            return jax.lax.pvary(x, (DATA_AXIS,))
+
+    def shard_fn(params, a, b, rng):
+        # decorrelate dropout across shards (GSPMD partitions one global
+        # noise tensor; explicit shards must fold the shard id in)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        params = jax.tree_util.tree_map(to_varying, params)
+        if grad_accum > 1:
+            grads, metrics, _ = accumulate_grads(
+                state.replace(params=params), a, b, rng, grad_accum,
+                loss_for)
+        else:
+            grads, (metrics, _) = jax.grad(loss_for, has_aux=True)(
+                params, {}, a, b, rng)
+        grads = jax.tree_util.tree_map(
+            lambda g: (jax.lax.psum(g.astype(rd), DATA_AXIS)
+                       .astype(g.dtype) / n_dp), grads)
+        metrics = jax.tree_util.tree_map(
+            lambda m: jax.lax.pmean(m, DATA_AXIS), metrics)
+        return grads, metrics
+
+    try:                                    # jax >= 0.8
+        from jax import shard_map as _shard_map
+    except ImportError:                     # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _shard_map
+    fn = _shard_map(shard_fn, mesh=mesh,
+                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+                    out_specs=(P(), P()))
+    return fn(state.params, batch[0], batch[1], dropout_rng)
+
+
 def make_train_step(model, lab_offsets: Dict[str, Tuple[int, int]],
                     loss_config: LossConfig,
                     donate: bool = True,
@@ -104,55 +163,15 @@ def make_train_step(model, lab_offsets: Dict[str, Tuple[int, int]],
     if grad_allreduce_dtype is not None:
         if mesh is None:
             raise ValueError('grad_allreduce_dtype requires the mesh')
-        from jax.sharding import PartitionSpec as P
-
-        from inferbiomechanics_tpu.parallel.mesh import DATA_AXIS
-        n_dp = int(mesh.shape[DATA_AXIS])
-        rd = jax.numpy.dtype(grad_allreduce_dtype)
-        if hasattr(jax.lax, 'pcast'):
-            def to_varying(x):
-                return jax.lax.pcast(x, DATA_AXIS, to='varying')
-        else:                                   # pragma: no cover - old jax
-            def to_varying(x):
-                return jax.lax.pvary(x, (DATA_AXIS,))
 
         def step_lowp(state: TrainState, batch_inputs: jax.Array,
                       batch_labels: jax.Array, dropout_rng: jax.Array):
             if state.batch_stats:
                 raise ValueError('--grad-allreduce-dtype does not support '
                                  'batchnorm models')
-            loss_for = make_loss_for([])
-
-            def shard_fn(params, inputs, labels, rng):
-                rng = jax.random.fold_in(rng,
-                                         jax.lax.axis_index(DATA_AXIS))
-                # params must be device-varying before the grad or the
-                # replicated-input cotangent rule auto-psums in f32
-                params = jax.tree_util.tree_map(to_varying, params)
-                if grad_accum > 1:
-                    grads, metrics, _ = accumulate_grads(
-                        state.replace(params=params), inputs, labels,
-                        rng, grad_accum, loss_for)
-                else:
-                    grads, (metrics, _) = jax.grad(
-                        loss_for, has_aux=True)(params, {}, inputs,
-                                                labels, rng)
-                grads = jax.tree_util.tree_map(
-                    lambda g: (jax.lax.psum(g.astype(rd), DATA_AXIS)
-                               .astype(g.dtype) / n_dp), grads)
-                metrics = jax.tree_util.tree_map(
-                    lambda m: jax.lax.pmean(m, DATA_AXIS), metrics)
-                return grads, metrics
-
-            try:                                    # jax >= 0.8
-                from jax import shard_map as _shard_map
-            except ImportError:                     # pragma: no cover
-                from jax.experimental.shard_map import shard_map as _shard_map
-            fn = _shard_map(shard_fn, mesh=mesh,
-                            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-                            out_specs=(P(), P()))
-            grads, metrics = fn(state.params, batch_inputs, batch_labels,
-                                dropout_rng)
+            grads, metrics = lowp_allreduce_grads(
+                state, make_loss_for([]), (batch_inputs, batch_labels),
+                dropout_rng, mesh, grad_allreduce_dtype, grad_accum)
             return state.apply_gradients(grads=grads), metrics
 
         return jax.jit(step_lowp, donate_argnums=(0,) if donate else ())
