@@ -473,3 +473,14 @@ def test_multichip_serving_shards_batch(service):
         [x, np.zeros((5,) + x.shape[1:], np.float32)])),
         service._x_sharding)
     assert len(xj.sharding.device_set) == 8
+
+
+def test_multichip_max_batch_aligns_to_data_axis(service, tmp_path):
+    """A max_batch that doesn't divide the data axis is aligned down so
+    divisibility padding can never exceed the compile-bucket ceiling."""
+    from inferbiomechanics_tpu.serve import InferenceService
+    svc2 = InferenceService(service.config,
+                            str(tmp_path / 'nock'), service.ds,
+                            max_batch=100)
+    assert svc2.mesh is not None
+    assert svc2.max_batch == 96          # 100 -> 12 x 8
