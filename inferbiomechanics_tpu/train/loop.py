@@ -136,9 +136,11 @@ def train(config: Config,
             raise ValueError('--grad-allreduce-dtype bf16 does not support '
                              'batchnorm models (running stats would need '
                              'their own cross-shard reduction)')
-        if config.device_data in ('sharded', 'stream'):
+        if config.device_data == 'stream':
             raise ValueError('--grad-allreduce-dtype bf16 applies to the '
-                             'host and device-resident tiers')
+                             'host, device-resident, and sharded tiers; '
+                             'the streaming tier runs fixed whole-batch '
+                             'segment programs')
         if n_dp == 1:
             logger.info('--grad-allreduce-dtype bf16: single data shard, '
                         'no cross-device reduction to reduce — ignored')
@@ -223,7 +225,6 @@ def train(config: Config,
     want_sharded = (config.device_data == 'sharded' or
                     (config.device_data == 'auto' and not use_device_data
                      and config.grad_accum_steps == 1
-                     and lowp_allreduce is None
                      and data_bytes is not None and n_data_shards > 1
                      and data_bytes <
                      config.device_data_max_bytes * n_data_shards))
@@ -234,7 +235,8 @@ def train(config: Config,
         try:
             sdata = ShardedDeviceData(train_ds, mesh)
             streaming_epoch = make_sharded_epoch_runner(
-                model, sdata, lc, config.batch_size)
+                model, sdata, lc, config.batch_size,
+                grad_allreduce_dtype=lowp_allreduce)
             use_device_data = False
             logger.info('pod-sharded device data: %d shards, %.0f MB '
                         'HBM/device', sdata.num_shards,

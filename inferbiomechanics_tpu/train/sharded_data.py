@@ -252,7 +252,8 @@ def make_sharded_sample_gather(sdata: ShardedDeviceData,
 def make_sharded_epoch_runner(model, sdata: ShardedDeviceData,
                               loss_config: LossConfig,
                               batch_size: int,
-                              steps_per_call: int = 0) -> Callable:
+                              steps_per_call: int = 0,
+                              grad_allreduce_dtype=None) -> Callable:
     """``run_epoch(state, rng) -> (state, mean_metrics)``.
 
     One jit program scans ``num_windows // batch_size`` steps (or
@@ -261,12 +262,64 @@ def make_sharded_epoch_runner(model, sdata: ShardedDeviceData,
     (DistributedSampler semantics) and gathers them locally; the model
     step then runs on the batch-sharded result with GSPMD inserting the
     gradient all-reduce.
+
+    ``grad_allreduce_dtype`` (e.g. bf16): the per-step work moves INSIDE
+    one shard_map — shard-local sample+gather+forward+backward, then the
+    single cross-chip collective is an explicit psum in the reduced
+    dtype (train/step.py::lowp_allreduce_grads rationale). Batchnorm
+    models are the caller's responsibility to reject.
     """
+    S = sdata.num_shards
     n_steps = steps_per_call or sdata.num_windows // batch_size
     if n_steps == 0:
         raise ValueError(f'dataset has {sdata.num_windows} windows < '
                          f'batch_size {batch_size}')
     sample_gather = make_sharded_sample_gather(sdata, batch_size)
+
+    if grad_allreduce_dtype is not None:
+        if batch_size % S:
+            raise ValueError(f'batch_size {batch_size} not divisible by '
+                             f'{S} shards')
+        b_local = batch_size // S
+        gather = _local_gather(sdata)
+        rd = jnp.dtype(grad_allreduce_dtype)
+        if hasattr(jax.lax, 'pcast'):
+            def to_varying(x):
+                return jax.lax.pcast(x, DATA_AXIS, to='varying')
+        else:                                   # pragma: no cover - old jax
+            def to_varying(x):
+                return jax.lax.pvary(x, (DATA_AXIS,))
+
+        def shard_grads(params, feats, labs, base, cnt, s_rng, d_rng):
+            shard = jax.lax.axis_index(DATA_AXIS)
+            sel = jax.random.randint(jax.random.fold_in(s_rng, shard),
+                                     (1, b_local), 0, cnt[0],
+                                     dtype=jnp.int32)
+            bi, bl = gather(feats, labs, base, sel)
+            labels = unpack(bl, sdata.lab_offsets)
+            d_rng = jax.random.fold_in(d_rng, shard)
+            # device-varying params: the replicated-input cotangent rule
+            # would otherwise auto-psum in f32 (step.py rationale)
+            params = jax.tree_util.tree_map(to_varying, params)
+
+            def loss_fn(p):
+                outputs = model.apply({'params': p}, bi, train=True,
+                                      rngs={'dropout': d_rng})
+                return loss_and_metrics(outputs, labels, loss_config)
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+            grads = jax.tree_util.tree_map(
+                lambda g: (jax.lax.psum(g.astype(rd), DATA_AXIS)
+                           .astype(g.dtype) / S), grads)
+            metrics = jax.tree_util.tree_map(
+                lambda m: jax.lax.pmean(m, DATA_AXIS), metrics)
+            return grads, metrics
+
+        shard_grads = _shard_map(
+            shard_grads, mesh=sdata.mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(), P()),
+            out_specs=(P(), P()))
 
     # the sharded blocks must be jit ARGUMENTS, not closure constants:
     # multi-host jit rejects closing over arrays that span non-addressable
@@ -276,6 +329,11 @@ def make_sharded_epoch_runner(model, sdata: ShardedDeviceData,
         def one(carry, _):
             state, rng = carry
             rng, s_rng, d_rng = jax.random.split(rng, 3)
+            if grad_allreduce_dtype is not None:
+                grads, metrics = shard_grads(state.params, feats, labs,
+                                             base, cnt, s_rng, d_rng)
+                state = state.apply_gradients(grads=grads)
+                return (state, rng), metrics
             batch_inputs, batch_labels = sample_gather(feats, labs, base,
                                                        cnt, s_rng)
             labels = unpack(batch_labels, sdata.lab_offsets)

@@ -150,3 +150,43 @@ def test_sharded_runner_rejects_bad_batch(ds):
                       root_history_len=ds.root_history_len)
     with pytest.raises(ValueError):
         make_sharded_epoch_runner(model, sdata, LossConfig(), batch_size=12)
+
+
+def test_sharded_runner_bf16_allreduce_matches(ds):
+    """grad_allreduce_dtype=bf16 on the sharded tier: in-shard_map
+    sample+gather+grad with one explicit bf16 psum. Same rng -> same
+    sampled batches as the GSPMD runner, so the first-epoch update must
+    match within bf16 reduction rounding; lowered StableHLO carries the
+    bf16 all_reduce regions."""
+    mesh = make_mesh()
+    sdata = ShardedDeviceData(ds, mesh)
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=ds.root_history_len, dropout=False)
+    sample = ds.gather(np.arange(16))
+
+    def fresh():
+        st = create_train_state(model, jax.random.PRNGKey(0),
+                                jnp.asarray(sample.inputs),
+                                make_optimizer('sgd', 1e-3))
+        return replicate(mesh, st)
+
+    rng = jax.random.PRNGKey(3)
+    run_f32 = make_sharded_epoch_runner(model, sdata, LossConfig(),
+                                        batch_size=16, steps_per_call=2)
+    run_bf16 = make_sharded_epoch_runner(model, sdata, LossConfig(),
+                                         batch_size=16, steps_per_call=2,
+                                         grad_allreduce_dtype=jnp.bfloat16)
+    s0 = fresh()
+    p0 = jax.tree_util.tree_map(np.asarray, jax.device_get(s0.params))
+    s_f, m_f = run_f32(s0, rng)
+    s_b, m_b = run_bf16(fresh(), rng)
+    np.testing.assert_allclose(float(m_b['loss']), float(m_f['loss']),
+                               rtol=1e-3)
+    for pa, pb, pz in zip(jax.tree_util.tree_leaves(s_f.params),
+                          jax.tree_util.tree_leaves(s_b.params),
+                          jax.tree_util.tree_leaves(p0)):
+        ua = np.asarray(pa) - pz
+        ub = np.asarray(pb) - pz
+        assert np.abs(ua - ub).max() <= 0.02 * max(np.abs(ua).max(), 1e-12)
