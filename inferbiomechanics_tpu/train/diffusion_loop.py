@@ -107,7 +107,7 @@ def train_diffusion(config: Config,
     data_bytes = (train_ds.features_all.nbytes + train_ds.labels_all.nbytes
                   if train_ds.features_all is not None else None)
     epoch_runner = None
-    if (config.device_data != 'off'
+    if (config.device_data not in ('off', 'sharded', 'stream')
             and data_bytes is not None
             and data_bytes < config.device_data_max_bytes
             and len(train_ds) >= config.batch_size
@@ -128,6 +128,37 @@ def train_diffusion(config: Config,
         logger.info('diffusion device-resident data: %.0f MB in HBM%s',
                     device_data.hbm_bytes / 1e6,
                     ' (windows packed)' if pack else '')
+    if config.device_data == 'stream':
+        logger.warning('diffusion has no streaming tier; using the host '
+                       'loader (the sharded tier covers >single-chip-HBM '
+                       'datasets on multi-chip meshes)')
+    n_data_shards = int(mesh.shape['data'])
+    if (epoch_runner is None and max_batches_per_epoch is None
+            and len(train_ds) >= config.batch_size
+            and (config.device_data == 'sharded' or
+                 (config.device_data == 'auto' and data_bytes is not None
+                  and n_data_shards > 1
+                  and data_bytes <
+                  config.device_data_max_bytes * n_data_shards))):
+        # pod-sharded tier: trial blocks split across the data axis so
+        # HBM capacity scales with the chip count (same ladder as the
+        # regression loop, train/loop.py)
+        from inferbiomechanics_tpu.train.sharded_data import (
+            ShardedDeviceData, make_sharded_diffusion_epoch_runner,
+        )
+        try:
+            sdata = ShardedDeviceData(train_ds, mesh)
+            epoch_runner = make_sharded_diffusion_epoch_runner(
+                model, sdata, sched, config.batch_size,
+                ema_decay=config.ema_decay)
+            logger.info('diffusion pod-sharded data: %d shards, %.0f MB '
+                        'HBM/device', sdata.num_shards,
+                        sdata.hbm_bytes_per_device / 1e6)
+        except (ValueError, NotImplementedError) as e:
+            if config.device_data == 'sharded':
+                raise
+            logger.warning('sharded device data unavailable (%s); '
+                           'falling back to the host loader', e)
 
     step = make_diffusion_train_step(model, train_ds.lab_offsets, sched)
     sampler = make_sampler(model, sched, num_steps=EVAL_SAMPLE_STEPS,

@@ -210,6 +210,99 @@ def _local_gather(sdata: ShardedDeviceData):
     return gather
 
 
+def make_sharded_diffusion_epoch_runner(model, sdata: ShardedDeviceData,
+                                        schedule, batch_size: int,
+                                        steps_per_call: int = 0,
+                                        ema_decay: float = 0.0) -> Callable:
+    """Pod-sharded diffusion training: ``run(state[, ema], rng)``.
+
+    Same shape as :func:`make_sharded_epoch_runner` but the step is the
+    DDPM ε-prediction objective (models/diffusion.py): shard-local
+    sample+gather, q_sample the all-frames targets, regress the noise;
+    GSPMD inserts the gradient all-reduce. ``ema_decay > 0`` threads the
+    EMA tree through the scan like the device-resident runner
+    (device_data.py::make_device_diffusion_epoch_runner).
+    """
+    from inferbiomechanics_tpu.models.diffusion import (
+        diffusion_targets_from_labels,
+    )
+    if sdata.output_data_format != 'all_frames':
+        raise ValueError('diffusion requires all_frames labels')
+    n_steps = steps_per_call or sdata.num_windows // batch_size
+    if n_steps == 0:
+        raise ValueError(f'dataset has {sdata.num_windows} windows < '
+                         f'batch_size {batch_size}')
+    sample_gather = make_sharded_sample_gather(sdata, batch_size)
+
+    def make_one(feats, labs, base, cnt):
+        # the sharded blocks travel as jit ARGUMENTS (multi-host jit
+        # rejects closures over non-addressable arrays), so the step
+        # closure is built inside the traced run_epoch
+        def one(carry, _):
+            state, rng = carry
+            rng, s_rng, t_rng, n_rng = jax.random.split(rng, 4)
+            batch_inputs, batch_labels = sample_gather(feats, labs, base,
+                                                       cnt, s_rng)
+            x0 = diffusion_targets_from_labels(
+                batch_labels, sdata.lab_offsets, model.num_contact_bodies)
+            t = jax.random.randint(t_rng, (batch_size,), 0,
+                                   schedule.timesteps)
+            noise = jax.random.normal(n_rng, x0.shape, x0.dtype)
+            x_t = schedule.q_sample(x0, t, noise)
+
+            def loss_fn(params):
+                eps = model.apply({'params': params}, x_t, t, batch_inputs,
+                                  train=True)
+                return jnp.mean((eps - noise) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            state = state.apply_gradients(grads=grads)
+            return (state, rng), {'loss': loss}
+        return one
+
+    if not ema_decay:
+        def run_epoch(state: TrainState, rng: jax.Array,
+                      feats, labs, base, cnt):
+            one = make_one(feats, labs, base, cnt)
+            (state, _), metrics = jax.lax.scan(one, (state, rng), None,
+                                               length=n_steps)
+            return state, jax.tree_util.tree_map(lambda m: m.mean(0),
+                                                 metrics)
+
+        jitted = jax.jit(run_epoch, donate_argnums=(0,))
+
+        def run(state: TrainState, rng: jax.Array):
+            return jitted(state, rng, sdata.features, sdata.labels,
+                          sdata.win_base, sdata.win_count)
+
+        return run
+
+    def run_epoch_ema(state: TrainState, ema, rng: jax.Array,
+                      feats, labs, base, cnt):
+        one = make_one(feats, labs, base, cnt)
+
+        def one_ema(carry, _):
+            state, ema, rng = carry
+            (state, rng), metrics = one((state, rng), None)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                ema, state.params)
+            return (state, ema, rng), metrics
+
+        (state, ema, _), metrics = jax.lax.scan(one_ema, (state, ema, rng),
+                                                None, length=n_steps)
+        return state, ema, jax.tree_util.tree_map(lambda m: m.mean(0),
+                                                  metrics)
+
+    jitted_ema = jax.jit(run_epoch_ema, donate_argnums=(0, 1))
+
+    def run_ema(state: TrainState, ema, rng: jax.Array):
+        return jitted_ema(state, ema, rng, sdata.features, sdata.labels,
+                          sdata.win_base, sdata.win_count)
+
+    return run_ema
+
+
 def gather_by_local_indices(sdata: ShardedDeviceData, sel: np.ndarray):
     """Test/debug entry: gather explicit [S, B_local] shard-local window
     ids into a global batch-sharded ``(inputs [B,T,C], labels)``."""

@@ -190,3 +190,50 @@ def test_sharded_runner_bf16_allreduce_matches(ds):
         ua = np.asarray(pa) - pz
         ub = np.asarray(pb) - pz
         assert np.abs(ua - ub).max() <= 0.02 * max(np.abs(ua).max(), 1e-12)
+
+
+def test_sharded_diffusion_runner_trains_with_ema(tmp_path):
+    """Pod-sharded diffusion: eps-loss decreases over epochs and the EMA
+    tree lags the raw params (all_frames labels, 8 shards)."""
+    write_synthetic_subject(str(tmp_path / 's.b3d'), num_trials=8,
+                            trial_length=150, seed=5)
+    dds = WindowDataset(str(tmp_path), window_size=20, stride=5,
+                        output_data_format='all_frames',
+                        skip_loading_skeletons=True)
+    mesh = make_mesh()
+    from inferbiomechanics_tpu.models.diffusion import (
+        DDPMSchedule, DiffusionDenoiser,
+    )
+    from inferbiomechanics_tpu.train.sharded_data import (
+        make_sharded_diffusion_epoch_runner,
+    )
+    from inferbiomechanics_tpu.train.state import TrainState
+    sdata = ShardedDeviceData(dds, mesh)
+    model = DiffusionDenoiser(num_dofs=dds.num_dofs,
+                              num_contact_bodies=dds.num_contact_bodies,
+                              history_len=20, stride=5, d_model=16,
+                              num_layers=1, num_heads=2, timesteps=8)
+    sched = DDPMSchedule(8)
+    sample = dds.gather(np.arange(16))
+    x_cond = jnp.asarray(sample.inputs)
+    x0 = jnp.zeros((16, x_cond.shape[1], model.target_channels))
+    t0 = jnp.zeros((16,), jnp.int32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x0, t0, x_cond)
+    tx = make_optimizer('adam', 1e-3)
+    state = TrainState(step=jnp.asarray(0, jnp.int32),
+                       params=variables['params'],
+                       opt_state=tx.init(variables['params']),
+                       batch_stats={}, tx=tx, apply_fn=model.apply)
+    state = replicate(mesh, state)
+    ema = replicate(mesh, jax.device_get(state.params))
+    run = make_sharded_diffusion_epoch_runner(model, sdata, sched,
+                                              batch_size=16, ema_decay=0.9)
+    rng = jax.random.PRNGKey(0)
+    state, ema, m0 = run(state, ema, rng)
+    for e in range(4):
+        state, ema, m = run(state, ema, jax.random.fold_in(rng, e))
+    assert float(m['loss']) < float(m0['loss'])
+    diff = any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree_util.tree_leaves(ema),
+                               jax.tree_util.tree_leaves(state.params)))
+    assert diff
