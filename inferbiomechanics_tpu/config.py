@@ -94,6 +94,10 @@ class Config:
     # retention: keep only the newest N epoch_*_batch_* checkpoints
     # (0 = keep all, the reference behavior); best.ckpt is never pruned
     keep_checkpoints: int = 0
+    # beyond parity: serialize + write checkpoints on a background thread
+    # so only the device->host snapshot blocks training (the reference
+    # stalls its loop for every torch.save, train.py:270-278)
+    async_checkpoint: bool = False
 
     # auxiliary-head supervision (transformer tau/COM-acc/contact heads)
     aux_tau_weight: float = 0.0
@@ -210,6 +214,11 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                         help='Keep only the newest N epoch_* checkpoints '
                              '(0 = keep all, reference behavior; best.ckpt '
                              'is never pruned)')
+    parser.add_argument('--async-checkpoint', action='store_true',
+                        default=d.async_checkpoint,
+                        help='Write checkpoints on a background thread; '
+                             'training only blocks for the device->host '
+                             'snapshot, not serialization/disk')
     parser.add_argument('--short', action='store_true', default=d.short)
     parser.add_argument('--data-loading-workers', type=int, default=d.data_loading_workers)
     parser.add_argument('--predict-grf-components', type=int, nargs='*',
@@ -294,6 +303,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'keep_best': 'keep_best',
         'early_stop_patience': 'early_stop_patience',
         'keep_checkpoints': 'keep_checkpoints',
+        'async_checkpoint': 'async_checkpoint',
         'short': 'short', 'data_loading_workers': 'data_loading_workers',
         'predict_grf_components': 'predict_grf_components',
         'predict_cop_components': 'predict_cop_components',

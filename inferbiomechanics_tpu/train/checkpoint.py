@@ -31,6 +31,44 @@ def checkpoint_name(epoch: int, batch: int) -> str:
     return f'epoch_{epoch}_batch_{batch}.ckpt'
 
 
+def _snapshot_payload(state: TrainState, epoch: int, batch: int,
+                      ema_params=None) -> dict:
+    """Device→host snapshot of everything a checkpoint stores.
+
+    Starts non-blocking transfers for every leaf first so a multi-array
+    state comes down in parallel, then blocks until all data is on host.
+    After this returns the caller may donate/overwrite the device
+    buffers (the next train step does) — the payload is pure numpy."""
+    for leaf in jax.tree_util.tree_leaves((state, ema_params)):
+        if isinstance(leaf, jax.Array):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:   # pragma: no cover - backend-dependent
+                pass
+    host_state = jax.device_get(state)
+    payload = {
+        'step': host_state.step,
+        'params': host_state.params,
+        'opt_state': host_state.opt_state,
+        'batch_stats': host_state.batch_stats,
+        'epoch': np.asarray(epoch, np.int64),
+        'batch': np.asarray(batch, np.int64),
+    }
+    if ema_params is not None:
+        payload['ema_params'] = jax.device_get(ema_params)
+    return payload
+
+
+def _write_payload(checkpoint_dir: str, payload: dict, path: str) -> str:
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    blob = serialization.to_bytes(payload)
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(blob)
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
+    return path
+
+
 def save_checkpoint(checkpoint_dir: str, state: TrainState,
                     epoch: int, batch: int,
                     filename: Optional[str] = None,
@@ -46,26 +84,68 @@ def save_checkpoint(checkpoint_dir: str, state: TrainState,
     without one stay byte-compatible."""
     if jax.process_index() != 0:
         return None
-    os.makedirs(checkpoint_dir, exist_ok=True)
     path = os.path.join(checkpoint_dir,
                         filename or checkpoint_name(epoch, batch))
-    host_state = jax.device_get(state)
-    payload = {
-        'step': host_state.step,
-        'params': host_state.params,
-        'opt_state': host_state.opt_state,
-        'batch_stats': host_state.batch_stats,
-        'epoch': np.asarray(epoch, np.int64),
-        'batch': np.asarray(batch, np.int64),
-    }
-    if ema_params is not None:
-        payload['ema_params'] = jax.device_get(ema_params)
-    blob = serialization.to_bytes(payload)
-    tmp = path + '.tmp'
-    with open(tmp, 'wb') as f:
-        f.write(blob)
-    os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
-    return path
+    payload = _snapshot_payload(state, epoch, batch, ema_params)
+    return _write_payload(checkpoint_dir, payload, path)
+
+
+class AsyncCheckpointer:
+    """Checkpoint writes that overlap training (``--async-checkpoint``).
+
+    The reference blocks its train loop for every ``torch.save``
+    (train.py:270-278). Here only the device→host snapshot runs on the
+    caller thread (it must: the loop donates the state buffers to the
+    next step, so the copy has to finish before training resumes);
+    serialization + the atomic file write — the dominant cost for
+    multi-MB states on a parallel filesystem — run on a background
+    thread. One write is in flight at a time: a new ``save`` first joins
+    the previous one, so checkpoints land in order and a crash loses at
+    most the newest. ``wait()`` drains the queue (call before process
+    exit); a failed background write re-raises there, not silently.
+
+    Pruning (``--keep-checkpoints``) runs on the worker AFTER its write
+    commits, keeping the "newest N on disk" invariant race-free.
+    """
+
+    def __init__(self):
+        import threading
+        self._threading = threading
+        self._thread = None
+        self._exc = None
+        self.last_path = None
+
+    def save(self, checkpoint_dir: str, state: TrainState,
+             epoch: int, batch: int, filename: Optional[str] = None,
+             ema_params=None, prune_keep: int = 0) -> None:
+        if jax.process_index() != 0:
+            return
+        self.wait()   # serialize commits; surfaces a prior write's error
+        path = os.path.join(checkpoint_dir,
+                            filename or checkpoint_name(epoch, batch))
+        payload = _snapshot_payload(state, epoch, batch, ema_params)
+
+        def work():
+            try:
+                self.last_path = _write_payload(checkpoint_dir, payload, path)
+                if prune_keep:
+                    prune_checkpoints(checkpoint_dir, prune_keep)
+            except BaseException as e:   # surfaced by the next wait()
+                self._exc = e
+
+        self._thread = self._threading.Thread(
+            target=work, name='ib-async-ckpt', daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) commits; re-raise its
+        error here if it failed."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
 
 
 def list_checkpoints(checkpoint_dir: str):

@@ -202,6 +202,23 @@ def train_diffusion(config: Config,
     best_dev_loss = float('inf')
     stale_evals = 0
 
+    from inferbiomechanics_tpu.train.checkpoint import AsyncCheckpointer
+    ckpt_async = AsyncCheckpointer() if config.async_checkpoint else None
+
+    def write_checkpoint(epoch: int, batch: int, filename=None) -> None:
+        """Sync or background checkpoint commit (same contract as
+        train/loop.py's write_checkpoint; EMA rides along)."""
+        keep = 0 if filename else config.keep_checkpoints
+        if ckpt_async is not None:
+            ckpt_async.save(config.checkpoint_dir, state, epoch, batch,
+                            filename=filename, ema_params=ema,
+                            prune_keep=keep)
+            return
+        save_checkpoint(config.checkpoint_dir, state, epoch, batch,
+                        filename=filename, ema_params=ema)
+        if keep:
+            prune_checkpoints(config.checkpoint_dir, keep)
+
     def run_dev_eval(epoch: int) -> bool:
         nonlocal final_dev
         if dev_loader is None:
@@ -228,9 +245,7 @@ def train_diffusion(config: Config,
             best_dev_loss = dev_loss
             stale_evals = 0
             if config.keep_best:
-                save_checkpoint(config.checkpoint_dir, state,
-                                epoch - 1, 0, filename='best.ckpt',
-                                ema_params=ema)
+                write_checkpoint(epoch - 1, 0, filename='best.ckpt')
                 logger.info('new best dev loss %.6f -> best.ckpt', dev_loss)
             return False
         stale_evals += 1
@@ -290,8 +305,7 @@ def train_diffusion(config: Config,
                     logger.info('epoch %d batch %d eps-mse %.6f',
                                 epoch, batch_idx, last_loss)
                 if batch_idx > 0 and batch_idx % config.checkpoint_every_batches == 0:
-                    save_checkpoint(config.checkpoint_dir, state, epoch,
-                                    batch_idx, ema_params=ema)
+                    write_checkpoint(epoch, batch_idx)
                 compute_time += time.time() - t_step
                 windows_seen += config.batch_size
                 if stop_requested['flag']:
@@ -303,10 +317,7 @@ def train_diffusion(config: Config,
             profiling = False
             logger.info('profiler trace written to %s', config.profile_dir)
         print(f'[epoch {epoch}] eps-mse {last_loss:.6f}')
-        save_checkpoint(config.checkpoint_dir, state, epoch, 0,
-                        ema_params=ema)
-        if config.keep_checkpoints:
-            prune_checkpoints(config.checkpoint_dir, config.keep_checkpoints)
+        write_checkpoint(epoch, 0)
         if stop_requested['flag']:
             preempted = True
             break
@@ -320,6 +331,8 @@ def train_diffusion(config: Config,
 
     if profiling:   # zero epochs ran (e.g. resume already at --epochs)
         jax.profiler.stop_trace()
+    if ckpt_async is not None:
+        ckpt_async.wait()   # drain the in-flight background write
     if old_handler is not None:
         _signal.signal(_signal.SIGTERM, old_handler)
     if preempted:

@@ -30,7 +30,8 @@ from inferbiomechanics_tpu.loss import LossConfig, RegressionLossEvaluator
 from inferbiomechanics_tpu.models import get_model
 from inferbiomechanics_tpu.parallel import make_mesh, batch_sharding, replicate
 from inferbiomechanics_tpu.train.checkpoint import (
-    load_latest_checkpoint, prune_checkpoints, save_checkpoint,
+    AsyncCheckpointer, load_latest_checkpoint, prune_checkpoints,
+    save_checkpoint,
 )
 from inferbiomechanics_tpu.train.optimizers import make_optimizer
 from inferbiomechanics_tpu.train.state import create_train_state, num_params
@@ -328,6 +329,22 @@ def train(config: Config,
         profiling = True
         logger.info('JAX profiler trace -> %s', config.profile_dir)
 
+    ckpt_async = AsyncCheckpointer() if config.async_checkpoint else None
+
+    def write_checkpoint(epoch: int, batch: int, filename=None) -> None:
+        """One checkpoint commit: sync (reference behavior) or async
+        (--async-checkpoint). Retention pruning runs after the write in
+        both modes; best.ckpt is a named artifact and never pruned."""
+        keep = 0 if filename else config.keep_checkpoints
+        if ckpt_async is not None:
+            ckpt_async.save(config.checkpoint_dir, state, epoch, batch,
+                            filename=filename, prune_keep=keep)
+            return
+        save_checkpoint(config.checkpoint_dir, state, epoch, batch,
+                        filename=filename)
+        if keep:
+            prune_checkpoints(config.checkpoint_dir, keep)
+
     def run_dev_eval(epoch: int) -> bool:
         """Dev eval of the CURRENT state (ref train.py:207-226)."""
         nonlocal final_dev
@@ -360,8 +377,7 @@ def train(config: Config,
             best_dev_loss = dev_loss
             stale_evals = 0
             if config.keep_best:
-                save_checkpoint(config.checkpoint_dir, state,
-                                epoch - 1, 0, filename='best.ckpt')
+                write_checkpoint(epoch - 1, 0, filename='best.ckpt')
                 logger.info('new best dev loss %.6f -> best.ckpt', dev_loss)
             return False
         stale_evals += 1
@@ -395,10 +411,7 @@ def train(config: Config,
             epochs_run += 1
             print(f'[epoch {epoch}] train report ({time.time() - t_epoch:.1f}s):')
             train_metrics = train_eval.print_report(log_to_wandb=metric_logger is not None)
-            save_checkpoint(config.checkpoint_dir, state, epoch, 0)
-            if config.keep_checkpoints:
-                prune_checkpoints(config.checkpoint_dir,
-                                  config.keep_checkpoints)
+            write_checkpoint(epoch, 0)
             if stop_requested['flag']:
                 preempted = True
                 break
@@ -452,10 +465,7 @@ def train(config: Config,
             # indistinguishable from an end-of-epoch one to the resume
             # logic (it would skip the rest of this epoch).
             if stop_requested['flag'] and batch_idx >= 1:
-                save_checkpoint(config.checkpoint_dir, state, epoch, batch_idx)
-                if config.keep_checkpoints:
-                    prune_checkpoints(config.checkpoint_dir,
-                                      config.keep_checkpoints)
+                write_checkpoint(epoch, batch_idx)
                 logger.info('preemption checkpoint written: epoch %d '
                             'batch %d', epoch, batch_idx)
                 preempted = True
@@ -468,10 +478,7 @@ def train(config: Config,
                                        'batch': batch_idx})
                 logger.info('epoch %d batch %d loss %.6f', epoch, batch_idx, loss)
             if batch_idx > 0 and batch_idx % config.checkpoint_every_batches == 0:
-                save_checkpoint(config.checkpoint_dir, state, epoch, batch_idx)
-                if config.keep_checkpoints:
-                    prune_checkpoints(config.checkpoint_dir,
-                                      config.keep_checkpoints)
+                write_checkpoint(epoch, batch_idx)
             windows_seen += config.batch_size
         if last_metrics is not None:
             float(last_metrics['loss'])   # sync: chained through state
@@ -486,10 +493,7 @@ def train(config: Config,
             logger.info('profiler trace written to %s', config.profile_dir)
         print(f'[epoch {epoch}] train report ({time.time() - t_epoch:.1f}s):')
         train_metrics = train_eval.print_report(log_to_wandb=metric_logger is not None)
-        save_checkpoint(config.checkpoint_dir, state, epoch, 0)
-        if config.keep_checkpoints:
-            prune_checkpoints(config.checkpoint_dir,
-                              config.keep_checkpoints)
+        write_checkpoint(epoch, 0)
 
     if profiling:   # e.g. every epoch took the streaming early-continue
         jax.profiler.stop_trace()
@@ -501,6 +505,12 @@ def train(config: Config,
             and not stopped_early and epochs_run > 0
             and run_dev_eval(config.epochs)):
         track_best(config.epochs)
+    if ckpt_async is not None:
+        # drain the in-flight write before returning (and surface any
+        # background write failure here instead of losing it); on an
+        # exception path the write is abandoned mid-flight, but the
+        # tmp+rename protocol means no torn checkpoint becomes visible
+        ckpt_async.wait()
     if old_handler is not None:
         _signal.signal(_signal.SIGTERM, old_handler)
     if preempted:

@@ -392,3 +392,31 @@ def test_diffusion_sigterm_preemption(tmp_path):
                           timeout=420)
     assert out2.returncode == 0, out2.stderr[-3000:]
     assert 'Training done' in out2.stdout
+
+
+def test_diffusion_async_checkpoint_carries_ema(tmp_path):
+    """--async-checkpoint on the diffusion loop: the background-written
+    checkpoint carries ema_params (the EMA tree is snapshotted at save
+    time, not when the write lands)."""
+    import numpy as np
+    from flax import serialization
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.train.checkpoint import resolve_checkpoint_path
+    from inferbiomechanics_tpu.train.diffusion_loop import train_diffusion
+    home = _tiny_diffusion_data(tmp_path)
+    cfg = Config(model_type='diffusion', window_size=20, stride=5,
+                 output_data_format='all_frames', d_model=16, num_layers=1,
+                 num_heads=2, diffusion_timesteps=8, batch_size=16,
+                 epochs=1, ema_decay=0.9, no_wandb=True,
+                 async_checkpoint=True,
+                 checkpoint_dir=str(tmp_path / 'cka'))
+    tr = WindowDataset(home + '/train', window_size=20, stride=5,
+                       skip_loading_skeletons=True)
+    train_diffusion(cfg, tr, None, max_batches_per_epoch=2)
+    path = resolve_checkpoint_path(cfg.checkpoint_dir)
+    assert path is not None   # the async write drained before return
+    raw = serialization.msgpack_restore(open(path, 'rb').read())
+    assert 'ema_params' in raw
+    flat_p = jax.tree_util.tree_leaves(raw['params'])
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat_p)

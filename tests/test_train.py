@@ -423,3 +423,80 @@ def test_keep_checkpoints_retention(tmp_path):
     # direct helper: keep=0 is a no-op
     assert prune_checkpoints(ck, 0) == []
     assert len(list_checkpoints(ck)) == 2
+
+
+def test_async_checkpointer_matches_sync(ds, tmp_path):
+    """AsyncCheckpointer writes byte-identical checkpoints to
+    save_checkpoint (same payload builder), serializes in-order, and
+    prunes after commit."""
+    from inferbiomechanics_tpu.train.checkpoint import (
+        AsyncCheckpointer, list_checkpoints, save_checkpoint,
+    )
+
+    _model, state, _batch = _setup(ds)
+    sync_dir = str(tmp_path / 'sync')
+    async_dir = str(tmp_path / 'async')
+    save_checkpoint(sync_dir, state, 3, 7)
+    ck = AsyncCheckpointer()
+    ck.save(async_dir, state, 3, 7)
+    ck.wait()
+    with open(os.path.join(sync_dir, 'epoch_3_batch_7.ckpt'), 'rb') as f:
+        sync_blob = f.read()
+    with open(os.path.join(async_dir, 'epoch_3_batch_7.ckpt'), 'rb') as f:
+        async_blob = f.read()
+    assert sync_blob == async_blob
+
+    # back-to-back saves land in order; prune_keep retains the newest N
+    for e in range(4, 9):
+        ck.save(async_dir, state, e, 0, prune_keep=3)
+    ck.wait()
+    cks = list_checkpoints(async_dir)
+    assert [(e, b) for e, b, _ in cks] == [(6, 0), (7, 0), (8, 0)]
+    assert ck.last_path.endswith('epoch_8_batch_0.ckpt')
+    # no stray tmp files left behind
+    assert not [f for f in os.listdir(async_dir) if f.endswith('.tmp')]
+
+
+def test_async_checkpointer_surfaces_write_error(ds, tmp_path):
+    """A failed background write re-raises at the next wait(), not
+    silently."""
+    from inferbiomechanics_tpu.train.checkpoint import AsyncCheckpointer
+
+    _model, state, _batch = _setup(ds)
+    blocker = tmp_path / 'not_a_dir'
+    blocker.write_text('file where the checkpoint dir should go')
+    ck = AsyncCheckpointer()
+    ck.save(str(blocker), state, 0, 0)   # makedirs over a file fails
+    with pytest.raises(OSError):
+        ck.wait()
+    ck.wait()   # error is raised once, then cleared
+
+
+def test_train_loop_async_checkpoint_equivalence(ds, tmp_path):
+    """--async-checkpoint produces the exact same checkpoint files as the
+    sync path for the same seed/flags (training itself is unchanged), and
+    the run resumes from them."""
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.train.checkpoint import list_checkpoints
+    from inferbiomechanics_tpu.train.loop import train
+
+    def run(tag, async_ckpt):
+        cfg = Config(window_size=20, stride=5, model_type='feedforward',
+                     checkpoint_dir=str(tmp_path / tag), epochs=2,
+                     batch_size=16, opt_type='adam', learning_rate=1e-3,
+                     device_data='off', checkpoint_every_batches=3,
+                     log_every_batches=1000, seed=11,
+                     async_checkpoint=async_ckpt, keep_checkpoints=2)
+        train(cfg, ds, None, max_batches_per_epoch=5)
+        out = {}
+        for e, b, path in list_checkpoints(cfg.checkpoint_dir):
+            with open(path, 'rb') as f:
+                out[(e, b)] = f.read()
+        return out
+
+    sync = run('sync', False)
+    async_ = run('async', True)
+    assert sync.keys() == async_.keys()
+    assert len(sync) == 2   # keep_checkpoints=2 enforced in both modes
+    for k in sync:
+        assert sync[k] == async_[k], k
