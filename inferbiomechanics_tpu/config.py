@@ -269,6 +269,11 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                         help='HBM-resident dataset with on-device window gather '
                              '(sharded = trials split across the data axis, '
                              'HBM capacity scales with the mesh)')
+    parser.add_argument('--device-data-max-bytes', type=int,
+                        default=d.device_data_max_bytes,
+                        help='HBM budget for the resident dataset tiers: '
+                             'auto-residency threshold, packing gate, and '
+                             'the streaming tier\'s segment size')
     parser.add_argument('--pack-windows', type=str, default=d.pack_windows,
                         choices=['auto', 'on', 'off'],
                         help='window-major packed feature copy in HBM '
@@ -320,7 +325,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'ema_decay': 'ema_decay',
         'model_parallel': 'model_parallel',
         'profile': 'profile', 'profile_dir': 'profile_dir',
-        'device_data': 'device_data', 'pack_windows': 'pack_windows',
+        'device_data': 'device_data',
+        'device_data_max_bytes': 'device_data_max_bytes',
+        'pack_windows': 'pack_windows',
         'materialize_features': 'materialize_features',
     }
     for cfg_field, arg_name in mapping.items():

@@ -115,6 +115,43 @@ class StreamingPlan:
         return feats, labs
 
 
+def run_segmented_epoch(plan: StreamingPlan, batch_size: int, state,
+                        rng, seg_fn: Callable, feature_dtype=jnp.bfloat16):
+    """Shared host-side driver for one streamed epoch.
+
+    Visits segments in shuffled order with one-ahead prefetch; per
+    segment shuffles its windows into ``[n_steps, batch]`` index chunks
+    and calls ``seg_fn(state, feats, labs, idx_chunks, seg_rng) ->
+    (state, metrics)`` (a jitted per-segment runner). Returns
+    ``(state, mean_metrics)`` with metrics averaged across segments
+    (host-side numpy, matching per-batch evaluator accumulation)."""
+    host_rng = np.random.default_rng(int(jax.device_get(
+        jax.random.randint(rng, (), 0, 2**31 - 1))))
+    order = [si for si in host_rng.permutation(len(plan.segments))
+             if plan.segments[si].win_base.shape[0] >= batch_size]
+    all_metrics = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = (pool.submit(plan.segment_arrays, order[0])
+                   if order else None)
+        for k, si in enumerate(order):
+            feats_np, labs_np = pending.result()
+            pending = (pool.submit(plan.segment_arrays, order[k + 1])
+                       if k + 1 < len(order) else None)
+            seg = plan.segments[si]
+            idx = host_rng.permutation(seg.win_base)
+            n_steps = idx.shape[0] // batch_size
+            idx = idx[:n_steps * batch_size].reshape(n_steps, batch_size)
+            feats = jnp.asarray(feats_np).astype(feature_dtype)
+            labs = jnp.asarray(labs_np)
+            state, metrics = seg_fn(state, feats, labs,
+                                    jnp.asarray(idx, jnp.int32),
+                                    jax.random.fold_in(rng, int(si)))
+            all_metrics.append(jax.tree_util.tree_map(np.asarray, metrics))
+    mean = ({k: np.mean(np.stack([m[k] for m in all_metrics]), axis=0)
+             for k in all_metrics[0]} if all_metrics else {})
+    return state, mean
+
+
 def make_streaming_epoch(model, ds: WindowDataset, plan: StreamingPlan,
                          loss_config: LossConfig, batch_size: int,
                          feature_dtype=jnp.bfloat16) -> Callable:
@@ -157,30 +194,7 @@ def make_streaming_epoch(model, ds: WindowDataset, plan: StreamingPlan,
     seg_runner = jax.jit(seg_runner, donate_argnums=(0,))
 
     def run_epoch(state: TrainState, rng: jax.Array):
-        host_rng = np.random.default_rng(int(jax.device_get(
-            jax.random.randint(rng, (), 0, 2**31 - 1))))
-        order = [si for si in host_rng.permutation(len(plan.segments))
-                 if plan.segments[si].win_base.shape[0] >= batch_size]
-        all_metrics = []
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            pending = (pool.submit(plan.segment_arrays, order[0])
-                       if order else None)
-            for k, si in enumerate(order):
-                feats_np, labs_np = pending.result()
-                pending = (pool.submit(plan.segment_arrays, order[k + 1])
-                           if k + 1 < len(order) else None)
-                seg = plan.segments[si]
-                idx = host_rng.permutation(seg.win_base)
-                n_steps = idx.shape[0] // batch_size
-                idx = idx[:n_steps * batch_size].reshape(n_steps, batch_size)
-                feats = jnp.asarray(feats_np).astype(feature_dtype)
-                labs = jnp.asarray(labs_np)
-                state, metrics = seg_runner(state, feats, labs,
-                                            jnp.asarray(idx, jnp.int32),
-                                            jax.random.fold_in(rng, int(si)))
-                all_metrics.append(jax.tree_util.tree_map(np.asarray, metrics))
-        mean = ({k: np.mean(np.stack([m[k] for m in all_metrics]), axis=0)
-                 for k in all_metrics[0]} if all_metrics else {})
-        return state, mean
+        return run_segmented_epoch(plan, batch_size, state, rng, seg_runner,
+                                   feature_dtype)
 
     return run_epoch

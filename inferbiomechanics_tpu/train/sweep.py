@@ -359,6 +359,61 @@ def make_sweep_device_epoch_step(model, tx, data, loss_config: LossConfig,
     return jax.jit(run, donate_argnums=(0,))
 
 
+def make_sweep_streaming_epoch(model, tx: optax.GradientTransformation,
+                               ds: WindowDataset, plan,
+                               loss_config: LossConfig,
+                               lrs: Sequence[float], batch_size: int,
+                               feature_dtype=jnp.bfloat16, mesh=None):
+    """Out-of-core sweep tier: ``run(state, rng[, lrs]) -> (state,
+    mean_metrics)`` — one streamed epoch over the StreamingPlan's
+    segments (train/streaming_data.py mechanics: shuffled segment order,
+    one-ahead host prefetch, hierarchical shuffle), with each in-scan
+    step the vmapped K-config update. The segment upload is paid ONCE
+    per segment for all K configs, so the sweep's K-for-the-price-of-one
+    economics survive datasets beyond HBM."""
+    from inferbiomechanics_tpu.train.streaming_data import run_segmented_epoch
+    lrs_default = jnp.asarray(list(lrs), jnp.float32)
+    k = lrs_default.shape[0]
+    frames = ds.num_model_frames
+    stride = ds.stride
+    offs = jnp.arange(frames, dtype=jnp.int32) * stride
+    last_frame = ds.output_data_format != 'all_frames'
+
+    def seg_runner(state, feats, labs, idx_chunks, rng, lrs):
+        def one(carry, idx):
+            state, rng = carry
+            rng, sub = jax.random.split(rng)
+            rows = idx[:, None] + offs[None, :]
+            bi = jnp.take(feats, rows, axis=0)
+            if last_frame:
+                bl = jnp.take(labs, idx[:, None] + (frames - 1) * stride,
+                              axis=0)
+            else:
+                bl = jnp.take(labs, rows, axis=0)
+            labels = unpack(bl, ds.lab_offsets)
+            update = _one_update(model, tx, loss_config, bi, labels)
+            subs = jax.vmap(lambda i: jax.random.fold_in(sub, i))(
+                jnp.arange(k))
+            new_params, new_opt, metrics = jax.vmap(update)(
+                state.params, state.opt_state, lrs, subs)
+            state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt)
+            return (state, rng), metrics
+
+        (state, _), metrics = jax.lax.scan(one, (state, rng), idx_chunks)
+        metrics = jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+        return state, _metrics_replicated(metrics, mesh)
+
+    seg_runner = jax.jit(seg_runner, donate_argnums=(0,))
+
+    def run(state: TrainState, rng: jax.Array, lrs=lrs_default):
+        seg_fn = lambda st, f, l, ic, r: seg_runner(st, f, l, ic, r, lrs)
+        return run_segmented_epoch(plan, batch_size, state, rng, seg_fn,
+                                   feature_dtype)
+
+    return run
+
+
 def _diffusion_update(model, tx, sched, x_t, t, cond, noise):
     """Per-config diffusion closure: shared noising, per-config params/lr
     (the denoiser uses no dropout rng — matching
@@ -585,9 +640,28 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     # --shard-configs (which spends it on the config axis).
     device_data = None
     sharded_data = None
+    streaming_run = None
+    stream_windows_per_epoch = 0
     if config.device_data == 'sharded' and is_diffusion:
         logger.warning('sweep diffusion has no sharded tier; falling back '
                        'to the resident/host ladder')
+    if config.device_data == 'stream':
+        if is_diffusion:
+            logger.warning('sweep diffusion has no streaming tier; falling '
+                           'back to the resident/host ladder')
+        else:
+            from inferbiomechanics_tpu.train.streaming_data import (
+                StreamingPlan,
+            )
+            plan = StreamingPlan(train_ds, config.device_data_max_bytes)
+            streaming_run = make_sweep_streaming_epoch(
+                model, tx, train_ds, plan, lc, grid_lrs, config.batch_size,
+                mesh=mesh)
+            stream_windows_per_epoch = sum(
+                (s.win_base.shape[0] // config.batch_size)
+                * config.batch_size for s in plan.segments)
+            logger.info('sweep streaming data: %d segments of %d rows',
+                        len(plan.segments), plan.rows_pad)
     if config.device_data == 'sharded' and not is_diffusion:
         if shard_configs:
             raise ValueError('--device-data sharded and --shard-configs '
@@ -599,7 +673,8 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         logger.info('sweep pod-sharded data: %d shards, %.0f MB HBM/device',
                     sharded_data.num_shards,
                     sharded_data.hbm_bytes_per_device / 1e6)
-    elif train_ds.features_all is not None and config.device_data != 'off':
+    elif (streaming_run is None and train_ds.features_all is not None
+          and config.device_data != 'off'):
         data_bytes = (train_ds.features_all.nbytes
                       + train_ds.labels_all.nbytes)
         fits = data_bytes < config.device_data_max_bytes
@@ -616,15 +691,17 @@ def run_sweep(config: Config, train_ds: WindowDataset,
             logger.info('sweep device-resident data: %.0f MB in HBM',
                         device_data.hbm_bytes / 1e6)
         elif config.device_data == 'stream':
-            # the sweep has no streaming tier; do NOT force an over-budget
-            # replicated upload in its name — fall back to the host loader
-            # like any other oversized dataset (the sharded tier above
-            # covers >single-chip-HBM datasets on multi-chip meshes)
-            logger.warning('sweep has no %r data tier; dataset (%.0f MB) '
-                           'exceeds --device-data-max-bytes, using the '
-                           'host loader', config.device_data,
+            # only reachable for diffusion (regression 'stream' built the
+            # streaming tier above); do NOT force an over-budget
+            # replicated upload — fall back to the host loader
+            logger.warning('sweep diffusion has no %r data tier; dataset '
+                           '(%.0f MB) exceeds --device-data-max-bytes, '
+                           'using the host loader', config.device_data,
                            data_bytes / 1e6)
-    if sharded_data is not None:
+    if streaming_run is not None:
+        step = None
+        loader = None
+    elif sharded_data is not None:
         step = make_sweep_sharded_train_step(model, tx, sharded_data, lc,
                                              grid_lrs, config.batch_size)
         loader = None
@@ -679,7 +756,16 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     last_epoch = -1
     for epoch in range(config.epochs):
         last_epoch = epoch
-        if sharded_data is not None:
+        if streaming_run is not None:
+            # one streamed epoch = one call (segment-granular, like the
+            # train loop's streaming tier); PBT lr mutations apply
+            # between epochs, which is when PBT mutates anyway
+            state, last_train = streaming_run(
+                state, jax.random.fold_in(rng, epoch),
+                jnp.asarray(cur_lrs))
+            windows_seen += stream_windows_per_epoch * k
+            batch_iter = ()   # the per-batch loop below has nothing to do
+        elif sharded_data is not None:
             # shard-local sampling happens in-program; the "batch" is
             # just the step index
             batch_iter = range(max(1, sharded_data.num_windows

