@@ -494,6 +494,57 @@ def make_sweep_device_diffusion_step(model, tx, data,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_sweep_sharded_diffusion_step(model, tx, sdata,
+                                      lrs: Sequence[float], batch_size: int,
+                                      schedule=None, donate: bool = True):
+    """Pod-sharded diffusion sweep step: ``step(state, rng[, lrs])``.
+
+    Shard-local sample+gather of the conditioning windows and all-frames
+    targets (train/sharded_data.py), one shared noising draw, then the
+    vmapped K-config ε-MSE update with GSPMD inserting the per-config
+    gradient all-reduce. Configs are replicated (the data axis carries
+    the batch), so this tier is mutually exclusive with
+    ``--shard-configs`` — same contract as the regression sharded step.
+    """
+    from inferbiomechanics_tpu.models.diffusion import (
+        DDPMSchedule, diffusion_targets_from_labels,
+    )
+    from inferbiomechanics_tpu.train.sharded_data import (
+        make_sharded_sample_gather,
+    )
+    if sdata.output_data_format != 'all_frames':
+        raise ValueError('diffusion requires all_frames labels')
+    sched = schedule or DDPMSchedule(model.timesteps)
+    lrs_arr = jnp.asarray(list(lrs), jnp.float32)
+    sample_gather = make_sharded_sample_gather(sdata, batch_size)
+
+    def step(state: TrainState, rng: jax.Array, lrs=lrs_arr,
+             *, feats, labs, base, cnt):
+        rng_s, rng_n = jax.random.split(rng)
+        batch_inputs, batch_labels = sample_gather(feats, labs, base, cnt,
+                                                   rng_s)
+        x0 = diffusion_targets_from_labels(batch_labels, sdata.lab_offsets,
+                                           model.num_contact_bodies)
+        x_t, t, noise = _noising(sched, x0, rng_n)
+        update = _diffusion_update(model, tx, sched, x_t, t, batch_inputs,
+                                   noise)
+        new_params, new_opt, metrics = jax.vmap(update)(
+            state.params, state.opt_state, lrs)
+        return state.replace(step=state.step + 1, params=new_params,
+                             opt_state=new_opt), metrics
+
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def run(state: TrainState, rng: jax.Array, lrs=lrs_arr):
+        # sharded blocks travel as jit arguments (multi-host jit rejects
+        # closures over non-addressable arrays — sharded_data.py)
+        return jitted(state, rng, lrs, feats=sdata.features,
+                      labs=sdata.labels, base=sdata.win_base,
+                      cnt=sdata.win_count)
+
+    return run
+
+
 def make_sweep_diffusion_eval(model, lab_offsets, schedule=None, mesh=None):
     """Deterministic ε-MSE comparator: every config scored on the SAME
     fixed noising of the dev batch (fixed PRNG), so per-epoch dev values
@@ -642,9 +693,6 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     sharded_data = None
     streaming_run = None
     stream_windows_per_epoch = 0
-    if config.device_data == 'sharded' and is_diffusion:
-        logger.warning('sweep diffusion has no sharded tier; falling back '
-                       'to the resident/host ladder')
     if config.device_data == 'stream':
         if is_diffusion:
             logger.warning('sweep diffusion has no streaming tier; falling '
@@ -662,7 +710,7 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                 * config.batch_size for s in plan.segments)
             logger.info('sweep streaming data: %d segments of %d rows',
                         len(plan.segments), plan.rows_pad)
-    if config.device_data == 'sharded' and not is_diffusion:
+    if config.device_data == 'sharded':
         if shard_configs:
             raise ValueError('--device-data sharded and --shard-configs '
                              'both claim the mesh\'s data axis; pick one')
@@ -702,8 +750,11 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         step = None
         loader = None
     elif sharded_data is not None:
-        step = make_sweep_sharded_train_step(model, tx, sharded_data, lc,
-                                             grid_lrs, config.batch_size)
+        step = (make_sweep_sharded_diffusion_step(model, tx, sharded_data,
+                                                  grid_lrs, config.batch_size)
+                if is_diffusion else
+                make_sweep_sharded_train_step(model, tx, sharded_data, lc,
+                                              grid_lrs, config.batch_size))
         loader = None
     elif device_data is not None:
         step = (make_sweep_device_diffusion_step(model, tx, device_data,

@@ -485,3 +485,34 @@ def test_sweep_streaming_multi_segment(tmp_path):
     result = run_sweep(config, ds, None, lrs=[1e-3, 1e-4], seeds=[0])
     assert all(math.isfinite(p.final_train_loss) for p in result.points)
     assert result.windows_per_sec > 0
+
+
+def test_sweep_sharded_diffusion_tier(dataset, tmp_path):
+    """--device-data sharded now covers the diffusion family: shard-local
+    sample+gather of conditioning + all-frames targets, shared noising,
+    vmapped K-config eps-MSE updates. Finite ranked results on the
+    8-device mesh."""
+    import math
+    root = tmp_path / 'shd_data'
+    for split, seed in (('train', 0), ('dev', 1)):
+        os.makedirs(root / split)
+        write_synthetic_subject(str(root / split / 's.b3d'), num_trials=8,
+                                trial_length=120, seed=seed)
+    tds = WindowDataset(str(root / 'train'), window_size=50, stride=5,
+                        output_data_format='all_frames',
+                        skip_loading_skeletons=True)
+    dds = WindowDataset(str(root / 'dev'), window_size=50, stride=5,
+                        output_data_format='all_frames',
+                        skip_loading_skeletons=True)
+    config = Config(dataset_home=str(root), model_type='diffusion',
+                    output_data_format='all_frames',
+                    checkpoint_dir=str(tmp_path / 'ck_shd'),
+                    d_model=32, num_layers=1, num_heads=4,
+                    epochs=1, batch_size=16, seed=0,
+                    device_data='sharded')
+    result = run_sweep(config, tds, dds, lrs=[1e-3, 1e-4], seeds=[0],
+                       max_batches_per_epoch=2)
+    assert len(result.points) == 2
+    assert all(math.isfinite(p.final_train_loss) for p in result.points)
+    assert all(math.isfinite(p.best_dev_loss) for p in result.points)
+    assert result.points[0].best_dev_loss != result.points[1].best_dev_loss
