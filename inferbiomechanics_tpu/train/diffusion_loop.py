@@ -129,9 +129,17 @@ def train_diffusion(config: Config,
                     device_data.hbm_bytes / 1e6,
                     ' (windows packed)' if pack else '')
     if config.device_data == 'stream':
-        logger.warning('diffusion has no streaming tier; using the host '
-                       'loader (the sharded tier covers >single-chip-HBM '
-                       'datasets on multi-chip meshes)')
+        # out-of-core tier: HBM-budget segments, same mechanics as the
+        # regression loop's streaming tier (train/streaming_data.py)
+        from inferbiomechanics_tpu.train.streaming_data import (
+            StreamingPlan, make_streaming_diffusion_epoch,
+        )
+        plan = StreamingPlan(train_ds, config.device_data_max_bytes)
+        epoch_runner = make_streaming_diffusion_epoch(
+            model, train_ds, plan, sched, config.batch_size,
+            ema_decay=config.ema_decay)
+        logger.info('diffusion streaming data: %d segments of %d rows',
+                    len(plan.segments), plan.rows_pad)
     n_data_shards = int(mesh.shape['data'])
     if (epoch_runner is None and max_batches_per_epoch is None
             and len(train_ds) >= config.batch_size

@@ -198,3 +198,84 @@ def make_streaming_epoch(model, ds: WindowDataset, plan: StreamingPlan,
                                    feature_dtype)
 
     return run_epoch
+
+
+def make_streaming_diffusion_epoch(model, ds: WindowDataset,
+                                   plan: StreamingPlan, schedule,
+                                   batch_size: int,
+                                   ema_decay: float = 0.0,
+                                   feature_dtype=jnp.bfloat16) -> Callable:
+    """Out-of-core diffusion training: the ε-prediction step over
+    streamed segments (same segment/prefetch mechanics as
+    :func:`make_streaming_epoch`; step = the DDPM objective of
+    ``device_data.py::make_device_diffusion_epoch_runner``).
+
+    ``ema_decay > 0`` threads the EMA tree through the scan — the
+    signature becomes ``run(state, ema, rng) -> (state, ema, metrics)``
+    like the resident runner."""
+    from inferbiomechanics_tpu.models.diffusion import (
+        diffusion_targets_from_labels,
+    )
+    if ds.output_data_format != 'all_frames':
+        raise ValueError('diffusion requires all_frames labels')
+    frames = ds.num_model_frames
+    stride = ds.stride
+    offs = jnp.arange(frames, dtype=jnp.int32) * stride
+
+    def one(carry, idx, feats, labs):
+        state, rng = carry
+        rng, rng_t, rng_n = jax.random.split(rng, 3)
+        rows = idx[:, None] + offs[None, :]
+        bi = jnp.take(feats, rows, axis=0)
+        bl = jnp.take(labs, rows, axis=0)
+        x0 = diffusion_targets_from_labels(bl, ds.lab_offsets,
+                                           model.num_contact_bodies)
+        t = jax.random.randint(rng_t, (idx.shape[0],), 0, schedule.timesteps)
+        noise = jax.random.normal(rng_n, x0.shape, x0.dtype)
+        x_t = schedule.q_sample(x0, t, noise)
+
+        def loss_fn(params):
+            eps = model.apply({'params': params}, x_t, t, bi, train=True)
+            return jnp.mean((eps - noise) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return (state, rng), {'loss': loss}
+
+    def seg_plain(state, feats, labs, idx_chunks, rng):
+        (state, _), metrics = jax.lax.scan(
+            lambda c, i: one(c, i, feats, labs), (state, rng), idx_chunks)
+        return state, jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+
+    def seg_ema(state_ema, feats, labs, idx_chunks, rng):
+        def body(carry, idx):
+            state, ema, rng = carry
+            (state, rng), metrics = one((state, rng), idx, feats, labs)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                ema, state.params)
+            return (state, ema, rng), metrics
+
+        state, ema = state_ema
+        (state, ema, _), metrics = jax.lax.scan(body, (state, ema, rng),
+                                                idx_chunks)
+        return (state, ema), jax.tree_util.tree_map(lambda m: m.mean(0),
+                                                    metrics)
+
+    if not ema_decay:
+        seg_plain = jax.jit(seg_plain, donate_argnums=(0,))
+
+        def run_epoch(state: TrainState, rng: jax.Array):
+            return run_segmented_epoch(plan, batch_size, state, rng,
+                                       seg_plain, feature_dtype)
+
+        return run_epoch
+
+    seg_ema = jax.jit(seg_ema, donate_argnums=(0,))
+
+    def run_epoch_ema(state: TrainState, ema, rng: jax.Array):
+        (state, ema), metrics = run_segmented_epoch(
+            plan, batch_size, (state, ema), rng, seg_ema, feature_dtype)
+        return state, ema, metrics
+
+    return run_epoch_ema

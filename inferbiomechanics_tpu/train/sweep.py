@@ -494,6 +494,57 @@ def make_sweep_device_diffusion_step(model, tx, data,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_sweep_streaming_diffusion_epoch(model, tx, ds: WindowDataset, plan,
+                                         lrs: Sequence[float],
+                                         batch_size: int, schedule=None,
+                                         feature_dtype=jnp.bfloat16,
+                                         mesh=None):
+    """Out-of-core diffusion sweep: streamed segments, each in-scan step
+    one shared noising draw feeding the vmapped K-config ε-MSE update
+    (segment upload paid once for all K configs)."""
+    from inferbiomechanics_tpu.models.diffusion import (
+        DDPMSchedule, diffusion_targets_from_labels,
+    )
+    from inferbiomechanics_tpu.train.streaming_data import run_segmented_epoch
+    if ds.output_data_format != 'all_frames':
+        raise ValueError('diffusion requires all_frames labels')
+    sched = schedule or DDPMSchedule(model.timesteps)
+    lrs_default = jnp.asarray(list(lrs), jnp.float32)
+    frames = ds.num_model_frames
+    stride = ds.stride
+    offs = jnp.arange(frames, dtype=jnp.int32) * stride
+
+    def seg_runner(state, feats, labs, idx_chunks, rng, lrs):
+        def one(carry, idx):
+            state, rng = carry
+            rng, sub = jax.random.split(rng)
+            rows = idx[:, None] + offs[None, :]
+            bi = jnp.take(feats, rows, axis=0)
+            bl = jnp.take(labs, rows, axis=0)
+            x0 = diffusion_targets_from_labels(bl, ds.lab_offsets,
+                                               model.num_contact_bodies)
+            x_t, t, noise = _noising(sched, x0, sub)
+            update = _diffusion_update(model, tx, sched, x_t, t, bi, noise)
+            new_params, new_opt, metrics = jax.vmap(update)(
+                state.params, state.opt_state, lrs)
+            state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt)
+            return (state, rng), metrics
+
+        (state, _), metrics = jax.lax.scan(one, (state, rng), idx_chunks)
+        metrics = jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+        return state, _metrics_replicated(metrics, mesh)
+
+    seg_runner = jax.jit(seg_runner, donate_argnums=(0,))
+
+    def run(state: TrainState, rng: jax.Array, lrs=lrs_default):
+        seg_fn = lambda st, f, l, ic, r: seg_runner(st, f, l, ic, r, lrs)
+        return run_segmented_epoch(plan, batch_size, state, rng, seg_fn,
+                                   feature_dtype)
+
+    return run
+
+
 def make_sweep_sharded_diffusion_step(model, tx, sdata,
                                       lrs: Sequence[float], batch_size: int,
                                       schedule=None, donate: bool = True):
@@ -694,22 +745,21 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     streaming_run = None
     stream_windows_per_epoch = 0
     if config.device_data == 'stream':
+        from inferbiomechanics_tpu.train.streaming_data import StreamingPlan
+        plan = StreamingPlan(train_ds, config.device_data_max_bytes)
         if is_diffusion:
-            logger.warning('sweep diffusion has no streaming tier; falling '
-                           'back to the resident/host ladder')
+            streaming_run = make_sweep_streaming_diffusion_epoch(
+                model, tx, train_ds, plan, grid_lrs, config.batch_size,
+                mesh=mesh)
         else:
-            from inferbiomechanics_tpu.train.streaming_data import (
-                StreamingPlan,
-            )
-            plan = StreamingPlan(train_ds, config.device_data_max_bytes)
             streaming_run = make_sweep_streaming_epoch(
                 model, tx, train_ds, plan, lc, grid_lrs, config.batch_size,
                 mesh=mesh)
-            stream_windows_per_epoch = sum(
-                (s.win_base.shape[0] // config.batch_size)
-                * config.batch_size for s in plan.segments)
-            logger.info('sweep streaming data: %d segments of %d rows',
-                        len(plan.segments), plan.rows_pad)
+        stream_windows_per_epoch = sum(
+            (s.win_base.shape[0] // config.batch_size)
+            * config.batch_size for s in plan.segments)
+        logger.info('sweep streaming data: %d segments of %d rows',
+                    len(plan.segments), plan.rows_pad)
     if config.device_data == 'sharded':
         if shard_configs:
             raise ValueError('--device-data sharded and --shard-configs '
@@ -738,14 +788,6 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                                < config.device_data_max_bytes)))
             logger.info('sweep device-resident data: %.0f MB in HBM',
                         device_data.hbm_bytes / 1e6)
-        elif config.device_data == 'stream':
-            # only reachable for diffusion (regression 'stream' built the
-            # streaming tier above); do NOT force an over-budget
-            # replicated upload — fall back to the host loader
-            logger.warning('sweep diffusion has no %r data tier; dataset '
-                           '(%.0f MB) exceeds --device-data-max-bytes, '
-                           'using the host loader', config.device_data,
-                           data_bytes / 1e6)
     if streaming_run is not None:
         step = None
         loader = None

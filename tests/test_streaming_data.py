@@ -1,5 +1,6 @@
 """Streaming (>HBM) data path tests."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -148,3 +149,44 @@ def test_streaming_lazy_dataset(tmp_path):
                                batch_size=16, feature_dtype=jnp.float32)
     state, m = run(state, jax.random.PRNGKey(1))
     assert np.isfinite(float(m['loss']))
+
+
+def test_streaming_diffusion_epoch(tmp_path):
+    """Diffusion trains out-of-core: --device-data stream on the
+    diffusion loop streams HBM-budget segments through the eps-MSE
+    scan; with --ema-decay the EMA tree rides inside the segment scan
+    and lands in the checkpoint."""
+    import numpy as np
+    from flax import serialization
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    from inferbiomechanics_tpu.train.checkpoint import resolve_checkpoint_path
+    from inferbiomechanics_tpu.train.diffusion_loop import train_diffusion
+
+    root = tmp_path / 'data'
+    os.makedirs(root / 'train')
+    write_synthetic_subject(str(root / 'train' / 's.b3d'), num_trials=2,
+                            trial_length=120, seed=0)
+    ds = WindowDataset(str(root / 'train'), window_size=20, stride=5,
+                       output_data_format='all_frames',
+                       skip_loading_skeletons=True)
+    bytes_per_row = (ds.num_input_channels + ds.num_label_channels) * 4
+    from inferbiomechanics_tpu.train.streaming_data import StreamingPlan
+    assert len(StreamingPlan(ds, bytes_per_row * 130).segments) == 2
+    cfg = Config(model_type='diffusion', window_size=20, stride=5,
+                 output_data_format='all_frames', d_model=16, num_layers=1,
+                 num_heads=2, diffusion_timesteps=8, batch_size=16,
+                 epochs=1, no_wandb=True, ema_decay=0.9,
+                 device_data='stream',
+                 device_data_max_bytes=bytes_per_row * 130,
+                 checkpoint_dir=str(tmp_path / 'ck'))
+    result = train_diffusion(cfg, ds, None)
+    assert result.epochs_run == 1
+    assert np.isfinite(result.final_train_metrics['eps_mse'])
+    raw = serialization.msgpack_restore(
+        open(resolve_checkpoint_path(cfg.checkpoint_dir), 'rb').read())
+    assert 'ema_params' in raw
+    flat_p = jax.tree_util.tree_leaves(raw['params'])
+    flat_e = jax.tree_util.tree_leaves(raw['ema_params'])
+    assert any(not np.array_equal(a, b) for a, b in zip(flat_p, flat_e))

@@ -516,3 +516,28 @@ def test_sweep_sharded_diffusion_tier(dataset, tmp_path):
     assert all(math.isfinite(p.final_train_loss) for p in result.points)
     assert all(math.isfinite(p.best_dev_loss) for p in result.points)
     assert result.points[0].best_dev_loss != result.points[1].best_dev_loss
+
+
+def test_sweep_streaming_diffusion_tier(tmp_path):
+    """--device-data stream covers the diffusion sweep too: streamed
+    segments feed the vmapped K-config eps-MSE update."""
+    import math
+    root = tmp_path / 'sd'
+    os.makedirs(root / 'train')
+    write_synthetic_subject(str(root / 'train' / 's.b3d'), num_trials=2,
+                            trial_length=120, seed=0)
+    tds = WindowDataset(str(root / 'train'), window_size=20, stride=5,
+                        output_data_format='all_frames',
+                        skip_loading_skeletons=True)
+    bytes_per_row = (tds.num_input_channels + tds.num_label_channels) * 4
+    config = Config(dataset_home=str(root), model_type='diffusion',
+                    output_data_format='all_frames', window_size=20,
+                    stride=5, checkpoint_dir=str(tmp_path / 'ck_sd'),
+                    d_model=16, num_layers=1, num_heads=2,
+                    diffusion_timesteps=8, epochs=1, batch_size=16, seed=0,
+                    device_data='stream',
+                    device_data_max_bytes=bytes_per_row * 130)
+    result = run_sweep(config, tds, None, lrs=[1e-3, 1e-4], seeds=[0])
+    assert len(result.points) == 2
+    assert all(math.isfinite(p.final_train_loss) for p in result.points)
+    assert result.windows_per_sec > 0
