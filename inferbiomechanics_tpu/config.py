@@ -29,6 +29,13 @@ class Config:
     # model
     model_type: str = 'feedforward'  # {analytical,feedforward,groundlink,transformer,diffusion}
     checkpoint_dir: str = '../checkpoints'
+    # beyond parity: transfer learning. --init-from-checkpoint warm-starts
+    # the params (fresh optimizer, epoch 0 — NOT a resume; ignored when
+    # checkpoint_dir already has resume checkpoints); --freeze-params
+    # holds regex-matched parameter subtrees bitwise at their initial
+    # values while the rest train.
+    init_from_checkpoint: Optional[str] = None
+    freeze_params: List[str] = field(default_factory=list)
     hidden_dims: List[int] = field(default_factory=lambda: [512, 512])
     activation: str = 'sigmoid'
     dropout: bool = False
@@ -214,6 +221,20 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                         help='Keep only the newest N epoch_* checkpoints '
                              '(0 = keep all, reference behavior; best.ckpt '
                              'is never pruned)')
+    parser.add_argument('--init-from-checkpoint', type=str,
+                        default=d.init_from_checkpoint,
+                        help='Warm-start the params from this checkpoint '
+                             'file (fresh optimizer, epoch 0 — transfer '
+                             'learning, not a resume; ignored when '
+                             '--checkpoint-dir already has resume '
+                             'checkpoints). Use convert-checkpoint first '
+                             'for reference .pt sources.')
+    parser.add_argument('--freeze-params', type=str, nargs='+',
+                        default=d.freeze_params,
+                        help='Regexes over /-joined parameter paths (e.g. '
+                             '"layers_0" "encoder/.*/kernel"); matching '
+                             'subtrees stay bitwise at their initial '
+                             'values while the rest train')
     parser.add_argument('--async-checkpoint', action='store_true',
                         default=d.async_checkpoint,
                         help='Write checkpoints on a background thread; '
@@ -309,6 +330,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'early_stop_patience': 'early_stop_patience',
         'keep_checkpoints': 'keep_checkpoints',
         'async_checkpoint': 'async_checkpoint',
+        'init_from_checkpoint': 'init_from_checkpoint',
+        'freeze_params': 'freeze_params',
         'short': 'short', 'data_loading_workers': 'data_loading_workers',
         'predict_grf_components': 'predict_grf_components',
         'predict_cop_components': 'predict_cop_components',

@@ -215,6 +215,19 @@ def load_checkpoint_file(state: TrainState,
     return state, epoch, batch
 
 
+def warm_start_from(state: TrainState, path: str) -> TrainState:
+    """Transfer-learning init (``--init-from-checkpoint``): copy ONLY the
+    parameters (and batch stats) of ``path`` into ``state``, keeping the
+    fresh optimizer state and step counter — a warm start, not a resume.
+    The architecture must match (same check/diagnosis as resume); use
+    ``convert-checkpoint`` first for reference ``.pt`` sources. Beyond
+    parity: the reference can only resume whole runs in place
+    (abstract_command.py:86-120)."""
+    loaded, _epoch, _batch = load_checkpoint_file(state, path)
+    return state.replace(params=loaded.params,
+                         batch_stats=loaded.batch_stats)
+
+
 def load_ema_params(path: str, like_params):
     """Return the checkpoint's EMA parameter tree (``--ema-decay``
     training), structured like ``like_params``; ``None`` when the

@@ -91,12 +91,29 @@ def train_diffusion(config: Config,
                         lr_warmup_steps=config.lr_warmup_steps,
                         weight_decay=config.weight_decay,
                         grad_clip_norm=config.grad_clip_norm)
+    if config.freeze_params:
+        from inferbiomechanics_tpu.train.optimizers import wrap_freeze
+        tx = wrap_freeze(tx, config.freeze_params)
     state = TrainState(step=jnp.asarray(0, jnp.int32),
                        params=variables['params'],
                        opt_state=tx.init(variables['params']),
                        batch_stats={}, tx=tx, apply_fn=model.apply)
     logger.info('diffusion model: %d params', num_params(state))
 
+    warm_started = False
+    if config.init_from_checkpoint:
+        from inferbiomechanics_tpu.train.checkpoint import (
+            list_checkpoints, warm_start_from,
+        )
+        if list_checkpoints(config.checkpoint_dir):
+            logger.warning('--init-from-checkpoint %s ignored: %s already '
+                           'has resume checkpoints',
+                           config.init_from_checkpoint, config.checkpoint_dir)
+        else:
+            state = warm_start_from(state, config.init_from_checkpoint)
+            warm_started = True
+            logger.info('warm start: params from %s (fresh optimizer)',
+                        config.init_from_checkpoint)
     state, ckpt_epoch, _ = load_latest_checkpoint(state, config.checkpoint_dir)
     start_epoch = ckpt_epoch + 1
     state = replicate(mesh, state)
@@ -183,6 +200,9 @@ def train_diffusion(config: Config,
             load_ema_params, resolve_checkpoint_path,
         )
         ckpt_path = resolve_checkpoint_path(config.checkpoint_dir)
+        if ckpt_path is None and warm_started:
+            # seed the EMA from the warm-start source's tree if it has one
+            ckpt_path = config.init_from_checkpoint
         restored = (load_ema_params(ckpt_path, state.params)
                     if ckpt_path else None)
         ema = replicate(mesh, restored if restored is not None

@@ -30,10 +30,10 @@ from inferbiomechanics_tpu.loss import LossConfig, RegressionLossEvaluator
 from inferbiomechanics_tpu.models import get_model
 from inferbiomechanics_tpu.parallel import make_mesh, batch_sharding, replicate
 from inferbiomechanics_tpu.train.checkpoint import (
-    AsyncCheckpointer, load_latest_checkpoint, prune_checkpoints,
-    save_checkpoint,
+    AsyncCheckpointer, list_checkpoints, load_latest_checkpoint,
+    prune_checkpoints, save_checkpoint, warm_start_from,
 )
-from inferbiomechanics_tpu.train.optimizers import make_optimizer
+from inferbiomechanics_tpu.train.optimizers import make_optimizer, wrap_freeze
 from inferbiomechanics_tpu.train.state import create_train_state, num_params
 from inferbiomechanics_tpu.train.step import make_eval_step, make_train_step
 
@@ -163,9 +163,23 @@ def train(config: Config,
                         lr_warmup_steps=config.lr_warmup_steps,
                         weight_decay=config.weight_decay,
                         grad_clip_norm=config.grad_clip_norm)
+    if config.freeze_params:
+        tx = wrap_freeze(tx, config.freeze_params)
     rng = jax.random.PRNGKey(config.seed)
     state = create_train_state(model, rng, jax.numpy.asarray(sample_inputs), tx)
     logger.info('model %s: %d params', config.model_type, num_params(state))
+    if config.init_from_checkpoint:
+        # transfer learning: params only, fresh optimizer, epoch 0.
+        # Resume always wins — a warm start must not clobber an
+        # interrupted run's progress in the same checkpoint dir.
+        if list_checkpoints(config.checkpoint_dir):
+            logger.warning('--init-from-checkpoint %s ignored: %s already '
+                           'has resume checkpoints',
+                           config.init_from_checkpoint, config.checkpoint_dir)
+        else:
+            state = warm_start_from(state, config.init_from_checkpoint)
+            logger.info('warm start: params from %s (fresh optimizer)',
+                        config.init_from_checkpoint)
 
     # resume (parity: abstract_command.py:86-120). The reference parses the
     # mid-epoch batch index but restarts at epoch+1 anyway; here a mid-epoch

@@ -78,3 +78,35 @@ def make_optimizer(opt_type: str,
     if grad_clip_norm and grad_clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     return tx
+
+
+def wrap_freeze(tx: optax.GradientTransformation,
+                patterns) -> optax.GradientTransformation:
+    """Freeze parameter subtrees for transfer learning
+    (``--freeze-params``, beyond parity — the reference always trains
+    every weight): updates for any parameter whose ``/``-joined path
+    matches one of the ``patterns`` regexes are zeroed AFTER the inner
+    optimizer runs, so frozen leaves stay bitwise at their (typically
+    ``--init-from-checkpoint``-loaded) values on every data tier.
+
+    A pattern that matches no parameter raises at ``tx.init`` with the
+    available paths — typo protection.
+    """
+    import re
+
+    pats = [re.compile(p) for p in patterns]
+
+    def freeze_mask(tree):
+        from flax import traverse_util
+        flat = traverse_util.flatten_dict(tree, sep='/')
+        unmatched = [p.pattern for p in pats
+                     if not any(p.search(k) for k in flat)]
+        if unmatched:
+            raise ValueError(
+                f'--freeze-params pattern(s) {unmatched} match no '
+                f'parameter; available paths: {sorted(flat)}')
+        mask = {k: any(p.search(k) for p in pats) for k in flat}
+        return traverse_util.unflatten_dict(
+            {tuple(k.split('/')): v for k, v in mask.items()})
+
+    return optax.chain(tx, optax.masked(optax.set_to_zero(), freeze_mask))
