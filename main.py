@@ -38,6 +38,7 @@ def build_commands():
     from inferbiomechanics_tpu.cli.sweep_cmd import SweepCommand
     from inferbiomechanics_tpu.cli.doctor_cmd import DoctorCommand
     from inferbiomechanics_tpu.cli.export_cmd import ExportCommand
+    from inferbiomechanics_tpu.cli.plot_training_cmd import PlotTrainingCommand
     return [
         TrainCommand(),
         VisualizeCommand(),
@@ -55,6 +56,7 @@ def build_commands():
         SweepCommand(),
         DoctorCommand(),
         ExportCommand(),
+        PlotTrainingCommand(),
     ]
 
 
