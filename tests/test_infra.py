@@ -164,7 +164,7 @@ def test_all_ten_commands_registered():
                      'analyze', 'sanity-check', 'make-plots', 'review-file',
                      'pickle-data', 'save-prediction-csv', 'convert-b3d',
                      'serve', 'convert-checkpoint', 'sweep', 'doctor',
-                     'export'}
+                     'export', 'plot-training'}
 
 
 def test_reference_flag_spellings_parse():
