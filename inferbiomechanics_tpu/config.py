@@ -83,6 +83,15 @@ class Config:
     # per microbatch (same distribution, not bitwise == one big batch).
     grad_accum_steps: int = 1
 
+    # beyond parity: on-device training-data augmentation
+    # (train/augment.py — compiled into the train step on every tier;
+    # dev eval never augments). Mirror = per-window sagittal reflection
+    # with skeleton-derived channel permutation/sign; noise = relative
+    # Gaussian noise on the kinematic inputs.
+    augment_mirror: bool = False
+    augment_noise_std: float = 0.0
+    mirror_lateral_axis: int = 2
+
     # loss component selection (reference train.py:58-65)
     predict_grf_components: List[int] = field(default_factory=lambda: [0, 1, 2, 3, 4, 5])
     predict_cop_components: List[int] = field(default_factory=list)
@@ -240,6 +249,24 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                         help='Write checkpoints on a background thread; '
                              'training only blocks for the device->host '
                              'snapshot, not serialization/disk')
+    parser.add_argument('--augment-mirror', action='store_true',
+                        default=d.augment_mirror,
+                        help='Mirror each training window across the '
+                             'sagittal plane with probability 0.5 '
+                             '(left/right channels swapped with the '
+                             'reflection sign rules, labels included; '
+                             'compiled into the train step, dev eval '
+                             'never augmented)')
+    parser.add_argument('--augment-noise-std', type=float,
+                        default=d.augment_noise_std,
+                        help='Gaussian noise on the kinematic inputs, '
+                             'relative to each channel\'s batch std '
+                             '(e.g. 0.02; 0 = off)')
+    parser.add_argument('--mirror-lateral-axis', type=int,
+                        default=d.mirror_lateral_axis, choices=[0, 1, 2],
+                        help='Which root-frame axis is lateral for '
+                             '--augment-mirror (default 2 = z, the '
+                             'OpenSim convention)')
     parser.add_argument('--short', action='store_true', default=d.short)
     parser.add_argument('--data-loading-workers', type=int, default=d.data_loading_workers)
     parser.add_argument('--predict-grf-components', type=int, nargs='*',
@@ -332,6 +359,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'async_checkpoint': 'async_checkpoint',
         'init_from_checkpoint': 'init_from_checkpoint',
         'freeze_params': 'freeze_params',
+        'augment_mirror': 'augment_mirror',
+        'augment_noise_std': 'augment_noise_std',
+        'mirror_lateral_axis': 'mirror_lateral_axis',
         'short': 'short', 'data_loading_workers': 'data_loading_workers',
         'predict_grf_components': 'predict_grf_components',
         'predict_cop_components': 'predict_cop_components',

@@ -218,7 +218,8 @@ def make_device_train_step(model, data: DeviceResidentData,
                            batch_shard=None,
                            grad_accum: int = 1,
                            grad_allreduce_dtype=None,
-                           mesh=None) -> Callable:
+                           mesh=None,
+                           augment=None) -> Callable:
     """``step(state, idx, rng) -> (state, metrics)`` — gather fused in.
 
     ``batch_shard``: optional ``NamedSharding`` (e.g.
@@ -247,9 +248,12 @@ def make_device_train_step(model, data: DeviceResidentData,
 
     def loss_for_builder(state, mutable, shard=batch_shard):
         def loss_for(params, bstats, idx, _labels_unused, rng):
+            from inferbiomechanics_tpu.train.augment import maybe_augment
             batch_inputs, batch_labels = data.gather_in_jit(idx)
             batch_inputs, batch_labels = _constrain(shard, batch_inputs,
                                                     batch_labels)
+            batch_inputs, batch_labels = maybe_augment(
+                augment, batch_inputs, batch_labels, rng)
             labels = unpack(batch_labels, data.lab_offsets)
             variables = {'params': params}
             if bstats:
@@ -318,7 +322,8 @@ def make_device_epoch_step(model, data: DeviceResidentData,
                            batch_size: int,
                            steps_per_call: int = 8,
                            sample_windows: bool = False,
-                           batch_shard=None) -> Callable:
+                           batch_shard=None,
+                           augment=None) -> Callable:
     """``run(state, idx_chunk [K,B], rng) -> (state, mean_metrics)``.
 
     Rolls ``steps_per_call`` train steps into ONE jit program with
@@ -336,12 +341,15 @@ def make_device_epoch_step(model, data: DeviceResidentData,
     """
 
     def one(carry, xs):
+        from inferbiomechanics_tpu.train.augment import maybe_augment
         state, rng = carry
         idx = xs
         rng, sub = jax.random.split(rng)
         batch_inputs, batch_labels = data.gather_in_jit(idx)
         batch_inputs, batch_labels = _constrain(batch_shard, batch_inputs,
                                                 batch_labels)
+        batch_inputs, batch_labels = maybe_augment(augment, batch_inputs,
+                                                   batch_labels, sub)
         labels = unpack(batch_labels, data.lab_offsets)
 
         def loss_fn(params):

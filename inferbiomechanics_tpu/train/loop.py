@@ -150,6 +150,29 @@ def train(config: Config,
     model = build_model_for_dataset(config, train_ds)
     lc = loss_config_from(config)
 
+    # on-device augmentation: compiled into every tier's train step
+    # (train/augment.py); dev eval always scores unaugmented windows
+    augmenter = None
+    if config.augment_mirror or config.augment_noise_std > 0:
+        from inferbiomechanics_tpu.train.augment import (Augmenter,
+                                                         spec_from_dataset)
+        spec = None
+        if config.augment_mirror:
+            spec = spec_from_dataset(
+                train_ds, lateral_axis=config.mirror_lateral_axis)
+            if spec.unpaired_names:
+                logger.warning('augment-mirror: no left/right partner for '
+                               '%s — those channels mirror onto themselves',
+                               spec.unpaired_names)
+            if spec.approximate_dofs:
+                logger.warning('augment-mirror: revolute axes of %s do not '
+                               'mirror cleanly; their sign stays +1',
+                               spec.approximate_dofs)
+        augmenter = Augmenter(mirror=spec,
+                              noise_std=config.augment_noise_std)
+        logger.info('augmentation: mirror=%s noise_std=%g',
+                    config.augment_mirror, config.augment_noise_std)
+
     sample = train_ds.gather(np.arange(min(config.batch_size, max(1, len(train_ds)))))
     if sample.inputs.shape[0] < config.batch_size:
         reps = -(-config.batch_size // sample.inputs.shape[0])
@@ -251,7 +274,8 @@ def train(config: Config,
             sdata = ShardedDeviceData(train_ds, mesh)
             streaming_epoch = make_sharded_epoch_runner(
                 model, sdata, lc, config.batch_size,
-                grad_allreduce_dtype=lowp_allreduce)
+                grad_allreduce_dtype=lowp_allreduce,
+                augment=augmenter)
             use_device_data = False
             logger.info('pod-sharded device data: %d shards, %.0f MB '
                         'HBM/device', sdata.num_shards,
@@ -270,7 +294,8 @@ def train(config: Config,
         use_device_data = False
         plan = StreamingPlan(train_ds, config.device_data_max_bytes)
         streaming_epoch = make_streaming_epoch(model, train_ds, plan, lc,
-                                               config.batch_size)
+                                               config.batch_size,
+                                               augment=augmenter)
         logger.info('streaming data: %d segments of %d rows',
                     len(plan.segments), plan.rows_pad)
     if use_device_data:
@@ -293,7 +318,8 @@ def train(config: Config,
                                              batch_shard=sharding,
                                              grad_accum=config.grad_accum_steps,
                                              grad_allreduce_dtype=lowp_allreduce,
-                                             mesh=mesh)
+                                             mesh=mesh,
+                                             augment=augmenter)
         logger.info('device-resident data: %.0f MB in HBM%s',
                     device_data.hbm_bytes / 1e6,
                     ' (windows packed)' if pack else '')
@@ -307,7 +333,8 @@ def train(config: Config,
     train_step = make_train_step(model, train_ds.lab_offsets, lc,
                                  grad_accum=config.grad_accum_steps,
                                  grad_allreduce_dtype=lowp_allreduce,
-                                 mesh=mesh)
+                                 mesh=mesh,
+                                 augment=augmenter)
     eval_step = make_eval_step(model, train_ds.lab_offsets, lc)
 
     tau_fn = None

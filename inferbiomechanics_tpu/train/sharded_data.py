@@ -346,7 +346,8 @@ def make_sharded_epoch_runner(model, sdata: ShardedDeviceData,
                               loss_config: LossConfig,
                               batch_size: int,
                               steps_per_call: int = 0,
-                              grad_allreduce_dtype=None) -> Callable:
+                              grad_allreduce_dtype=None,
+                              augment=None) -> Callable:
     """``run_epoch(state, rng) -> (state, mean_metrics)``.
 
     One jit program scans ``num_windows // batch_size`` steps (or
@@ -389,8 +390,10 @@ def make_sharded_epoch_runner(model, sdata: ShardedDeviceData,
                                      (1, b_local), 0, cnt[0],
                                      dtype=jnp.int32)
             bi, bl = gather(feats, labs, base, sel)
-            labels = unpack(bl, sdata.lab_offsets)
             d_rng = jax.random.fold_in(d_rng, shard)
+            from inferbiomechanics_tpu.train.augment import maybe_augment
+            bi, bl = maybe_augment(augment, bi, bl, d_rng)
+            labels = unpack(bl, sdata.lab_offsets)
             # device-varying params: the replicated-input cotangent rule
             # would otherwise auto-psum in f32 (step.py rationale)
             params = jax.tree_util.tree_map(to_varying, params)
@@ -429,6 +432,9 @@ def make_sharded_epoch_runner(model, sdata: ShardedDeviceData,
                 return (state, rng), metrics
             batch_inputs, batch_labels = sample_gather(feats, labs, base,
                                                        cnt, s_rng)
+            from inferbiomechanics_tpu.train.augment import maybe_augment
+            batch_inputs, batch_labels = maybe_augment(
+                augment, batch_inputs, batch_labels, d_rng)
             labels = unpack(batch_labels, sdata.lab_offsets)
 
             def loss_fn(params):

@@ -129,7 +129,8 @@ def make_train_step(model, lab_offsets: Dict[str, Tuple[int, int]],
                     donate: bool = True,
                     grad_accum: int = 1,
                     grad_allreduce_dtype=None,
-                    mesh=None) -> Callable:
+                    mesh=None,
+                    augment=None) -> Callable:
     """Build ``step(state, inputs, labels, rng) -> (state, metrics)``.
 
     ``grad_accum > 1`` splits the batch into that many sequential
@@ -140,10 +141,16 @@ def make_train_step(model, lab_offsets: Dict[str, Tuple[int, int]],
     explicit-collective ``shard_map`` over the data axis with the
     gradient psum cast to the reduced dtype — see
     ``device_data.make_device_train_step`` for the full rationale.
-    Batchnorm models are rejected on that path."""
+    Batchnorm models are rejected on that path.
+
+    ``augment`` (an ``augment.Augmenter``) mirrors/noises each batch
+    inside the compiled step; eval steps never augment."""
 
     def make_loss_for(mutable):
         def loss_for(params, bstats, inputs, labels_packed, rng):
+            from inferbiomechanics_tpu.train.augment import maybe_augment
+            inputs, labels_packed = maybe_augment(augment, inputs,
+                                                  labels_packed, rng)
             labels = unpack(labels_packed, lab_offsets)
             variables = {'params': params}
             if bstats:

@@ -154,7 +154,8 @@ def run_segmented_epoch(plan: StreamingPlan, batch_size: int, state,
 
 def make_streaming_epoch(model, ds: WindowDataset, plan: StreamingPlan,
                          loss_config: LossConfig, batch_size: int,
-                         feature_dtype=jnp.bfloat16) -> Callable:
+                         feature_dtype=jnp.bfloat16,
+                         augment=None) -> Callable:
     """Build ``run_epoch(state, rng) -> (state, mean_metrics)``.
 
     One jit program per SEGMENT shape (shared across segments); per
@@ -177,6 +178,8 @@ def make_streaming_epoch(model, ds: WindowDataset, plan: StreamingPlan,
                 bl = jnp.take(labs, idx[:, None] + (frames - 1) * stride, axis=0)
             else:
                 bl = jnp.take(labs, rows, axis=0)
+            from inferbiomechanics_tpu.train.augment import maybe_augment
+            bi, bl = maybe_augment(augment, bi, bl, sub)
             labels = unpack(bl, ds.lab_offsets)
 
             def loss_fn(params):

@@ -1,0 +1,237 @@
+"""On-device augmentation: mirror spec derivation, involution, tier wiring.
+
+The reference has no augmentation (its data path is
+AddBiomechanicsDataset.__getitem__ only); these tests cover the
+beyond-parity train/augment.py feature.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inferbiomechanics_tpu.config import Config
+from inferbiomechanics_tpu.data import keys as K
+from inferbiomechanics_tpu.data.dataset import WindowDataset
+from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+from inferbiomechanics_tpu.train.augment import (Augmenter, build_mirror_spec,
+                                                 maybe_augment,
+                                                 spec_from_dataset)
+
+
+@pytest.fixture(scope='module')
+def ds(tmp_path_factory):
+    d = tmp_path_factory.mktemp('aug_data')
+    write_synthetic_subject(str(d / 's1.b3d'), num_trials=2,
+                            trial_length=160, seed=3)
+    return WindowDataset(str(d), window_size=10, stride=2,
+                         output_data_format='all_frames')
+
+
+@pytest.fixture(scope='module')
+def spec(ds):
+    return spec_from_dataset(ds)
+
+
+def test_spec_fully_paired_on_synthetic_skeleton(ds, spec):
+    assert spec.unpaired_names == []
+    assert spec.approximate_dofs == []
+
+
+def test_spec_is_involution(spec):
+    for perm, sign in ((spec.in_perm, spec.in_sign),
+                       (spec.lab_perm, spec.lab_sign)):
+        assert (perm[perm] == np.arange(len(perm))).all()
+        assert np.allclose(sign[perm] * sign, 1.0)
+        assert np.all(np.abs(sign) == 1.0)
+
+
+def test_dof_sign_table(ds, spec):
+    """The derived per-DOF rules match the reflection math: euler x/y
+    flip, euler z keeps, lateral translation flips, revolute signs come
+    from the axis pair (subtalar axis x flips, knee/ankle axis z keep)."""
+    names = ds.subjects[0].getDofNames()
+    idx = {n: i for i, n in enumerate(names)}
+    expect = {
+        'ground_pelvis_rot_x': ('ground_pelvis_rot_x', -1),
+        'ground_pelvis_rot_z': ('ground_pelvis_rot_z', +1),
+        'ground_pelvis_tz': ('ground_pelvis_tz', -1),
+        'ground_pelvis_tx': ('ground_pelvis_tx', +1),
+        'hip_r_x': ('hip_l_x', -1),
+        'hip_r_z': ('hip_l_z', +1),
+        'walker_knee_r': ('walker_knee_l', +1),
+        'subtalar_r': ('subtalar_l', -1),
+        'mtp_l': ('mtp_r', +1),
+        'back_y': ('back_y', -1),
+    }
+    for name, (src, sign) in expect.items():
+        i = idx[name]
+        assert spec.in_perm[i] == idx[src], name
+        assert spec.in_sign[i] == sign, name
+
+
+def test_label_mirror_swaps_bodies_and_signs(ds, spec):
+    """Right-foot force lands in the left-foot channels with the lateral
+    component negated; contact flags swap unsigned."""
+    b = next(ds.batches(batch_size=4, shuffle=False))
+    y = jnp.asarray(b.labels)
+    my = spec.mirror_labels(y)
+    off = ds.lab_offsets
+    of, _ = off[K.OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]
+    ob, _ = off[K.OutputDataKeys.CONTACT]
+    # contact_bodies order is [calcn_r, calcn_l] (synthetic.py)
+    assert ds.contact_bodies == ['calcn_r', 'calcn_l']
+    f = np.asarray(y[..., of:of + 6])
+    mf = np.asarray(my[..., of:of + 6])
+    np.testing.assert_allclose(mf[..., 0:2], f[..., 3:5], rtol=1e-6)   # x,y
+    np.testing.assert_allclose(mf[..., 2], -f[..., 5], rtol=1e-6)      # z
+    np.testing.assert_allclose(mf[..., 3:5], f[..., 0:2], rtol=1e-6)
+    np.testing.assert_allclose(mf[..., 5], -f[..., 2], rtol=1e-6)
+    c = np.asarray(y[..., ob:ob + 2])
+    mc = np.asarray(my[..., ob:ob + 2])
+    np.testing.assert_allclose(mc, c[..., ::-1], rtol=1e-6)
+
+
+def test_mirror_twice_is_identity_on_batches(ds, spec):
+    b = next(ds.batches(batch_size=8, shuffle=False))
+    x, y = jnp.asarray(b.inputs), jnp.asarray(b.labels)
+    np.testing.assert_allclose(spec.mirror_inputs(spec.mirror_inputs(x)), x,
+                               atol=1e-6)
+    np.testing.assert_allclose(spec.mirror_labels(spec.mirror_labels(y)), y,
+                               atol=1e-6)
+
+
+def test_augmenter_deterministic_and_seed_sensitive(ds, spec):
+    b = next(ds.batches(batch_size=16, shuffle=False))
+    x, y = jnp.asarray(b.inputs), jnp.asarray(b.labels)
+    aug = Augmenter(mirror=spec, noise_std=0.05)
+    a1, l1 = aug(x, y, jax.random.PRNGKey(7))
+    a2, l2 = aug(x, y, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    a3, _ = aug(x, y, jax.random.PRNGKey(8))
+    assert not np.array_equal(np.asarray(a1), np.asarray(a3))
+
+
+def test_mirror_prob_one_mirrors_every_sample(ds, spec):
+    b = next(ds.batches(batch_size=8, shuffle=False))
+    x, y = jnp.asarray(b.inputs), jnp.asarray(b.labels)
+    aug = Augmenter(mirror=spec, mirror_prob=1.0)
+    ax, ay = aug(x, y, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(ax),
+                               np.asarray(spec.mirror_inputs(x)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ay),
+                               np.asarray(spec.mirror_labels(y)), atol=1e-6)
+
+
+def test_maybe_augment_none_passthrough(ds):
+    b = next(ds.batches(batch_size=4, shuffle=False))
+    x, y = jnp.asarray(b.inputs), jnp.asarray(b.labels)
+    ax, ay = maybe_augment(None, x, y, jax.random.PRNGKey(0))
+    assert ax is x and ay is y
+
+
+def test_augmenter_rejects_noop_config():
+    with pytest.raises(ValueError):
+        Augmenter(mirror=None, noise_std=0.0)
+
+
+def test_opensim_semantic_names_flip():
+    """Rajagopal-style names (no axis suffix) use the convention table."""
+    dofs = ['pelvis_tilt', 'pelvis_list', 'pelvis_rotation',
+            'pelvis_tx', 'pelvis_ty', 'pelvis_tz',
+            'hip_flexion_r', 'hip_adduction_r', 'hip_rotation_r',
+            'hip_flexion_l', 'hip_adduction_l', 'hip_rotation_l',
+            'lumbar_extension', 'lumbar_bending', 'lumbar_rotation']
+    spec = build_mirror_spec(dofs, [f'j{i}' for i in range(12)],
+                             ['calcn_r', 'calcn_l'], root_history_len=3)
+    idx = {n: i for i, n in enumerate(dofs)}
+    sign = {n: spec.in_sign[idx[n]] for n in dofs}
+    assert sign['pelvis_tilt'] == +1 and sign['pelvis_list'] == -1
+    assert sign['pelvis_rotation'] == -1 and sign['pelvis_tz'] == -1
+    assert sign['hip_flexion_r'] == +1 and sign['hip_adduction_r'] == -1
+    assert sign['hip_rotation_l'] == -1 and sign['lumbar_bending'] == -1
+    assert sign['lumbar_extension'] == +1
+    assert spec.in_perm[idx['hip_flexion_r']] == idx['hip_flexion_l']
+
+
+def test_train_step_with_augmenter_runs_and_differs(ds, spec):
+    """make_train_step(augment=...) trains; the augmented gradient stream
+    differs from the unaugmented one under the same seed."""
+    from inferbiomechanics_tpu.loss.evaluator import LossConfig
+    from inferbiomechanics_tpu.models import get_model
+    from inferbiomechanics_tpu.train.optimizers import make_optimizer
+    from inferbiomechanics_tpu.train.state import create_train_state
+    from inferbiomechanics_tpu.train.step import make_train_step
+
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=10, stride=2,
+                      root_history_len=ds.root_history_len,
+                      output_data_format='all_frames',
+                      hidden_dims=[32])
+    b = next(ds.batches(batch_size=8, shuffle=False))
+    x, y = jnp.asarray(b.inputs), jnp.asarray(b.labels)
+    tx = make_optimizer('adam', 1e-3)
+
+    def run(augment):
+        state = create_train_state(model, jax.random.PRNGKey(0), x, tx)
+        step = make_train_step(model, ds.lab_offsets, LossConfig(),
+                               donate=False, augment=augment)
+        state, metrics = step(state, x, y, jax.random.PRNGKey(1))
+        return state, metrics
+
+    s_plain, m_plain = run(None)
+    s_aug, m_aug = run(Augmenter(mirror=spec, noise_std=0.02))
+    assert np.isfinite(float(m_aug['loss']))
+    # augmentation changed the batch, hence the loss and the update
+    assert float(m_aug['loss']) != float(m_plain['loss'])
+    leaves_p = jax.tree_util.tree_leaves(s_plain.params)
+    leaves_a = jax.tree_util.tree_leaves(s_aug.params)
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(leaves_p, leaves_a))
+
+
+def test_device_tier_with_augmenter(ds, spec):
+    """The device-resident step compiles and runs with augmentation."""
+    from inferbiomechanics_tpu.loss.evaluator import LossConfig
+    from inferbiomechanics_tpu.models import get_model
+    from inferbiomechanics_tpu.train.device_data import (
+        DeviceResidentData, make_device_train_step)
+    from inferbiomechanics_tpu.train.optimizers import make_optimizer
+    from inferbiomechanics_tpu.train.state import create_train_state
+
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=10, stride=2,
+                      root_history_len=ds.root_history_len,
+                      output_data_format='all_frames',
+                      hidden_dims=[32])
+    data = DeviceResidentData(ds)
+    step = make_device_train_step(
+        model, data, LossConfig(), donate=False,
+        augment=Augmenter(mirror=spec, noise_std=0.01))
+    b = next(ds.batches(batch_size=8, shuffle=False))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(b.inputs),
+                               make_optimizer('adam', 1e-3))
+    idx = jnp.arange(8, dtype=jnp.int32)
+    state, metrics = step(state, idx, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics['loss']))
+
+
+def test_train_cli_flags_reach_the_loop(ds, tmp_path):
+    """End to end: Config flags drive an augmented training run."""
+    from inferbiomechanics_tpu.train.loop import train
+
+    cfg = Config(window_size=10, stride=2, output_data_format='all_frames',
+                 model_type='feedforward', hidden_dims=[16], epochs=1,
+                 batch_size=8, opt_type='adam', learning_rate=1e-3,
+                 checkpoint_dir=str(tmp_path / 'ckpt'),
+                 augment_mirror=True, augment_noise_std=0.02,
+                 device_data='off', no_wandb=True)
+    res = train(cfg, ds, dev_ds=None, max_batches_per_epoch=3)
+    assert res.epochs_run == 1
+    assert np.isfinite(res.final_train_metrics['loss'])
