@@ -68,6 +68,14 @@ class AnalyzeCommand:
                                  '(dirs or .ckpt files, e.g. a seed sweep\'s '
                                  'outputs) — quantifies what ensembling '
                                  'buys on the dev metrics')
+        parser.add_argument('--group-by', type=str, default=None,
+                            choices=['trial', 'subject', 'activity'],
+                            help='Also write {split}_summary_{group}.csv: '
+                                 'per-group window counts and mean loss / '
+                                 'force / COM-acc errors, worst first '
+                                 '(activity = make-plots keyword classes). '
+                                 'Exact at --batch-size 1; larger batches '
+                                 'attribute each window its batch mean.')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'analyze':
@@ -213,6 +221,8 @@ class AnalyzeCommand:
 
             csv_path = os.path.join(checkpoint_dir, f'{split}_analysis.csv')
             os.makedirs(checkpoint_dir, exist_ok=True)
+            group_by = getattr(args, 'group_by', None)
+            groups = {}      # key -> [n, sum_loss, sum_force, sum_com_acc]
             with open(csv_path, 'a', newline='') as f:
                 writer = csv.writer(f)
                 for i, batch in enumerate(ds.batches(config.batch_size,
@@ -239,18 +249,45 @@ class AnalyzeCommand:
                             print(f'wrote {p}')
                     for b in range(batch.inputs.shape[0]):
                         s_idx = int(batch.subject_indices[b])
-                        writer.writerow([
-                            os.path.basename(ds.subject_paths[s_idx]),
-                            ds.subjects[s_idx].getTrialName(int(batch.trial_indices[b])),
-                            float(metrics['loss']),
-                            float(metrics['force_avg_err']),
-                            float(metrics['com_acc_avg_err']),
-                        ])
+                        subj = os.path.basename(ds.subject_paths[s_idx])
+                        trial = ds.subjects[s_idx].getTrialName(
+                            int(batch.trial_indices[b]))
+                        row = [float(metrics['loss']),
+                               float(metrics['force_avg_err']),
+                               float(metrics['com_acc_avg_err'])]
+                        writer.writerow([subj, trial] + row)
+                        if group_by:
+                            if group_by == 'trial':
+                                key = f'{subj}/{trial}'
+                            elif group_by == 'subject':
+                                key = subj
+                            else:
+                                from inferbiomechanics_tpu.cli.make_plots_cmd import (
+                                    classify_motion,
+                                )
+                                key = classify_motion(trial)
+                            g = groups.setdefault(key, [0, 0.0, 0.0, 0.0])
+                            g[0] += 1
+                            for j, v in enumerate(row):
+                                g[1 + j] += v
                     if i > 0 and i % 1000 == 0:
                         print(f'[{split}] batch {i}:')
                         evaluator.print_report(reset=False, log_to_wandb=True)
             print(f'[{split}] final report:')
             evaluator.print_report(log_to_wandb=True)
             print(f'wrote {csv_path}')
+            if group_by and groups:
+                spath = os.path.join(checkpoint_dir,
+                                     f'{split}_summary_{group_by}.csv')
+                with open(spath, 'w', newline='') as f:
+                    w = csv.writer(f)
+                    w.writerow([group_by, 'windows', 'loss',
+                                'force_avg_err', 'com_acc_avg_err'])
+                    ranked = sorted(groups.items(),
+                                    key=lambda kv: kv[1][2] / kv[1][0],
+                                    reverse=True)   # worst force err first
+                    for key, (n, sl, sf, sc) in ranked:
+                        w.writerow([key, n, sl / n, sf / n, sc / n])
+                print(f'wrote {spath}')
         ml.finish()
         return True

@@ -52,6 +52,25 @@ def test_analyze_runs(workspace):
     assert 'loss' in out.stdout.lower() or 'err' in out.stdout.lower()
 
 
+def test_analyze_group_by_trial_summary(workspace):
+    run_cmd(['analyze', '--dataset-home', workspace['data'],
+             '--checkpoint-dir', workspace['ckpt'], '--no-wandb',
+             '--short', '--group-by', 'trial'])
+    spath = os.path.join(workspace['ckpt'], 'feedforward',
+                         'dev_summary_trial.csv')
+    rows = list(csv.reader(open(spath)))
+    assert rows[0] == ['trial', 'windows', 'loss', 'force_avg_err',
+                       'com_acc_avg_err']
+    assert len(rows) > 1
+    # every group row aggregates at least one window with finite means
+    for key, n, loss, ferr, cerr in rows[1:]:
+        assert '/' in key and int(n) >= 1
+        assert all(abs(float(v)) < 1e9 for v in (loss, ferr, cerr))
+    # ranked worst-first by force error
+    ferrs = [float(r[3]) for r in rows[1:]]
+    assert ferrs == sorted(ferrs, reverse=True)
+
+
 def test_create_splits(workspace, tmp_path):
     src = tmp_path / 'root'
     processed = src / 'processed'
