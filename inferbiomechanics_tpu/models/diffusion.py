@@ -135,11 +135,19 @@ def diffusion_targets_from_labels(packed_labels: jax.Array,
 def make_diffusion_train_step(model: DiffusionDenoiser,
                               lab_offsets: Dict[str, Tuple[int, int]],
                               schedule: Optional[DDPMSchedule] = None,
-                              donate: bool = True):
-    """Jitted ε-prediction MSE step. Labels must be all_frames format."""
+                              donate: bool = True,
+                              augment=None):
+    """Jitted ε-prediction MSE step. Labels must be all_frames format.
+
+    ``augment`` (train/augment.py) mirrors/noises the conditioning
+    windows — and mirrors the denoising targets consistently — inside
+    the compiled step."""
     sched = schedule or DDPMSchedule(model.timesteps)
 
     def step(state, batch_inputs, batch_labels, rng):
+        from inferbiomechanics_tpu.train.augment import maybe_augment
+        batch_inputs, batch_labels = maybe_augment(
+            augment, batch_inputs, batch_labels, rng)
         x0 = diffusion_targets_from_labels(batch_labels, lab_offsets,
                                            model.num_contact_bodies)
         b = x0.shape[0]

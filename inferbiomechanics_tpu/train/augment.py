@@ -329,6 +329,31 @@ class Augmenter:
         return inputs, labels
 
 
+def augmenter_from_config(config, train_ds, logger=None) -> Optional[Augmenter]:
+    """Build the Augmenter the train loops share from the typed Config
+    (``--augment-mirror`` / ``--augment-noise-std`` /
+    ``--mirror-lateral-axis``); ``None`` when augmentation is off."""
+    if not (config.augment_mirror or config.augment_noise_std > 0):
+        return None
+    spec = None
+    if config.augment_mirror:
+        spec = spec_from_dataset(train_ds,
+                                 lateral_axis=config.mirror_lateral_axis)
+        if logger is not None:
+            if spec.unpaired_names:
+                logger.warning('augment-mirror: no left/right partner for '
+                               '%s — those channels mirror onto themselves',
+                               spec.unpaired_names)
+            if spec.approximate_dofs:
+                logger.warning('augment-mirror: revolute axes of %s do not '
+                               'mirror cleanly; their sign stays +1',
+                               spec.approximate_dofs)
+    if logger is not None:
+        logger.info('augmentation: mirror=%s noise_std=%g',
+                    config.augment_mirror, config.augment_noise_std)
+    return Augmenter(mirror=spec, noise_std=config.augment_noise_std)
+
+
 def maybe_augment(augment: Optional[Augmenter], inputs, labels, rng):
     """Shared hook for the tier loss closures: fold a dedicated
     augmentation key off the dropout rng (the dropout stream itself is

@@ -380,7 +380,8 @@ def make_device_epoch_step(model, data: DeviceResidentData,
 def make_device_diffusion_epoch_runner(model, data: DeviceResidentData,
                                        schedule, batch_size: int,
                                        batch_shard=None,
-                                       ema_decay: float = 0.0) -> Callable:
+                                       ema_decay: float = 0.0,
+                                       augment=None) -> Callable:
     """Whole-epoch diffusion (ε-prediction) training in one jit program.
 
     Same shape as :func:`make_device_epoch_runner` but the step is the
@@ -408,6 +409,9 @@ def make_device_diffusion_epoch_runner(model, data: DeviceResidentData,
         batch_inputs, batch_labels = data.gather_in_jit(idx)
         batch_inputs, batch_labels = _constrain(batch_shard, batch_inputs,
                                                 batch_labels)
+        from inferbiomechanics_tpu.train.augment import maybe_augment
+        batch_inputs, batch_labels = maybe_augment(augment, batch_inputs,
+                                                   batch_labels, rng_t)
         x0 = diffusion_targets_from_labels(batch_labels, data.lab_offsets,
                                            model.num_contact_bodies)
         t = jax.random.randint(rng_t, (batch_size,), 0, schedule.timesteps)

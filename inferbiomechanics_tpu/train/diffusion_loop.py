@@ -119,6 +119,12 @@ def train_diffusion(config: Config,
     state = replicate(mesh, state)
 
     # device-resident fast path: whole epoch (shuffle+gather+eps-steps) in
+    # on-device augmentation, compiled into every tier's step (mirror
+    # transforms the conditioning windows AND the denoising targets
+    # consistently; train/augment.py). Dev sampling stays unaugmented.
+    from inferbiomechanics_tpu.train.augment import augmenter_from_config
+    augmenter = augmenter_from_config(config, train_ds, logger)
+
     # one jit program when the packed dataset fits HBM (requires
     # materialized features; on-demand datasets use the host loader)
     data_bytes = (train_ds.features_all.nbytes + train_ds.labels_all.nbytes
@@ -141,7 +147,8 @@ def train_diffusion(config: Config,
                                          pack_windows=pack)
         epoch_runner = make_device_diffusion_epoch_runner(
             model, device_data, sched, config.batch_size,
-            batch_shard=sharding, ema_decay=config.ema_decay)
+            batch_shard=sharding, ema_decay=config.ema_decay,
+            augment=augmenter)
         logger.info('diffusion device-resident data: %.0f MB in HBM%s',
                     device_data.hbm_bytes / 1e6,
                     ' (windows packed)' if pack else '')
@@ -154,7 +161,7 @@ def train_diffusion(config: Config,
         plan = StreamingPlan(train_ds, config.device_data_max_bytes)
         epoch_runner = make_streaming_diffusion_epoch(
             model, train_ds, plan, sched, config.batch_size,
-            ema_decay=config.ema_decay)
+            ema_decay=config.ema_decay, augment=augmenter)
         logger.info('diffusion streaming data: %d segments of %d rows',
                     len(plan.segments), plan.rows_pad)
     n_data_shards = int(mesh.shape['data'])
@@ -175,7 +182,7 @@ def train_diffusion(config: Config,
             sdata = ShardedDeviceData(train_ds, mesh)
             epoch_runner = make_sharded_diffusion_epoch_runner(
                 model, sdata, sched, config.batch_size,
-                ema_decay=config.ema_decay)
+                ema_decay=config.ema_decay, augment=augmenter)
             logger.info('diffusion pod-sharded data: %d shards, %.0f MB '
                         'HBM/device', sdata.num_shards,
                         sdata.hbm_bytes_per_device / 1e6)
@@ -185,7 +192,8 @@ def train_diffusion(config: Config,
             logger.warning('sharded device data unavailable (%s); '
                            'falling back to the host loader', e)
 
-    step = make_diffusion_train_step(model, train_ds.lab_offsets, sched)
+    step = make_diffusion_train_step(model, train_ds.lab_offsets, sched,
+                                     augment=augmenter)
     sampler = make_sampler(model, sched, num_steps=EVAL_SAMPLE_STEPS,
                            fused_inference=config.fused_inference)
 

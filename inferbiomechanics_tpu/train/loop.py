@@ -152,26 +152,8 @@ def train(config: Config,
 
     # on-device augmentation: compiled into every tier's train step
     # (train/augment.py); dev eval always scores unaugmented windows
-    augmenter = None
-    if config.augment_mirror or config.augment_noise_std > 0:
-        from inferbiomechanics_tpu.train.augment import (Augmenter,
-                                                         spec_from_dataset)
-        spec = None
-        if config.augment_mirror:
-            spec = spec_from_dataset(
-                train_ds, lateral_axis=config.mirror_lateral_axis)
-            if spec.unpaired_names:
-                logger.warning('augment-mirror: no left/right partner for '
-                               '%s — those channels mirror onto themselves',
-                               spec.unpaired_names)
-            if spec.approximate_dofs:
-                logger.warning('augment-mirror: revolute axes of %s do not '
-                               'mirror cleanly; their sign stays +1',
-                               spec.approximate_dofs)
-        augmenter = Augmenter(mirror=spec,
-                              noise_std=config.augment_noise_std)
-        logger.info('augmentation: mirror=%s noise_std=%g',
-                    config.augment_mirror, config.augment_noise_std)
+    from inferbiomechanics_tpu.train.augment import augmenter_from_config
+    augmenter = augmenter_from_config(config, train_ds, logger)
 
     sample = train_ds.gather(np.arange(min(config.batch_size, max(1, len(train_ds)))))
     if sample.inputs.shape[0] < config.batch_size:

@@ -213,7 +213,8 @@ def _local_gather(sdata: ShardedDeviceData):
 def make_sharded_diffusion_epoch_runner(model, sdata: ShardedDeviceData,
                                         schedule, batch_size: int,
                                         steps_per_call: int = 0,
-                                        ema_decay: float = 0.0) -> Callable:
+                                        ema_decay: float = 0.0,
+                                        augment=None) -> Callable:
     """Pod-sharded diffusion training: ``run(state[, ema], rng)``.
 
     Same shape as :func:`make_sharded_epoch_runner` but the step is the
@@ -243,6 +244,9 @@ def make_sharded_diffusion_epoch_runner(model, sdata: ShardedDeviceData,
             rng, s_rng, t_rng, n_rng = jax.random.split(rng, 4)
             batch_inputs, batch_labels = sample_gather(feats, labs, base,
                                                        cnt, s_rng)
+            from inferbiomechanics_tpu.train.augment import maybe_augment
+            batch_inputs, batch_labels = maybe_augment(
+                augment, batch_inputs, batch_labels, t_rng)
             x0 = diffusion_targets_from_labels(
                 batch_labels, sdata.lab_offsets, model.num_contact_bodies)
             t = jax.random.randint(t_rng, (batch_size,), 0,

@@ -207,7 +207,8 @@ def make_streaming_diffusion_epoch(model, ds: WindowDataset,
                                    plan: StreamingPlan, schedule,
                                    batch_size: int,
                                    ema_decay: float = 0.0,
-                                   feature_dtype=jnp.bfloat16) -> Callable:
+                                   feature_dtype=jnp.bfloat16,
+                                   augment=None) -> Callable:
     """Out-of-core diffusion training: the ε-prediction step over
     streamed segments (same segment/prefetch mechanics as
     :func:`make_streaming_epoch`; step = the DDPM objective of
@@ -231,6 +232,8 @@ def make_streaming_diffusion_epoch(model, ds: WindowDataset,
         rows = idx[:, None] + offs[None, :]
         bi = jnp.take(feats, rows, axis=0)
         bl = jnp.take(labs, rows, axis=0)
+        from inferbiomechanics_tpu.train.augment import maybe_augment
+        bi, bl = maybe_augment(augment, bi, bl, rng_t)
         x0 = diffusion_targets_from_labels(bl, ds.lab_offsets,
                                            model.num_contact_bodies)
         t = jax.random.randint(rng_t, (idx.shape[0],), 0, schedule.timesteps)

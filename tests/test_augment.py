@@ -222,6 +222,56 @@ def test_device_tier_with_augmenter(ds, spec):
     assert np.isfinite(float(metrics['loss']))
 
 
+def test_diffusion_step_with_augmenter(ds, spec):
+    """The diffusion ε-step augments the conditioning AND targets."""
+    from inferbiomechanics_tpu.models.diffusion import (
+        DDPMSchedule, DiffusionDenoiser, make_diffusion_train_step)
+    from inferbiomechanics_tpu.train.optimizers import make_optimizer
+    from inferbiomechanics_tpu.train.state import TrainState
+
+    model = DiffusionDenoiser(num_dofs=ds.num_dofs,
+                              num_contact_bodies=ds.num_contact_bodies,
+                              history_len=10, stride=2, d_model=32,
+                              num_layers=1, num_heads=2, timesteps=16)
+    b = next(ds.batches(batch_size=8, shuffle=False))
+    x, y = jnp.asarray(b.inputs), jnp.asarray(b.labels)
+    x0 = jnp.zeros((8, x.shape[1], model.target_channels))
+    t0 = jnp.zeros((8,), jnp.int32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x0, t0, x,
+                           train=False)
+    tx = make_optimizer('adam', 1e-3)
+
+    def run(augment):
+        state = TrainState(step=jnp.asarray(0, jnp.int32),
+                           params=variables['params'],
+                           opt_state=tx.init(variables['params']),
+                           batch_stats={}, tx=tx, apply_fn=model.apply)
+        step = make_diffusion_train_step(model, ds.lab_offsets,
+                                         DDPMSchedule(16), donate=False,
+                                         augment=augment)
+        state, metrics = step(state, x, y, jax.random.PRNGKey(1))
+        return metrics
+
+    m_plain = run(None)
+    m_aug = run(Augmenter(mirror=spec))
+    assert np.isfinite(float(m_aug['loss']))
+    assert float(m_aug['loss']) != float(m_plain['loss'])
+
+
+def test_diffusion_loop_with_augment_config(ds, tmp_path):
+    from inferbiomechanics_tpu.train.diffusion_loop import train_diffusion
+
+    cfg = Config(window_size=10, stride=2, output_data_format='all_frames',
+                 model_type='diffusion', d_model=32, num_layers=1,
+                 num_heads=2, diffusion_timesteps=16, epochs=1,
+                 batch_size=8, opt_type='adam', learning_rate=1e-3,
+                 checkpoint_dir=str(tmp_path / 'ckpt'),
+                 augment_mirror=True, no_wandb=True)
+    res = train_diffusion(cfg, ds, dev_ds=None)
+    assert res.epochs_run == 1
+    assert np.isfinite(res.final_train_metrics['eps_mse'])
+
+
 def test_train_cli_flags_reach_the_loop(ds, tmp_path):
     """End to end: Config flags drive an augmented training run."""
     from inferbiomechanics_tpu.train.loop import train
