@@ -229,7 +229,7 @@ def _one_update(model, tx, loss_config, batch_inputs, labels):
 def make_sweep_train_step(model, tx: optax.GradientTransformation,
                           lab_offsets: Dict[str, Tuple[int, int]],
                           loss_config: LossConfig, lrs: Sequence[float],
-                          donate: bool = True, mesh=None):
+                          donate: bool = True, mesh=None, augment=None):
     """``step(state, batch_inputs, batch_labels, rng[, lrs]) -> (state,
     metrics)`` — one host-fed batch updates all K configs; metrics leaves
     are [K]-stacked. The build-time ``lrs`` are the default; passing a
@@ -240,6 +240,9 @@ def make_sweep_train_step(model, tx: optax.GradientTransformation,
 
     def step(state: TrainState, batch_inputs, batch_labels, rng,
              lrs=lrs_default):
+        from inferbiomechanics_tpu.train.augment import maybe_augment
+        batch_inputs, batch_labels = maybe_augment(augment, batch_inputs,
+                                                   batch_labels, rng)
         labels = unpack(batch_labels, lab_offsets)
         update = _one_update(model, tx, loss_config, batch_inputs, labels)
         subs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(k))
@@ -255,7 +258,7 @@ def make_sweep_train_step(model, tx: optax.GradientTransformation,
 def make_sweep_device_train_step(model, tx: optax.GradientTransformation,
                                  data, loss_config: LossConfig,
                                  lrs: Sequence[float], donate: bool = True,
-                                 mesh=None):
+                                 mesh=None, augment=None):
     """Device-resident variant of :func:`make_sweep_train_step`:
     ``step(state, idx, rng)`` gathers the batch from HBM inside the jit
     program (one gather feeds ALL configs) — per-step host traffic is
@@ -265,7 +268,10 @@ def make_sweep_device_train_step(model, tx: optax.GradientTransformation,
 
     def step(state: TrainState, idx: jax.Array, rng: jax.Array,
              lrs=lrs_arr):
+        from inferbiomechanics_tpu.train.augment import maybe_augment
         batch_inputs, batch_labels = data.gather_in_jit(idx)
+        batch_inputs, batch_labels = maybe_augment(augment, batch_inputs,
+                                                   batch_labels, rng)
         labels = unpack(batch_labels, data.lab_offsets)
         update = _one_update(model, tx, loss_config, batch_inputs, labels)
         subs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(k))
@@ -281,7 +287,7 @@ def make_sweep_device_train_step(model, tx: optax.GradientTransformation,
 def make_sweep_sharded_train_step(model, tx: optax.GradientTransformation,
                                   sdata, loss_config: LossConfig,
                                   lrs: Sequence[float], batch_size: int,
-                                  donate: bool = True):
+                                  donate: bool = True, augment=None):
     """Pod-sharded variant: ``step(state, rng[, lrs]) -> (state, metrics)``.
 
     The dataset lives as trial blocks sharded across the mesh's data
@@ -303,8 +309,11 @@ def make_sweep_sharded_train_step(model, tx: optax.GradientTransformation,
     def step(state: TrainState, rng: jax.Array, lrs=lrs_arr,
              *, feats, labs, base, cnt):
         rng_s, rng_k = jax.random.split(rng)
+        from inferbiomechanics_tpu.train.augment import maybe_augment
         batch_inputs, batch_labels = sample_gather(feats, labs, base, cnt,
                                                    rng_s)
+        batch_inputs, batch_labels = maybe_augment(augment, batch_inputs,
+                                                   batch_labels, rng_k)
         labels = unpack(batch_labels, sdata.lab_offsets)
         update = _one_update(model, tx, loss_config, batch_inputs, labels)
         subs = jax.vmap(lambda i: jax.random.fold_in(rng_k, i))(jnp.arange(k))
@@ -328,7 +337,7 @@ def make_sweep_sharded_train_step(model, tx: optax.GradientTransformation,
 
 def make_sweep_device_epoch_step(model, tx, data, loss_config: LossConfig,
                                  lrs: Sequence[float], batch_size: int,
-                                 steps_per_call: int = 8):
+                                 steps_per_call: int = 8, augment=None):
     """Device-resident variant: ``run(state, rng) -> (state, mean_metrics)``
     — ``steps_per_call`` sweep steps per jit program (lax.scan), window
     indices sampled on device, the gathered batch read from HBM once per
@@ -339,7 +348,10 @@ def make_sweep_device_epoch_step(model, tx, data, loss_config: LossConfig,
     def one(carry, idx):
         state, rng = carry
         rng, sub = jax.random.split(rng)
+        from inferbiomechanics_tpu.train.augment import maybe_augment
         batch_inputs, batch_labels = data.gather_in_jit(idx)
+        batch_inputs, batch_labels = maybe_augment(augment, batch_inputs,
+                                                   batch_labels, sub)
         labels = unpack(batch_labels, data.lab_offsets)
         update = _one_update(model, tx, loss_config, batch_inputs, labels)
         subs = jax.vmap(lambda i: jax.random.fold_in(sub, i))(jnp.arange(k))
@@ -363,7 +375,8 @@ def make_sweep_streaming_epoch(model, tx: optax.GradientTransformation,
                                ds: WindowDataset, plan,
                                loss_config: LossConfig,
                                lrs: Sequence[float], batch_size: int,
-                               feature_dtype=jnp.bfloat16, mesh=None):
+                               feature_dtype=jnp.bfloat16, mesh=None,
+                               augment=None):
     """Out-of-core sweep tier: ``run(state, rng[, lrs]) -> (state,
     mean_metrics)`` — one streamed epoch over the StreamingPlan's
     segments (train/streaming_data.py mechanics: shuffled segment order,
@@ -390,6 +403,8 @@ def make_sweep_streaming_epoch(model, tx: optax.GradientTransformation,
                               axis=0)
             else:
                 bl = jnp.take(labs, rows, axis=0)
+            from inferbiomechanics_tpu.train.augment import maybe_augment
+            bi, bl = maybe_augment(augment, bi, bl, sub)
             labels = unpack(bl, ds.lab_offsets)
             update = _one_update(model, tx, loss_config, bi, labels)
             subs = jax.vmap(lambda i: jax.random.fold_in(sub, i))(
@@ -443,7 +458,8 @@ def _noising(sched, x0, rng):
 
 
 def make_sweep_diffusion_step(model, tx, lab_offsets, lrs: Sequence[float],
-                              schedule=None, donate: bool = True):
+                              schedule=None, donate: bool = True,
+                              augment=None):
     """Diffusion (ε-MSE) sweep step: every config denoises the SAME
     noised batch (shared t/noise draw, the analogue of the shared batch
     gather) with its own params and lr."""
@@ -455,6 +471,9 @@ def make_sweep_diffusion_step(model, tx, lab_offsets, lrs: Sequence[float],
 
     def step(state: TrainState, batch_inputs, batch_labels, rng,
              lrs=lrs_arr):
+        from inferbiomechanics_tpu.train.augment import maybe_augment
+        batch_inputs, batch_labels = maybe_augment(augment, batch_inputs,
+                                                   batch_labels, rng)
         x0 = diffusion_targets_from_labels(batch_labels, lab_offsets,
                                            model.num_contact_bodies)
         x_t, t, noise = _noising(sched, x0, rng)
@@ -470,7 +489,7 @@ def make_sweep_diffusion_step(model, tx, lab_offsets, lrs: Sequence[float],
 
 def make_sweep_device_diffusion_step(model, tx, data,
                                      lrs: Sequence[float], schedule=None,
-                                     donate: bool = True):
+                                     donate: bool = True, augment=None):
     """Device-resident diffusion sweep step: ``step(state, idx, rng)``."""
     from inferbiomechanics_tpu.models.diffusion import (
         DDPMSchedule, diffusion_targets_from_labels,
@@ -480,7 +499,10 @@ def make_sweep_device_diffusion_step(model, tx, data,
 
     def step(state: TrainState, idx: jax.Array, rng: jax.Array,
              lrs=lrs_arr):
+        from inferbiomechanics_tpu.train.augment import maybe_augment
         batch_inputs, batch_labels = data.gather_in_jit(idx)
+        batch_inputs, batch_labels = maybe_augment(augment, batch_inputs,
+                                                   batch_labels, rng)
         x0 = diffusion_targets_from_labels(batch_labels, data.lab_offsets,
                                            model.num_contact_bodies)
         x_t, t, noise = _noising(sched, x0, rng)
@@ -498,7 +520,7 @@ def make_sweep_streaming_diffusion_epoch(model, tx, ds: WindowDataset, plan,
                                          lrs: Sequence[float],
                                          batch_size: int, schedule=None,
                                          feature_dtype=jnp.bfloat16,
-                                         mesh=None):
+                                         mesh=None, augment=None):
     """Out-of-core diffusion sweep: streamed segments, each in-scan step
     one shared noising draw feeding the vmapped K-config ε-MSE update
     (segment upload paid once for all K configs)."""
@@ -521,6 +543,8 @@ def make_sweep_streaming_diffusion_epoch(model, tx, ds: WindowDataset, plan,
             rows = idx[:, None] + offs[None, :]
             bi = jnp.take(feats, rows, axis=0)
             bl = jnp.take(labs, rows, axis=0)
+            from inferbiomechanics_tpu.train.augment import maybe_augment
+            bi, bl = maybe_augment(augment, bi, bl, sub)
             x0 = diffusion_targets_from_labels(bl, ds.lab_offsets,
                                                model.num_contact_bodies)
             x_t, t, noise = _noising(sched, x0, sub)
@@ -547,7 +571,8 @@ def make_sweep_streaming_diffusion_epoch(model, tx, ds: WindowDataset, plan,
 
 def make_sweep_sharded_diffusion_step(model, tx, sdata,
                                       lrs: Sequence[float], batch_size: int,
-                                      schedule=None, donate: bool = True):
+                                      schedule=None, donate: bool = True,
+                                      augment=None):
     """Pod-sharded diffusion sweep step: ``step(state, rng[, lrs])``.
 
     Shard-local sample+gather of the conditioning windows and all-frames
@@ -572,8 +597,11 @@ def make_sweep_sharded_diffusion_step(model, tx, sdata,
     def step(state: TrainState, rng: jax.Array, lrs=lrs_arr,
              *, feats, labs, base, cnt):
         rng_s, rng_n = jax.random.split(rng)
+        from inferbiomechanics_tpu.train.augment import maybe_augment
         batch_inputs, batch_labels = sample_gather(feats, labs, base, cnt,
                                                    rng_s)
+        batch_inputs, batch_labels = maybe_augment(augment, batch_inputs,
+                                                   batch_labels, rng_n)
         x0 = diffusion_targets_from_labels(batch_labels, sdata.lab_offsets,
                                            model.num_contact_bodies)
         x_t, t, noise = _noising(sched, x0, rng_n)
@@ -735,6 +763,11 @@ def run_sweep(config: Config, train_ds: WindowDataset,
                  else make_sweep_eval_step(model, train_ds.lab_offsets, lc,
                                            mesh=mesh))
 
+    # on-device augmentation: the shared per-step batch is augmented once
+    # and feeds all K configs (train/augment.py); dev eval never augments
+    from inferbiomechanics_tpu.train.augment import augmenter_from_config
+    augmenter = augmenter_from_config(config, train_ds, logger)
+
     # data tiers (same ladder as train/loop.py, simplified): pod-sharded
     # residency on request; else single-chip residency when the dataset
     # fits HBM; else the host loader. The sharded tier spends the mesh's
@@ -750,11 +783,11 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         if is_diffusion:
             streaming_run = make_sweep_streaming_diffusion_epoch(
                 model, tx, train_ds, plan, grid_lrs, config.batch_size,
-                mesh=mesh)
+                mesh=mesh, augment=augmenter)
         else:
             streaming_run = make_sweep_streaming_epoch(
                 model, tx, train_ds, plan, lc, grid_lrs, config.batch_size,
-                mesh=mesh)
+                mesh=mesh, augment=augmenter)
         stream_windows_per_epoch = sum(
             (s.win_base.shape[0] // config.batch_size)
             * config.batch_size for s in plan.segments)
@@ -793,24 +826,28 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         loader = None
     elif sharded_data is not None:
         step = (make_sweep_sharded_diffusion_step(model, tx, sharded_data,
-                                                  grid_lrs, config.batch_size)
+                                                  grid_lrs, config.batch_size,
+                                                  augment=augmenter)
                 if is_diffusion else
                 make_sweep_sharded_train_step(model, tx, sharded_data, lc,
-                                              grid_lrs, config.batch_size))
+                                              grid_lrs, config.batch_size,
+                                              augment=augmenter))
         loader = None
     elif device_data is not None:
         step = (make_sweep_device_diffusion_step(model, tx, device_data,
-                                                 grid_lrs)
+                                                 grid_lrs, augment=augmenter)
                 if is_diffusion else
                 make_sweep_device_train_step(model, tx, device_data, lc,
-                                             grid_lrs, mesh=mesh))
+                                             grid_lrs, mesh=mesh,
+                                             augment=augmenter))
         loader = None
     else:
         step = (make_sweep_diffusion_step(model, tx, train_ds.lab_offsets,
-                                          grid_lrs)
+                                          grid_lrs, augment=augmenter)
                 if is_diffusion else
                 make_sweep_train_step(model, tx, train_ds.lab_offsets, lc,
-                                      grid_lrs, mesh=mesh))
+                                      grid_lrs, mesh=mesh,
+                                      augment=augmenter))
         loader = PrefetchLoader(train_ds, config.batch_size,
                                 n_threads=config.data_loading_workers)
     dev_loader = (PrefetchLoader(dev_ds, config.batch_size, shuffle=False)

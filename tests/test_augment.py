@@ -272,6 +272,23 @@ def test_diffusion_loop_with_augment_config(ds, tmp_path):
     assert np.isfinite(res.final_train_metrics['eps_mse'])
 
 
+def test_sweep_with_augmenter(ds, tmp_path):
+    """The vmapped sweep trains with augmentation: the shared batch is
+    augmented once and feeds all K configs."""
+    from inferbiomechanics_tpu.train.sweep import run_sweep
+
+    cfg = Config(window_size=10, stride=2, output_data_format='all_frames',
+                 model_type='feedforward', hidden_dims=[16], epochs=1,
+                 batch_size=8, opt_type='adam',
+                 checkpoint_dir=str(tmp_path / 'ckpt'),
+                 augment_mirror=True, augment_noise_std=0.01,
+                 no_wandb=True)
+    res = run_sweep(cfg, ds, dev_ds=ds, lrs=[1e-3, 1e-2], seeds=[0],
+                    max_batches_per_epoch=3)
+    assert len(res.points) == 2
+    assert all(np.isfinite(p.final_train_loss) for p in res.points)
+
+
 def test_train_cli_flags_reach_the_loop(ds, tmp_path):
     """End to end: Config flags drive an augmented training run."""
     from inferbiomechanics_tpu.train.loop import train
