@@ -178,7 +178,11 @@ class AnalyzeCommand:
                     print('evaluating EMA parameters')
                 sampler = make_sampler(model, DDPMSchedule(config.diffusion_timesteps),
                                        num_steps=50,
-                                       fused_inference=config.fused_inference)
+                                       fused_inference=config.fused_inference,
+                                       guidance_scale=config.guidance_scale)
+                if config.guidance_scale != 1.0:
+                    print(f'classifier-free guidance scale '
+                          f'{config.guidance_scale}')
                 predict = lambda x, _s: sampler(state.params, x, jax.random.PRNGKey(7))
                 eval_fn = None
             elif getattr(args, 'ensemble', None):

@@ -135,7 +135,8 @@ class ExportCommand:
                                  'feedforward family only')
         if is_diffusion:
             from inferbiomechanics_tpu.models.diffusion import make_sampler
-            sampler = make_sampler(model, num_steps=args.sample_steps)
+            sampler = make_sampler(model, num_steps=args.sample_steps,
+                                    guidance_scale=config.guidance_scale)
 
             # Seed travels as a runtime argument so one artifact serves
             # both deterministic replay (same seed) and fresh draws.

@@ -126,6 +126,13 @@ class Config:
     # (standard diffusion practice; 0 = off). The EMA tree rides in the
     # checkpoint under 'ema_params'; evaluate/serve it with --use-ema.
     ema_decay: float = 0.0
+    # beyond parity: classifier-free guidance. cond_dropout zeroes each
+    # training sample's conditioning windows with this probability (the
+    # model learns the unconditional score too); guidance_scale != 1
+    # applies eps_u + s·(eps_c − eps_u) at sampling time (analyze /
+    # serve / export).
+    cond_dropout: float = 0.0
+    guidance_scale: float = 1.0
 
     # parallelism
     model_parallel: int = 1
@@ -304,6 +311,15 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                              'average of the denoiser params (e.g. 0.999; '
                              '0 = off); saved in checkpoints as '
                              'ema_params, evaluated with --use-ema')
+    parser.add_argument('--cond-dropout', type=float, default=d.cond_dropout,
+                        help='Diffusion: zero each training sample\'s '
+                             'conditioning with this probability '
+                             '(classifier-free guidance training, e.g. 0.1)')
+    parser.add_argument('--guidance-scale', type=float,
+                        default=d.guidance_scale,
+                        help='Diffusion sampling: classifier-free guidance '
+                             'scale (1 = plain conditional; needs a '
+                             'checkpoint trained with --cond-dropout)')
     parser.add_argument('--aux-tau-weight', type=float, default=d.aux_tau_weight,
                         help='Weight of the joint-torque aux loss (transformer)')
     parser.add_argument('--aux-com-acc-weight', type=float, default=d.aux_com_acc_weight)
@@ -376,6 +392,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'fused_inference': 'fused_inference', 'conv_impl': 'conv_impl',
         'diffusion_timesteps': 'diffusion_timesteps',
         'ema_decay': 'ema_decay',
+        'cond_dropout': 'cond_dropout',
+        'guidance_scale': 'guidance_scale',
         'model_parallel': 'model_parallel',
         'profile': 'profile', 'profile_dir': 'profile_dir',
         'device_data': 'device_data',

@@ -136,18 +136,26 @@ def make_diffusion_train_step(model: DiffusionDenoiser,
                               lab_offsets: Dict[str, Tuple[int, int]],
                               schedule: Optional[DDPMSchedule] = None,
                               donate: bool = True,
-                              augment=None):
+                              augment=None,
+                              cond_dropout: float = 0.0):
     """Jitted ε-prediction MSE step. Labels must be all_frames format.
 
     ``augment`` (train/augment.py) mirrors/noises the conditioning
     windows — and mirrors the denoising targets consistently — inside
-    the compiled step."""
+    the compiled step.
+
+    ``cond_dropout`` (classifier-free guidance training): each sample's
+    conditioning windows are zeroed with this probability, so the model
+    learns the unconditional score too (the cond_proj bias acts as the
+    learned null embedding). Sample with ``make_sampler(...,
+    guidance_scale=s)`` to trade diversity for conditioning fidelity."""
     sched = schedule or DDPMSchedule(model.timesteps)
 
     def step(state, batch_inputs, batch_labels, rng):
         from inferbiomechanics_tpu.train.augment import maybe_augment
         batch_inputs, batch_labels = maybe_augment(
             augment, batch_inputs, batch_labels, rng)
+        batch_inputs = drop_conditioning(batch_inputs, rng, cond_dropout)
         x0 = diffusion_targets_from_labels(batch_labels, lab_offsets,
                                            model.num_contact_bodies)
         b = x0.shape[0]
@@ -215,11 +223,25 @@ def fused_denoiser_eps(model: DiffusionDenoiser, params,
     return dense('eps_head', h).astype(jnp.float32)
 
 
+def drop_conditioning(cond: jax.Array, rng: jax.Array,
+                      cond_dropout: float) -> jax.Array:
+    """Zero each sample's conditioning with probability ``cond_dropout``
+    (classifier-free guidance training; traced code). The key is folded
+    so the t/noise streams drawn from the same ``rng`` stay untouched —
+    ``cond_dropout=0`` is bit-identical to not calling this."""
+    if cond_dropout <= 0.0:
+        return cond
+    keep = jax.random.bernoulli(jax.random.fold_in(rng, 0xCF6),
+                                1.0 - cond_dropout, (cond.shape[0],))
+    return cond * keep[:, None, None].astype(cond.dtype)
+
+
 def make_sampler(model: DiffusionDenoiser,
                  schedule: Optional[DDPMSchedule] = None,
                  num_steps: Optional[int] = None,
                  eta: float = 0.0,
-                 fused_inference: bool = False):
+                 fused_inference: bool = False,
+                 guidance_scale: float = 1.0):
     """Build ``sample(params, cond_inputs, rng) -> outputs dict``.
 
     DDIM sampling over an evenly-spaced subset of the schedule
@@ -227,6 +249,13 @@ def make_sampler(model: DiffusionDenoiser,
     eta=1.0). The loop is a single ``lax.scan``. ``fused_inference``
     routes each denoiser call through the fused Pallas encoder
     (``fused_denoiser_eps``) — vpu checkpoints only.
+
+    ``guidance_scale != 1`` applies classifier-free guidance: per step
+    the denoiser evaluates a [2B] batch-concat of (conditional,
+    null-conditioned) rows — ONE launch, the standard CFG trick — and
+    ``eps = eps_u + scale·(eps_c − eps_u)``. Meaningful on checkpoints
+    trained with ``cond_dropout > 0``; scale 1 skips the extra forward
+    entirely (bit-identical to the plain sampler).
     """
     if fused_inference and model.attn_impl != 'vpu':
         raise ValueError('fused_inference consumes the vpu parameter tree; '
@@ -248,11 +277,21 @@ def make_sampler(model: DiffusionDenoiser,
             x, rng = carry
             t, t_prev = t_pair
             tb = jnp.full((b,), t, jnp.int32)
-            if fused_inference:
-                eps = fused_denoiser_eps(model, params, x, tb, cond)
+
+            def denoise(xb, tbb, cb):
+                if fused_inference:
+                    return fused_denoiser_eps(model, params, xb, tbb, cb)
+                return model.apply({'params': params}, xb, tbb, cb,
+                                   train=False)
+
+            if guidance_scale != 1.0:
+                eps2 = denoise(jnp.concatenate([x, x]),
+                               jnp.concatenate([tb, tb]),
+                               jnp.concatenate([cond, jnp.zeros_like(cond)]))
+                eps_c, eps_u = eps2[:b], eps2[b:]
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
             else:
-                eps = model.apply({'params': params}, x, tb, cond,
-                                  train=False)
+                eps = denoise(x, tb, cond)
             ab_t = sched.alpha_bars[t]
             ab_prev = jnp.where(t_prev >= 0, sched.alpha_bars[jnp.maximum(t_prev, 0)], 1.0)
             x0_pred = (x - jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(ab_t)

@@ -305,7 +305,8 @@ class InferenceService:
             # request windows (one lax.scan program; models/diffusion.py)
             from inferbiomechanics_tpu.models.diffusion import make_sampler
             sampler = make_sampler(self.model, num_steps=self.sample_steps,
-                                   fused_inference=use_fused)
+                                   fused_inference=use_fused,
+                                   guidance_scale=config.guidance_scale)
 
             def fwd(params, x):
                 return sampler(params, x, jax.random.PRNGKey(0))

@@ -381,7 +381,8 @@ def make_device_diffusion_epoch_runner(model, data: DeviceResidentData,
                                        schedule, batch_size: int,
                                        batch_shard=None,
                                        ema_decay: float = 0.0,
-                                       augment=None) -> Callable:
+                                       augment=None,
+                                       cond_dropout: float = 0.0) -> Callable:
     """Whole-epoch diffusion (ε-prediction) training in one jit program.
 
     Same shape as :func:`make_device_epoch_runner` but the step is the
@@ -410,8 +411,10 @@ def make_device_diffusion_epoch_runner(model, data: DeviceResidentData,
         batch_inputs, batch_labels = _constrain(batch_shard, batch_inputs,
                                                 batch_labels)
         from inferbiomechanics_tpu.train.augment import maybe_augment
+        from inferbiomechanics_tpu.models.diffusion import drop_conditioning
         batch_inputs, batch_labels = maybe_augment(augment, batch_inputs,
                                                    batch_labels, rng_t)
+        batch_inputs = drop_conditioning(batch_inputs, rng_t, cond_dropout)
         x0 = diffusion_targets_from_labels(batch_labels, data.lab_offsets,
                                            model.num_contact_bodies)
         t = jax.random.randint(rng_t, (batch_size,), 0, schedule.timesteps)

@@ -148,7 +148,7 @@ def train_diffusion(config: Config,
         epoch_runner = make_device_diffusion_epoch_runner(
             model, device_data, sched, config.batch_size,
             batch_shard=sharding, ema_decay=config.ema_decay,
-            augment=augmenter)
+            augment=augmenter, cond_dropout=config.cond_dropout)
         logger.info('diffusion device-resident data: %.0f MB in HBM%s',
                     device_data.hbm_bytes / 1e6,
                     ' (windows packed)' if pack else '')
@@ -161,7 +161,8 @@ def train_diffusion(config: Config,
         plan = StreamingPlan(train_ds, config.device_data_max_bytes)
         epoch_runner = make_streaming_diffusion_epoch(
             model, train_ds, plan, sched, config.batch_size,
-            ema_decay=config.ema_decay, augment=augmenter)
+            ema_decay=config.ema_decay, augment=augmenter,
+            cond_dropout=config.cond_dropout)
         logger.info('diffusion streaming data: %d segments of %d rows',
                     len(plan.segments), plan.rows_pad)
     n_data_shards = int(mesh.shape['data'])
@@ -182,7 +183,8 @@ def train_diffusion(config: Config,
             sdata = ShardedDeviceData(train_ds, mesh)
             epoch_runner = make_sharded_diffusion_epoch_runner(
                 model, sdata, sched, config.batch_size,
-                ema_decay=config.ema_decay, augment=augmenter)
+                ema_decay=config.ema_decay, augment=augmenter,
+                cond_dropout=config.cond_dropout)
             logger.info('diffusion pod-sharded data: %d shards, %.0f MB '
                         'HBM/device', sdata.num_shards,
                         sdata.hbm_bytes_per_device / 1e6)
@@ -193,7 +195,8 @@ def train_diffusion(config: Config,
                            'falling back to the host loader', e)
 
     step = make_diffusion_train_step(model, train_ds.lab_offsets, sched,
-                                     augment=augmenter)
+                                     augment=augmenter,
+                                     cond_dropout=config.cond_dropout)
     sampler = make_sampler(model, sched, num_steps=EVAL_SAMPLE_STEPS,
                            fused_inference=config.fused_inference)
 

@@ -214,7 +214,8 @@ def make_sharded_diffusion_epoch_runner(model, sdata: ShardedDeviceData,
                                         schedule, batch_size: int,
                                         steps_per_call: int = 0,
                                         ema_decay: float = 0.0,
-                                        augment=None) -> Callable:
+                                        augment=None,
+                                        cond_dropout: float = 0.0) -> Callable:
     """Pod-sharded diffusion training: ``run(state[, ema], rng)``.
 
     Same shape as :func:`make_sharded_epoch_runner` but the step is the
@@ -245,8 +246,13 @@ def make_sharded_diffusion_epoch_runner(model, sdata: ShardedDeviceData,
             batch_inputs, batch_labels = sample_gather(feats, labs, base,
                                                        cnt, s_rng)
             from inferbiomechanics_tpu.train.augment import maybe_augment
+            from inferbiomechanics_tpu.models.diffusion import (
+                drop_conditioning,
+            )
             batch_inputs, batch_labels = maybe_augment(
                 augment, batch_inputs, batch_labels, t_rng)
+            batch_inputs = drop_conditioning(batch_inputs, t_rng,
+                                             cond_dropout)
             x0 = diffusion_targets_from_labels(
                 batch_labels, sdata.lab_offsets, model.num_contact_bodies)
             t = jax.random.randint(t_rng, (batch_size,), 0,

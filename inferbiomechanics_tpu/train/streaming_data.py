@@ -208,7 +208,8 @@ def make_streaming_diffusion_epoch(model, ds: WindowDataset,
                                    batch_size: int,
                                    ema_decay: float = 0.0,
                                    feature_dtype=jnp.bfloat16,
-                                   augment=None) -> Callable:
+                                   augment=None,
+                                   cond_dropout: float = 0.0) -> Callable:
     """Out-of-core diffusion training: the ε-prediction step over
     streamed segments (same segment/prefetch mechanics as
     :func:`make_streaming_epoch`; step = the DDPM objective of
@@ -233,7 +234,9 @@ def make_streaming_diffusion_epoch(model, ds: WindowDataset,
         bi = jnp.take(feats, rows, axis=0)
         bl = jnp.take(labs, rows, axis=0)
         from inferbiomechanics_tpu.train.augment import maybe_augment
+        from inferbiomechanics_tpu.models.diffusion import drop_conditioning
         bi, bl = maybe_augment(augment, bi, bl, rng_t)
+        bi = drop_conditioning(bi, rng_t, cond_dropout)
         x0 = diffusion_targets_from_labels(bl, ds.lab_offsets,
                                            model.num_contact_bodies)
         t = jax.random.randint(rng_t, (idx.shape[0],), 0, schedule.timesteps)

@@ -420,3 +420,81 @@ def test_diffusion_async_checkpoint_carries_ema(tmp_path):
     assert 'ema_params' in raw
     flat_p = jax.tree_util.tree_leaves(raw['params'])
     assert all(np.isfinite(np.asarray(x)).all() for x in flat_p)
+
+
+# ---------------------------------------------------------------------------
+# Classifier-free guidance
+# ---------------------------------------------------------------------------
+
+
+def test_drop_conditioning_edges(ds):
+    from inferbiomechanics_tpu.models.diffusion import drop_conditioning
+    batch = ds.gather(np.arange(8))
+    x = jnp.asarray(batch.inputs)
+    rng = jax.random.PRNGKey(0)
+    assert drop_conditioning(x, rng, 0.0) is x         # p=0: no-op, no key use
+    z = drop_conditioning(x, rng, 1.0)
+    np.testing.assert_array_equal(np.asarray(z), 0.0)  # p=1: all null
+    # p=0.5: each sample is either untouched or fully zeroed
+    h = np.asarray(drop_conditioning(x, rng, 0.5))
+    xn = np.asarray(x)
+    for b in range(8):
+        assert np.array_equal(h[b], xn[b]) or (h[b] == 0).all()
+
+
+def test_cond_dropout_step_trains_and_differs(ds):
+    model = _model(ds)
+    state, batch = _state(model, ds)
+    x, y = jnp.asarray(batch.inputs), jnp.asarray(batch.labels)
+
+    def run(p):
+        st = _state(model, ds)[0]
+        step = make_diffusion_train_step(model, ds.lab_offsets,
+                                         donate=False, cond_dropout=p)
+        st, metrics = step(st, x, y, jax.random.PRNGKey(3))
+        return float(metrics['loss'])
+
+    l0, lp = run(0.0), run(0.5)
+    assert np.isfinite(lp)
+    assert l0 != lp     # some conditioning was dropped under the same seed
+
+
+def test_guidance_scale_one_matches_plain_sampler(ds):
+    model = _model(ds, timesteps=16)
+    state, batch = _state(model, ds)
+    x = jnp.asarray(batch.inputs)
+    plain = make_sampler(model, num_steps=4)
+    g1 = make_sampler(model, num_steps=4, guidance_scale=1.0)
+    o_plain = plain(state.params, x, jax.random.PRNGKey(5))
+    o_g1 = g1(state.params, x, jax.random.PRNGKey(5))
+    for k in o_plain:
+        np.testing.assert_array_equal(np.asarray(o_plain[k]),
+                                      np.asarray(o_g1[k]))
+
+
+def test_guidance_scale_changes_samples(ds):
+    model = _model(ds, timesteps=16)
+    state, batch = _state(model, ds)
+    x = jnp.asarray(batch.inputs)
+    plain = make_sampler(model, num_steps=4)
+    g2 = make_sampler(model, num_steps=4, guidance_scale=2.0)
+    o_plain = plain(state.params, x, jax.random.PRNGKey(5))
+    o_g2 = g2(state.params, x, jax.random.PRNGKey(5))
+    k = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    assert np.all(np.isfinite(np.asarray(o_g2[k])))
+    assert not np.array_equal(np.asarray(o_plain[k]), np.asarray(o_g2[k]))
+
+
+def test_diffusion_loop_with_cfg_config(ds, tmp_path):
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.train.diffusion_loop import train_diffusion
+
+    cfg = Config(window_size=20, stride=5, output_data_format='all_frames',
+                 model_type='diffusion', d_model=32, num_layers=1,
+                 num_heads=2, diffusion_timesteps=16, epochs=1,
+                 batch_size=8, opt_type='adam', learning_rate=1e-3,
+                 checkpoint_dir=str(tmp_path / 'ckpt'),
+                 cond_dropout=0.2, no_wandb=True)
+    res = train_diffusion(cfg, ds, dev_ds=None)
+    assert res.epochs_run == 1
+    assert np.isfinite(res.final_train_metrics['eps_mse'])
