@@ -255,6 +255,7 @@ class InferenceService:
             if self.epoch < 0:
                 logger.warning('no checkpoint found in %s — serving an '
                                'UNTRAINED model', checkpoint_dir)
+        self._checkpoint_dir = checkpoint_dir
         self.use_ema = bool(use_ema)
         if self.use_ema:
             from inferbiomechanics_tpu.train.checkpoint import (
@@ -391,6 +392,39 @@ class InferenceService:
         self._file_ds: 'OrderedDict[str, WindowDataset]' = OrderedDict()
         self._file_ds_lock = threading.Lock()
         self._file_ds_cap = 4
+
+    def reload(self) -> dict:
+        """Hot-swap to the newest checkpoint in the service's checkpoint
+        dir (``POST /reload``). Parameters are per-call jit arguments, so
+        the swap costs zero recompilation; in-flight forwards finish on
+        the old params (the swap serializes on the device lock). No-op
+        when the newest checkpoint is already being served."""
+        from inferbiomechanics_tpu.train.checkpoint import (
+            load_latest_checkpoint, require_ema_params,
+            resolve_checkpoint_path,
+        )
+        if self.members:
+            raise ValueError('reload serves a single checkpoint dir; '
+                             'restart the server to change an ensemble')
+        if self.quantize:
+            raise ValueError('reload is not supported with --quantize '
+                             '(weights are baked into the compiled '
+                             'program); restart the server')
+        new_state, epoch, batch = load_latest_checkpoint(
+            self.state, self._checkpoint_dir)
+        if epoch < 0 or (epoch, batch) == (self.epoch, self.batch):
+            return {'reloaded': False, 'epoch': self.epoch,
+                    'batch': self.batch}
+        if self.use_ema:
+            ema = require_ema_params(
+                resolve_checkpoint_path(self._checkpoint_dir),
+                new_state.params)
+            new_state = new_state.replace(params=ema)
+        with self._lock:
+            self.state = new_state
+            self.epoch, self.batch = epoch, batch
+        logger.info('reloaded checkpoint epoch %d batch %d', epoch, batch)
+        return {'reloaded': True, 'epoch': epoch, 'batch': batch}
 
     def record_request(self, rows: int, dt_ms: float, error: bool) -> None:
         with self._stats_lock:
@@ -634,6 +668,9 @@ def make_handler(service: InferenceService):
                                           if spread is not None else None)
                     ok = True
                     self._send(200, resp)
+                elif self.path == '/reload':
+                    ok = True
+                    self._send(200, service.reload())
                 elif self.path == '/predict_file':
                     if 'file' not in payload:
                         raise ValueError('request needs "file"')

@@ -484,3 +484,59 @@ def test_multichip_max_batch_aligns_to_data_axis(service, tmp_path):
                             max_batch=100)
     assert svc2.mesh is not None
     assert svc2.max_batch == 96          # 100 -> 12 x 8
+
+
+# ---------------------------------------------------------------------------
+# Hot checkpoint reload
+# ---------------------------------------------------------------------------
+
+
+def test_hot_reload_swaps_params(tmp_path):
+    d = tmp_path / 'data'
+    d.mkdir()
+    write_synthetic_subject(str(d / 's.b3d'), num_trials=1,
+                            trial_length=120, seed=1)
+    cfg = Config()
+    cfg.model_type = 'feedforward'
+    cfg.window_size, cfg.stride = 20, 5
+    ds = WindowDataset(str(d), window_size=20, stride=5,
+                       skip_loading_skeletons=True)
+    model = build_model_for_dataset(cfg, ds)
+    sample = ds.gather(np.arange(4))
+    state0 = create_train_state(model, jax.random.PRNGKey(0),
+                                jnp.asarray(sample.inputs),
+                                make_optimizer('adam', 1e-3))
+    ckpt = str(tmp_path / 'ckpt')
+    save_checkpoint(ckpt, state0, 0, 0)
+    svc = InferenceService(cfg, ckpt, ds, max_batch=16)
+    x = np.asarray(sample.inputs, np.float32)
+    out0 = svc.predict_packed(x)
+
+    # no newer checkpoint -> no-op
+    r = svc.reload()
+    assert r == {'reloaded': False, 'epoch': 0, 'batch': 0}
+
+    # write a newer checkpoint with different params and reload
+    state1 = create_train_state(model, jax.random.PRNGKey(9),
+                                jnp.asarray(sample.inputs),
+                                make_optimizer('adam', 1e-3))
+    save_checkpoint(ckpt, state1, 1, 0)
+    r = svc.reload()
+    assert r == {'reloaded': True, 'epoch': 1, 'batch': 0}
+    assert (svc.epoch, svc.batch) == (1, 0)
+    out1 = svc.predict_packed(x)
+    k = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    assert not np.array_equal(out0[k], out1[k])
+
+
+def test_reload_http_endpoint(base_url, service):
+    # the module service already serves its newest checkpoint -> no-op,
+    # and the endpoint reports the served (epoch, batch)
+    r = _post(f'{base_url}/reload', {})
+    assert r['reloaded'] is False
+    assert (r['epoch'], r['batch']) == (service.epoch, service.batch)
+
+
+def test_reload_rejected_for_ensembles(ensemble_service):
+    with pytest.raises(ValueError, match='ensemble'):
+        ensemble_service.reload()
