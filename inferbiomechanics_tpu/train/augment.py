@@ -285,6 +285,25 @@ def spec_from_dataset(ds, lateral_axis: int = 2) -> MirrorSpec:
         joints=joints)
 
 
+def _fast_normal(rng, shape, dtype):
+    """Gaussian draw via the TPU-hardware ``rbg`` generator.
+
+    Threefry dominates the augmented step cost for multi-megabyte noise
+    tensors (measured +57% on the B=4096 feedforward step); rbg cuts the
+    draw ~2.6× (scripts/probe_augment.py). Deterministic per key within
+    a jax/backend version, but — like everything rbg — not bit-stable
+    ACROSS versions; acceptable for augmentation noise, which is never
+    part of a reproducibility contract tighter than the run itself."""
+    import jax
+    import jax.numpy as jnp
+    try:
+        kd = jax.random.key_data(rng).reshape(-1).astype(jnp.uint32)
+        rbg = jax.random.wrap_key_data(jnp.tile(kd, 2)[:4], impl='rbg')
+        return jax.random.normal(rbg, shape, dtype)
+    except Exception:                       # pragma: no cover - old jax
+        return jax.random.normal(rng, shape, dtype)
+
+
 class Augmenter:
     """Apply per-sample mirroring and/or input noise inside a train step.
 
@@ -324,7 +343,7 @@ class Augmenter:
                 labels = jnp.where(coin[:, None, None], ml, labels)
         if self.noise_std > 0.0:
             std = jnp.std(inputs, axis=(0, 1), keepdims=True)
-            inputs = inputs + (self.noise_std * std) * jax.random.normal(
+            inputs = inputs + (self.noise_std * std) * _fast_normal(
                 k_noise, inputs.shape, inputs.dtype)
         return inputs, labels
 
