@@ -68,6 +68,11 @@ class AnalyzeCommand:
                                  '(dirs or .ckpt files, e.g. a seed sweep\'s '
                                  'outputs) — quantifies what ensembling '
                                  'buys on the dev metrics')
+        parser.add_argument('--bootstrap', type=int, default=0,
+                            help='Resample the per-window rows N times and '
+                                 'print 95%% confidence intervals on the '
+                                 'mean loss / force / COM-acc errors '
+                                 '(exact at --batch-size 1)')
         parser.add_argument('--group-by', type=str, default=None,
                             choices=['trial', 'subject', 'activity'],
                             help='Also write {split}_summary_{group}.csv: '
@@ -227,6 +232,8 @@ class AnalyzeCommand:
             os.makedirs(checkpoint_dir, exist_ok=True)
             group_by = getattr(args, 'group_by', None)
             groups = {}      # key -> [n, sum_loss, sum_force, sum_com_acc]
+            n_boot = int(getattr(args, 'bootstrap', 0) or 0)
+            boot_rows = []   # per-window [loss, force, com_acc] rows
             with open(csv_path, 'a', newline='') as f:
                 writer = csv.writer(f)
                 for i, batch in enumerate(ds.batches(config.batch_size,
@@ -260,6 +267,8 @@ class AnalyzeCommand:
                                float(metrics['force_avg_err']),
                                float(metrics['com_acc_avg_err'])]
                         writer.writerow([subj, trial] + row)
+                        if n_boot:
+                            boot_rows.append(row)
                         if group_by:
                             if group_by == 'trial':
                                 key = f'{subj}/{trial}'
@@ -280,6 +289,23 @@ class AnalyzeCommand:
             print(f'[{split}] final report:')
             evaluator.print_report(log_to_wandb=True)
             print(f'wrote {csv_path}')
+            if n_boot and boot_rows:
+                # 95% percentile bootstrap over the per-window rows
+                rows_np = np.asarray(boot_rows)          # [W, 3]
+                rng = np.random.default_rng(0)
+                idx = rng.integers(0, rows_np.shape[0],
+                                   (n_boot, rows_np.shape[0]))
+                means = rows_np[idx].mean(axis=1)        # [N, 3]
+                lo = np.percentile(means, 2.5, axis=0)
+                hi = np.percentile(means, 97.5, axis=0)
+                mid = rows_np.mean(axis=0)
+                names = ['loss', 'force_avg_err (N/kg)',
+                         'com_acc_avg_err (m/s^2)']
+                print(f'[{split}] bootstrap 95% CIs '
+                      f'({rows_np.shape[0]} windows, {n_boot} resamples):')
+                for j, name in enumerate(names):
+                    print(f'  {name}: {mid[j]:.4f} '
+                          f'[{lo[j]:.4f}, {hi[j]:.4f}]')
             if group_by and groups:
                 spath = os.path.join(checkpoint_dir,
                                      f'{split}_summary_{group_by}.csv')

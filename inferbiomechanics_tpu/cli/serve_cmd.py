@@ -44,6 +44,11 @@ class ServeCommand:
                                  'forward (0 = off). Trades ~that much '
                                  'latency for near-flat throughput '
                                  'scaling with client count')
+        parser.add_argument('--reload-poll-sec', type=float, default=0.0,
+                            help='Poll the checkpoint dir every N seconds '
+                                 'and hot-swap to newer checkpoints '
+                                 'automatically (0 = off; POST /reload '
+                                 'always works)')
         parser.add_argument('--use-ema', action='store_true',
                             help='Serve the checkpoint\'s EMA parameter '
                                  'tree (train --ema-decay)')
@@ -91,6 +96,7 @@ class ServeCommand:
                                    sample_steps=args.sample_steps,
                                    quantize=args.quantize,
                                    use_ema=args.use_ema)
+        service.start_reload_poller(args.reload_poll_sec)
         server = serve(service, host=args.host, port=args.port)
         tag = (f'{len(service.members)}-member ensemble'
                if service.members else

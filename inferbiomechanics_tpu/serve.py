@@ -426,6 +426,31 @@ class InferenceService:
         logger.info('reloaded checkpoint epoch %d batch %d', epoch, batch)
         return {'reloaded': True, 'epoch': epoch, 'batch': batch}
 
+    def start_reload_poller(self, poll_sec: float) -> None:
+        """Background thread: poll the checkpoint dir every ``poll_sec``
+        and hot-swap when a newer checkpoint lands (``--reload-poll-sec``)
+        — train in one process, serve always-freshest in another, no
+        operator in the loop. Errors are logged, never fatal."""
+        if poll_sec <= 0:
+            return
+
+        def loop():
+            import time as _time
+            while not getattr(self, '_poller_stop', False):
+                _time.sleep(poll_sec)
+                try:
+                    r = self.reload()
+                    if r.get('reloaded'):
+                        logger.info('reload poller: now serving epoch %d '
+                                    'batch %d', r['epoch'], r['batch'])
+                except Exception as e:    # pragma: no cover - defensive
+                    logger.warning('reload poller: %s', e)
+
+        self._poller_stop = False
+        self._poller = threading.Thread(target=loop, daemon=True,
+                                        name='ib-serve-reload-poller')
+        self._poller.start()
+
     def record_request(self, rows: int, dt_ms: float, error: bool) -> None:
         with self._stats_lock:
             self.stats['requests'] += 1

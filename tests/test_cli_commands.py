@@ -276,3 +276,20 @@ def test_train_bf16_grad_allreduce(workspace, tmp_path):
         capture_output=True, text=True, env=env, timeout=420)
     assert out.returncode == 0, out.stderr[-3000:]
     assert (ckpt / 'feedforward').is_dir()
+
+
+def test_analyze_bootstrap_cis(workspace):
+    out = run_cmd(['analyze', '--dataset-home', workspace['data'],
+                   '--checkpoint-dir', workspace['ckpt'], '--no-wandb',
+                   '--short', '--bootstrap', '200'])
+    assert 'bootstrap 95% CIs' in out.stdout
+    # every CI line is "name: mid [lo, hi]" with lo <= mid <= hi
+    import re
+    lines = [l for l in out.stdout.splitlines() if re.search(r'\[.*,.*\]', l)
+             and 'avg_err' in l]
+    assert lines
+    for l in lines:
+        m = re.search(r': ([-\d.]+) \[([-\d.]+), ([-\d.]+)\]', l)
+        assert m, l
+        mid, lo, hi = map(float, m.groups())
+        assert lo <= mid <= hi

@@ -540,3 +540,34 @@ def test_reload_http_endpoint(base_url, service):
 def test_reload_rejected_for_ensembles(ensemble_service):
     with pytest.raises(ValueError, match='ensemble'):
         ensemble_service.reload()
+
+
+def test_reload_poller_picks_up_new_checkpoint(tmp_path):
+    import time
+
+    d = tmp_path / 'data'
+    d.mkdir()
+    write_synthetic_subject(str(d / 's.b3d'), num_trials=1,
+                            trial_length=120, seed=2)
+    cfg = Config()
+    cfg.model_type = 'feedforward'
+    cfg.window_size, cfg.stride = 20, 5
+    ds = WindowDataset(str(d), window_size=20, stride=5,
+                       skip_loading_skeletons=True)
+    model = build_model_for_dataset(cfg, ds)
+    sample = ds.gather(np.arange(4))
+    state0 = create_train_state(model, jax.random.PRNGKey(0),
+                                jnp.asarray(sample.inputs),
+                                make_optimizer('adam', 1e-3))
+    ckpt = str(tmp_path / 'ckpt')
+    save_checkpoint(ckpt, state0, 0, 0)
+    svc = InferenceService(cfg, ckpt, ds, max_batch=16)
+    svc.start_reload_poller(0.1)
+    try:
+        save_checkpoint(ckpt, state0, 2, 0)
+        deadline = time.time() + 10.0
+        while time.time() < deadline and svc.epoch != 2:
+            time.sleep(0.05)
+        assert (svc.epoch, svc.batch) == (2, 0)
+    finally:
+        svc._poller_stop = True
