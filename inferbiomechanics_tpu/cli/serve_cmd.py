@@ -44,6 +44,12 @@ class ServeCommand:
                                  'forward (0 = off). Trades ~that much '
                                  'latency for near-flat throughput '
                                  'scaling with client count')
+        parser.add_argument('--diffusion-samples', type=int, default=1,
+                            help='Diffusion: draw K independent sampling '
+                                 'chains per request (one vmapped program) '
+                                 'and return their mean; "spread": true '
+                                 'also returns the across-sample std as an '
+                                 'aleatoric-uncertainty signal')
         parser.add_argument('--reload-poll-sec', type=float, default=0.0,
                             help='Poll the checkpoint dir every N seconds '
                                  'and hot-swap to newer checkpoints '
@@ -95,7 +101,8 @@ class ServeCommand:
                                    batch_wait_ms=args.batch_wait_ms,
                                    sample_steps=args.sample_steps,
                                    quantize=args.quantize,
-                                   use_ema=args.use_ema)
+                                   use_ema=args.use_ema,
+                                   diffusion_samples=args.diffusion_samples)
         service.start_reload_poller(args.reload_poll_sec)
         server = serve(service, host=args.host, port=args.port)
         tag = (f'{len(service.members)}-member ensemble'

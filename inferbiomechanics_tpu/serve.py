@@ -166,7 +166,8 @@ class InferenceService:
                  batch_wait_ms: float = 0.0,
                  sample_steps: int = 50,
                  quantize: Optional[str] = None,
-                 use_ema: bool = False):
+                 use_ema: bool = False,
+                 diffusion_samples: int = 1):
         """``ensemble``: optional list of checkpoint dirs or ``.ckpt``
         files (e.g. the per-config checkpoints a seed sweep wrote). All
         members run as ONE vmapped forward per request — the same
@@ -196,6 +197,12 @@ class InferenceService:
         self.max_batch = int(max_batch)
         self.is_diffusion = config.model_type == 'diffusion'
         self.sample_steps = int(sample_steps)
+        self.diffusion_samples = int(diffusion_samples)
+        if self.diffusion_samples < 1:
+            raise ValueError('--diffusion-samples must be >= 1')
+        if self.diffusion_samples > 1 and not self.is_diffusion:
+            raise ValueError('--diffusion-samples applies to '
+                             '--model-type diffusion')
         if self.is_diffusion:
             if ensemble:
                 raise ValueError('ensembles are not supported for diffusion '
@@ -309,8 +316,22 @@ class InferenceService:
                                    fused_inference=use_fused,
                                    guidance_scale=config.guidance_scale)
 
-            def fwd(params, x):
-                return sampler(params, x, jax.random.PRNGKey(0))
+            if self.diffusion_samples > 1:
+                # aleatoric uncertainty: K independent sampling chains in
+                # one vmapped program; /predict returns the across-sample
+                # mean and (on request) std — the generative analogue of
+                # the ensemble spread
+                keys = jax.random.split(jax.random.PRNGKey(0),
+                                        self.diffusion_samples)
+
+                def fwd(params, x):
+                    outs = jax.vmap(lambda k: sampler(params, x, k))(keys)
+                    mean = jax.tree_util.tree_map(lambda o: o.mean(0), outs)
+                    spread = jax.tree_util.tree_map(lambda o: o.std(0), outs)
+                    return mean, spread
+            else:
+                def fwd(params, x):
+                    return sampler(params, x, jax.random.PRNGKey(0))
         elif self.quantize:
             # weights quantized ONCE here; the closure constants fold
             # into the compiled program as int8 tensors (ops/quant.py)
@@ -527,6 +548,8 @@ class InferenceService:
             if self.members:
                 out, spread = jax.device_get(self._fwd_ens(
                     self._params_stack, self._bs_stack, xj))
+            elif self.diffusion_samples > 1:
+                out, spread = jax.device_get(self._fwd(self.state.params, xj))
             else:
                 out = jax.device_get(self._fwd(self.state.params, xj))
         out = {k: np.asarray(v)[:b] for k, v in out.items()}
@@ -585,6 +608,8 @@ class InferenceService:
                          'members': self.members} if self.members else None,
             'diffusion_sample_steps': (self.sample_steps
                                        if self.is_diffusion else None),
+            'diffusion_samples': (self.diffusion_samples
+                                  if self.is_diffusion else None),
             'fused_inference': self._use_fused,
             'quantize': self.quantize,
             'use_ema': self.use_ema,

@@ -571,3 +571,31 @@ def test_reload_poller_picks_up_new_checkpoint(tmp_path):
         assert (svc.epoch, svc.batch) == (2, 0)
     finally:
         svc._poller_stop = True
+
+
+def test_diffusion_multi_sample_uncertainty(service, tmp_path):
+    """--diffusion-samples K: /predict returns the across-sample mean and
+    std from K vmapped sampling chains."""
+    cfg = Config()
+    cfg.model_type = 'diffusion'
+    cfg.output_data_format = 'all_frames'
+    cfg.window_size, cfg.stride = 20, 5
+    cfg.d_model, cfg.num_layers, cfg.num_heads = 32, 1, 4
+    svc = InferenceService(cfg, str(tmp_path / 'none'), service.ds,
+                           max_batch=8, sample_steps=4,
+                           diffusion_samples=3)
+    batch = service.ds.gather(np.arange(2))
+    out, spread = svc.predict_packed(np.asarray(batch.inputs),
+                                     with_spread=True)
+    k = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    assert out[k].shape == (2, 4, 6) and spread[k].shape == (2, 4, 6)
+    assert np.isfinite(out[k]).all() and np.isfinite(spread[k]).all()
+    # an untrained denoiser's chains genuinely differ -> nonzero spread
+    assert float(np.abs(spread[k]).max()) > 0
+    assert svc.schema()['diffusion_samples'] == 3
+    # non-diffusion models reject the flag
+    cfg2 = Config()
+    cfg2.window_size, cfg2.stride = 20, 5
+    with pytest.raises(ValueError, match='diffusion'):
+        InferenceService(cfg2, str(tmp_path / 'none2'), service.ds,
+                         diffusion_samples=2)
