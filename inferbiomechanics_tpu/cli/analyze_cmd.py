@@ -290,12 +290,19 @@ class AnalyzeCommand:
             evaluator.print_report(log_to_wandb=True)
             print(f'wrote {csv_path}')
             if n_boot and boot_rows:
-                # 95% percentile bootstrap over the per-window rows
+                # 95% percentile bootstrap over the per-window rows,
+                # chunked: materializing all (n_boot, W) resample indices
+                # at once is O(n_boot*W) host RAM — 14 GB for 2000x300k
                 rows_np = np.asarray(boot_rows)          # [W, 3]
                 rng = np.random.default_rng(0)
-                idx = rng.integers(0, rows_np.shape[0],
-                                   (n_boot, rows_np.shape[0]))
-                means = rows_np[idx].mean(axis=1)        # [N, 3]
+                w = rows_np.shape[0]
+                chunks = []
+                chunk = max(1, min(n_boot, 64_000_000 // max(w, 1)))
+                for lo_i in range(0, n_boot, chunk):
+                    k = min(chunk, n_boot - lo_i)
+                    idx = rng.integers(0, w, (k, w))
+                    chunks.append(rows_np[idx].mean(axis=1))
+                means = np.concatenate(chunks)           # [N, 3]
                 lo = np.percentile(means, 2.5, axis=0)
                 hi = np.percentile(means, 97.5, axis=0)
                 mid = rows_np.mean(axis=0)

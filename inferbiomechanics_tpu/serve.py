@@ -275,7 +275,7 @@ class InferenceService:
                                      self.state.params)
             self.state = self.state.replace(params=ema)
 
-        batch_stats = self.state.batch_stats
+        has_bs = bool(self.state.batch_stats)
         self.quantize = quantize if quantize not in (None, 'none') else None
         if self.quantize:
             from inferbiomechanics_tpu.models.feedforward import (
@@ -324,13 +324,13 @@ class InferenceService:
                 keys = jax.random.split(jax.random.PRNGKey(0),
                                         self.diffusion_samples)
 
-                def fwd(params, x):
+                def fwd(params, bstats, x):
                     outs = jax.vmap(lambda k: sampler(params, x, k))(keys)
                     mean = jax.tree_util.tree_map(lambda o: o.mean(0), outs)
                     spread = jax.tree_util.tree_map(lambda o: o.std(0), outs)
                     return mean, spread
             else:
-                def fwd(params, x):
+                def fwd(params, bstats, x):
                     return sampler(params, x, jax.random.PRNGKey(0))
         elif self.quantize:
             # weights quantized ONCE here; the closure constants fold
@@ -341,19 +341,23 @@ class InferenceService:
             qfwd = quantized_feedforward_forward(
                 self.model, jax.device_get(self.state.params))
 
-            def fwd(params, x):
-                del params          # baked into the quantized closure
+            def fwd(params, bstats, x):
+                del params, bstats  # baked into the quantized closure
                 return qfwd(x)
         else:
-            def fwd(params, x):
+            # batch_stats rides as a jit ARGUMENT, not a closure constant:
+            # a hot reload must swap batchnorm running stats along with
+            # the params (stale closed-over stats would silently skew
+            # every post-reload prediction)
+            def fwd(params, bstats, x):
                 if use_fused:
                     from inferbiomechanics_tpu.models.transformer import (
                         fused_transformer_forward,
                     )
                     return fused_transformer_forward(self.model, params, x)
                 variables = {'params': params}
-                if batch_stats:
-                    variables['batch_stats'] = batch_stats
+                if has_bs:
+                    variables['batch_stats'] = bstats
                 return self.model.apply(variables, x, train=False)
 
         if self.members:
@@ -421,8 +425,7 @@ class InferenceService:
         the old params (the swap serializes on the device lock). No-op
         when the newest checkpoint is already being served."""
         from inferbiomechanics_tpu.train.checkpoint import (
-            load_latest_checkpoint, require_ema_params,
-            resolve_checkpoint_path,
+            list_checkpoints, load_checkpoint_file, require_ema_params,
         )
         if self.members:
             raise ValueError('reload serves a single checkpoint dir; '
@@ -431,15 +434,19 @@ class InferenceService:
             raise ValueError('reload is not supported with --quantize '
                              '(weights are baked into the compiled '
                              'program); restart the server')
-        new_state, epoch, batch = load_latest_checkpoint(
-            self.state, self._checkpoint_dir)
-        if epoch < 0 or (epoch, batch) == (self.epoch, self.batch):
+        # metadata-only currency check: a no-op poll must not read (let
+        # alone deserialize) a possibly-huge checkpoint file
+        ckpts = list_checkpoints(self._checkpoint_dir)
+        if not ckpts or (ckpts[-1][0], ckpts[-1][1]) == (self.epoch,
+                                                         self.batch):
             return {'reloaded': False, 'epoch': self.epoch,
                     'batch': self.batch}
+        epoch, batch, path = ckpts[-1]
+        # load params and (optionally) EMA from the SAME file — resolving
+        # the dir twice could straddle a concurrent checkpoint write
+        new_state, epoch, batch = load_checkpoint_file(self.state, path)
         if self.use_ema:
-            ema = require_ema_params(
-                resolve_checkpoint_path(self._checkpoint_dir),
-                new_state.params)
+            ema = require_ema_params(path, new_state.params)
             new_state = new_state.replace(params=ema)
         with self._lock:
             self.state = new_state
@@ -454,6 +461,11 @@ class InferenceService:
         operator in the loop. Errors are logged, never fatal."""
         if poll_sec <= 0:
             return
+        if self.members or self.quantize:
+            raise ValueError('--reload-poll-sec cannot work here: reload '
+                             'is unsupported for '
+                             + ('ensembles' if self.members else
+                                '--quantize services'))
 
         def loop():
             import time as _time
@@ -549,9 +561,11 @@ class InferenceService:
                 out, spread = jax.device_get(self._fwd_ens(
                     self._params_stack, self._bs_stack, xj))
             elif self.diffusion_samples > 1:
-                out, spread = jax.device_get(self._fwd(self.state.params, xj))
+                out, spread = jax.device_get(self._fwd(
+                    self.state.params, self.state.batch_stats, xj))
             else:
-                out = jax.device_get(self._fwd(self.state.params, xj))
+                out = jax.device_get(self._fwd(
+                    self.state.params, self.state.batch_stats, xj))
         out = {k: np.asarray(v)[:b] for k, v in out.items()}
         if with_spread:
             if spread is not None:
@@ -719,8 +733,9 @@ def make_handler(service: InferenceService):
                     ok = True
                     self._send(200, resp)
                 elif self.path == '/reload':
+                    resp = service.reload()
                     ok = True
-                    self._send(200, service.reload())
+                    self._send(200, resp)
                 elif self.path == '/predict_file':
                     if 'file' not in payload:
                         raise ValueError('request needs "file"')

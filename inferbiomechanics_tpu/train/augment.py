@@ -163,10 +163,13 @@ class MirrorSpec:
     unpaired_names: List[str] = field(default_factory=list)
 
     def mirror_inputs(self, x):
-        return x[..., self.in_perm] * self.in_sign
+        # cast the sign vector to the batch dtype: a float32 numpy operand
+        # would silently promote bf16 feature batches to f32, doubling the
+        # activation bandwidth the bf16 tiers exist to save
+        return x[..., self.in_perm] * self.in_sign.astype(x.dtype)
 
     def mirror_labels(self, y):
-        return y[..., self.lab_perm] * self.lab_sign
+        return y[..., self.lab_perm] * self.lab_sign.astype(y.dtype)
 
 
 def _block(perm_units: np.ndarray, unit_sign: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -459,7 +459,7 @@ def _noising(sched, x0, rng):
 
 def make_sweep_diffusion_step(model, tx, lab_offsets, lrs: Sequence[float],
                               schedule=None, donate: bool = True,
-                              augment=None):
+                              augment=None, cond_dropout: float = 0.0):
     """Diffusion (ε-MSE) sweep step: every config denoises the SAME
     noised batch (shared t/noise draw, the analogue of the shared batch
     gather) with its own params and lr."""
@@ -472,8 +472,10 @@ def make_sweep_diffusion_step(model, tx, lab_offsets, lrs: Sequence[float],
     def step(state: TrainState, batch_inputs, batch_labels, rng,
              lrs=lrs_arr):
         from inferbiomechanics_tpu.train.augment import maybe_augment
+        from inferbiomechanics_tpu.models.diffusion import drop_conditioning
         batch_inputs, batch_labels = maybe_augment(augment, batch_inputs,
                                                    batch_labels, rng)
+        batch_inputs = drop_conditioning(batch_inputs, rng, cond_dropout)
         x0 = diffusion_targets_from_labels(batch_labels, lab_offsets,
                                            model.num_contact_bodies)
         x_t, t, noise = _noising(sched, x0, rng)
@@ -489,7 +491,8 @@ def make_sweep_diffusion_step(model, tx, lab_offsets, lrs: Sequence[float],
 
 def make_sweep_device_diffusion_step(model, tx, data,
                                      lrs: Sequence[float], schedule=None,
-                                     donate: bool = True, augment=None):
+                                     donate: bool = True, augment=None,
+                                     cond_dropout: float = 0.0):
     """Device-resident diffusion sweep step: ``step(state, idx, rng)``."""
     from inferbiomechanics_tpu.models.diffusion import (
         DDPMSchedule, diffusion_targets_from_labels,
@@ -500,9 +503,11 @@ def make_sweep_device_diffusion_step(model, tx, data,
     def step(state: TrainState, idx: jax.Array, rng: jax.Array,
              lrs=lrs_arr):
         from inferbiomechanics_tpu.train.augment import maybe_augment
+        from inferbiomechanics_tpu.models.diffusion import drop_conditioning
         batch_inputs, batch_labels = data.gather_in_jit(idx)
         batch_inputs, batch_labels = maybe_augment(augment, batch_inputs,
                                                    batch_labels, rng)
+        batch_inputs = drop_conditioning(batch_inputs, rng, cond_dropout)
         x0 = diffusion_targets_from_labels(batch_labels, data.lab_offsets,
                                            model.num_contact_bodies)
         x_t, t, noise = _noising(sched, x0, rng)
@@ -520,7 +525,8 @@ def make_sweep_streaming_diffusion_epoch(model, tx, ds: WindowDataset, plan,
                                          lrs: Sequence[float],
                                          batch_size: int, schedule=None,
                                          feature_dtype=jnp.bfloat16,
-                                         mesh=None, augment=None):
+                                         mesh=None, augment=None,
+                                         cond_dropout: float = 0.0):
     """Out-of-core diffusion sweep: streamed segments, each in-scan step
     one shared noising draw feeding the vmapped K-config ε-MSE update
     (segment upload paid once for all K configs)."""
@@ -544,7 +550,11 @@ def make_sweep_streaming_diffusion_epoch(model, tx, ds: WindowDataset, plan,
             bi = jnp.take(feats, rows, axis=0)
             bl = jnp.take(labs, rows, axis=0)
             from inferbiomechanics_tpu.train.augment import maybe_augment
+            from inferbiomechanics_tpu.models.diffusion import (
+                drop_conditioning,
+            )
             bi, bl = maybe_augment(augment, bi, bl, sub)
+            bi = drop_conditioning(bi, sub, cond_dropout)
             x0 = diffusion_targets_from_labels(bl, ds.lab_offsets,
                                                model.num_contact_bodies)
             x_t, t, noise = _noising(sched, x0, sub)
@@ -572,7 +582,8 @@ def make_sweep_streaming_diffusion_epoch(model, tx, ds: WindowDataset, plan,
 def make_sweep_sharded_diffusion_step(model, tx, sdata,
                                       lrs: Sequence[float], batch_size: int,
                                       schedule=None, donate: bool = True,
-                                      augment=None):
+                                      augment=None,
+                                      cond_dropout: float = 0.0):
     """Pod-sharded diffusion sweep step: ``step(state, rng[, lrs])``.
 
     Shard-local sample+gather of the conditioning windows and all-frames
@@ -598,10 +609,12 @@ def make_sweep_sharded_diffusion_step(model, tx, sdata,
              *, feats, labs, base, cnt):
         rng_s, rng_n = jax.random.split(rng)
         from inferbiomechanics_tpu.train.augment import maybe_augment
+        from inferbiomechanics_tpu.models.diffusion import drop_conditioning
         batch_inputs, batch_labels = sample_gather(feats, labs, base, cnt,
                                                    rng_s)
         batch_inputs, batch_labels = maybe_augment(augment, batch_inputs,
                                                    batch_labels, rng_n)
+        batch_inputs = drop_conditioning(batch_inputs, rng_n, cond_dropout)
         x0 = diffusion_targets_from_labels(batch_labels, sdata.lab_offsets,
                                            model.num_contact_bodies)
         x_t, t, noise = _noising(sched, x0, rng_n)
@@ -783,7 +796,8 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         if is_diffusion:
             streaming_run = make_sweep_streaming_diffusion_epoch(
                 model, tx, train_ds, plan, grid_lrs, config.batch_size,
-                mesh=mesh, augment=augmenter)
+                mesh=mesh, augment=augmenter,
+                cond_dropout=config.cond_dropout)
         else:
             streaming_run = make_sweep_streaming_epoch(
                 model, tx, train_ds, plan, lc, grid_lrs, config.batch_size,
@@ -827,7 +841,8 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     elif sharded_data is not None:
         step = (make_sweep_sharded_diffusion_step(model, tx, sharded_data,
                                                   grid_lrs, config.batch_size,
-                                                  augment=augmenter)
+                                                  augment=augmenter,
+                                                  cond_dropout=config.cond_dropout)
                 if is_diffusion else
                 make_sweep_sharded_train_step(model, tx, sharded_data, lc,
                                               grid_lrs, config.batch_size,
@@ -835,7 +850,8 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         loader = None
     elif device_data is not None:
         step = (make_sweep_device_diffusion_step(model, tx, device_data,
-                                                 grid_lrs, augment=augmenter)
+                                                 grid_lrs, augment=augmenter,
+                                                 cond_dropout=config.cond_dropout)
                 if is_diffusion else
                 make_sweep_device_train_step(model, tx, device_data, lc,
                                              grid_lrs, mesh=mesh,
@@ -843,7 +859,8 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         loader = None
     else:
         step = (make_sweep_diffusion_step(model, tx, train_ds.lab_offsets,
-                                          grid_lrs, augment=augmenter)
+                                          grid_lrs, augment=augmenter,
+                                          cond_dropout=config.cond_dropout)
                 if is_diffusion else
                 make_sweep_train_step(model, tx, train_ds.lab_offsets, lc,
                                       grid_lrs, mesh=mesh,

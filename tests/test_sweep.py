@@ -541,3 +541,27 @@ def test_sweep_streaming_diffusion_tier(tmp_path):
     assert len(result.points) == 2
     assert all(math.isfinite(p.final_train_loss) for p in result.points)
     assert result.windows_per_sec > 0
+
+
+def test_sweep_diffusion_cond_dropout_reaches_the_step(dataset, tmp_path):
+    """--cond-dropout changes the sweep's diffusion training stream (it
+    previously went silently unwired in the sweep family)."""
+    import math
+    root = dataset['root']
+    tds = WindowDataset(str(root / 'train'), window_size=50, stride=5,
+                        output_data_format='all_frames',
+                        skip_loading_skeletons=True)
+
+    def run(p):
+        config = Config(dataset_home=str(root), model_type='diffusion',
+                        output_data_format='all_frames',
+                        checkpoint_dir=str(tmp_path / f'ck{p}'),
+                        d_model=32, num_layers=1, num_heads=4,
+                        epochs=1, batch_size=16, seed=0, cond_dropout=p)
+        res = run_sweep(config, tds, None, lrs=[1e-3], seeds=[0],
+                        max_batches_per_epoch=2)
+        return res.points[0].final_train_loss
+
+    l0, lp = run(0.0), run(0.9)
+    assert math.isfinite(lp)
+    assert l0 != lp
