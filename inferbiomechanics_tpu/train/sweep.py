@@ -83,6 +83,7 @@ class SweepResult:
     best_index: int = -1
     windows_per_sec: float = 0.0   # aggregate over all configs
     pbt_events: List[dict] = field(default_factory=list)
+    preempted: bool = False        # SIGTERM grid-state-saved-and-exited
 
     @property
     def best(self) -> SweepPoint:
@@ -94,6 +95,7 @@ class SweepResult:
             'best_index': self.best_index,
             'windows_per_sec': self.windows_per_sec,
             'pbt_events': self.pbt_events,
+            'preempted': self.preempted,
         }, indent=2)
 
 
@@ -757,6 +759,54 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     else:
         state = init_sweep_states(model, tx, jnp.asarray(sample_inputs),
                                   grid_seeds)
+    # -- preemption safety + epoch-granular resume ----------------------
+    # SIGTERM (TPU-VM / batch-scheduler eviction) saves the FULL stacked
+    # grid state at the next epoch boundary and exits cleanly; rerunning
+    # the same sweep command resumes from that state. Same contract as
+    # train/loop.py, at the sweep's natural (epoch) granularity.
+    stop_requested = {'flag': False}
+
+    def _on_term(signum, frame):
+        stop_requested['flag'] = True
+        logger.warning('SIGTERM received: saving the grid state at the '
+                       'next epoch boundary and exiting cleanly')
+
+    import signal as _signal
+    old_handler = None
+    try:
+        old_handler = _signal.signal(_signal.SIGTERM, _on_term)
+    except ValueError:
+        pass   # not the main thread (tests driving run_sweep directly)
+
+    import json as _json
+    grid_dir = (os.path.join(config.checkpoint_dir, '_grid')
+                if config.checkpoint_dir else None)
+    side_path = (os.path.join(grid_dir, 'sweep_state.json')
+                 if grid_dir else None)
+    grid_spec = [[float(lr), int(sd)] for lr, sd in grid]
+    start_epoch = 0
+    resumed_side = None
+    if grid_dir:
+        from inferbiomechanics_tpu.train.checkpoint import (
+            load_latest_checkpoint,
+        )
+        st2, ge, _gb = load_latest_checkpoint(state, grid_dir)
+        if ge >= 0:
+            side = {}
+            if side_path and os.path.exists(side_path):
+                with open(side_path) as f:
+                    side = _json.load(f)
+            if side.get('grid') == grid_spec:
+                state = st2
+                start_epoch = ge + 1
+                resumed_side = side
+                logger.info('sweep resume: grid state restored from '
+                            'epoch %d', ge)
+            else:
+                logger.warning('sweep grid checkpoint in %s does not match '
+                               'the requested lr x seed grid; starting '
+                               'fresh', grid_dir)
+
     mesh = None
     if shard_configs:
         from inferbiomechanics_tpu.parallel import make_mesh
@@ -900,8 +950,40 @@ def run_sweep(config: Config, train_ds: WindowDataset,
     cur_lrs = np.asarray(grid_lrs, np.float32)
     pbt_events: List[dict] = []
     best_params: List[Optional[dict]] = [None] * k   # host snapshots
-    last_epoch = -1
-    for epoch in range(config.epochs):
+    preempted = False
+    if resumed_side is not None:
+        cur_lrs = np.asarray(resumed_side['cur_lrs'], np.float32)
+        best_dev = np.asarray(resumed_side['best_dev'], np.float64)
+        best_epoch = np.asarray(resumed_side['best_epoch'], np.int64)
+        dev_curves = [np.asarray(c) for c in resumed_side['dev_curves']]
+        stale = int(resumed_side['stale'])
+        pbt_events = list(resumed_side['pbt_events'])
+
+    def persist_grid(epoch: int) -> None:
+        """Write the resume artifact: the stacked grid state (one
+        checkpoint) + the host-side trackers (JSON sidecar)."""
+        if grid_dir is None:
+            return
+        state_rep = (gather_replicated(state, mesh) if mesh is not None
+                     else state)
+        save_checkpoint(grid_dir, state_rep, epoch, 0)
+        from inferbiomechanics_tpu.train.checkpoint import prune_checkpoints
+        prune_checkpoints(grid_dir, keep=2)
+        if jax.process_index() == 0:
+            tmp = side_path + '.tmp'
+            with open(tmp, 'w') as f:
+                _json.dump({'grid': grid_spec,
+                            'cur_lrs': cur_lrs.tolist(),
+                            'best_dev': best_dev.tolist(),
+                            'best_epoch': best_epoch.tolist(),
+                            'dev_curves': [list(map(float, c))
+                                           for c in dev_curves],
+                            'stale': stale,
+                            'pbt_events': pbt_events}, f)
+            os.replace(tmp, side_path)
+
+    last_epoch = start_epoch - 1
+    for epoch in range(start_epoch, config.epochs):
         last_epoch = epoch
         if streaming_run is not None:
             # one streamed epoch = one call (segment-granular, like the
@@ -946,6 +1028,10 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         dl = dev_losses_now()
         if dl is None:
             logger.info('sweep epoch %d done', epoch)
+            persist_grid(epoch)
+            if stop_requested['flag']:
+                preempted = True
+                break
             continue
         dev_curves.append(dl)
         if metric_logger is not None:
@@ -963,11 +1049,21 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         # may be overwritten by an exploit. Config-sharded states are
         # all-gathered first so every process can address every slice.
         if improved.any():
-            params_host = (gather_replicated(state.params, mesh)
-                           if mesh is not None else state.params)
+            state_rep = (gather_replicated(state, mesh) if mesh is not None
+                         else state)
             for i in np.nonzero(improved)[0]:
                 best_params[int(i)] = jax.tree_util.tree_map(
-                    lambda x, j=int(i): np.asarray(x[j]), params_host)
+                    lambda x, j=int(i): np.asarray(x[j]), state_rep.params)
+                if config.checkpoint_dir:
+                    # write best.ckpt AT improvement time so a preempted
+                    # (and resumed) sweep never loses its ranked artifact
+                    lr_i, seed_i = grid[int(i)]
+                    sub = os.path.join(config.checkpoint_dir,
+                                       f'lr{lr_i:g}_seed{seed_i}')
+                    bstate = slice_config(state_rep, int(i)).replace(
+                        params=best_params[int(i)])
+                    save_checkpoint(sub, bstate, int(epoch), 0,
+                                    filename='best.ckpt')
         logger.info('sweep epoch %d: best dev loss %.6f (config %d)',
                     epoch, float(best_dev.min()), int(best_dev.argmin()))
         # grid-wide early stop: when NO config improved for
@@ -1001,6 +1097,12 @@ def run_sweep(config: Config, train_ds: WindowDataset,
             logger.info('PBT at epoch %d: slots %s adopted %s (lrs now %s)',
                         epoch, dst.tolist(), src.tolist(),
                         ['%.2g' % v for v in cur_lrs])
+        persist_grid(epoch)
+        if stop_requested['flag']:
+            preempted = True
+            logger.warning('sweep preempted: grid state saved at epoch %d',
+                           epoch)
+            break
 
     # np.asarray forces the device->host readback = the only trustworthy
     # sync on this runtime (BENCH_NOTES.md measurement rules)
@@ -1018,7 +1120,12 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         state = gather_replicated(state, mesh)
     result = SweepResult(windows_per_sec=(windows_seen / elapsed
                                           if elapsed > 0 else 0.0),
-                         pbt_events=pbt_events)
+                         pbt_events=pbt_events, preempted=preempted)
+    if old_handler is not None:
+        try:
+            _signal.signal(_signal.SIGTERM, old_handler)
+        except ValueError:   # pragma: no cover
+            pass
     for i, (lr, seed) in enumerate(grid):
         pt = SweepPoint(index=i, learning_rate=lr, seed=seed,
                         final_train_loss=float(train_losses[i]),
@@ -1038,13 +1145,11 @@ def run_sweep(config: Config, train_ds: WindowDataset,
             # grid before config.epochs)
             pt.checkpoint_path = save_checkpoint(
                 sub, slice_config(state, i), max(0, last_epoch), 0)
-            if best_params[i] is not None:
-                # the artifact the ranked best_dev_loss refers to
-                bstate = slice_config(state, i).replace(
-                    params=best_params[i])
-                pt.best_checkpoint_path = save_checkpoint(
-                    sub, bstate, int(best_epoch[i]), 0,
-                    filename='best.ckpt')
+            # best.ckpt is written at improvement time (possibly by an
+            # earlier, preempted run of this same sweep)
+            bpath = os.path.join(sub, 'best.ckpt')
+            if os.path.exists(bpath):
+                pt.best_checkpoint_path = bpath
         result.points.append(pt)
     if k and np.isfinite(ranking).any():
         result.best_index = int(np.nanargmin(ranking))

@@ -293,3 +293,43 @@ def test_analyze_bootstrap_cis(workspace):
         assert m, l
         mid, lo, hi = map(float, m.groups())
         assert lo <= mid <= hi
+
+
+def test_sweep_sigterm_preemption_and_resume(tmp_path):
+    """SIGTERM mid-sweep saves the stacked grid state at the epoch
+    boundary and exits 0; rerunning the same sweep resumes it."""
+    import signal
+    import time as _time
+    data = tmp_path / 'data'
+    os.makedirs(data / 'train')
+    os.makedirs(data / 'dev')
+    write_synthetic_subject(str(data / 'train' / 's0.b3d'), num_trials=2,
+                            trial_length=900, seed=0)
+    write_synthetic_subject(str(data / 'dev' / 's0.b3d'), num_trials=1,
+                            trial_length=150, seed=1)
+    ckpt = tmp_path / 'ck'
+    env = dict(os.environ, IB_PLATFORM='cpu')
+    args = [sys.executable, MAIN, 'sweep', '--dataset-home', str(data),
+            '--checkpoint-dir', str(ckpt), '--no-wandb', '--epochs', '500',
+            '--batch-size', '16', '--lrs', '1e-3', '1e-2', '--seeds', '0']
+    proc = subprocess.Popen(args, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    _time.sleep(45)     # past compile, into the epoch loop
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 0, out[-3000:]
+    assert 'sweep preempted' in out, out[-2000:]
+    from inferbiomechanics_tpu.train.checkpoint import list_checkpoints
+    # sweep roots its checkpoints at {dir}/sweep/{model}/{shape_tag}
+    grids = list((ckpt / 'sweep').rglob('_grid'))
+    assert grids, out[-2000:]
+    grid_dir = grids[0]
+    cks = list_checkpoints(str(grid_dir))
+    assert cks and (grid_dir / 'sweep_state.json').exists(), out[-2000:]
+    epoch = cks[-1][0]
+    # resume to a quick finish
+    out2 = run_cmd(['sweep', '--dataset-home', str(data),
+                    '--checkpoint-dir', str(ckpt), '--no-wandb',
+                    '--epochs', str(epoch + 2), '--batch-size', '16',
+                    '--lrs', '1e-3', '1e-2', '--seeds', '0'], timeout=600)
+    assert 'sweep resume: grid state restored' in out2.stdout + out2.stderr

@@ -565,3 +565,54 @@ def test_sweep_diffusion_cond_dropout_reaches_the_step(dataset, tmp_path):
     l0, lp = run(0.0), run(0.9)
     assert math.isfinite(lp)
     assert l0 != lp
+
+
+def test_sweep_resume_continues_identically(dataset, tmp_path):
+    """A sweep rerun with the same grid + checkpoint dir resumes from the
+    saved grid state: the combined dev curve equals an uninterrupted run."""
+    root = dataset['root']
+
+    def mk(ck, epochs):
+        return Config(dataset_home=str(root), model_type='feedforward',
+                      hidden_dims=[16], epochs=epochs, batch_size=16,
+                      opt_type='adam', seed=0,
+                      checkpoint_dir=str(tmp_path / ck))
+
+    tds = WindowDataset(str(root / 'train'), window_size=50, stride=5,
+                        skip_loading_skeletons=True)
+    dds = WindowDataset(str(root / 'dev'), window_size=50, stride=5,
+                        skip_loading_skeletons=True)
+    lrs, seeds = [1e-3, 1e-2], [0]
+
+    # uninterrupted 4-epoch reference
+    full = run_sweep(mk('full', 4), tds, dds, lrs=lrs, seeds=seeds,
+                     max_batches_per_epoch=2)
+    # interrupted: 2 epochs, then rerun to 4 with the same dir
+    part = run_sweep(mk('part', 2), tds, dds, lrs=lrs, seeds=seeds,
+                     max_batches_per_epoch=2)
+    resumed = run_sweep(mk('part', 4), tds, dds, lrs=lrs, seeds=seeds,
+                        max_batches_per_epoch=2)
+    for i in range(2):
+        assert resumed.points[i].dev_curve[:2] == \
+            part.points[i].dev_curve
+        assert resumed.points[i].dev_curve == pytest.approx(
+            full.points[i].dev_curve, rel=1e-6)
+    # the ranked best artifact survives the interruption
+    assert all(p.best_checkpoint_path for p in resumed.points)
+
+
+def test_sweep_resume_rejects_grid_mismatch(dataset, tmp_path):
+    root = dataset['root']
+    tds = WindowDataset(str(root / 'train'), window_size=50, stride=5,
+                        skip_loading_skeletons=True)
+    cfg = Config(dataset_home=str(root), model_type='feedforward',
+                 hidden_dims=[16], epochs=1, batch_size=16,
+                 opt_type='adam', seed=0,
+                 checkpoint_dir=str(tmp_path / 'ck'))
+    run_sweep(cfg, tds, None, lrs=[1e-3], seeds=[0],
+              max_batches_per_epoch=2)
+    # different grid in the same dir: must start fresh, not resume
+    res = run_sweep(cfg, tds, None, lrs=[1e-4, 1e-5], seeds=[0],
+                    max_batches_per_epoch=2)
+    assert len(res.points) == 2
+    assert not res.preempted
