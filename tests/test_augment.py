@@ -302,3 +302,51 @@ def test_train_cli_flags_reach_the_loop(ds, tmp_path):
     res = train(cfg, ds, dev_ds=None, max_batches_per_epoch=3)
     assert res.epochs_run == 1
     assert np.isfinite(res.final_train_metrics['loss'])
+
+
+def test_mirror_spec_involution_property_random_skeletons():
+    """Property: for ANY name/axis soup the builder accepts, the mirror
+    transform is an involution with unit signs (100 random skeletons)."""
+    rng = np.random.default_rng(42)
+    from inferbiomechanics_tpu.data.b3d import JointSpec
+
+    semantic = ['pelvis_tilt', 'pelvis_list', 'pelvis_rotation',
+                'lumbar_extension', 'lumbar_bending', 'knee_angle',
+                'ankle_angle', 'wobble']
+    for trial in range(100):
+        dofs, joints = [], []
+        # free root
+        root = f'root{trial}'
+        dofs += [f'{root}_rot_{a}' for a in 'xyz']
+        dofs += [f'{root}_t{a}' for a in 'xyz']
+        # paired revolute joints with random (shared or mirrored) axes
+        for j in range(rng.integers(0, 4)):
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            for side in ('r', 'l'):
+                name = f'j{j}_{side}'
+                a = axis if side == 'r' else axis * rng.choice(
+                    [1.0, -1.0], size=3)
+                joints.append(JointSpec(name, 'revolute', -1, 0,
+                                        [0.0, 0.0, 0.0], list(a)))
+                dofs.append(name)
+        # paired ball joints
+        for j in range(rng.integers(0, 3)):
+            for side in ('r', 'l'):
+                dofs += [f'b{j}_{side}_{a}' for a in 'xyz']
+        # semantic + unpaired leftovers
+        dofs += list(rng.choice(semantic, size=rng.integers(0, 4),
+                                replace=False))
+        dofs.append(f'orphan_{trial}_r')      # partnerless
+        jnames = [f'jc{i}_r' if i % 2 == 0 else f'jc{i - 1}_l'
+                  for i in range(12)]
+        bodies = ['calcn_r', 'calcn_l'] if trial % 2 else ['foot']
+        lat = int(rng.integers(0, 3))
+        spec = build_mirror_spec(dofs, jnames, bodies,
+                                 root_history_len=int(rng.integers(1, 5)),
+                                 lateral_axis=lat, joints=joints)
+        for perm, sign in ((spec.in_perm, spec.in_sign),
+                           (spec.lab_perm, spec.lab_sign)):
+            assert (perm[perm] == np.arange(len(perm))).all(), trial
+            assert np.allclose(sign[perm] * sign, 1.0), trial
+            assert np.all(np.abs(sign) == 1.0), trial
