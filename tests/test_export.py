@@ -154,3 +154,30 @@ def test_export_quantized(trained, tmp_path):
     for k in a:
         scale = max(np.abs(np.asarray(a[k])).max(), 1e-6)
         assert np.abs(np.asarray(a[k]) - np.asarray(b[k])).max() / scale < 0.05
+
+
+def test_export_diffusion_with_guidance(trained, tmp_path):
+    """--guidance-scale lowers through jax.export (the [2B] CFG concat is
+    part of the sampling program) and changes the samples."""
+    plain = str(tmp_path / 'plain.stablehlo')
+    guided = str(tmp_path / 'guided.stablehlo')
+    common = ['export', '--dataset-home', trained['data'],
+              '--checkpoint-dir', trained['ck'], '--model-type', 'diffusion',
+              '--output-data-format', 'all_frames', '--d-model', '16',
+              '--num-layers', '1', '--num-heads', '2',
+              '--diffusion-timesteps', '8', '--sample-steps', '2',
+              '--static-batch', '2']
+    run_cmd(common + ['--out', plain])
+    run_cmd(common + ['--guidance-scale', '2.0', '--out', guided])
+    import jax.numpy as jnp
+    from jax import export as jexport
+    sidecar = json.load(open(plain + '.json'))
+    x = np.random.default_rng(0).normal(
+        size=(2, sidecar['input']['shape'][1],
+              sidecar['input']['shape'][2])).astype(np.float32)
+    fp = jexport.deserialize(open(plain, 'rb').read())
+    fg = jexport.deserialize(open(guided, 'rb').read())
+    a, b = fp.call(x, jnp.int32(7)), fg.call(x, jnp.int32(7))
+    k = sorted(a)[0]
+    assert np.isfinite(np.asarray(b[k])).all()
+    assert not np.array_equal(np.asarray(a[k]), np.asarray(b[k]))
