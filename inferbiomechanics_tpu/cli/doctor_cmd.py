@@ -47,12 +47,17 @@ class DoctorCommand:
                             help='Size of the host->device transfer probe')
         parser.add_argument('--skip-device', action='store_true',
                             help='Environment/dataset checks only')
+        parser.add_argument('--json', action='store_true',
+                            help='Also print one machine-readable JSON '
+                                 'line (for launch-script gating beyond '
+                                 'the exit code)')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'doctor':
             return False
         import sys
         degraded = []
+        report = {'probes': {}, 'datasets': {}}
 
         import jax
         import numpy as np
@@ -71,6 +76,7 @@ class DoctorCommand:
             val = float((x @ x).sum())
             dt = time.time() - t0
             status = 'ok' if dt < COMPILE_DEGRADED_S else 'DEGRADED'
+            report['probes']['compile_s'] = round(dt, 2)
             print(f'compile probe: {dt:.1f}s ({status}) '
                   f'[readback={val:.0f}]')
             if dt >= COMPILE_DEGRADED_S:
@@ -99,6 +105,7 @@ class DoctorCommand:
                 mbps = rest / dt
                 probed_mb = rest
             status = 'ok' if mbps >= TRANSFER_DEGRADED_MBPS else 'DEGRADED'
+            report['probes']['transfer_mbps'] = round(mbps, 3)
             print(f'host->device: {probed_mb:.3f} MB in {dt:.2f}s '
                   f'= {mbps:.2f} MB/s ({status})')
             if mbps < TRANSFER_DEGRADED_MBPS:
@@ -114,6 +121,7 @@ class DoctorCommand:
                 y = y @ x
             val = float(y.sum())
             dt = (time.time() - t0) / 16
+            report['probes']['step_ms'] = round(dt * 1e3, 3)
             print(f'chained 512x512 matmul: {dt * 1e3:.2f} ms/step '
                   f'(includes dispatch; readback-synced)')
 
@@ -138,12 +146,22 @@ class DoctorCommand:
                     continue
                 rows = ds.labels_all.shape[0]
                 feat_bytes = rows * ds.num_input_channels * 4
+                report['datasets'][root] = {
+                    'subjects': len(ds.subject_paths),
+                    'windows': len(ds), 'num_dofs': ds.num_dofs,
+                    'featurized_mb': round(
+                        (feat_bytes + ds.labels_all.nbytes) / 1e6, 1)}
                 print(f'{root}: {len(ds.subject_paths)} subjects, '
                       f'{len(ds)} windows, {ds.num_dofs} dofs, '
                       f'{ds.num_input_channels} input channels, '
                       f'~{(feat_bytes + ds.labels_all.nbytes) / 1e6:.0f} MB '
                       f'featurized')
 
+        report['degraded'] = degraded
+        report['healthy'] = not degraded
+        if getattr(args, 'json', False):
+            import json as _json
+            print(_json.dumps(report))
         if degraded:
             print('DOCTOR: DEGRADED —')
             for d in degraded:

@@ -50,6 +50,10 @@ class ServeCommand:
                                  'and return their mean; "spread": true '
                                  'also returns the across-sample std as an '
                                  'aleatoric-uncertainty signal')
+        parser.add_argument('--warmup', action='store_true',
+                            help='Compile every batch bucket before '
+                                 'accepting requests (no first-request '
+                                 'compile latency spikes)')
         parser.add_argument('--reload-poll-sec', type=float, default=0.0,
                             help='Poll the checkpoint dir every N seconds '
                                  'and hot-swap to newer checkpoints '
@@ -103,6 +107,8 @@ class ServeCommand:
                                    quantize=args.quantize,
                                    use_ema=args.use_ema,
                                    diffusion_samples=args.diffusion_samples)
+        if args.warmup:
+            service.warmup()
         service.start_reload_poller(args.reload_poll_sec)
         server = serve(service, host=args.host, port=args.port)
         tag = (f'{len(service.members)}-member ensemble'

@@ -454,6 +454,27 @@ class InferenceService:
         logger.info('reloaded checkpoint epoch %d batch %d', epoch, batch)
         return {'reloaded': True, 'epoch': epoch, 'batch': batch}
 
+    def warmup(self) -> None:
+        """Pre-compile every power-of-two batch bucket (``--warmup``).
+
+        XLA compiles one executable per padded batch shape; without this
+        the FIRST request of each size pays the compile — seconds
+        normally, minutes on a degraded backend. One pass of zeros
+        through ``predict_packed`` per bucket exercises the exact
+        pad/shard path requests take."""
+        import time as _time
+        sizes, b = [], 1
+        while b < self.max_batch:
+            sizes.append(b)
+            b <<= 1
+        sizes.append(self.max_batch)
+        t0 = _time.time()
+        shape = (self.ds.num_model_frames, self.ds.num_input_channels)
+        for bsz in sizes:
+            self.predict_packed(np.zeros((bsz,) + shape, np.float32))
+        logger.info('warmup: %d batch buckets compiled in %.1fs',
+                    len(sizes), _time.time() - t0)
+
     def start_reload_poller(self, poll_sec: float) -> None:
         """Background thread: poll the checkpoint dir every ``poll_sec``
         and hot-swap when a newer checkpoint lands (``--reload-poll-sec``)

@@ -599,3 +599,15 @@ def test_diffusion_multi_sample_uncertainty(service, tmp_path):
     with pytest.raises(ValueError, match='diffusion'):
         InferenceService(cfg2, str(tmp_path / 'none2'), service.ds,
                          diffusion_samples=2)
+
+
+def test_warmup_compiles_all_buckets(service):
+    before = service.stats['device_forwards']
+    service.warmup()
+    # buckets: 1,2,4,...,64 for max_batch=64 -> 7 forwards
+    assert service.stats['device_forwards'] - before == 7
+    # requests after warmup still answer correctly
+    b = service.ds.gather(np.arange(3))
+    out = service.predict_packed(np.asarray(b.inputs))
+    k = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    assert out[k].shape[0] == 3
