@@ -161,6 +161,81 @@ def plot_training(path: str, out_path: str, keys=None, smooth: int = 0,
     return finals
 
 
+def plot_training_compare(paths, out_path, keys=None, smooth: int = 0,
+                          labels=None,
+                          drop: Tuple[str, ...] = ('epoch', 'batch')) -> dict:
+    """Overlay several runs (``--compare``): one panel per metric key
+    present in EVERY run, one color per run — the did-my-change-help
+    view. Returns ``{label: {key: final_value}}``."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    if labels and len(labels) != len(paths):
+        raise ValueError(f'{len(labels)} labels for {len(paths)} runs')
+    runs = []
+    for i, path in enumerate(paths):
+        label = labels[i] if labels else os.path.splitext(
+            os.path.basename(path))[0]
+        runs.append((label, *read_metrics(path)))
+    common = set(runs[0][2])
+    for _label, _cfg, series in runs[1:]:
+        common &= set(series)
+    if keys:
+        missing = [k for k in keys if k not in common]
+        if missing:
+            raise ValueError(f'keys {missing} not present in every run; '
+                             f'common keys: {sorted(common)}')
+    else:
+        keys = sorted(k for k in common if k not in drop)
+    if not keys:
+        raise ValueError('the runs share no numeric metric keys')
+
+    n = len(keys)
+    ncols = min(3, n)
+    nrows = -(-n // ncols)
+    fig, axes = plt.subplots(nrows, ncols,
+                             figsize=(5.2 * ncols, 3.4 * nrows),
+                             squeeze=False)
+    fig.patch.set_facecolor(SURFACE)
+    finals: Dict[str, dict] = {label: {} for label, _c, _s in runs}
+    for ax, k in zip(axes.flat, keys):
+        ax.set_facecolor(SURFACE)
+        for spine in ('top', 'right'):
+            ax.spines[spine].set_visible(False)
+        for spine in ('left', 'bottom'):
+            ax.spines[spine].set_color(GRID)
+        ax.grid(True, color=GRID, linewidth=0.6, alpha=0.8)
+        ax.set_axisbelow(True)
+        ax.tick_params(colors=INK_2, labelsize=8)
+        for ri, (label, _cfg, series) in enumerate(runs):
+            xs = [x for x, _v in series[k]]
+            ys = [v for _x, v in series[k]]
+            finals[label][k] = ys[-1]
+            color = SERIES[ri % len(SERIES)]
+            if smooth > 1 and len(ys) >= smooth:
+                alpha = 1.0 - 2.0 / (smooth + 1)
+                ax.plot(xs, ys, color=color, linewidth=1.0, alpha=0.25)
+                ax.plot(xs, ema(ys, alpha), color=color, linewidth=2.0,
+                        label=label)
+            else:
+                ax.plot(xs, ys, color=color, linewidth=2.0, label=label)
+        ax.set_title(k, color=INK, fontsize=10)
+        ax.set_xlabel('log record', color=INK_2, fontsize=8)
+        leg = ax.legend(fontsize=7, labelcolor=INK_2, frameon=True,
+                        framealpha=0.92, edgecolor=GRID)
+        leg.get_frame().set_facecolor(SURFACE)
+    for ax in axes.flat[n:]:
+        ax.set_visible(False)
+    fig.suptitle(f'training curves — {len(runs)} runs', color=INK,
+                 fontsize=12)
+    fig.tight_layout(rect=(0, 0, 1, 0.96))
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    fig.savefig(out_path, dpi=120, facecolor=SURFACE)
+    plt.close(fig)
+    return finals
+
+
 class PlotTrainingCommand:
     name = 'plot-training'
 
@@ -183,10 +258,27 @@ class PlotTrainingCommand:
         parser.add_argument('--smooth', type=int, default=0,
                             help='EMA smoothing span; raw series stays '
                                  'visible underneath (0 = off)')
+        parser.add_argument('--compare', type=str, nargs='+', default=None,
+                            metavar='JSONL',
+                            help='Overlay several runs: one panel per '
+                                 'shared metric key, one color per run')
+        parser.add_argument('--labels', type=str, nargs='+', default=None,
+                            help='Legend labels for --compare runs '
+                                 '(default: file names)')
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'plot-training':
             return False
+        if args.compare:
+            finals = plot_training_compare(args.compare, args.out,
+                                           keys=args.keys,
+                                           smooth=args.smooth,
+                                           labels=args.labels)
+            print(f'compared {len(args.compare)} runs -> {args.out}')
+            for label, fin in finals.items():
+                for k in sorted(fin):
+                    print(f'  {label} {k}  final {fin[k]:.6g}')
+            return True
         path = args.log_file or newest_log(args.log_dir)
         finals = plot_training(path, args.out, keys=args.keys,
                                smooth=args.smooth)

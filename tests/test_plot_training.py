@@ -104,3 +104,40 @@ def test_cli_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(tmp_path / 'curves.png')
     assert 'train/loss' in r.stdout
+
+
+def test_compare_overlays_runs(tmp_path):
+    import json
+    for r, base in (('a', 2.0), ('b', 1.0)):
+        with open(tmp_path / f'metrics_{r}.jsonl', 'w') as f:
+            f.write(json.dumps({'_config': {'model_type': 'feedforward'}})
+                    + '\n')
+            for i in range(12):
+                f.write(json.dumps({'train/loss': base / (i + 1),
+                                    'epoch': i}) + '\n')
+    out = tmp_path / 'cmp.png'
+    from inferbiomechanics_tpu.cli.plot_training_cmd import (
+        plot_training_compare,
+    )
+    finals = plot_training_compare(
+        [str(tmp_path / 'metrics_a.jsonl'), str(tmp_path / 'metrics_b.jsonl')],
+        str(out), labels=['runA', 'runB'])
+    assert out.exists() and out.stat().st_size > 1000
+    assert finals['runA']['train/loss'] == 2.0 / 12
+    assert finals['runB']['train/loss'] == 1.0 / 12
+
+
+def test_compare_rejects_disjoint_keys(tmp_path):
+    import json
+    import pytest
+    (tmp_path / 'metrics_a.jsonl').write_text(
+        json.dumps({'only_a': 1.0}) + '\n')
+    (tmp_path / 'metrics_b.jsonl').write_text(
+        json.dumps({'only_b': 1.0}) + '\n')
+    from inferbiomechanics_tpu.cli.plot_training_cmd import (
+        plot_training_compare,
+    )
+    with pytest.raises(ValueError, match='no numeric metric keys'):
+        plot_training_compare(
+            [str(tmp_path / 'metrics_a.jsonl'),
+             str(tmp_path / 'metrics_b.jsonl')], str(tmp_path / 'x.png'))
