@@ -237,3 +237,29 @@ def test_sharded_diffusion_runner_trains_with_ema(tmp_path):
                for a, b in zip(jax.tree_util.tree_leaves(ema),
                                jax.tree_util.tree_leaves(state.params)))
     assert diff
+
+
+def test_sharded_runner_with_augmenter(ds):
+    """Mirror+noise augmentation compiles and trains on the pod-sharded
+    tier (both the GSPMD and bf16-shard_map step variants)."""
+    from inferbiomechanics_tpu.train.augment import (Augmenter,
+                                                     spec_from_dataset)
+    mesh = make_mesh()
+    sdata = ShardedDeviceData(ds, mesh)
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=ds.root_history_len)
+    sample = ds.gather(np.arange(16))
+    aug = Augmenter(mirror=spec_from_dataset(ds), noise_std=0.02)
+    for lowp in (None, jnp.bfloat16):
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   jnp.asarray(sample.inputs),
+                                   make_optimizer('adam', 1e-3))
+        state = replicate(mesh, state)
+        run = make_sharded_epoch_runner(model, sdata, LossConfig(),
+                                        batch_size=16,
+                                        grad_allreduce_dtype=lowp,
+                                        augment=aug)
+        state, m = run(state, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m['loss'])), lowp

@@ -190,3 +190,32 @@ def test_streaming_diffusion_epoch(tmp_path):
     flat_p = jax.tree_util.tree_leaves(raw['params'])
     flat_e = jax.tree_util.tree_leaves(raw['ema_params'])
     assert any(not np.array_equal(a, b) for a, b in zip(flat_p, flat_e))
+
+
+def test_streaming_epoch_with_augmenter(ds):
+    """Augmentation inside the streamed segment runner: bf16 segment
+    features stay bf16 through the mirror (dtype-preserving signs)."""
+    from inferbiomechanics_tpu.loss import LossConfig
+    from inferbiomechanics_tpu.models import get_model
+    from inferbiomechanics_tpu.train.augment import (Augmenter,
+                                                     spec_from_dataset)
+    from inferbiomechanics_tpu.train.optimizers import make_optimizer
+    from inferbiomechanics_tpu.train.state import create_train_state
+    from inferbiomechanics_tpu.train.streaming_data import (
+        StreamingPlan, make_streaming_epoch,
+    )
+    plan = StreamingPlan(ds, hbm_budget_bytes=400_000)
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=ds.window_size, stride=ds.stride,
+                      root_history_len=ds.root_history_len,
+                      output_data_format=ds.output_data_format)
+    sample = ds.gather(np.arange(8))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(sample.inputs),
+                               make_optimizer('adam', 1e-3))
+    aug = Augmenter(mirror=spec_from_dataset(ds), noise_std=0.02)
+    run = make_streaming_epoch(model, ds, plan, LossConfig(), batch_size=8,
+                               augment=aug)
+    state, metrics = run(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(np.asarray(metrics['loss'])))
