@@ -136,6 +136,12 @@ class Config:
 
     # parallelism
     model_parallel: int = 1
+    # pipeline parallelism (transformer only, parallel/pipeline.py):
+    # encoder layers staged over a 'pipe' mesh axis with a GPipe
+    # microbatch schedule. Devices split into (data, pipe); runs the host
+    # loader tier. 1 = off. pipeline_microbatches 0 = 2 x stages.
+    pipeline_parallel: int = 1
+    pipeline_microbatches: int = 0
 
     # data placement: 'auto' puts the packed dataset in HBM and gathers
     # windows on-device when it fits (train/device_data.py), falling back
@@ -325,6 +331,15 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
     parser.add_argument('--aux-com-acc-weight', type=float, default=d.aux_com_acc_weight)
     parser.add_argument('--aux-contact-weight', type=float, default=d.aux_contact_weight)
     parser.add_argument('--model-parallel', type=int, default=d.model_parallel)
+    parser.add_argument('--pipeline-parallel', type=int,
+                        default=d.pipeline_parallel,
+                        help='Stage the transformer encoder over this many '
+                             'pipeline devices (GPipe microbatch schedule '
+                             'over a (data, pipe) mesh); 1 = off')
+    parser.add_argument('--pipeline-microbatches', type=int,
+                        default=d.pipeline_microbatches,
+                        help='Microbatches per pipelined step '
+                             '(0 = 2 x pipeline stages)')
     parser.add_argument('--profile', action='store_true', default=d.profile,
                         help='Capture a JAX profiler trace of the first epoch')
     parser.add_argument('--profile-dir', type=str, default=d.profile_dir)
@@ -395,6 +410,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'cond_dropout': 'cond_dropout',
         'guidance_scale': 'guidance_scale',
         'model_parallel': 'model_parallel',
+        'pipeline_parallel': 'pipeline_parallel',
+        'pipeline_microbatches': 'pipeline_microbatches',
         'profile': 'profile', 'profile_dir': 'profile_dir',
         'device_data': 'device_data',
         'device_data_max_bytes': 'device_data_max_bytes',

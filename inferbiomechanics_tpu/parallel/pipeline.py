@@ -324,6 +324,57 @@ def make_pipeline_train_step(model, lab_offsets: Dict[str, Tuple[int, int]],
     return step
 
 
+def _map_paramlike(tree, is_target, fn):
+    """Rebuild a (possibly optax-NamedTuple-nested) tree, applying ``fn``
+    to every sub-tree ``is_target`` recognizes as a params-shaped dict.
+    Optimizer moments (adam mu/nu, rmsprop nu, ...) structurally mirror
+    the params dict, so one converter restructures the whole TrainState
+    between canonical and pipeline layouts."""
+    if isinstance(tree, dict):
+        if is_target(tree):
+            return fn(tree)
+        return {k: _map_paramlike(v, is_target, fn) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        vals = [_map_paramlike(v, is_target, fn) for v in tree]
+        if hasattr(tree, '_fields'):          # optax NamedTuple states
+            return type(tree)(*vals)
+        return type(tree)(vals)
+    return tree
+
+
+def _is_canonical(tree) -> bool:
+    return isinstance(tree, dict) and 'EncoderBlock_0' in tree
+
+
+def _is_pipeline(tree) -> bool:
+    return (isinstance(tree, dict) and set(tree) == {'stages', 'rest'}
+            and isinstance(tree.get('rest'), dict))
+
+
+def pipeline_trainstate_from_canonical(state: TrainState, mesh: Mesh,
+                                       num_layers: int) -> TrainState:
+    """Convert a canonical TrainState (params + matching optimizer
+    moments) into sharded pipeline layout — the resume path: checkpoints
+    always store the canonical layout."""
+    conv = lambda p: shard_pipeline_params(
+        mesh, to_pipeline_params(p, num_layers))
+    rep = NamedSharding(mesh, P())
+    return state.replace(
+        params=conv(state.params),
+        opt_state=_map_paramlike(state.opt_state, _is_canonical, conv),
+        step=jax.device_put(state.step, rep))
+
+
+def canonical_trainstate_from_pipeline(state: TrainState,
+                                       num_layers: int) -> TrainState:
+    """Inverse of ``pipeline_trainstate_from_canonical`` (the checkpoint-
+    save path; also lets analyze/serve consume pipeline-trained runs)."""
+    conv = lambda p: to_canonical_params(p, num_layers)
+    return state.replace(
+        params=conv(state.params),
+        opt_state=_map_paramlike(state.opt_state, _is_pipeline, conv))
+
+
 def create_pipeline_state(model, rng: jax.Array, sample_input, tx,
                           mesh: Mesh) -> TrainState:
     """Init a TrainState whose params are in sharded pipeline layout.

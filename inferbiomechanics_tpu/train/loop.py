@@ -113,7 +113,35 @@ def train(config: Config,
     except ValueError:
         pass   # not the main thread (e.g. tests driving train() directly)
 
-    mesh = make_mesh(model_parallel=config.model_parallel)
+    pp = max(1, int(config.pipeline_parallel))
+    if pp > 1:
+        # pipeline parallelism (parallel/pipeline.py): transformer-only,
+        # host loader tier — the other tiers each own the data axis with
+        # their own epoch programs
+        if config.model_type != 'transformer':
+            raise ValueError('--pipeline-parallel requires the transformer '
+                             f'(got {config.model_type})')
+        if config.model_parallel > 1:
+            raise ValueError('--pipeline-parallel and --model-parallel are '
+                             'mutually exclusive mesh layouts')
+        if config.device_data in ('on', 'sharded', 'stream'):
+            raise ValueError('--pipeline-parallel runs the host loader '
+                             'tier; use --device-data auto or off')
+        if config.grad_accum_steps > 1:
+            raise ValueError('--pipeline-parallel already microbatches '
+                             'the step; --grad-accum-steps must be 1')
+        if config.grad_allreduce_dtype == 'bf16':
+            raise ValueError('--grad-allreduce-dtype bf16 is not supported '
+                             'with --pipeline-parallel')
+        if config.dropout and config.dropout_prob:
+            raise ValueError('--pipeline-parallel requires dropout off '
+                             '(stages run without per-layer RNG plumbing)')
+        from inferbiomechanics_tpu.parallel.pipeline import (
+            make_pipeline_mesh,
+        )
+        mesh = make_pipeline_mesh(pipe=pp)
+    else:
+        mesh = make_mesh(model_parallel=config.model_parallel)
     sharding = batch_sharding(mesh)
     n_dp = mesh.shape['data']
     if config.batch_size % n_dp != 0:
@@ -203,7 +231,17 @@ def train(config: Config,
     else:
         start_epoch = ckpt_epoch + 1
         skip_batches = 0
-    state = replicate(mesh, state)
+    if pp > 1:
+        # restructure the canonical state (params + optimizer moments)
+        # into the stage-stacked, pipe-sharded layout; checkpoints stay
+        # canonical (write_checkpoint converts back)
+        from inferbiomechanics_tpu.parallel.pipeline import (
+            pipeline_trainstate_from_canonical,
+        )
+        state = pipeline_trainstate_from_canonical(state, mesh,
+                                                   model.num_layers)
+    else:
+        state = replicate(mesh, state)
 
     # device-resident data path: HBM dataset + on-device window gather,
     # per-step host traffic = one [B] int32 index vector. Requires
@@ -220,6 +258,7 @@ def train(config: Config,
         use_device_data = (config.device_data == 'on' or
                            (config.device_data == 'auto' and
                             data_bytes < config.device_data_max_bytes))
+        use_device_data = use_device_data and pp == 1
     else:
         if config.device_data == 'on':
             raise ValueError('--device-data on requires materialized '
@@ -244,7 +283,7 @@ def train(config: Config,
     n_data_shards = int(mesh.shape[DATA_AXIS])
     want_sharded = (config.device_data == 'sharded' or
                     (config.device_data == 'auto' and not use_device_data
-                     and config.grad_accum_steps == 1
+                     and pp == 1 and config.grad_accum_steps == 1
                      and data_bytes is not None and n_data_shards > 1
                      and data_bytes <
                      config.device_data_max_bytes * n_data_shards))
@@ -312,12 +351,35 @@ def train(config: Config,
                                                   config.batch_size,
                                                   batch_shard=sharding)
 
-    train_step = make_train_step(model, train_ds.lab_offsets, lc,
-                                 grad_accum=config.grad_accum_steps,
-                                 grad_allreduce_dtype=lowp_allreduce,
-                                 mesh=mesh,
-                                 augment=augmenter)
-    eval_step = make_eval_step(model, train_ds.lab_offsets, lc)
+    if pp > 1:
+        from inferbiomechanics_tpu.parallel.pipeline import (
+            make_pipeline_train_step, to_canonical_params,
+        )
+        num_micro = config.pipeline_microbatches or 2 * pp
+        if augmenter is not None:
+            logger.warning('--pipeline-parallel: on-device augmentation '
+                           'not wired into the pipelined step; ignored')
+        train_step = make_pipeline_train_step(
+            model, train_ds.lab_offsets, lc, mesh,
+            num_microbatches=num_micro, donate=False)
+        logger.info('pipeline parallelism: %d stages x %d layers, dp=%d, '
+                    '%d microbatches/step', pp, model.num_layers // pp,
+                    n_dp, num_micro)
+        base_eval_step = make_eval_step(model, train_ds.lab_offsets, lc)
+
+        def eval_step(state, inputs, labels):
+            # dev eval reuses the plain single-program forward on a
+            # canonical view of the pipe-sharded params
+            cstate = state.replace(params=to_canonical_params(
+                state.params, model.num_layers))
+            return base_eval_step(cstate, inputs, labels)
+    else:
+        train_step = make_train_step(model, train_ds.lab_offsets, lc,
+                                     grad_accum=config.grad_accum_steps,
+                                     grad_allreduce_dtype=lowp_allreduce,
+                                     mesh=mesh,
+                                     augment=augmenter)
+        eval_step = make_eval_step(model, train_ds.lab_offsets, lc)
 
     tau_fn = None
     if config.compute_report and dev_ds is not None:
@@ -358,12 +420,21 @@ def train(config: Config,
         """One checkpoint commit: sync (reference behavior) or async
         (--async-checkpoint). Retention pruning runs after the write in
         both modes; best.ckpt is a named artifact and never pruned."""
+        save_state = state
+        if pp > 1:
+            # checkpoints always store the canonical layout so resume,
+            # analyze, serve, and convert-checkpoint all interoperate
+            from inferbiomechanics_tpu.parallel.pipeline import (
+                canonical_trainstate_from_pipeline,
+            )
+            save_state = canonical_trainstate_from_pipeline(
+                state, model.num_layers)
         keep = 0 if filename else config.keep_checkpoints
         if ckpt_async is not None:
-            ckpt_async.save(config.checkpoint_dir, state, epoch, batch,
+            ckpt_async.save(config.checkpoint_dir, save_state, epoch, batch,
                             filename=filename, prune_keep=keep)
             return
-        save_checkpoint(config.checkpoint_dir, state, epoch, batch,
+        save_checkpoint(config.checkpoint_dir, save_state, epoch, batch,
                         filename=filename)
         if keep:
             prune_checkpoints(config.checkpoint_dir, keep)

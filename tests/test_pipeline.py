@@ -197,3 +197,87 @@ def test_rejects_bad_configs():
     with pytest.raises(ValueError, match='not divisible'):
         step2(pstate, jnp.asarray(x2), jnp.asarray(y2),
               jax.random.PRNGKey(0))
+
+
+# ---------------------------------------------------------------------------
+# CLI / train-loop integration (--pipeline-parallel)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def ds(tmp_path_factory):
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+    d = tmp_path_factory.mktemp('pipedata')
+    write_synthetic_subject(str(d / 's0.b3d'), num_trials=2,
+                            trial_length=200, seed=0)
+    return WindowDataset(str(d), window_size=20, stride=5)
+
+
+def _train_cfg(tmp_path, tag, **kw):
+    from inferbiomechanics_tpu.config import Config
+    base = dict(window_size=20, stride=5, model_type='transformer',
+                d_model=32, num_layers=2, num_heads=2,
+                checkpoint_dir=str(tmp_path / tag), epochs=1, batch_size=16,
+                opt_type='adam', learning_rate=1e-3, device_data='off',
+                checkpoint_every_batches=1000, log_every_batches=1000,
+                seed=11, pipeline_parallel=2)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_train_loop_pipeline_end_to_end(ds, tmp_path):
+    """--pipeline-parallel 2: the loop trains, dev-evals through the
+    canonical view, and writes CANONICAL checkpoints that the plain
+    (pp=1) stack can resume and evaluate."""
+    from inferbiomechanics_tpu.train.loop import train
+
+    cfg = _train_cfg(tmp_path, 'pp')
+    res = train(cfg, ds, ds, max_batches_per_epoch=4)
+    assert res.epochs_run == 1
+    assert np.isfinite(res.final_dev_metrics['loss'])
+
+    # the checkpoint must load into a CANONICAL state (plain stack)
+    from inferbiomechanics_tpu.train import (
+        create_train_state, load_latest_checkpoint, make_optimizer,
+    )
+    model = TransformerRegressor(num_dofs=ds.num_dofs,
+                                 num_contact_bodies=ds.num_contact_bodies,
+                                 history_len=20, stride=5, d_model=32,
+                                 num_layers=2, num_heads=2)
+    batch = ds.gather(np.arange(8))
+    st = create_train_state(model, jax.random.PRNGKey(0),
+                            jnp.asarray(batch.inputs),
+                            make_optimizer('adam', 1e-3))
+    st, e, b = load_latest_checkpoint(st, cfg.checkpoint_dir)
+    assert (e, b) == (0, 0)
+    assert int(st.step) > 0
+    assert 'EncoderBlock_0' in st.params
+
+    # and the pp run can RESUME from its own canonical checkpoint
+    cfg2 = _train_cfg(tmp_path, 'pp', epochs=2)
+    res2 = train(cfg2, ds, None, max_batches_per_epoch=4)
+    assert res2.epochs_run == 1        # only epoch 1 left
+
+
+def test_train_loop_pipeline_matches_plain_loss(ds, tmp_path):
+    """Same seed/data: the pipelined first-epoch train loss tracks the
+    plain run (bf16 reassociation tolerance)."""
+    from inferbiomechanics_tpu.train.loop import train
+
+    r_pp = train(_train_cfg(tmp_path, 'a'), ds, None,
+                 max_batches_per_epoch=4)
+    r_plain = train(_train_cfg(tmp_path, 'b', pipeline_parallel=1), ds,
+                    None, max_batches_per_epoch=4)
+    lp = r_pp.final_train_metrics['loss']
+    lq = r_plain.final_train_metrics['loss']
+    assert lp == pytest.approx(lq, rel=5e-2), (lp, lq)
+
+
+def test_train_loop_pipeline_rejects_bad_combos(ds, tmp_path):
+    from inferbiomechanics_tpu.train.loop import train
+    with pytest.raises(ValueError, match='transformer'):
+        train(_train_cfg(tmp_path, 'r1', model_type='feedforward'), ds)
+    with pytest.raises(ValueError, match='host loader'):
+        train(_train_cfg(tmp_path, 'r2', device_data='stream'), ds)
+    with pytest.raises(ValueError, match='microbatches'):
+        train(_train_cfg(tmp_path, 'r3', grad_accum_steps=2), ds)
