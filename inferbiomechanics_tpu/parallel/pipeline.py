@@ -269,12 +269,18 @@ def make_pipeline_train_step(model, lab_offsets: Dict[str, Tuple[int, int]],
                              loss_config: LossConfig, mesh: Mesh,
                              num_microbatches: Optional[int] = None,
                              remat: bool = False,
-                             donate: bool = True) -> Callable:
+                             donate: bool = True,
+                             augment=None) -> Callable:
     """Build ``step(state, inputs, labels, rng) -> (state, metrics)`` with
     the encoder pipelined over the ``pipe`` mesh axis and the batch
     sharded over ``data``. ``state.params`` must be in pipeline layout
     (``create_pipeline_state``). ``jax.grad`` through the scheduled scan
-    yields the reverse (backward) pipeline automatically."""
+    yields the reverse (backward) pipeline automatically.
+
+    ``augment`` (an ``augment.Augmenter``) runs on the global batch at
+    the jit level BEFORE the shard_map — GSPMD partitions it over the
+    data axis, which keeps the draw bit-identical to the plain
+    (non-pipelined) step with the same rng."""
     n_stages = int(mesh.shape[PIPE_AXIS])
     num_micro = num_microbatches or 2 * n_stages
     stage_fn = _make_stage_fn(model, model.num_layers // n_stages, remat)
@@ -305,10 +311,12 @@ def make_pipeline_train_step(model, lab_offsets: Dict[str, Tuple[int, int]],
                          out_specs=(P(), P()))
 
     def step_impl(state: TrainState, batch_inputs: jax.Array,
-                  batch_labels: jax.Array):
+                  batch_labels: jax.Array, rng: jax.Array):
+        from inferbiomechanics_tpu.train.augment import maybe_augment
+        xi, yi = maybe_augment(augment, batch_inputs, batch_labels, rng)
+
         def loss_fn(params):
-            return smapped(params['stages'], params['rest'],
-                           batch_inputs, batch_labels)
+            return smapped(params['stages'], params['rest'], xi, yi)
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads=grads), metrics
@@ -318,8 +326,9 @@ def make_pipeline_train_step(model, lab_offsets: Dict[str, Tuple[int, int]],
     def step(state: TrainState, batch_inputs: jax.Array,
              batch_labels: jax.Array, rng: jax.Array = None):
         _check(model, mesh, batch_inputs.shape[0], num_micro)
-        del rng                               # dropout rejected in _check
-        return jitted(state, batch_inputs, batch_labels)
+        if rng is None:                       # dropout rejected in _check;
+            rng = jax.random.PRNGKey(0)       # rng only feeds augmentation
+        return jitted(state, batch_inputs, batch_labels, rng)
 
     return step
 

@@ -356,12 +356,9 @@ def train(config: Config,
             make_pipeline_train_step, to_canonical_params,
         )
         num_micro = config.pipeline_microbatches or 2 * pp
-        if augmenter is not None:
-            logger.warning('--pipeline-parallel: on-device augmentation '
-                           'not wired into the pipelined step; ignored')
         train_step = make_pipeline_train_step(
             model, train_ds.lab_offsets, lc, mesh,
-            num_microbatches=num_micro, donate=False)
+            num_microbatches=num_micro, donate=False, augment=augmenter)
         logger.info('pipeline parallelism: %d stages x %d layers, dp=%d, '
                     '%d microbatches/step', pp, model.num_layers // pp,
                     n_dp, num_micro)

@@ -281,3 +281,39 @@ def test_train_loop_pipeline_rejects_bad_combos(ds, tmp_path):
         train(_train_cfg(tmp_path, 'r2', device_data='stream'), ds)
     with pytest.raises(ValueError, match='microbatches'):
         train(_train_cfg(tmp_path, 'r3', grad_accum_steps=2), ds)
+
+
+def test_augmented_pipeline_step_matches_plain():
+    """Augmentation runs at the jit level before the shard_map, so the
+    draw is bit-identical to the plain step with the same rng: sgd param
+    deltas must agree to pipeline-reduction tolerance."""
+    from inferbiomechanics_tpu.train.augment import Augmenter
+
+    mesh = make_pipeline_mesh(n_devices=8, pipe=2)
+    model = _model(num_layers=2)
+    x, y = _batch(16, seed=9)
+    aug = Augmenter(noise_std=0.05)
+
+    ref_state = create_train_state(model, jax.random.PRNGKey(0),
+                                   jnp.asarray(x), make_optimizer('sgd', 1e-2))
+    ref_step = make_train_step(model, LAB_OFFSETS, LossConfig(),
+                               donate=False, augment=aug)
+    ref_state2, ref_m = ref_step(ref_state, jnp.asarray(x), jnp.asarray(y),
+                                 jax.random.PRNGKey(5))
+
+    pstate = create_pipeline_state(model, jax.random.PRNGKey(0),
+                                   jnp.asarray(x),
+                                   make_optimizer('sgd', 1e-2), mesh)
+    step = make_pipeline_train_step(model, LAB_OFFSETS, LossConfig(), mesh,
+                                    num_microbatches=2, donate=False,
+                                    augment=aug)
+    xs, ys = shard_batch(mesh, x, y)
+    pstate2, m = step(pstate, xs, ys, jax.random.PRNGKey(5))
+
+    np.testing.assert_allclose(float(m['loss']), float(ref_m['loss']),
+                               rtol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-6),
+        ref_state2.params,
+        to_canonical_params(pstate2.params, model.num_layers))
