@@ -38,6 +38,10 @@ class Config:
     freeze_params: List[str] = field(default_factory=list)
     hidden_dims: List[int] = field(default_factory=lambda: [512, 512])
     activation: str = 'sigmoid'
+    # feedforward weight-init style: 'torch' reproduces the reference's
+    # shipped nn.Linear init (the PARITY_RMSE.md choice); 'lecun' is the
+    # flax default (better GRF, worse CoP on the synthetic benchmark)
+    init_style: str = 'torch'
     dropout: bool = False
     dropout_prob: float = 0.0
     batchnorm: bool = False
@@ -92,11 +96,14 @@ class Config:
     augment_noise_std: float = 0.0
     mirror_lateral_axis: int = 2
 
-    # loss component selection (reference train.py:58-65)
-    predict_grf_components: List[int] = field(default_factory=lambda: [0, 1, 2, 3, 4, 5])
-    predict_cop_components: List[int] = field(default_factory=list)
-    predict_moment_components: List[int] = field(default_factory=list)
-    predict_wrench_components: List[int] = field(default_factory=list)
+    # loss component selection (reference train.py:58-65: the train
+    # entry point defaults to EVERY component of all four loss vectors;
+    # analyze.py:44-47 instead defaults to vertical GRF only — that
+    # override lives in cli/analyze_cmd.py)
+    predict_grf_components: List[int] = field(default_factory=lambda: list(range(6)))
+    predict_cop_components: List[int] = field(default_factory=lambda: list(range(6)))
+    predict_moment_components: List[int] = field(default_factory=lambda: list(range(6)))
+    predict_wrench_components: List[int] = field(default_factory=lambda: list(range(12)))
 
     # reporting
     no_wandb: bool = False
@@ -195,6 +202,11 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
     parser.add_argument('--hidden-dims', type=int, nargs='+', default=d.hidden_dims)
     parser.add_argument('--batchnorm', action='store_true', default=d.batchnorm)
     parser.add_argument('--activation', type=str, default=d.activation)
+    parser.add_argument('--init-style', type=str, default=d.init_style,
+                        choices=('torch', 'lecun'),
+                        help="feedforward weight init: 'torch' = reference "
+                             "nn.Linear parity (PARITY_RMSE.md), 'lecun' = "
+                             "flax default")
     parser.add_argument('--epochs', type=int, default=d.epochs)
     parser.add_argument('--opt-type', type=str, default=d.opt_type)
     parser.add_argument('--weight-decay', type=float, default=d.weight_decay,

@@ -36,7 +36,8 @@ def get_model(model_type: str,
               use_pallas: bool = False,
               attn_impl: str = 'vpu',
               conv_impl: str = 'xla',
-              diffusion_timesteps: int = 1000):
+              diffusion_timesteps: int = 1000,
+              init_style: str = 'torch'):
     """Build a model by name. 'analytical' has no learnable parameters and is
     served by :mod:`inferbiomechanics_tpu.models.analytical` instead."""
     if model_type == 'feedforward':
@@ -47,7 +48,7 @@ def get_model(model_type: str,
             output_data_format=output_data_format, activation=activation,
             hidden_dims=tuple(hidden_dims), batchnorm=batchnorm,
             dropout=dropout, dropout_prob=dropout_prob,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, init_style=init_style)
     if model_type == 'groundlink':
         return Groundlink(
             num_dofs=num_dofs, num_contact_bodies=num_contact_bodies,

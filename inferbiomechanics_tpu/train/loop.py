@@ -82,6 +82,7 @@ def build_model_for_dataset(config: Config, ds: WindowDataset):
         attn_impl=config.attn_impl,
         conv_impl=config.conv_impl,
         diffusion_timesteps=config.diffusion_timesteps,
+        init_style=config.init_style,
     )
 
 

@@ -65,7 +65,14 @@ def make_optimizer(opt_type: str,
     elif opt_type == 'sgd':
         tx = optax.sgd(learning_rate)
     elif opt_type == 'rmsprop':
-        tx = optax.rmsprop(learning_rate)
+        # Match torch.optim.RMSprop's shipped semantics (the reference's
+        # default optimizer, train.py:189-190): alpha=0.99 and eps added
+        # OUTSIDE the sqrt. optax's own defaults (decay=0.9, eps in sqrt)
+        # measurably change convergence — the round-4 parity study
+        # (PARITY_RMSE.md) attributed a 25% dev COM-acc error gap
+        # entirely to the decay difference.
+        tx = optax.rmsprop(learning_rate, decay=0.99, eps=1e-8,
+                           eps_in_sqrt=False)
     elif opt_type == 'adadelta':
         tx = optax.adadelta(learning_rate)
     elif opt_type == 'adamax':

@@ -1,0 +1,305 @@
+"""Head-to-head learning-quality parity: reference-shaped torch model vs
+this framework's feedforward, SAME synthetic train/dev split, SAME
+hyperparameters, SAME batch composition per seed.
+
+This anchors BASELINE.json's north star ("dev-split GRF and COM-acc
+RMSE: parity with reference"), which until round 4 had no number on
+either side. The torch side is a fresh re-implementation of the
+reference's shipped configuration (NOT copied code):
+
+- model shape:   src/models/FeedForwardRegressionBaseline.py:52-121
+  (MLP over the flattened window concat, hidden [512,512], sigmoid,
+  no dropout/batchnorm, output 30 sliced into CoPs/forces/torques/
+  wrenches; torch default Linear init)
+- optimizer:     src/cli/train.py:189-190 (torch.optim.RMSprop defaults,
+  lr 1e-4)
+- loss:          src/loss/RegressionLossEvaluator.py:160-221 (sum of
+  ALL components of the four per-channel-MSE vectors — the train.py
+  :58-65 defaults — with the CoP term masked to frames with >=10 N/kg
+  contact force)
+- training loop: src/cli/train.py:201-291 (batch 64, per-epoch shuffle,
+  drop-last, 10 epochs default)
+
+Both sides consume the identical packed window arrays from
+WindowDataset (fair: the reference's own data semantics, one decode),
+and both sides' dev predictions are scored by ONE shared numpy metric
+function replicating the reference's reported "Avg Err" metrics
+(last-frame mean vector-norm error, RegressionLossEvaluator.py:119-158,
+232-263). Per seed, both sides see byte-identical batch index
+sequences, so the only differences are framework-shipped ones: weight
+init (torch kaiming-uniform vs flax lecun-normal), rmsprop decay
+(torch alpha=0.99 vs optax decay=0.9), and our bf16 MXU matmuls.
+
+Run on CPU:  IB_PLATFORM=cpu python scripts/parity_rmse.py \
+                 --epochs 10 --seeds 0 1 2 --out /tmp/parity_rmse.json
+Results are summarized in PARITY_RMSE.md and BASELINE.json "measured".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+WINDOW, STRIDE, BATCH, LR = 50, 5, 64, 1e-4
+HIDDEN = (512, 512)
+
+
+# ---------------------------------------------------------------------------
+# Shared, framework-neutral dev metrics (numpy)
+# ---------------------------------------------------------------------------
+
+def _mean_norm_err(out: np.ndarray, lab: np.ndarray, vec: int = 3) -> float:
+    """Reference get_mean_norm_error (:119-141): last-frame-only norms."""
+    b, t, c = out.shape
+    d = (out - lab).reshape(b, t, c // vec, vec)
+    return float(np.linalg.norm(d[:, -1:, :, :], axis=3).mean())
+
+
+def dev_metrics(pred: dict, lab: dict) -> dict:
+    """Force / CoP / COM-acc Avg Err exactly as the reference reports them
+    (RegressionLossEvaluator.py:232-263)."""
+    f_o, f_l = pred['forces'], lab['forces']
+    # CoP masked to >=10 N/kg contact frames (ref :203-214)
+    b, t, c = f_l.shape
+    norms = np.linalg.norm(f_l.reshape(b, t, c // 3, 3), axis=-1)
+    mask = (norms > 10.0).astype(f_l.dtype)
+    mask = np.broadcast_to(mask[..., None], (b, t, c // 3, 3)).reshape(b, t, c)
+    com_o = f_o[:, :, :3] + f_o[:, :, 3:]
+    com_l = f_l[:, :, :3] + f_l[:, :, 3:]
+    return {
+        'force_avg_err': _mean_norm_err(f_o, f_l),
+        'cop_avg_err': _mean_norm_err(pred['cops'] * mask, lab['cops'] * mask),
+        'com_acc_avg_err': _mean_norm_err(com_o, com_l),
+    }
+
+
+def label_slices(lab_offsets) -> dict:
+    from inferbiomechanics_tpu.data import keys as K
+    names = {
+        'forces': K.OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME,
+        'cops': K.OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME,
+        'torques': K.OutputDataKeys.GROUND_CONTACT_TORQUES_IN_ROOT_FRAME,
+        'wrenches': K.OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME,
+    }
+    return {short: lab_offsets[full] for short, full in names.items()}
+
+
+def slice_labels(y: np.ndarray, sl: dict) -> dict:
+    return {k: y[..., o:o + w] for k, (o, w) in sl.items()}
+
+
+def batch_schedule(n: int, seed: int, epochs: int) -> list:
+    """One shared permutation stream per seed -> identical batches on
+    both sides (reference shuffles per epoch, train.py:143-150)."""
+    rng = np.random.default_rng(seed)
+    per_epoch = []
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        nb = n // BATCH
+        per_epoch.append([order[i * BATCH:(i + 1) * BATCH] for i in range(nb)])
+    return per_epoch
+
+
+# ---------------------------------------------------------------------------
+# Torch side (reference-shaped, written fresh)
+# ---------------------------------------------------------------------------
+
+def run_torch(x_tr, y_tr, x_dev, lab_dev, sl, seed, epochs, schedule):
+    import torch
+
+    torch.manual_seed(seed)
+    n, t, c = x_tr.shape
+    layers, d = [], t * c
+    for h in HIDDEN:
+        layers += [torch.nn.Linear(d, h), torch.nn.Sigmoid()]
+        d = h
+    layers.append(torch.nn.Linear(d, 30))
+    model = torch.nn.Sequential(*layers)
+    opt = torch.optim.RMSprop(model.parameters(), lr=LR)
+
+    xt = torch.from_numpy(np.ascontiguousarray(x_tr.reshape(n, t * c)))
+    yt = {k: torch.from_numpy(np.ascontiguousarray(y_tr[..., o:o + w]))
+          for k, (o, w) in sl.items()}
+
+    def heads(out):  # [B,30] -> dict of [B,1,w] (ref FFN forward :116-120)
+        return {'cops': out[:, 0:6].reshape(-1, 1, 6),
+                'forces': out[:, 6:12].reshape(-1, 1, 6),
+                'torques': out[:, 12:18].reshape(-1, 1, 6),
+                'wrenches': out[:, 18:30].reshape(-1, 1, 12)}
+
+    def sq_mean_vec(o, l):  # ref get_squared_diff_mean_vector (:73-83)
+        return ((o - l) ** 2).mean(dim=(0, 1))
+
+    curve = []
+    for ep in range(epochs):
+        for idx in schedule[ep]:
+            bi = torch.from_numpy(idx.astype(np.int64))
+            pred = heads(model(xt[bi]))
+            lab = {k: v[bi] for k, v in yt.items()}
+            f_l = lab['forces']
+            b, tt, cc = f_l.shape
+            with torch.no_grad():  # mask under no_grad (ref :203-214)
+                norms = f_l.reshape(b, tt, cc // 3, 3).norm(dim=-1)
+                mask = (norms > 10.0).float().unsqueeze(-1) \
+                    .expand(b, tt, cc // 3, 3).reshape(b, tt, cc)
+            loss = (sq_mean_vec(pred['forces'], lab['forces']).sum()
+                    + sq_mean_vec(pred['cops'] * mask, lab['cops'] * mask).sum()
+                    + sq_mean_vec(pred['torques'], lab['torques']).sum()
+                    + sq_mean_vec(pred['wrenches'], lab['wrenches']).sum())
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        with torch.no_grad():
+            outs = []
+            xd = torch.from_numpy(
+                np.ascontiguousarray(x_dev.reshape(x_dev.shape[0], t * c)))
+            for i in range(0, len(xd), 512):
+                outs.append(model(xd[i:i + 512]))
+            pred = heads(torch.cat(outs))
+        pred = {k: v.numpy() for k, v in pred.items()}
+        curve.append(dev_metrics(pred, lab_dev))
+    return curve
+
+
+# ---------------------------------------------------------------------------
+# JAX side (this framework's shipped training path)
+# ---------------------------------------------------------------------------
+
+def run_jax(ds, x_tr, y_tr, x_dev, lab_dev, sl, seed, epochs, schedule):
+    import jax
+    import jax.numpy as jnp
+    from inferbiomechanics_tpu.data import keys as K
+    from inferbiomechanics_tpu.loss import LossConfig
+    from inferbiomechanics_tpu.models import get_model
+    from inferbiomechanics_tpu.train import (
+        create_train_state, make_eval_step, make_optimizer, make_train_step)
+
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=WINDOW, stride=STRIDE,
+                      root_history_len=ds.root_history_len,
+                      hidden_dims=list(HIDDEN), activation='sigmoid')
+    cfg = LossConfig(predict_grf_components=tuple(range(6)),
+                     predict_cop_components=tuple(range(6)),
+                     predict_moment_components=tuple(range(6)),
+                     predict_wrench_components=tuple(range(12)))
+    state = create_train_state(model, jax.random.PRNGKey(seed),
+                               jnp.asarray(x_tr[:2]),
+                               make_optimizer('rmsprop', LR))
+    step = make_train_step(model, ds.lab_offsets, cfg, donate=False)
+    eval_step = make_eval_step(model, ds.lab_offsets, cfg)
+
+    x = jnp.asarray(x_tr)
+    y = jnp.asarray(y_tr)
+    xd = jnp.asarray(x_dev)
+    yd_dummy = jnp.zeros((x_dev.shape[0], y_tr.shape[1], y_tr.shape[2]),
+                         y.dtype)
+    rng = jax.random.PRNGKey(seed + 1000)
+    short = {'cops': K.OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME,
+             'forces': K.OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME,
+             'torques': K.OutputDataKeys.GROUND_CONTACT_TORQUES_IN_ROOT_FRAME,
+             'wrenches': K.OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME}
+
+    curve = []
+    it = 0
+    for ep in range(epochs):
+        for idx in schedule[ep]:
+            bi = jnp.asarray(idx.astype(np.int32))
+            state, _ = step(state, x[bi], y[bi], jax.random.fold_in(rng, it))
+            it += 1
+        preds = []
+        for i in range(0, x_dev.shape[0], 512):
+            outputs, _ = eval_step(state, xd[i:i + 512], yd_dummy[i:i + 512])
+            preds.append({k: np.asarray(outputs[full], np.float32)
+                          for k, full in short.items()})
+        pred = {k: np.concatenate([p[k] for p in preds]) for k in short}
+        curve.append(dev_metrics(pred, lab_dev))
+    return curve
+
+
+# ---------------------------------------------------------------------------
+
+def main():
+    # CPU venue by default: the reference trained on CPU SLURM partitions
+    # (BASELINE.md), torch here is CPU-only, and batch-64 dispatch over
+    # the axon tunnel would measure the tunnel. IB_PLATFORM=axon opts out.
+    if os.environ.get('IB_PLATFORM', 'cpu') == 'cpu':
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--epochs', type=int, default=10)
+    ap.add_argument('--seeds', type=int, nargs='+', default=[0, 1, 2])
+    ap.add_argument('--out', default='/tmp/parity_rmse.json')
+    ap.add_argument('--data', default='/tmp/ib_parity_data')
+    args = ap.parse_args()
+
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+
+    tr_dir = os.path.join(args.data, 'train')
+    dev_dir = os.path.join(args.data, 'dev')
+    os.makedirs(tr_dir, exist_ok=True)
+    os.makedirs(dev_dir, exist_ok=True)
+    for i in range(2):
+        p = os.path.join(tr_dir, f'train_s{i}.b3d')
+        if not os.path.exists(p):
+            write_synthetic_subject(p, num_trials=2, trial_length=1500,
+                                    seed=100 + i)
+    p = os.path.join(dev_dir, 'dev_s0.b3d')
+    if not os.path.exists(p):
+        write_synthetic_subject(p, num_trials=2, trial_length=1500, seed=200)
+
+    ds_tr = WindowDataset(tr_dir, window_size=WINDOW, stride=STRIDE)
+    ds_dev = WindowDataset(dev_dir, window_size=WINDOW, stride=STRIDE)
+    b_tr = ds_tr.gather(np.arange(len(ds_tr)))
+    b_dev = ds_dev.gather(np.arange(len(ds_dev)))
+    x_tr = np.asarray(b_tr.inputs, np.float32)
+    y_tr = np.asarray(b_tr.labels, np.float32)
+    x_dev = np.asarray(b_dev.inputs, np.float32)
+    y_dev = np.asarray(b_dev.labels, np.float32)
+    sl = label_slices(ds_tr.lab_offsets)
+    lab_dev = slice_labels(y_dev, sl)
+    print(f'train windows {len(ds_tr)}  dev windows {len(ds_dev)}  '
+          f'input [{x_tr.shape[1]}x{x_tr.shape[2]}]', flush=True)
+
+    results = {'config': {'window': WINDOW, 'stride': STRIDE, 'batch': BATCH,
+                          'lr': LR, 'hidden': list(HIDDEN),
+                          'epochs': args.epochs, 'seeds': args.seeds,
+                          'n_train': len(ds_tr), 'n_dev': len(ds_dev)},
+               'torch': {}, 'jax': {}}
+    for seed in args.seeds:
+        schedule = batch_schedule(len(ds_tr), seed, args.epochs)
+        t0 = time.time()
+        results['torch'][str(seed)] = run_torch(
+            x_tr, y_tr, x_dev, lab_dev, sl, seed, args.epochs, schedule)
+        tt = time.time() - t0
+        t0 = time.time()
+        results['jax'][str(seed)] = run_jax(
+            ds_tr, x_tr, y_tr, x_dev, lab_dev, sl, seed, args.epochs, schedule)
+        tj = time.time() - t0
+        ft = results['torch'][str(seed)][-1]
+        fj = results['jax'][str(seed)][-1]
+        print(f'seed {seed}: torch {tt:.0f}s  force {ft["force_avg_err"]:.4f} '
+              f'cop {ft["cop_avg_err"]:.4f} com {ft["com_acc_avg_err"]:.4f} | '
+              f'jax {tj:.0f}s  force {fj["force_avg_err"]:.4f} '
+              f'cop {fj["cop_avg_err"]:.4f} com {fj["com_acc_avg_err"]:.4f}',
+              flush=True)
+
+    with open(args.out, 'w') as f:
+        json.dump(results, f, indent=1)
+    print(f'wrote {args.out}')
+
+    for m in ('force_avg_err', 'cop_avg_err', 'com_acc_avg_err'):
+        tv = [results['torch'][str(s)][-1][m] for s in args.seeds]
+        jv = [results['jax'][str(s)][-1][m] for s in args.seeds]
+        print(f'{m}: torch {np.mean(tv):.4f} (range {min(tv):.4f}-{max(tv):.4f})'
+              f'  jax {np.mean(jv):.4f} (range {min(jv):.4f}-{max(jv):.4f})')
+
+
+if __name__ == '__main__':
+    sys.exit(main())
