@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import logging
 import os
 
 import jax
@@ -116,10 +117,25 @@ class AnalyzeCommand:
                                output_data_format=config.output_data_format,
                                testing_with_short_dataset=config.short,
                                trial_filter=config.trial_filter,
-                               skip_loading_skeletons=config.model_type != 'analytical')
+                               skip_loading_skeletons=(
+                                   config.model_type != 'analytical'
+                                   and not config.compute_report))
             if len(ds) == 0:
                 print(f'{split}: no windows, skipping')
                 continue
+            # surface skeleton approximations ONCE per run wherever they
+            # could bias the reported numbers (tau report / analytical
+            # FK) — a wrong knee kinematic must never be silent
+            needs_skels = (config.compute_report
+                           or config.model_type == 'analytical')
+            if needs_skels:
+                approx = sorted({w for sk in getattr(ds, 'skeletons', [])
+                                 if sk is not None
+                                 for w in sk.fidelity_warnings})
+                for w in approx:
+                    logging.warning(
+                        'skeleton approximation (may bias the tau report / '
+                        'analytical baseline): %s', w)
             tau_fn = None
             if config.compute_report:
                 from inferbiomechanics_tpu.loss.tau_report import make_tau_report_fn

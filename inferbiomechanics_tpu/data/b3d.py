@@ -172,9 +172,32 @@ def layout_total(layout: Sequence[Tuple[str, int]]) -> int:
 class JointSpec:
     """One joint in the kinematic tree.
 
-    type: 'free' (6-DOF root: 3 euler-XYZ rotation DOFs then 3 translation),
-          'ball' (3 euler-XYZ DOFs), or 'revolute' (1 DOF about ``axis``).
+    type: 'free' (6-DOF root: 3 rotation DOFs then 3 translation),
+          'ball' (3 rotation DOFs), or 'revolute' (1 DOF about ``axis``).
     ``translation`` is the joint center offset in the parent body frame.
+
+    OpenSim-fidelity fields (all default to the legacy no-op values, so
+    old specs / serialized skeletons keep their exact semantics):
+
+    - ``orientation``: euler-XYZ rotation of the PARENT offset frame
+      (OpenSim PhysicalOffsetFrame <orientation>), applied before the
+      joint motion.
+    - ``child_translation`` / ``child_orientation``: the CHILD body's
+      offset frame; the joint connects parent offset frame to child
+      offset frame, so the child BODY transform post-multiplies the
+      inverse of this offset.
+    - ``rot_axes``: for 'ball'/'free' CustomJoints, the three ordered
+      rotation axes (e.g. Rajagopal hips rotate about z, x, y). ``None``
+      means canonical euler-XYZ (the legacy behavior).
+    - ``couplings``: for 1-DOF CustomJoints, the ordered TransformAxis
+      list driven by the single coordinate q — each entry
+      ``{'kind': 'rotation'|'translation', 'axis': [x,y,z],
+         'fn': {'type': 'identity'|'linear'|'constant'|'spline', ...}}``
+      ('linear' carries ``coeffs`` [a, b] for a*q+b; 'constant' carries
+      ``value``; 'spline' carries natural-cubic knots ``x``/``y``, the
+      SimmSpline/NaturalCubicSpline representation — e.g. the Rajagopal
+      walker-knee translation splines). Empty = plain hinge about
+      ``axis``.
     """
     name: str
     type: str
@@ -182,6 +205,13 @@ class JointSpec:
     child_body: int
     translation: List[float]
     axis: List[float] = field(default_factory=lambda: [0.0, 0.0, 1.0])
+    orientation: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    child_translation: List[float] = field(
+        default_factory=lambda: [0.0, 0.0, 0.0])
+    child_orientation: List[float] = field(
+        default_factory=lambda: [0.0, 0.0, 0.0])
+    rot_axes: Optional[List[List[float]]] = None
+    couplings: List[dict] = field(default_factory=list)
 
 
 @dataclass
@@ -196,6 +226,11 @@ class BodySpec:
 class SkeletonSpec:
     joints: List[JointSpec]
     bodies: List[BodySpec]
+    # approximations made while deriving this spec (e.g. unsupported
+    # OpenSim function types, data/osim.py). NOT serialized; surfaced
+    # once per run by consumers whose numbers they could bias
+    # (analyze --compute-report, the analytical baseline).
+    fidelity_warnings: List[str] = field(default_factory=list)
 
     @property
     def num_dofs(self) -> int:

@@ -1,24 +1,29 @@
-"""Best-effort OpenSim ``.osim`` model XML -> :class:`SkeletonSpec` parser.
+"""OpenSim ``.osim`` model XML -> :class:`SkeletonSpec` parser.
 
 Capability parity: real AddBiomechanics ``.b3d`` files carry the subject's
 scaled OpenSim model as raw XML in each processing-pass header
 (``model_osim_text``); the reference hands it to nimblephysics'
 ``readSkel`` (AddBiomechanicsDataset.py:127), which parses the full
-OpenSim model. This module extracts the subset the TPU framework's
-rigid-body kernels consume (ops/skeleton.py): the body tree (mass / COM /
-inertia) and joint topology (type, axis, parent-frame offset).
+OpenSim model. This module extracts what the TPU framework's rigid-body
+kernels consume (ops/skeleton.py): the body tree (mass / COM / inertia)
+and joint topology, including (round 4):
 
-Fidelity notes (documented approximations):
-- CustomJoint spatial transforms are classified by their *coordinate
-  count*: 6 (3 rotational + 3 translational) -> 'free', 3 rotational ->
-  'ball', 1 -> 'revolute' about that TransformAxis' axis. Coordinate
-  coupling functions (e.g. Rajagopal knee translation splines) are NOT
-  reproduced — the joint becomes a pure rotation, which matches how the
-  reference's feature schema treats DOFs (one channel per coordinate).
-- WeldJoint -> 'fixed' (0 DOF).
-- Frame orientations on offset frames are folded into the translation
-  only when zero; non-zero orientations are ignored with the translation
-  kept (a small frame error, flagged via ``warnings`` in the result).
+- **coordinate-coupling functions** on CustomJoint TransformAxes —
+  SimmSpline / NaturalCubicSpline (natural-cubic knots evaluated by
+  ops/spline.py), LinearFunction, Constant, and MultiplierFunction
+  (scale folded into the inner function). This covers the Rajagopal
+  walker-knee translation splines present in the standard
+  AddBiomechanics models.
+- **offset-frame orientations**: non-zero ``<orientation>`` on parent
+  AND child PhysicalOffsetFrames are carried into the joint transform
+  (previously ignored with a warning).
+- **ordered rotation axes** for 3-coordinate ('ball') and 6-coordinate
+  ('free') CustomJoints (e.g. Rajagopal hips rotate about z, x, y —
+  not euler-XYZ).
+
+Remaining approximations (still surfaced via ``warnings``): unknown
+function types (e.g. PolynomialFunction) and translation DOFs of
+6-coordinate joints along non-canonical axes.
 """
 
 from __future__ import annotations
@@ -28,6 +33,11 @@ from typing import Dict, List, Optional, Tuple
 
 from inferbiomechanics_tpu.data.b3d import BodySpec, JointSpec, SkeletonSpec
 
+_CANONICAL_AXES = ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0])
+_FN_TAGS = ('SimmSpline', 'NaturalCubicSpline', 'LinearFunction',
+            'Constant', 'MultiplierFunction', 'PiecewiseLinearFunction',
+            'PolynomialFunction')
+
 
 def _floats(text: Optional[str]) -> List[float]:
     return [float(v) for v in (text or '').split()]
@@ -36,6 +46,77 @@ def _floats(text: Optional[str]) -> List[float]:
 def _find_text(el, tag: str, default: str = '') -> str:
     child = el.find(tag)
     return child.text.strip() if child is not None and child.text else default
+
+
+def _parse_function(el, warnings: List[str], ctx: str) -> Optional[dict]:
+    """Parse one OpenSim function element into a coupling 'fn' dict.
+    Returns None for functions we cannot represent (warned)."""
+    tag = el.tag
+    if tag in ('SimmSpline', 'NaturalCubicSpline'):
+        x = _floats(_find_text(el, 'x'))
+        y = _floats(_find_text(el, 'y'))
+        if len(x) != len(y) or len(x) < 2:
+            warnings.append(f'{ctx}: malformed spline knots ({len(x)} x, '
+                            f'{len(y)} y)')
+            return None
+        return {'type': 'spline', 'x': x, 'y': y}
+    if tag == 'LinearFunction':
+        co = _floats(_find_text(el, 'coefficients', '1 0'))
+        co = (co + [0.0, 0.0])[:2]
+        return {'type': 'linear', 'coeffs': co}
+    if tag == 'Constant':
+        return {'type': 'constant',
+                'value': float(_find_text(el, 'value', '0') or 0)}
+    if tag == 'MultiplierFunction':
+        scale = float(_find_text(el, 'scale', '1') or 1)
+        inner_el = None
+        wrapper = el.find('function')
+        pool = list(wrapper) if wrapper is not None else list(el)
+        for c in pool:
+            if c.tag in _FN_TAGS:
+                inner_el = c
+                break
+        if inner_el is None:
+            warnings.append(f'{ctx}: MultiplierFunction without inner '
+                            f'function')
+            return None
+        inner = _parse_function(inner_el, warnings, ctx)
+        if inner is None:
+            return None
+        if inner['type'] == 'spline':
+            inner['y'] = [v * scale for v in inner['y']]
+        elif inner['type'] == 'linear':
+            inner['coeffs'] = [v * scale for v in inner['coeffs']]
+        elif inner['type'] == 'constant':
+            inner['value'] *= scale
+        return inner
+    warnings.append(f'{ctx}: unsupported function {tag} approximated as '
+                    f'identity')
+    return None
+
+
+def _axis_function(ta, warnings: List[str], ctx: str) -> Optional[dict]:
+    """The function attached to a TransformAxis: a direct child function
+    element (OpenSim 4.x) or one wrapped in <function> (3.x). A
+    coordinate-driven axis with no function element is the identity."""
+    wrapper = ta.find('function')
+    pool = list(wrapper) if wrapper is not None else list(ta)
+    for c in pool:
+        if c.tag in _FN_TAGS:
+            return _parse_function(c, warnings, ctx)
+    return {'type': 'identity'}
+
+
+def _fn_is_zero(fn: Optional[dict]) -> bool:
+    if fn is None:
+        return True
+    if fn['type'] == 'constant':
+        return abs(fn['value']) < 1e-12
+    if fn['type'] == 'linear':
+        return all(abs(v) < 1e-12 for v in fn['coeffs'])
+    if fn['type'] == 'spline':
+        return all(abs(v) < 1e-12 for v in fn['y'])
+    return False
 
 
 def parse_osim(xml_text: str) -> Tuple[SkeletonSpec, List[str]]:
@@ -68,7 +149,8 @@ def parse_osim(xml_text: str) -> Tuple[SkeletonSpec, List[str]]:
 
     # -- joints ---------------------------------------------------------
     def frame_of(joint_el, socket_tag: str):
-        """Resolve a joint's parent/child socket to (body name, offset)."""
+        """Resolve a joint's parent/child socket to
+        (body name, translation, orientation)."""
         ref = _find_text(joint_el, socket_tag)
         frame_name = ref.split('/')[-1]
         for fr in joint_el.findall('frames/PhysicalOffsetFrame'):
@@ -76,72 +158,139 @@ def parse_osim(xml_text: str) -> Tuple[SkeletonSpec, List[str]]:
                 parent = _find_text(fr, 'socket_parent')
                 trans = _floats(_find_text(fr, 'translation', '0 0 0'))
                 orient = _floats(_find_text(fr, 'orientation', '0 0 0'))
-                if any(abs(v) > 1e-9 for v in orient):
-                    warnings.append(
-                        f'{joint_el.get("name")}: non-zero frame orientation '
-                        f'{orient} ignored')
                 body = parent.split('/')[-1]
-                return body, (trans + [0, 0, 0])[:3]
+                return (body, (trans + [0, 0, 0])[:3],
+                        (orient + [0, 0, 0])[:3])
         # direct socket to a body/ground (no offset frame)
-        return frame_name, [0.0, 0.0, 0.0]
+        return frame_name, [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]
 
     joints: List[JointSpec] = []
     jointset = model.find('JointSet/objects')
     for j in (jointset if jointset is not None else []):
         name = j.get('name', f'joint_{len(joints)}')
-        parent_body, translation = frame_of(j, 'socket_parent_frame')
-        child_body, child_off = frame_of(j, 'socket_child_frame')
-        if any(abs(v) > 1e-9 for v in child_off):
-            warnings.append(f'{name}: child-frame offset {child_off} ignored')
+        parent_body, translation, orientation = frame_of(
+            j, 'socket_parent_frame')
+        child_body, child_trans, child_orient = frame_of(
+            j, 'socket_child_frame')
         parent_idx = body_index.get(parent_body, -1)  # ground -> -1
         if child_body not in body_index:
-            warnings.append(f'{name}: unknown child body {child_body}, skipped')
+            warnings.append(f'{name}: unknown child body {child_body}, '
+                            f'skipped')
             continue
         child_idx = body_index[child_body]
 
+        axis = [0.0, 0.0, 1.0]
+        rot_axes: Optional[List[List[float]]] = None
+        couplings: List[dict] = []
         if j.tag == 'WeldJoint':
-            jtype, axis = 'fixed', [0.0, 0.0, 1.0]
+            jtype = 'fixed'
         elif j.tag == 'PinJoint':
-            jtype, axis = 'revolute', [0.0, 0.0, 1.0]
+            jtype = 'revolute'
         elif j.tag in ('BallJoint', 'GimbalJoint'):
-            jtype, axis = 'ball', [0.0, 0.0, 1.0]
+            jtype = 'ball'
         elif j.tag == 'FreeJoint':
-            jtype, axis = 'free', [0.0, 0.0, 1.0]
+            jtype = 'free'
         elif j.tag == 'CustomJoint':
-            coords = [c.get('name') for c in j.findall('coordinates/Coordinate')]
-            rot_axes = []
-            coupled_translations = 0
+            coords = [c.get('name')
+                      for c in j.findall('coordinates/Coordinate')]
+            # ordered TransformAxis records: (name, axis, coord, fn)
+            axes = []
             for ta in j.findall('SpatialTransform/TransformAxis'):
                 ta_name = ta.get('name', '')
-                has_coord = bool(_find_text(ta, 'coordinates'))
-                if ta_name.startswith('rotation') and has_coord:
-                    rot_axes.append(_floats(_find_text(ta, 'axis', '0 0 1')))
-                elif ta_name.startswith('translation') and has_coord:
-                    coupled_translations += 1
+                ta_axis = (_floats(_find_text(ta, 'axis', '0 0 1'))
+                           + [0, 0, 1])[:3]
+                ta_coord = _find_text(ta, 'coordinates')
+                fn = _axis_function(ta, warnings, f'{name}/{ta_name}')
+                axes.append((ta_name, ta_axis, ta_coord, fn))
+
+            def axes_for(coord_names, kind_prefix):
+                """Ordered rotation axes matched to coordinates by name
+                (falling back to TransformAxis order)."""
+                picked = []
+                pool = [a for a in axes if a[0].startswith(kind_prefix)
+                        and a[2]]
+                for ci, cn in enumerate(coord_names):
+                    match = next((a for a in pool if a[2] == cn),
+                                 pool[ci] if ci < len(pool) else None)
+                    picked.append(match[1] if match else
+                                  list(_CANONICAL_AXES[min(ci, 2)]))
+                return picked
+
             if len(coords) >= 6:
-                jtype, axis = 'free', [0.0, 0.0, 1.0]
-            elif len(coords) == 3 and len(rot_axes) == 3:
-                jtype, axis = 'ball', [0.0, 0.0, 1.0]
+                jtype = 'free'
+                rot_axes = axes_for(coords[:3], 'rotation')
+                # translation DOFs must ride canonical axes (they do in
+                # every standard model); anything else is approximated
+                for a in axes:
+                    if (a[0].startswith('translation') and a[2]
+                            and a[2] in coords[3:]):
+                        want = _CANONICAL_AXES[
+                            int(a[0][-1]) - 1 if a[0][-1].isdigit() else 0]
+                        if any(abs(x - w) > 1e-9
+                               for x, w in zip(a[1], want)):
+                            warnings.append(
+                                f'{name}: non-canonical translation axis '
+                                f'{a[1]} approximated as {list(want)}')
+            elif len(coords) == 3:
+                jtype = 'ball'
+                rot_axes = axes_for(coords, 'rotation')
             elif len(coords) == 1:
                 jtype = 'revolute'
-                axis = (rot_axes[0] if rot_axes else [0.0, 0.0, 1.0])
-                if coupled_translations or len(rot_axes) != 1:
-                    warnings.append(
-                        f'{name}: coupled transform functions approximated '
-                        f'as pure rotation about {axis}')
+                primary_rot = None
+                for ta_name, ta_axis, ta_coord, fn in axes:
+                    kind = ('rotation' if ta_name.startswith('rotation')
+                            else 'translation')
+                    if not ta_coord:
+                        # constant offset axes: keep non-zero constants
+                        if fn and fn['type'] == 'constant' \
+                                and not _fn_is_zero(fn):
+                            couplings.append({'kind': kind, 'axis': ta_axis,
+                                              'fn': fn})
+                        continue
+                    if fn is None:  # unsupported function: identity fallback
+                        fn = {'type': 'identity'}
+                    if _fn_is_zero(fn):
+                        continue
+                    if (kind == 'rotation' and primary_rot is None
+                            and fn['type'] == 'identity'):
+                        primary_rot = ta_axis
+                    couplings.append({'kind': kind, 'axis': ta_axis,
+                                      'fn': fn})
+                axis = primary_rot or next(
+                    (c['axis'] for c in couplings if c['kind'] == 'rotation'),
+                    [0.0, 0.0, 1.0])
+                # a lone identity rotation is a plain hinge — drop the
+                # coupling machinery so legacy specs stay byte-identical
+                if (len(couplings) == 1
+                        and couplings[0]['kind'] == 'rotation'
+                        and couplings[0]['fn']['type'] == 'identity'):
+                    couplings = []
             elif len(coords) == 0:
-                jtype, axis = 'fixed', [0.0, 0.0, 1.0]
+                jtype = 'fixed'
             else:
-                jtype, axis = 'ball', [0.0, 0.0, 1.0]
+                jtype = 'ball'
                 warnings.append(
                     f'{name}: {len(coords)} coordinates approximated as ball')
         else:
             warnings.append(f'{name}: joint tag {j.tag} treated as fixed')
-            jtype, axis = 'fixed', [0.0, 0.0, 1.0]
-        joints.append(JointSpec(name=name, type=jtype, parent_body=parent_idx,
-                                child_body=child_idx,
-                                translation=(translation + [0, 0, 0])[:3],
-                                axis=(axis + [0, 0, 1])[:3]))
+            jtype = 'fixed'
+
+        # canonical-euler rot_axes are the legacy default: drop them
+        if rot_axes is not None and all(
+                all(abs(x - w) < 1e-9 for x, w in zip(a, want))
+                for a, want in zip(rot_axes, _CANONICAL_AXES)):
+            rot_axes = None
+
+        joints.append(JointSpec(
+            name=name, type=jtype, parent_body=parent_idx,
+            child_body=child_idx,
+            translation=(translation + [0, 0, 0])[:3],
+            axis=(axis + [0, 0, 1])[:3],
+            orientation=orientation,
+            child_translation=child_trans,
+            child_orientation=child_orient,
+            rot_axes=rot_axes,
+            couplings=couplings))
 
     # topological order: parents before children (FK unrolls in order)
     ordered: List[JointSpec] = []
@@ -160,4 +309,6 @@ def parse_osim(xml_text: str) -> Tuple[SkeletonSpec, List[str]]:
                             f'ground; appended as-is')
             ordered.extend(pending)
             break
-    return SkeletonSpec(joints=ordered, bodies=bodies), warnings
+    spec = SkeletonSpec(joints=ordered, bodies=bodies)
+    spec.fidelity_warnings = list(warnings)
+    return spec, warnings

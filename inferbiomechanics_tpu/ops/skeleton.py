@@ -29,8 +29,15 @@ from inferbiomechanics_tpu.data.b3d import SkeletonSpec
 from inferbiomechanics_tpu.ops.spatial import (
     axis_angle_to_matrix, euler_xyz_to_matrix, unskew,
 )
+from inferbiomechanics_tpu.ops.spline import NaturalCubicSpline
 
 GRAVITY = jnp.array([0.0, -9.81, 0.0])
+
+_CANONICAL_AXES = np.eye(3)
+
+
+def _nonzero(vals) -> bool:
+    return any(abs(float(v)) > 1e-12 for v in vals)
 
 
 class CompiledSkeleton:
@@ -56,6 +63,56 @@ class CompiledSkeleton:
         self.inertias = jnp.asarray(I)
         self.joint_translations = jnp.asarray([j.translation for j in spec.joints])
         self.joint_axes = jnp.asarray([j.axis for j in spec.joints])
+        # OpenSim fidelity arrays (round 4): offset-frame orientations,
+        # child offset frames, ordered CustomJoint rotation axes, and
+        # coordinate-coupling function parameters. All per-subject
+        # SCALABLE quantities live in arrays (PARAM_FIELDS); which
+        # transforms exist at all is STRUCTURAL (decided from `spec` at
+        # trace time, so legacy specs lower to the exact same XLA).
+        self.joint_orientations = jnp.asarray(
+            [j.orientation for j in spec.joints])
+        self.child_translations = jnp.asarray(
+            [j.child_translation for j in spec.joints])
+        self.child_orientations = jnp.asarray(
+            [j.child_orientation for j in spec.joints])
+        self.joint_rot_axes = jnp.asarray(
+            [j.rot_axes if j.rot_axes is not None else _CANONICAL_AXES
+             for j in spec.joints])
+        self._has_pre_rot = [_nonzero(j.orientation) for j in spec.joints]
+        self._has_child_off = [
+            _nonzero(j.child_translation) or _nonzero(j.child_orientation)
+            for j in spec.joints]
+        self._noncanon_rot = [j.rot_axes is not None for j in spec.joints]
+        # couplings: structural metadata + one flat parameter vector
+        # (so per-subject scaled spline knots stack/vmap like any other
+        # skeleton parameter). Entry: (kind, axis const, fn_type,
+        # (param_off, param_len), spline_or_None).
+        self._couplings: List[List[tuple]] = []
+        flat_params: List[float] = []
+        for j in spec.joints:
+            entries = []
+            for c in j.couplings:
+                fn = c['fn']
+                off_p = len(flat_params)
+                spline = None
+                if fn['type'] == 'spline':
+                    spline = NaturalCubicSpline(fn['x'])
+                    flat_params.extend(float(v) for v in fn['y'])
+                elif fn['type'] == 'linear':
+                    flat_params.extend(
+                        float(v) for v in fn['coeffs'])
+                elif fn['type'] == 'constant':
+                    flat_params.append(float(fn['value']))
+                elif fn['type'] != 'identity':
+                    raise ValueError(
+                        f"unknown coupling fn type {fn['type']!r} on "
+                        f"joint {j.name}")
+                entries.append((c['kind'], np.asarray(c['axis'], np.float64),
+                                fn['type'],
+                                (off_p, len(flat_params) - off_p), spline))
+            self._couplings.append(entries)
+        self.coupling_params = jnp.asarray(flat_params, jnp.float32) \
+            if flat_params else jnp.zeros((0,), jnp.float32)
         # per-joint dof slice
         self.dof_offsets: List[int] = []
         off = 0
@@ -66,6 +123,81 @@ class CompiledSkeleton:
         self.body_names = [b.name for b in spec.bodies]
         self.body_index = {b.name: i for i, b in enumerate(spec.bodies)}
 
+    # -- joint-local transforms ------------------------------------------
+
+    def _coupling_fn(self, entry, q_scalar):
+        """Evaluate one coupling function at the joint coordinate."""
+        _kind, _axis, fn_type, (p_off, p_len), spline = entry
+        if fn_type == 'identity':
+            return q_scalar
+        p = self.coupling_params[p_off:p_off + p_len]
+        if fn_type == 'linear':
+            return p[0] * q_scalar + p[1]
+        if fn_type == 'constant':
+            return p[0]
+        return spline(q_scalar, y=p)  # 'spline'
+
+    def _ordered_rotation(self, ji: int, angles) -> jax.Array:
+        """Compose rotations about the joint's ordered axes (OpenSim
+        CustomJoint semantics); canonical axes reduce to euler-XYZ."""
+        if not self._noncanon_rot[ji]:
+            return euler_xyz_to_matrix(jnp.stack(angles))
+        R = axis_angle_to_matrix(self.joint_rot_axes[ji, 0], angles[0])
+        for k in (1, 2):
+            R = R @ axis_angle_to_matrix(self.joint_rot_axes[ji, k],
+                                         angles[k])
+        return R
+
+    def _joint_local(self, ji: int, joint, q: jax.Array):
+        """(Rj, tj): the joint frame's motion within the parent offset
+        frame — rotation matrix and translation (translation expressed in
+        the parent offset frame, per OpenSim SpatialTransform)."""
+        off = self.dof_offsets[ji]
+        zero3 = jnp.zeros(3, q.dtype)
+        if joint.type == 'free':
+            return (self._ordered_rotation(ji, [q[off], q[off + 1],
+                                                q[off + 2]]),
+                    q[off + 3:off + 6])
+        if joint.type == 'ball':
+            return (self._ordered_rotation(ji, [q[off], q[off + 1],
+                                                q[off + 2]]),
+                    zero3)
+        if joint.type == 'revolute':
+            entries = self._couplings[ji]
+            if not entries:
+                return (axis_angle_to_matrix(self.joint_axes[ji], q[off]),
+                        zero3)
+            Rj = jnp.eye(3, dtype=q.dtype)
+            tj = zero3
+            for e in entries:
+                val = self._coupling_fn(e, q[off])
+                axis = jnp.asarray(e[1], q.dtype)
+                if e[0] == 'rotation':
+                    Rj = Rj @ axis_angle_to_matrix(axis, val)
+                else:
+                    tj = tj + axis * val
+            return Rj, tj
+        return jnp.eye(3, dtype=q.dtype), zero3  # fixed
+
+    def _joint_transform(self, ji: int, joint, q: jax.Array):
+        """Full parent-body -> child-body transform:
+        X = X_parent_offset ∘ X_joint ∘ X_child_offset⁻¹."""
+        Rj, tj = self._joint_local(ji, joint, q)
+        t_total = tj
+        if self._has_child_off[ji]:
+            R_co = euler_xyz_to_matrix(
+                self.child_orientations[ji].astype(q.dtype))
+            t_co = self.child_translations[ji]
+            Rj = Rj @ R_co.T
+            t_total = tj - Rj @ t_co
+        R_total = Rj
+        if self._has_pre_rot[ji]:
+            R_po = euler_xyz_to_matrix(
+                self.joint_orientations[ji].astype(q.dtype))
+            R_total = R_po @ Rj
+            t_total = R_po @ t_total
+        return R_total, self.joint_translations[ji] + t_total
+
     # -- kinematics ----------------------------------------------------------
 
     def fk(self, q: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -73,32 +205,13 @@ class CompiledSkeleton:
         Rs = [None] * self.num_bodies
         ps = [None] * self.num_bodies
         for ji, joint in enumerate(self.spec.joints):
-            off = self.dof_offsets[ji]
-            t = self.joint_translations[ji]
             if joint.parent_body < 0:
                 Rp, pp = jnp.eye(3, dtype=q.dtype), jnp.zeros(3, q.dtype)
             else:
                 Rp, pp = Rs[joint.parent_body], ps[joint.parent_body]
-            if joint.type == 'free':
-                Rj = euler_xyz_to_matrix(q[off:off + 3])
-                # translation DOFs are in the parent (world) frame, offset
-                # from the joint's neutral position
-                pj = t + q[off + 3:off + 6]
-                Rc = Rp @ Rj
-                pc = pp + Rp @ pj
-            elif joint.type == 'ball':
-                Rj = euler_xyz_to_matrix(q[off:off + 3])
-                Rc = Rp @ Rj
-                pc = pp + Rp @ t
-            elif joint.type == 'revolute':
-                Rj = axis_angle_to_matrix(self.joint_axes[ji], q[off])
-                Rc = Rp @ Rj
-                pc = pp + Rp @ t
-            else:  # fixed (0 DOF, e.g. OpenSim WeldJoint)
-                Rc = Rp
-                pc = pp + Rp @ t
-            Rs[joint.child_body] = Rc
-            ps[joint.child_body] = pc
+            Rj, tj = self._joint_transform(ji, joint, q)
+            Rs[joint.child_body] = Rp @ Rj
+            ps[joint.child_body] = pp + Rp @ tj
         return jnp.stack(Rs), jnp.stack(ps)
 
     def joint_world_positions(self, q: jax.Array) -> jax.Array:
@@ -112,7 +225,11 @@ class CompiledSkeleton:
                 base = t.astype(q.dtype)
                 if joint.type == 'free':
                     off = self.dof_offsets[ji]
-                    base = base + q[off + 3:off + 6]
+                    tq = q[off + 3:off + 6]
+                    if self._has_pre_rot[ji]:
+                        tq = euler_xyz_to_matrix(
+                            self.joint_orientations[ji].astype(q.dtype)) @ tq
+                    base = base + tq
                 out.append(base)
             else:
                 out.append(ps[joint.parent_body] + Rs[joint.parent_body] @ t)
@@ -230,13 +347,28 @@ def compile_skeleton(spec: SkeletonSpec) -> CompiledSkeleton:
 # per-item skeleton objects (RegressionLossEvaluator.py:271-285).
 
 PARAM_FIELDS = ('masses', 'coms', 'inertias', 'joint_translations',
-                'joint_axes')
+                'joint_axes', 'joint_orientations', 'child_translations',
+                'child_orientations', 'joint_rot_axes', 'coupling_params')
+
+
+def _joint_structure(j) -> tuple:
+    """Everything FK branches on at trace time (values live in arrays):
+    topology, which offset transforms exist, rotation-axis convention,
+    and the coupling-function signatures (incl. spline knot abscissae —
+    those are structural; ordinates are per-subject parameters)."""
+    return (j.name, j.type, j.parent_body, j.child_body,
+            _nonzero(j.orientation),
+            _nonzero(j.child_translation) or _nonzero(j.child_orientation),
+            j.rot_axes is not None,
+            tuple((c['kind'], c['fn']['type'],
+                   tuple(c['fn'].get('x', ())),
+                   len(c['fn'].get('y', ())) or len(c['fn'].get('coeffs', ())))
+                  for c in j.couplings))
 
 
 def skeletons_structurally_equal(a: SkeletonSpec, b: SkeletonSpec) -> bool:
-    return ([(j.name, j.type, j.parent_body, j.child_body) for j in a.joints]
-            == [(j.name, j.type, j.parent_body, j.child_body)
-                for j in b.joints]
+    return ([_joint_structure(j) for j in a.joints]
+            == [_joint_structure(j) for j in b.joints]
             and [x.name for x in a.bodies] == [x.name for x in b.bodies])
 
 
