@@ -218,6 +218,13 @@ def bench_jax_epoch(ds, data, n_chunks: int = 18,
     return best
 
 
+def _health(box) -> str:
+    """doctor-shared classification of this run's backend (VERDICT r3 #8)."""
+    from inferbiomechanics_tpu.cli.doctor_cmd import classify_backend_health
+    return classify_backend_health(compile_s=box.get('compile_s'),
+                                   transfer_mbps=box.get('tunnel_mbps'))
+
+
 def main():
     # Watchdog: the (experimental) axon TPU backend has been observed to
     # hang compiles for many minutes; rather than hang the driver (or
@@ -259,6 +266,15 @@ def main():
         float(probe[0])
         box['tunnel_mbps'] = round(0.064 / max(time.time() - t, 1e-9), 3)
         log(f'[bench] tunnel probe: {box["tunnel_mbps"]} MB/s')
+        # compile probe (doctor-style): a fresh tiny jit, scalar-readback
+        # synced — classifies the run's backend health in the output line
+        # so a low driver capture is attributable without BENCH_NOTES
+        box['stage'] = 'compile_probe'
+        import jax
+        t = time.time()
+        float(jax.jit(lambda x: (x * x + 1.0).sum())(probe))
+        box['compile_s'] = round(time.time() - t, 2)
+        log(f'[bench] compile probe: {box["compile_s"]}s')
         from inferbiomechanics_tpu.train.device_data import TiledDeviceData
         box['stage'] = 'device_upload'
         t = time.time()
@@ -334,6 +350,8 @@ def main():
             if box.get('torch') else None,
             'stage_reached': box.get('stage'),
             'tunnel_mbps': box.get('tunnel_mbps'),
+            'compile_probe_s': box.get('compile_s'),
+            'backend_health': _health(box),
             'error': err,
         }), flush=True)   # os._exit skips stdio flushing; piped stdout
         os._exit(1)       # would otherwise lose the one contract line
@@ -358,6 +376,9 @@ def main():
         result['b64_vs_baseline'] = round(box['b64'] / torch_wps, 2)
     if box.get('tunnel_mbps') is not None:
         result['tunnel_mbps'] = box['tunnel_mbps']
+    if box.get('compile_s') is not None:
+        result['compile_probe_s'] = box['compile_s']
+    result['backend_health'] = _health(box)
     print(json.dumps(result), flush=True)
     os._exit(0)
 

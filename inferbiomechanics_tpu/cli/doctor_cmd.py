@@ -33,6 +33,24 @@ COMPILE_DEGRADED_S = 180.0      # CLAUDE.md: trivial compile > ~3 min
 TRANSFER_DEGRADED_MBPS = 0.5    # tunnel collapse territory
 
 
+def classify_backend_health(compile_s=None, transfer_mbps=None) -> str:
+    """One-word backend classification shared by doctor and bench.py's
+    self-describing output line: 'healthy', 'degraded-compile',
+    'degraded-tunnel', 'degraded-both', or 'unknown' (no probes ran)."""
+    slow_compile = compile_s is not None and compile_s >= COMPILE_DEGRADED_S
+    slow_tunnel = (transfer_mbps is not None
+                   and transfer_mbps < TRANSFER_DEGRADED_MBPS)
+    if compile_s is None and transfer_mbps is None:
+        return 'unknown'
+    if slow_compile and slow_tunnel:
+        return 'degraded-both'
+    if slow_compile:
+        return 'degraded-compile'
+    if slow_tunnel:
+        return 'degraded-tunnel'
+    return 'healthy'
+
+
 class DoctorCommand:
     name = 'doctor'
 

@@ -87,6 +87,20 @@ class Config:
     # per microbatch (same distribution, not bitwise == one big batch).
     grad_accum_steps: int = 1
 
+    # beyond parity: chunked host dispatch — on the host-loader tier,
+    # prefetch K batches, upload them as ONE [K, B, ...] array, and run
+    # a K-step lax.scan per dispatch (amortizes upload latency + program
+    # launch by K; semantics identical to K per-step calls). 1 = legacy
+    # per-batch dispatch. Ignored on the device-resident/sharded/stream
+    # tiers, which already scan on-device.
+    host_chunk_steps: int = 1
+    # host-tier INPUT upload dtype: 'bf16' halves the host->device bytes
+    # on the bandwidth-bound tunnel (measured 2x, scripts/probe_chunked).
+    # Numerically free when the model computes in bf16 (the default —
+    # inputs are cast on device anyway); labels always ship f32 because
+    # the loss consumes them at f32.
+    host_upload_dtype: str = 'f32'
+
     # beyond parity: on-device training-data augmentation
     # (train/augment.py — compiled into the train step on every tier;
     # dev eval never augments). Mirror = per-window sagittal reflection
@@ -242,6 +256,18 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                              'microbatches, averaging gradients before the '
                              'update — effective batches beyond activation-'
                              'memory fit (batch-size must divide evenly)')
+    parser.add_argument('--host-chunk-steps', type=int,
+                        default=d.host_chunk_steps,
+                        help='Host-loader tier: prefetch K batches, upload '
+                             'once, and run a K-step on-device scan per '
+                             'dispatch (amortizes upload + launch costs; '
+                             'identical numerics). 1 = per-batch dispatch')
+    parser.add_argument('--host-upload-dtype', type=str,
+                        default=d.host_upload_dtype,
+                        choices=('f32', 'bf16'),
+                        help='Host-loader tier: upload training INPUTS as '
+                             'bf16 (half the bytes; free when the model '
+                             'computes in bf16). Labels always ship f32')
     parser.add_argument('--keep-best', action='store_true',
                         default=d.keep_best,
                         help='Save best.ckpt whenever the dev loss improves '

@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from inferbiomechanics_tpu.config import Config
@@ -137,6 +138,11 @@ def train(config: Config,
         if config.dropout and config.dropout_prob:
             raise ValueError('--pipeline-parallel requires dropout off '
                              '(stages run without per-layer RNG plumbing)')
+        if config.attn_impl == 'pallas':
+            raise ValueError("--pipeline-parallel supports attn_impl "
+                             "'vpu'/'flax' only (pallas checkpoints store "
+                             "flat enc{i}_* params the stage converters "
+                             "cannot restructure)")
         from inferbiomechanics_tpu.parallel.pipeline import (
             make_pipeline_mesh,
         )
@@ -365,12 +371,18 @@ def train(config: Config,
                     n_dp, num_micro)
         base_eval_step = make_eval_step(model, train_ds.lab_offsets, lc)
 
+        _canon_cache = [None, None]   # (source state, canonical state)
+
         def eval_step(state, inputs, labels):
             # dev eval reuses the plain single-program forward on a
-            # canonical view of the pipe-sharded params
-            cstate = state.replace(params=to_canonical_params(
-                state.params, model.num_layers))
-            return base_eval_step(cstate, inputs, labels)
+            # canonical view of the pipe-sharded params; params are
+            # constant for a whole eval pass, so gather them ONCE per
+            # state rather than once per batch
+            if _canon_cache[0] is not state:
+                _canon_cache[0] = state
+                _canon_cache[1] = state.replace(params=to_canonical_params(
+                    state.params, model.num_layers))
+            return base_eval_step(_canon_cache[1], inputs, labels)
     else:
         train_step = make_train_step(model, train_ds.lab_offsets, lc,
                                      grad_accum=config.grad_accum_steps,
@@ -378,6 +390,30 @@ def train(config: Config,
                                      mesh=mesh,
                                      augment=augmenter)
         eval_step = make_eval_step(model, train_ds.lab_offsets, lc)
+
+    # host-tier upload dtype (--host-upload-dtype bf16): inputs ship at
+    # half the bytes; free when compute_dtype is bf16 (the default)
+    if config.host_upload_dtype == 'bf16':
+        def _upcast(a):
+            return np.asarray(a).astype(jnp.bfloat16)
+    else:
+        def _upcast(a):
+            return a
+
+    # chunked host dispatch (--host-chunk-steps K): K batches per upload
+    # + one K-step scan per dispatch on the host-loader tier
+    chunk_k = max(1, int(config.host_chunk_steps))
+    chunked_step = None
+    if chunk_k > 1 and pp == 1 and not use_device_data \
+            and streaming_epoch is None:
+        if lowp_allreduce is not None:
+            raise ValueError('--host-chunk-steps > 1 does not compose with '
+                             '--grad-allreduce-dtype (the explicit-psum '
+                             'shard_map step); use one or the other')
+        from inferbiomechanics_tpu.train.step import make_chunked_train_step
+        chunked_step = make_chunked_train_step(
+            model, train_ds.lab_offsets, lc, chunk_k,
+            grad_accum=config.grad_accum_steps, augment=augmenter)
 
     tau_fn = None
     if config.compute_report and dev_ds is not None:
@@ -539,6 +575,87 @@ def train(config: Config,
         # rules), which could overstate throughput arbitrarily.
         t_compute = time.time()
         last_metrics = None
+        if chunked_step is not None:
+            import itertools
+
+            def _log_ckpt_boundaries(first_idx: int, last_idx: int,
+                                     loss: float) -> None:
+                """Fire the per-batch log/checkpoint cadences once per
+                crossed boundary (chunk granularity)."""
+                if (last_idx // config.log_every_batches
+                        > (first_idx - 1) // config.log_every_batches):
+                    if metric_logger is not None:
+                        metric_logger.log({'train/loss': loss,
+                                           'epoch': epoch,
+                                           'batch': last_idx})
+                    logger.info('epoch %d batch %d loss %.6f', epoch,
+                                last_idx, loss)
+                if (last_idx > 0
+                        and last_idx // config.checkpoint_every_batches
+                        > max(first_idx - 1, 0)
+                        // config.checkpoint_every_batches):
+                    write_checkpoint(epoch, last_idx)
+
+            it = iter(batch_iter)
+            while True:
+                raw = list(itertools.islice(it, chunk_k))
+                if not raw:
+                    break
+                hit_cap = (max_batches_per_epoch is not None
+                           and raw[-1][0] >= max_batches_per_epoch - 1)
+                group = [g for g in raw
+                         if (max_batches_per_epoch is None
+                             or g[0] < max_batches_per_epoch)
+                         and not (epoch == start_epoch
+                                  and g[0] < skip_batches)]
+                if not group:
+                    if hit_cap:
+                        break
+                    continue
+                first_idx, last_idx = group[0][0], group[-1][0]
+                if len(group) == chunk_k:
+                    # per-batch ASYNC device_put (keeps the upload/compute
+                    # overlap per-step dispatch gets for free) + one
+                    # on-device stack; host-side np.stack + one giant
+                    # synchronous upload measured SLOWER than per-step on
+                    # the tunnel (scripts/probe_chunked.py)
+                    xs = jnp.stack([jax.device_put(_upcast(b.inputs))
+                                    for _, b in group])
+                    ys = jnp.stack([jax.device_put(b.labels)
+                                    for _, b in group])
+                    rngs = jnp.stack([
+                        jax.random.fold_in(rng, epoch * 1_000_000 + i)
+                        for i, _ in group])
+                    state, ms = chunked_step(state, xs, ys, rngs)
+                    ms_host = jax.device_get(ms)
+                    for k_i in range(chunk_k):
+                        train_eval(None, None, None, precomputed_metrics={
+                            k: v[k_i] for k, v in ms_host.items()})
+                    last_metrics = {k: v[-1] for k, v in ms_host.items()}
+                else:
+                    # remainder (epoch tail / resume prefix): the K-step
+                    # program's shape can't serve it — per-step fallback
+                    for batch_idx, batch in group:
+                        step_rng = jax.random.fold_in(
+                            rng, epoch * 1_000_000 + batch_idx)
+                        state, metrics = train_step(
+                            state, _upcast(batch.inputs), batch.labels,
+                            step_rng)
+                        train_eval(None, None, None,
+                                   precomputed_metrics=metrics)
+                        last_metrics = metrics
+                windows_seen += len(group) * config.batch_size
+                _log_ckpt_boundaries(first_idx, last_idx,
+                                     float(last_metrics['loss']))
+                if stop_requested['flag'] and last_idx >= 1:
+                    write_checkpoint(epoch, last_idx)
+                    logger.info('preemption checkpoint written: epoch %d '
+                                'batch %d', epoch, last_idx)
+                    preempted = True
+                    break
+                if hit_cap:
+                    break
+            batch_iter = ()   # consumed; skip the per-step loop below
         for batch_idx, batch in batch_iter:
             if max_batches_per_epoch is not None and batch_idx >= max_batches_per_epoch:
                 break
@@ -548,8 +665,8 @@ def train(config: Config,
             if use_device_data:
                 state, metrics = device_step(state, batch, step_rng)
             else:
-                state, metrics = train_step(state, batch.inputs, batch.labels,
-                                            step_rng)
+                state, metrics = train_step(state, _upcast(batch.inputs),
+                                            batch.labels, step_rng)
             train_eval(None, None, None, precomputed_metrics=metrics)
             last_metrics = metrics
             # preemption: checkpoint after this step and exit cleanly.

@@ -204,6 +204,41 @@ def make_train_step(model, lab_offsets: Dict[str, Tuple[int, int]],
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_chunked_train_step(model, lab_offsets: Dict[str, Tuple[int, int]],
+                            loss_config: LossConfig,
+                            chunk_steps: int,
+                            donate: bool = True,
+                            grad_accum: int = 1,
+                            augment=None) -> Callable:
+    """Chunked host dispatch: ``chunk(state, inputs [K,B,...], labels
+    [K,B,...], rngs [K]) -> (state, stacked per-step metrics)``.
+
+    The host tier's per-step dispatch pays one upload + one program
+    launch per batch (BENCH_NOTES: 228-423k w/s vs the device-resident
+    scan's 11M). Prefetching K batches, uploading them as ONE array, and
+    running a K-step ``lax.scan`` per dispatch amortizes both costs by K
+    while keeping semantics bitwise-identical to K sequential calls of
+    ``make_train_step``'s program (same step body, same per-step RNG
+    keys, per-step metrics returned stacked so the evaluator accumulates
+    exactly as before). Replaces the reference's per-sample hot loop
+    economics (train.py:240-284) for datasets too large for HBM
+    residency."""
+    per_step = make_train_step(model, lab_offsets, loss_config,
+                               donate=False, grad_accum=grad_accum,
+                               augment=augment)
+
+    def chunk(state: TrainState, inputs: jax.Array, labels: jax.Array,
+              rngs: jax.Array):
+        def body(s, xs):
+            x, y, r = xs
+            return per_step(s, x, y, r)
+
+        return jax.lax.scan(body, state, (inputs, labels, rngs))
+
+    del chunk_steps  # shape comes from the [K, ...] arrays themselves
+    return jax.jit(chunk, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(model, lab_offsets: Dict[str, Tuple[int, int]],
                    loss_config: LossConfig) -> Callable:
     """Build ``eval_step(state, inputs, labels) -> (outputs, metrics)``."""

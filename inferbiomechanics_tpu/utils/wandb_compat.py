@@ -10,13 +10,23 @@ metric-key schema (loss/evaluator.py) is identical either way.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from typing import Dict, Optional
 
+logger = logging.getLogger(__name__)
+
 
 class MetricLogger:
-    """wandb-shaped logger: ``init`` → ``log(dict)`` → ``finish``."""
+    """wandb-shaped logger: ``init`` → ``log(dict)`` → ``finish``.
+
+    ``backend`` reports where metrics actually went: 'wandb', 'jsonl',
+    or 'disabled'. A fall-back to JSONL is never silent — the reason is
+    logged as a WARNING and recorded in the run config ('logger' key),
+    so a misconfigured real-wandb run is distinguishable from an
+    intended offline one.
+    """
 
     def __init__(self, project: str = 'addbiomechanics-baseline',
                  config: Optional[dict] = None,
@@ -26,20 +36,29 @@ class MetricLogger:
         self.enabled = enabled
         self._wandb = None
         self._file = None
+        self.backend = 'disabled'
         if not enabled:
             return
         try:
             import wandb  # type: ignore
             mode = 'online' if os.environ.get('WANDB_API_KEY') else 'offline'
             self._wandb = wandb
-            wandb.init(project=project, config=config or {}, group=group, mode=mode)
-        except Exception:
+            wandb.init(project=project,
+                       config=dict(config or {}, logger='wandb'),
+                       group=group, mode=mode)
+            self.backend = 'wandb'
+        except Exception as e:
             self._wandb = None
+            logger.warning(
+                'wandb unavailable (%s: %s) — metrics fall back to JSONL '
+                'under %s', type(e).__name__, e, log_dir)
             os.makedirs(log_dir, exist_ok=True)
             path = os.path.join(log_dir, f'metrics_{int(time.time())}.jsonl')
             self._file = open(path, 'a')
-            if config:
-                self._file.write(json.dumps({'_config': _jsonable(config)}) + '\n')
+            self.backend = 'jsonl'
+            self._file.write(json.dumps(
+                {'_config': _jsonable(dict(config or {}, logger='jsonl'))})
+                + '\n')
 
     def log(self, metrics: Dict[str, float]) -> None:
         if not self.enabled:

@@ -105,10 +105,40 @@ def test_metric_logger_jsonl_fallback(tmp_path):
     ml.log({'train/loss': 1.5})
     ml.finish()
     # either wandb offline accepted it, or a jsonl exists
+    assert ml.backend in ('wandb', 'jsonl')
     files = os.listdir(tmp_path)
     if files:
         line = open(os.path.join(tmp_path, files[0])).readlines()[-1]
         assert json.loads(line)['train/loss'] == 1.5
+
+
+def test_metric_logger_fallback_is_observable(tmp_path, monkeypatch, caplog):
+    """A wandb failure must WARN with the reason and stamp the run config
+    with logger='jsonl' (round-4 VERDICT #9)."""
+    import builtins
+    import logging as _logging
+    from inferbiomechanics_tpu.utils.wandb_compat import MetricLogger
+
+    real_import = builtins.__import__
+
+    def no_wandb(name, *a, **k):
+        if name == 'wandb':
+            raise ImportError('wandb disabled for test')
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, '__import__', no_wandb)
+    with caplog.at_level(_logging.WARNING,
+                         logger='inferbiomechanics_tpu.utils.wandb_compat'):
+        ml = MetricLogger(enabled=True, config={'lr': 0.1},
+                          log_dir=str(tmp_path))
+    assert ml.backend == 'jsonl'
+    assert any('wandb unavailable' in r.message for r in caplog.records)
+    ml.log({'x': 1.0})
+    ml.finish()
+    lines = [json.loads(l) for f in os.listdir(tmp_path)
+             for l in open(os.path.join(tmp_path, f))]
+    cfg = next(l['_config'] for l in lines if '_config' in l)
+    assert cfg['logger'] == 'jsonl' and cfg['lr'] == 0.1
 
 
 def test_cli_sanity_check_subprocess(data_dir):

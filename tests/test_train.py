@@ -500,3 +500,108 @@ def test_train_loop_async_checkpoint_equivalence(ds, tmp_path):
     assert len(sync) == 2   # keep_checkpoints=2 enforced in both modes
     for k in sync:
         assert sync[k] == async_[k], k
+
+
+# ---------------------------------------------------------------------------
+# Chunked host dispatch (--host-chunk-steps, round 4): K batches per
+# upload + one K-step scan per dispatch, numerics identical to K
+# per-step calls.
+# ---------------------------------------------------------------------------
+
+def test_chunked_step_matches_per_step(ds):
+    from inferbiomechanics_tpu.train.step import make_chunked_train_step
+    model, state, batch = _setup(ds)
+    K, B = 4, 2
+    x = jnp.asarray(batch.inputs).reshape(K, B, *batch.inputs.shape[1:])
+    y = jnp.asarray(batch.labels).reshape(K, B, *batch.labels.shape[1:])
+    base = jax.random.PRNGKey(3)
+    rngs = jnp.stack([jax.random.fold_in(base, i) for i in range(K)])
+
+    step = make_train_step(model, ds.lab_offsets, LossConfig(), donate=False)
+    s1 = state
+    per_losses = []
+    for i in range(K):
+        s1, m = step(s1, x[i], y[i], jax.random.fold_in(base, i))
+        per_losses.append(float(m['loss']))
+
+    chunk = make_chunked_train_step(model, ds.lab_offsets, LossConfig(), K,
+                                    donate=False)
+    s2, ms = chunk(state, x, y, rngs)
+    np.testing.assert_allclose(np.asarray(ms['loss']), per_losses, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_train_loop_host_chunked_matches_per_step(ds, tmp_path):
+    """The full train loop with --host-chunk-steps 2 reproduces the
+    per-step loop's final state, including a remainder batch that falls
+    back to per-step dispatch (5 batches per epoch, chunk 2)."""
+    import jax
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.train.checkpoint import load_latest_checkpoint
+    from inferbiomechanics_tpu.train.loop import build_model_for_dataset, train
+    from inferbiomechanics_tpu.train.optimizers import make_optimizer
+    from inferbiomechanics_tpu.train.state import create_train_state
+
+    results = {}
+    params = {}
+    for chunk in (1, 2):
+        ckpt = str(tmp_path / f'chunk{chunk}')
+        cfg = Config(window_size=20, stride=5, model_type='feedforward',
+                     checkpoint_dir=ckpt, epochs=2, batch_size=16,
+                     opt_type='adam', learning_rate=1e-3, device_data='off',
+                     checkpoint_every_batches=1000, log_every_batches=1000,
+                     hidden_dims=[16], seed=7, host_chunk_steps=chunk)
+        results[chunk] = train(cfg, ds, ds, max_batches_per_epoch=5)
+        model = build_model_for_dataset(cfg, ds)
+        sample = ds.gather(np.arange(4))
+        st = create_train_state(model, jax.random.PRNGKey(0),
+                                jnp.asarray(sample.inputs),
+                                make_optimizer('adam', 1e-3))
+        st, e, b = load_latest_checkpoint(st, ckpt)
+        assert (e, b) == (1, 0)
+        params[chunk] = jax.tree_util.tree_leaves(st.params)
+
+    # same data order, same RNG keys; the only daylight is XLA fusing
+    # the scanned program differently from the standalone step (bf16
+    # reassociation, ~1e-6/step over 20 steps)
+    for a, b in zip(params[1], params[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+    m1, m2 = (results[1].final_train_metrics, results[2].final_train_metrics)
+    assert m1['loss'] == pytest.approx(m2['loss'], rel=1e-3)
+    assert results[1].windows_seen == results[2].windows_seen
+
+
+def test_host_upload_bf16_bitwise_free(ds, tmp_path):
+    """--host-upload-dtype bf16 halves upload bytes and is numerically
+    FREE for bf16-compute models: the model casts inputs to bf16 on
+    device anyway, so pre-casting on host yields bitwise-identical
+    training (no augmentation)."""
+    import jax
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.train.checkpoint import load_latest_checkpoint
+    from inferbiomechanics_tpu.train.loop import build_model_for_dataset, train
+    from inferbiomechanics_tpu.train.optimizers import make_optimizer
+    from inferbiomechanics_tpu.train.state import create_train_state
+
+    params = {}
+    for dt in ('f32', 'bf16'):
+        ckpt = str(tmp_path / f'up{dt}')
+        cfg = Config(window_size=20, stride=5, model_type='feedforward',
+                     checkpoint_dir=ckpt, epochs=1, batch_size=16,
+                     opt_type='adam', learning_rate=1e-3, device_data='off',
+                     checkpoint_every_batches=1000, log_every_batches=1000,
+                     hidden_dims=[16], seed=3, host_upload_dtype=dt)
+        train(cfg, ds, ds, max_batches_per_epoch=4)
+        model = build_model_for_dataset(cfg, ds)
+        sample = ds.gather(np.arange(4))
+        st = create_train_state(model, jax.random.PRNGKey(0),
+                                jnp.asarray(sample.inputs),
+                                make_optimizer('adam', 1e-3))
+        st, _, _ = load_latest_checkpoint(st, ckpt)
+        params[dt] = jax.tree_util.tree_leaves(st.params)
+    for a, b in zip(params['f32'], params['bf16']):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
