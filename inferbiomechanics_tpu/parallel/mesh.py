@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
+CONFIG_AXIS = 'config'   # hyperparameter-sweep grid axis (train/sweep.py)
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -46,6 +47,30 @@ def make_mesh(n_devices: Optional[int] = None,
         raise ValueError(f'{n} devices not divisible by model_parallel={model_parallel}')
     arr = np.array(devs).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_sweep_mesh(k_configs: int,
+                    n_devices: Optional[int] = None,
+                    devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (config, data) mesh for sweeps over pod-sharded datasets.
+
+    The config axis gets the largest divisor of the device count that
+    also divides K (so the [K, ...] grid state shards evenly); the rest
+    of the devices form the data axis carrying the trial shards. With
+    K coprime to the device count this degenerates to a pure data mesh
+    (config axis 1) — the caller can detect that via ``mesh.shape``.
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    c = 1
+    for cand in range(min(k_configs, n), 0, -1):
+        if n % cand == 0 and k_configs % cand == 0:
+            c = cand
+            break
+    arr = np.array(devs).reshape(c, n // c)
+    return Mesh(arr, (CONFIG_AXIS, DATA_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

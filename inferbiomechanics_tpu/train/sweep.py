@@ -151,12 +151,20 @@ def slice_config(state: TrainState, k: int) -> TrainState:
                          opt_state=jax.tree_util.tree_map(take, state.opt_state))
 
 
+def _config_axis_name(mesh) -> str:
+    """The mesh axis carrying the [K] grid: 'config' on a 2-D sweep mesh
+    (make_sweep_mesh — data axis reserved for pod-sharded trials), else
+    the data axis (the original 1-D --shard-configs layout)."""
+    from inferbiomechanics_tpu.parallel.mesh import CONFIG_AXIS, DATA_AXIS
+    return CONFIG_AXIS if CONFIG_AXIS in mesh.axis_names else DATA_AXIS
+
+
 def config_axis_sharding(mesh):
-    """NamedSharding placing the leading config axis on the mesh's data
-    axis — each device owns K/n configs, zero per-step collectives."""
+    """NamedSharding placing the leading config axis on the mesh's config
+    (or data) axis — each device owns K/n configs, zero per-step
+    collectives."""
     from jax.sharding import NamedSharding, PartitionSpec
-    from inferbiomechanics_tpu.parallel.mesh import DATA_AXIS
-    return NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+    return NamedSharding(mesh, PartitionSpec(_config_axis_name(mesh)))
 
 
 def shard_sweep_state(state: TrainState, mesh) -> TrainState:
@@ -167,7 +175,7 @@ def shard_sweep_state(state: TrainState, mesh) -> TrainState:
     the seeds, so every process holds the identical host value and
     ``jax.device_put`` onto the global sharding is well-defined."""
     shard = config_axis_sharding(mesh)
-    n = mesh.shape['data'] if 'data' in mesh.shape else 1
+    n = dict(mesh.shape).get(_config_axis_name(mesh), 1)
     multiproc = jax.process_count() > 1
 
     def place(x):
@@ -286,10 +294,28 @@ def make_sweep_device_train_step(model, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def _constrain_config_axis(tree, mesh, k: int):
+    """Keep [K, ...] leaves pinned to the config sharding inside jit so
+    GSPMD cannot drift the grid state to replicated mid-step (2-D sweep
+    mesh). No-op on 1-D meshes (no 'config' axis)."""
+    if mesh is None or 'config' not in mesh.axis_names:
+        return tree
+    cs = config_axis_sharding(mesh)
+    n = dict(mesh.shape)['config']
+
+    def place(x):
+        if getattr(x, 'ndim', 0) >= 1 and x.shape[0] == k and k % n == 0:
+            return jax.lax.with_sharding_constraint(x, cs)
+        return x
+
+    return jax.tree_util.tree_map(place, tree)
+
+
 def make_sweep_sharded_train_step(model, tx: optax.GradientTransformation,
                                   sdata, loss_config: LossConfig,
                                   lrs: Sequence[float], batch_size: int,
-                                  donate: bool = True, augment=None):
+                                  donate: bool = True, augment=None,
+                                  mesh=None):
     """Pod-sharded variant: ``step(state, rng[, lrs]) -> (state, metrics)``.
 
     The dataset lives as trial blocks sharded across the mesh's data
@@ -297,9 +323,15 @@ def make_sweep_sharded_train_step(model, tx: optax.GradientTransformation,
     count); each step every shard samples and gathers its
     ``batch_size/S`` windows locally, and the batch-sharded result feeds
     the vmapped K-config update with GSPMD inserting the per-config
-    gradient all-reduce. Configs are REPLICATED here — the data axis is
-    spent on the batch — so this tier is mutually exclusive with
-    ``--shard-configs``.
+    gradient all-reduce.
+
+    On a 1-D mesh configs are REPLICATED (the data axis is spent on the
+    batch). On a 2-D ``make_sweep_mesh`` (config, data) mesh — the lift
+    of the old ``--shard-configs`` x ``--device-data sharded`` mutual
+    exclusion — the [K] grid shards over 'config' while trial blocks
+    shard over 'data': each config-row of devices computes only its
+    K/config-axis configs on the batch gathered from its data-row's
+    shards, with the per-config gradient all-reduce riding 'data' only.
     """
     from inferbiomechanics_tpu.train.sharded_data import (
         make_sharded_sample_gather,
@@ -321,9 +353,11 @@ def make_sweep_sharded_train_step(model, tx: optax.GradientTransformation,
         subs = jax.vmap(lambda i: jax.random.fold_in(rng_k, i))(jnp.arange(k))
         new_params, new_opt, metrics = jax.vmap(update)(
             state.params, state.opt_state, lrs, subs)
+        new_params = _constrain_config_axis(new_params, mesh, k)
+        new_opt = _constrain_config_axis(new_opt, mesh, k)
         state = state.replace(step=state.step + 1, params=new_params,
                               opt_state=new_opt)
-        return state, metrics
+        return state, _metrics_replicated(metrics, mesh)
 
     jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -585,15 +619,17 @@ def make_sweep_sharded_diffusion_step(model, tx, sdata,
                                       lrs: Sequence[float], batch_size: int,
                                       schedule=None, donate: bool = True,
                                       augment=None,
-                                      cond_dropout: float = 0.0):
+                                      cond_dropout: float = 0.0,
+                                      mesh=None):
     """Pod-sharded diffusion sweep step: ``step(state, rng[, lrs])``.
 
     Shard-local sample+gather of the conditioning windows and all-frames
     targets (train/sharded_data.py), one shared noising draw, then the
     vmapped K-config ε-MSE update with GSPMD inserting the per-config
-    gradient all-reduce. Configs are replicated (the data axis carries
-    the batch), so this tier is mutually exclusive with
-    ``--shard-configs`` — same contract as the regression sharded step.
+    gradient all-reduce. On a 1-D mesh configs are replicated (the data
+    axis carries the batch); on a 2-D ``make_sweep_mesh`` the grid
+    shards 'config' while trial blocks shard 'data' — same contract as
+    the regression sharded step.
     """
     from inferbiomechanics_tpu.models.diffusion import (
         DDPMSchedule, diffusion_targets_from_labels,
@@ -624,8 +660,12 @@ def make_sweep_sharded_diffusion_step(model, tx, sdata,
                                    noise)
         new_params, new_opt, metrics = jax.vmap(update)(
             state.params, state.opt_state, lrs)
+        new_params = _constrain_config_axis(new_params, mesh,
+                                            lrs_arr.shape[0])
+        new_opt = _constrain_config_axis(new_opt, mesh, lrs_arr.shape[0])
         return state.replace(step=state.step + 1, params=new_params,
-                             opt_state=new_opt), metrics
+                             opt_state=new_opt), _metrics_replicated(
+                                 metrics, mesh)
 
     jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -809,16 +849,33 @@ def run_sweep(config: Config, train_ds: WindowDataset,
 
     mesh = None
     if shard_configs:
-        from inferbiomechanics_tpu.parallel import make_mesh
-        mesh = make_mesh()
-        n_dev = int(mesh.shape['data'])
-        state = shard_sweep_state(state, mesh)
-        if k % n_dev == 0:
-            logger.info('sweep configs sharded %d-way across the mesh', n_dev)
+        if config.device_data == 'sharded':
+            # 2-D (config, data) mesh: configs shard one axis, trial
+            # blocks the other — lifts the round-3 mutual exclusion
+            from inferbiomechanics_tpu.parallel import make_sweep_mesh
+            mesh = make_sweep_mesh(k)
+            shape = dict(mesh.shape)
+            state = shard_sweep_state(state, mesh)
+            if shape['config'] > 1:
+                logger.info('sweep 2-D mesh: %d-way config x %d-way data '
+                            'sharding', shape['config'], shape['data'])
+            else:
+                logger.warning('--shard-configs: %d configs share no '
+                               'divisor with %d devices; configs stay '
+                               'replicated, all devices carry data shards',
+                               k, shape['data'])
         else:
-            logger.warning('--shard-configs: %d configs do not divide the '
-                           '%d-device data axis; configs stay replicated',
-                           k, n_dev)
+            from inferbiomechanics_tpu.parallel import make_mesh
+            mesh = make_mesh()
+            n_dev = int(mesh.shape['data'])
+            state = shard_sweep_state(state, mesh)
+            if k % n_dev == 0:
+                logger.info('sweep configs sharded %d-way across the mesh',
+                            n_dev)
+            else:
+                logger.warning('--shard-configs: %d configs do not divide '
+                               'the %d-device data axis; configs stay '
+                               'replicated', k, n_dev)
 
     eval_step = (make_sweep_diffusion_eval(model, train_ds.lab_offsets,
                                            mesh=mesh)
@@ -858,12 +915,15 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         logger.info('sweep streaming data: %d segments of %d rows',
                     len(plan.segments), plan.rows_pad)
     if config.device_data == 'sharded':
-        if shard_configs:
-            raise ValueError('--device-data sharded and --shard-configs '
-                             'both claim the mesh\'s data axis; pick one')
-        from inferbiomechanics_tpu.parallel import make_mesh
         from inferbiomechanics_tpu.train.sharded_data import ShardedDeviceData
-        data_mesh = make_mesh()
+        if shard_configs:
+            # the 2-D sweep mesh built above: trial blocks shard its
+            # 'data' axis (replicated across 'config' rows), configs its
+            # 'config' axis — K x pod grids over larger-than-HBM datasets
+            data_mesh = mesh
+        else:
+            from inferbiomechanics_tpu.parallel import make_mesh
+            data_mesh = make_mesh()
         sharded_data = ShardedDeviceData(train_ds, data_mesh)
         logger.info('sweep pod-sharded data: %d shards, %.0f MB HBM/device',
                     sharded_data.num_shards,
@@ -892,11 +952,12 @@ def run_sweep(config: Config, train_ds: WindowDataset,
         step = (make_sweep_sharded_diffusion_step(model, tx, sharded_data,
                                                   grid_lrs, config.batch_size,
                                                   augment=augmenter,
-                                                  cond_dropout=config.cond_dropout)
+                                                  cond_dropout=config.cond_dropout,
+                                                  mesh=mesh)
                 if is_diffusion else
                 make_sweep_sharded_train_step(model, tx, sharded_data, lc,
                                               grid_lrs, config.batch_size,
-                                              augment=augmenter))
+                                              augment=augmenter, mesh=mesh))
         loader = None
     elif device_data is not None:
         step = (make_sweep_device_diffusion_step(model, tx, device_data,
