@@ -179,6 +179,49 @@ def bench_jax_per_step(ds, data, batch: int, steps: int) -> float:
     return steps * batch / dt
 
 
+def bench_host_chunked(ds, chunk_k: int, batch: int, n_chunks: int) -> float:
+    """Tier 1c: the host-loader tier with --host-chunk-steps mechanics —
+    real batch bytes from host RAM, K async bf16-input device_puts, one
+    on-device stack, one K-step scan per dispatch (train/step.py::
+    make_chunked_train_step). Measures what training beyond HBM capacity
+    costs; synced by a scalar readback chained through the state."""
+    import jax
+    import jax.numpy as jnp
+    from inferbiomechanics_tpu.loss import LossConfig
+    from inferbiomechanics_tpu.train.step import make_chunked_train_step
+
+    model, state = _make_state(ds, batch)
+    chunk = make_chunked_train_step(model, ds.lab_offsets, LossConfig(),
+                                    chunk_k)
+    rng_np = np.random.default_rng(2)
+    host = []
+    for _ in range(n_chunks):
+        group = []
+        for _ in range(chunk_k):
+            b = ds.gather(rng_np.integers(0, len(ds), batch))
+            group.append((np.asarray(b.inputs, np.float32)
+                          .astype(jnp.bfloat16),
+                          np.asarray(b.labels, np.float32)))
+        host.append(group)
+    base = jax.random.PRNGKey(3)
+    rngs = jnp.stack([jax.random.fold_in(base, i) for i in range(chunk_k)])
+
+    def dispatch(state, group):
+        xs = jnp.stack([jax.device_put(x) for x, _ in group])
+        ys = jnp.stack([jax.device_put(y) for _, y in group])
+        return chunk(state, xs, ys, rngs)
+
+    state, ms = dispatch(state, host[0])     # compile
+    float(ms['loss'][-1])
+    t0 = time.time()
+    for group in host:
+        state, ms = dispatch(state, group)
+    loss = float(ms['loss'][-1])
+    dt = time.time() - t0
+    assert np.isfinite(loss)
+    return n_chunks * chunk_k * batch / dt
+
+
 def bench_jax_epoch(ds, data, n_chunks: int = 18,
                     batch: int = TPU_BATCH,
                     steps_per_program: int = STEPS_PER_PROGRAM) -> float:
@@ -319,6 +362,25 @@ def main():
                 f'({time.time()-t:.0f}s)')
         except Exception as e:
             log(f'[bench] b64 tier failed: {e}')
+        # host-chunked tier (--host-chunk-steps mechanics): real batch
+        # uploads from host RAM — K async bf16 device_puts + one K-step
+        # scan per dispatch. Tunnel-bandwidth-bound by nature, so only
+        # attempted on a healthy tunnel (a 0.1 MB/s day would spend the
+        # whole watchdog uploading one chunk).
+        if box.get('tunnel_mbps', 0) > 1.0:
+            try:
+                box['stage'] = 'tier1c_host_chunked'
+                t = time.time()
+                box['host_chunked'] = bench_host_chunked(ds, chunk_k=8,
+                                                         batch=512,
+                                                         n_chunks=3)
+                log(f'[bench] tier1c host-chunked: '
+                    f'{box["host_chunked"]:.0f} w/s ({time.time()-t:.0f}s)')
+            except Exception as e:
+                log(f'[bench] host-chunked tier failed: {e}')
+        else:
+            log('[bench] host-chunked tier skipped (tunnel '
+                f'{box.get("tunnel_mbps")} MB/s)')
         try:
             box['stage'] = 'tier2_epoch'
             t = time.time()
@@ -374,6 +436,8 @@ def main():
     if box.get('b64') and torch_wps:
         result['b64_windows_per_sec'] = round(box['b64'], 1)
         result['b64_vs_baseline'] = round(box['b64'] / torch_wps, 2)
+    if box.get('host_chunked'):
+        result['host_chunked_windows_per_sec'] = round(box['host_chunked'], 1)
     if box.get('tunnel_mbps') is not None:
         result['tunnel_mbps'] = box['tunnel_mbps']
     if box.get('compile_s') is not None:

@@ -185,3 +185,216 @@ def test_official_full_file_roundtrip(pb, tmp_path):
         np.testing.assert_allclose(t.trial_pass_matrix(0, p), mats[p],
                                    rtol=1e-6)
     t.close()
+
+
+# ---------------------------------------------------------------------------
+# Adversarial wire-format fuzzing (round 4, VERDICT #6): real nimble
+# files remain unreachable (zero egress), so tighten the next-best
+# evidence — semantically-equivalent RE-ENCODINGS of protoc-serialized
+# messages with shuffled field order, unpacked repeated scalars, unknown
+# fields, and dropped optionals must decode bit-identically through
+# LegacySubjectOnDisk and pass verify_legacy.
+# ---------------------------------------------------------------------------
+
+def _wire_items(blob: bytes):
+    """Tokenize a protobuf message into (field_num, wire_type, payload)
+    where payload is the raw bytes AFTER the tag."""
+    items, i = [], 0
+    while i < len(blob):
+        tag, i = _rv(blob, i)
+        fnum, wt = tag >> 3, tag & 7
+        start = i
+        if wt == 0:
+            _, i = _rv(blob, i)
+        elif wt == 1:
+            i += 8
+        elif wt == 2:
+            n, i = _rv(blob, i)
+            i += n
+        elif wt == 5:
+            i += 4
+        else:
+            raise AssertionError(f'wire type {wt}')
+        items.append((fnum, wt, blob[start:i]))
+    return items
+
+
+def _rv(b: bytes, i: int):
+    out = shift = 0
+    while True:
+        v = b[i]
+        out |= (v & 0x7F) << shift
+        i += 1
+        if not v & 0x80:
+            return out, i
+        shift += 7
+
+
+def _wv(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        bits = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(bits | 0x80)
+        else:
+            out.append(bits)
+            return bytes(out)
+
+
+def _emit(items) -> bytes:
+    return b''.join(_wv((f << 3) | wt) + payload for f, wt, payload in items)
+
+
+def _adversarialize(blob: bytes, rng, float_fields=(), int_fields=()):
+    """Semantically-equivalent hostile re-encoding:
+    - packed repeated floats/varints re-emitted as per-element entries
+      (parsers must accept both encodings);
+    - field order shuffled (same-field relative order preserved — that
+      IS the repeated-field order);
+    - unknown high-numbered fields injected at random positions."""
+    items = []
+    for fnum, wt, payload in _wire_items(blob):
+        if wt == 2 and fnum in float_fields and rng.random() < 0.7:
+            # repeated double: unpack to per-element fixed64 entries
+            n, j = _rv(payload, 0)
+            data = payload[j:j + n]
+            for k in range(0, len(data), 8):
+                items.append((fnum, 1, data[k:k + 8]))
+        elif wt == 2 and fnum in int_fields and rng.random() < 0.7:
+            n, j = _rv(payload, 0)
+            data, i2 = payload[j:j + n], 0
+            while i2 < len(data):
+                v, i2b = _rv(data, i2)
+                items.append((fnum, 0, data[i2:i2b]))
+                i2 = i2b
+        else:
+            items.append((fnum, wt, payload))
+    # stable same-field shuffle
+    order = list(range(len(items)))
+    rng.shuffle(order)
+    shuffled = [items[i] for i in order]
+    by_field = {}
+    for it in items:
+        by_field.setdefault(it[0], []).append(it)
+    counters = {f: 0 for f in by_field}
+    out = []
+    for f, _wt, _p in shuffled:
+        out.append(by_field[f][counters[f]])
+        counters[f] += 1
+    # unknown fields (numbers far above the schema) at random spots
+    for _ in range(rng.integers(1, 4)):
+        pos = int(rng.integers(0, len(out) + 1))
+        if rng.random() < 0.5:
+            out.insert(pos, (900 + int(rng.integers(0, 50)), 0,
+                             _wv(int(rng.integers(0, 1 << 40)))))
+        else:
+            junk = bytes(rng.integers(0, 256, int(rng.integers(1, 12)),
+                                      dtype=np.uint8))
+            out.insert(pos, (950 + int(rng.integers(0, 50)), 2,
+                             _wv(len(junk)) + junk))
+    return _emit(out)
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2, 3, 4])
+def test_adversarial_reencodings_decode_identically(pb, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    layout = pass_channel_layout(4, 2, 2)
+    offs = layout_offsets(layout)
+    C = layout_total(layout)
+    T = 3
+    mats = [rng.normal(size=(T, C)).astype(np.float32) for _ in range(2)]
+    for p in range(2):
+        o, w = offs['contact']
+        mats[p][:, o:o + w] = (mats[p][:, o:o + w] > 0)
+
+    # frames through the OFFICIAL runtime, then adversarialized.
+    # PassFrame float fields are ALL repeated floats; contact is packed
+    # varint (field number from our codec's table).
+    pf_float_fields = {v for k, v in L._PF.items() if k != 'contact'}
+    pf_int_fields = {L._PF['contact']}
+    frames = []
+    for k in range(T):
+        fr = pb.SubjectFrame(missing_grf_reason=0)
+        for p in range(2):
+            body = L._encode_pass_frame(mats[p][k], offs)
+            # sanity: official runtime accepts our encoding, then we
+            # adversarialize the official runtime's own bytes
+            m = pb.PassFrame(); m.ParseFromString(body)
+            official = m.SerializeToString()
+            adv = _adversarialize(official, rng,
+                                  float_fields=pf_float_fields,
+                                  int_fields=pf_int_fields)
+            # cross-check: the official runtime itself decodes the
+            # adversarial bytes to the same message
+            m2 = pb.PassFrame(); m2.ParseFromString(adv)
+            np.testing.assert_allclose(np.asarray(m2.pos, np.float32),
+                                       np.asarray(m.pos, np.float32))
+            pp = fr.processing_pass.add()
+            pp.MergeFromString(adv) if hasattr(pp, 'MergeFromString') \
+                else pp.ParseFromString(adv)
+            fr.processing_pass[p].Clear()
+            fr.processing_pass[p].MergeFrom(m2)
+        frames.append(fr.SerializeToString())
+
+    # re-wrap each frame: splice adversarial PassFrame bytes manually so
+    # the FILE truly carries hostile encodings (SerializeToString above
+    # would canonicalize them)
+    adv_frames = []
+    for k, fb in enumerate(frames):
+        items = []
+        for fnum, wt, payload in _wire_items(fb):
+            if fnum == L._F['processing_pass'] and wt == 2:
+                n, j = _rv(payload, 0)
+                adv = _adversarialize(payload[j:j + n], rng,
+                                      float_fields=pf_float_fields,
+                                      int_fields=pf_int_fields)
+                items.append((fnum, 2, _wv(len(adv)) + adv))
+            else:
+                items.append((fnum, wt, payload))
+        adv_frames.append(_emit(items))
+
+    h = pb.SubjectHeader(num_dofs=4, num_joints=2, biological_sex='other',
+                         mass_kg=72.5, version=1)   # height/age DROPPED
+    h.ground_force_body.extend(['calcn_l', 'calcn_r'])
+    ph = h.processing_pass_header.add(); ph.type = 0
+    ph2 = h.processing_pass_header.add(); ph2.type = 1
+    th = h.trial_header.add()
+    th.name = f'fuzz_{seed}'
+    th.trial_length = T
+    th.trial_timestep = 0.005
+    th.missing_grf_reason.extend([0, 0, 0])
+    th.trial_pass_type.extend([0, 1])
+    th.frame_bytes.extend([len(f) + 8 for f in adv_frames])
+    header = _adversarialize(
+        h.SerializeToString(), rng,
+        int_fields={L._H['num_dofs']})   # shuffle + unknowns only
+    # official runtime agrees on the adversarial header
+    h2 = pb.SubjectHeader(); h2.ParseFromString(header)
+    assert h2.num_dofs == 4 and h2.mass_kg == 72.5
+    assert h2.age_years == 0 and h2.height_m == 0   # dropped optionals
+
+    path = str(tmp_path / f'fuzz_{seed}.b3d')
+    with open(path, 'wb') as f:
+        f.write(struct.pack('<Q', len(header)))
+        f.write(header)
+        for fr in adv_frames:
+            f.write(struct.pack('<Q', len(fr)))
+            f.write(fr)
+
+    s = L.LegacySubjectOnDisk(path)
+    assert s.getNumDofs() == 4
+    assert s.getMassKg() == pytest.approx(72.5)
+    assert s.getAgeYears() == 0
+    got = s.readFrames(0, 0, T)
+    for k in range(T):
+        for p in range(2):
+            for name, (o, w) in offs.items():
+                np.testing.assert_allclose(
+                    np.asarray(getattr(got[k].processingPasses[p], name),
+                               np.float32),
+                    mats[p][k, o:o + w], rtol=1e-6,
+                    err_msg=f'seed {seed} frame {k} pass {p} field {name}')
+    s.close()
+    report = L.verify_legacy(path)
+    assert report['ok'], report
