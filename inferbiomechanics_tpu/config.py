@@ -422,6 +422,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'grad_clip_norm': 'grad_clip_norm',
         'grad_accum_steps': 'grad_accum_steps',
         'grad_allreduce_dtype': 'grad_allreduce_dtype',
+        'host_chunk_steps': 'host_chunk_steps',
+        'host_upload_dtype': 'host_upload_dtype',
+        'init_style': 'init_style',
         'keep_best': 'keep_best',
         'early_stop_patience': 'early_stop_patience',
         'keep_checkpoints': 'keep_checkpoints',

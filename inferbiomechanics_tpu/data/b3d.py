@@ -251,16 +251,23 @@ class SkeletonSpec:
         return names
 
     def to_json(self) -> dict:
-        return {
+        out = {
             'joints': [vars(j) for j in self.joints],
             'bodies': [vars(b) for b in self.bodies],
         }
+        # carried through native-file headers so `analyze` can surface
+        # parse-time approximations even on CONVERTED datasets (the osim
+        # text itself is not re-parsed after conversion)
+        if self.fidelity_warnings:
+            out['fidelity_warnings'] = list(self.fidelity_warnings)
+        return out
 
     @staticmethod
     def from_json(d: dict) -> 'SkeletonSpec':
         return SkeletonSpec(
             joints=[JointSpec(**j) for j in d['joints']],
             bodies=[BodySpec(**b) for b in d['bodies']],
+            fidelity_warnings=list(d.get('fidelity_warnings', [])),
         )
 
 

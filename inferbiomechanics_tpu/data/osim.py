@@ -219,6 +219,14 @@ def parse_osim(xml_text: str) -> Tuple[SkeletonSpec, List[str]]:
             if len(coords) >= 6:
                 jtype = 'free'
                 rot_axes = axes_for(coords[:3], 'rotation')
+                driven_rots = {a[2] for a in axes
+                               if a[0].startswith('rotation') and a[2]}
+                if driven_rots and not all(c in driven_rots
+                                           for c in coords[:3]):
+                    warnings.append(
+                        f'{name}: free-joint coordinate order assumed '
+                        f'[3 rotations, 3 translations] but the first '
+                        f'three do not all drive rotation axes')
                 # translation DOFs must ride canonical axes (they do in
                 # every standard model); anything else is approximated
                 for a in axes:
@@ -234,6 +242,16 @@ def parse_osim(xml_text: str) -> Tuple[SkeletonSpec, List[str]]:
             elif len(coords) == 3:
                 jtype = 'ball'
                 rot_axes = axes_for(coords, 'rotation')
+                # a true ball joint drives 3 ROTATION axes; a planar-style
+                # joint (rotations + translations) cannot be represented
+                # as 'ball' — keep the loud approximation warning
+                driven_rots = {a[2] for a in axes
+                               if a[0].startswith('rotation') and a[2]}
+                if not all(c in driven_rots for c in coords):
+                    warnings.append(
+                        f'{name}: 3 coordinates approximated as ball '
+                        f'(coordinates {sorted(set(coords) - driven_rots)} '
+                        f'do not drive rotation axes)')
             elif len(coords) == 1:
                 jtype = 'revolute'
                 primary_rot = None

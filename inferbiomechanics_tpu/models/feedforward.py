@@ -47,7 +47,7 @@ _TORCH_KERNEL_INIT = nn.initializers.variance_scaling(
     1.0 / 3.0, 'fan_in', 'uniform')
 
 
-def _torch_bias_init(key, shape, dtype, fan_in: int):
+def _torch_bias_init(key, shape, dtype=jnp.float32, *, fan_in: int):
     k = 1.0 / np.sqrt(fan_in)
     return nn.initializers.uniform(scale=2 * k)(key, shape, dtype) - k
 

@@ -131,11 +131,11 @@ def _post_encoder(model, rest, h) -> Dict[str, jax.Array]:
     ln = rest['LayerNorm_0']
     mean = h.mean(-1, keepdims=True)
     var = ((h - mean) ** 2).mean(-1, keepdims=True)
-    # match flax nn.LayerNorm(dtype=compute_dtype) exactly: statistics in
-    # f32, but scale/bias applied in the compute dtype — applying them in
-    # f32 and casting after deviates in bf16
-    h = ((h - mean) * jax.lax.rsqrt(var + 1e-6)).astype(dt)
-    h = h * ln['scale'].astype(dt) + ln['bias'].astype(dt)
+    # flax nn.LayerNorm(dtype=bf16) applies scale/bias in f32 and casts
+    # ONCE at the end — verified bitwise against the installed flax with
+    # non-identity scale/bias (casting before the affine deviates ~3e-2)
+    h = ((h - mean) * jax.lax.rsqrt(var + 1e-6)
+         * ln['scale'] + ln['bias']).astype(dt)
     if model.output_data_format != 'all_frames':
         h = h[:, -1:, :]
 

@@ -579,11 +579,14 @@ def train(config: Config,
             import itertools
 
             def _log_ckpt_boundaries(first_idx: int, last_idx: int,
-                                     loss: float) -> None:
+                                     metrics) -> None:
                 """Fire the per-batch log/checkpoint cadences once per
-                crossed boundary (chunk granularity)."""
+                crossed boundary (chunk granularity). The float() here is
+                the ONLY mid-epoch device sync — lazily, on boundaries,
+                like the per-step path."""
                 if (last_idx // config.log_every_batches
                         > (first_idx - 1) // config.log_every_batches):
+                    loss = float(metrics['loss'])
                     if metric_logger is not None:
                         metric_logger.log({'train/loss': loss,
                                            'epoch': epoch,
@@ -627,11 +630,15 @@ def train(config: Config,
                         jax.random.fold_in(rng, epoch * 1_000_000 + i)
                         for i, _ in group])
                     state, ms = chunked_step(state, xs, ys, rngs)
-                    ms_host = jax.device_get(ms)
+                    # lazy per-step rows — NO device_get here: a per-chunk
+                    # host sync would serialize chunk N+1's uploads behind
+                    # chunk N's compute (the overlap this path exists for);
+                    # the evaluator converts at report time like the
+                    # per-step path
                     for k_i in range(chunk_k):
                         train_eval(None, None, None, precomputed_metrics={
-                            k: v[k_i] for k, v in ms_host.items()})
-                    last_metrics = {k: v[-1] for k, v in ms_host.items()}
+                            k: v[k_i] for k, v in ms.items()})
+                    last_metrics = {k: v[-1] for k, v in ms.items()}
                 else:
                     # remainder (epoch tail / resume prefix): the K-step
                     # program's shape can't serve it — per-step fallback
@@ -645,8 +652,7 @@ def train(config: Config,
                                    precomputed_metrics=metrics)
                         last_metrics = metrics
                 windows_seen += len(group) * config.batch_size
-                _log_ckpt_boundaries(first_idx, last_idx,
-                                     float(last_metrics['loss']))
+                _log_ckpt_boundaries(first_idx, last_idx, last_metrics)
                 if stop_requested['flag'] and last_idx >= 1:
                     write_checkpoint(epoch, last_idx)
                     logger.info('preemption checkpoint written: epoch %d '

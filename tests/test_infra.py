@@ -220,3 +220,43 @@ def test_reference_flag_spellings_parse():
     assert args.raw and args.out_dir == '/tmp/x'
     args = parser.parse_args(['create-splits', '--data-folder', '/tmp/y'])
     assert args.data_path == '/tmp/y'
+
+
+def test_every_cli_exposed_config_field_reaches_config():
+    """config_from_args copies via an explicit field map — a recurring
+    field-drop hazard (round 4: three new flags parsed fine but were
+    silently ignored). Reflectively mutate every args attribute that
+    names a Config field and assert the change lands in the Config."""
+    import argparse
+    import dataclasses
+    from inferbiomechanics_tpu.config import (Config, add_config_flags,
+                                              config_from_args)
+    parser = argparse.ArgumentParser()
+    add_config_flags(parser)
+    args = parser.parse_args([])
+    alias = {'window_size': 'history_len'}   # config field -> args attr
+    missing = []
+    for f in dataclasses.fields(Config):
+        attr = alias.get(f.name, f.name)
+        if not hasattr(args, attr):
+            continue   # not CLI-exposed (programmatic-only field)
+        default = getattr(args, attr)
+        if isinstance(default, bool):
+            sentinel = not default
+        elif isinstance(default, int):
+            sentinel = (default or 0) + 7
+        elif isinstance(default, float):
+            sentinel = (default or 0.0) + 0.5
+        elif isinstance(default, str) or default is None:
+            sentinel = 'zz_sentinel'
+        elif isinstance(default, list):
+            sentinel = list(default) + [99]
+        else:
+            continue
+        setattr(args, attr, sentinel)
+        got = getattr(config_from_args(args), f.name)
+        if got != sentinel:
+            missing.append(f.name)
+        setattr(args, attr, default)
+    assert not missing, (f'CLI flags parsed but dropped by '
+                         f'config_from_args: {missing}')

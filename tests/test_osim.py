@@ -437,3 +437,69 @@ def test_skeleton_json_roundtrip_with_fidelity_fields():
     hip2 = SkeletonSpec.from_json(hip_spec.to_json())
     hip = next(j for j in hip2.joints if j.name == 'hip_r')
     assert hip.rot_axes == [[0, 0, 1], [1, 0, 0], [0, 1, 0]]
+
+
+PLANAR_OSIM = """<?xml version="1.0"?>
+<OpenSimDocument Version="40000"><Model name="planar">
+ <BodySet><objects>
+  <Body name="a"><mass>1</mass><mass_center>0 0 0</mass_center>
+   <inertia>1 1 1 0 0 0</inertia></Body>
+  <Body name="b"><mass>1</mass><mass_center>0 0 0</mass_center>
+   <inertia>1 1 1 0 0 0</inertia></Body>
+ </objects></BodySet>
+ <JointSet><objects>
+  <WeldJoint name="root">
+   <socket_parent_frame>gf</socket_parent_frame>
+   <socket_child_frame>af</socket_child_frame>
+   <frames>
+    <PhysicalOffsetFrame name="gf"><socket_parent>/ground</socket_parent>
+     <translation>0 0 0</translation><orientation>0 0 0</orientation></PhysicalOffsetFrame>
+    <PhysicalOffsetFrame name="af"><socket_parent>/bodyset/a</socket_parent>
+     <translation>0 0 0</translation><orientation>0 0 0</orientation></PhysicalOffsetFrame>
+   </frames>
+  </WeldJoint>
+  <CustomJoint name="planar_j">
+   <socket_parent_frame>af2</socket_parent_frame>
+   <socket_child_frame>bf</socket_child_frame>
+   <coordinates><Coordinate name="rz"/><Coordinate name="tx"/>
+    <Coordinate name="ty"/></coordinates>
+   <SpatialTransform>
+    <TransformAxis name="rotation1"><coordinates>rz</coordinates><axis>0 0 1</axis></TransformAxis>
+    <TransformAxis name="translation1"><coordinates>tx</coordinates><axis>1 0 0</axis></TransformAxis>
+    <TransformAxis name="translation2"><coordinates>ty</coordinates><axis>0 1 0</axis></TransformAxis>
+   </SpatialTransform>
+   <frames>
+    <PhysicalOffsetFrame name="af2"><socket_parent>/bodyset/a</socket_parent>
+     <translation>0 0 0</translation><orientation>0 0 0</orientation></PhysicalOffsetFrame>
+    <PhysicalOffsetFrame name="bf"><socket_parent>/bodyset/b</socket_parent>
+     <translation>0 0 0</translation><orientation>0 0 0</orientation></PhysicalOffsetFrame>
+   </frames>
+  </CustomJoint>
+ </objects></JointSet>
+</Model></OpenSimDocument>
+"""
+
+
+def test_planar_joint_warns_loudly():
+    """A planar CustomJoint (1 rotation + 2 translation coordinates)
+    cannot be represented as 'ball' — the approximation must be warned,
+    never silent (round-4 review finding)."""
+    spec, warnings = parse_osim(PLANAR_OSIM)
+    assert any('planar_j' in w and 'approximated as ball' in w
+               for w in warnings)
+    assert spec.fidelity_warnings == warnings
+
+
+def test_fidelity_warnings_survive_serialization():
+    """Warnings ride the native header JSON so analyze can surface them
+    on CONVERTED datasets (the osim text is not re-parsed after
+    conversion)."""
+    from inferbiomechanics_tpu.data.b3d import SkeletonSpec
+    spec, warnings = parse_osim(PLANAR_OSIM)
+    assert warnings
+    spec2 = SkeletonSpec.from_json(spec.to_json())
+    assert spec2.fidelity_warnings == warnings
+    # clean specs keep a clean (and back-compatible) header
+    clean, w2 = parse_osim(KNEE_OSIM)
+    assert w2 == []
+    assert 'fidelity_warnings' not in clean.to_json()

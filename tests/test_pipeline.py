@@ -317,3 +317,70 @@ def test_augmented_pipeline_step_matches_plain():
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-6),
         ref_state2.params,
         to_canonical_params(pstate2.params, model.num_layers))
+
+
+def _trained_ln(params, seed=7):
+    rng = np.random.default_rng(seed)
+    ln = params['LayerNorm_0']
+    params['LayerNorm_0'] = {
+        'scale': jnp.asarray(1.0 + 0.5 * rng.normal(size=ln['scale'].shape),
+                             jnp.float32),
+        'bias': jnp.asarray(0.3 * rng.normal(size=ln['bias'].shape),
+                            jnp.float32)}
+    return params
+
+
+def test_post_encoder_matches_flax_tail_bitwise():
+    """The pipeline's hand-rolled final-LayerNorm + head tail must be
+    BITWISE equal to the canonical flax modules in bf16 with a TRAINED
+    (non-identity) LayerNorm — fresh init has scale=1/bias=0, where an
+    affine-dtype mistake is invisible (round-4 near-regression: casting
+    to bf16 before the affine deviates ~3e-2)."""
+    import flax.linen as nn
+    from inferbiomechanics_tpu.models.common import (
+        output_head_size, slice_output_heads)
+    from inferbiomechanics_tpu.parallel.pipeline import _post_encoder
+
+    model = _model(compute_dtype=jnp.bfloat16, num_layers=2)
+    x, _ = _batch(8, seed=3)
+    params = _trained_ln(model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                                    train=False)['params'])
+    rest = {k: v for k, v in params.items()
+            if not k.startswith('EncoderBlock')}
+    h = jnp.asarray(np.random.default_rng(4).normal(
+        size=(8, T, model.d_model)), jnp.bfloat16)
+
+    y = nn.LayerNorm(dtype=jnp.bfloat16).apply(
+        {'params': params['LayerNorm_0']}, h)
+    y = y[:, -1:, :]
+    per_frame = output_head_size(NB, 1)
+
+    def head(name, width):
+        return nn.Dense(width, dtype=jnp.bfloat16).apply(
+            {'params': params[name]}, y).astype(jnp.float32)
+
+    ref = slice_output_heads(head('contact_head', per_frame), NB, 1)
+    got = _post_encoder(model, rest, h)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(ref[k]),
+                                      err_msg=f'tail bitwise: {k}')
+
+
+def test_pipeline_forward_bf16_trained_layernorm_close():
+    """End-to-end bf16 pipeline forward vs model.apply with trained LN:
+    encoder-internal op reordering costs ~bf16-ulp (~0.5% relative,
+    measured 0.016 on a 2-4 output scale) — bound it at 2.5e-2 so a
+    tail-semantics mistake (~2x that) would trip."""
+    model = _model(compute_dtype=jnp.bfloat16, num_layers=2)
+    x, _ = _batch(8, seed=3)
+    params = _trained_ln(model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                                    train=False)['params'])
+    ref = model.apply({'params': params}, jnp.asarray(x), train=False)
+    mesh = make_pipeline_mesh(n_devices=4, pipe=2)
+    fwd = make_pipeline_forward(model, mesh, num_microbatches=2)
+    got = fwd(to_pipeline_params(params, model.num_layers),
+              shard_batch(mesh, jnp.asarray(x)))
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=2.5e-2, err_msg=f'bf16 e2e: {k}')

@@ -605,3 +605,35 @@ def test_host_upload_bf16_bitwise_free(ds, tmp_path):
         params[dt] = jax.tree_util.tree_leaves(st.params)
     for a, b in zip(params['f32'], params['bf16']):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chunked_step_matches_per_step_with_augmentation(ds):
+    """Augmentation is compiled into the step; the chunked scan must
+    reproduce the per-step path's augmented numerics exactly (same
+    per-step RNG keys drive mirror selects and noise draws)."""
+    from inferbiomechanics_tpu.train.augment import Augmenter, spec_from_dataset
+    from inferbiomechanics_tpu.train.step import make_chunked_train_step
+    model, state, batch = _setup(ds)
+    aug = Augmenter(mirror=spec_from_dataset(ds), noise_std=0.02)
+    K, B = 4, 2
+    x = jnp.asarray(batch.inputs).reshape(K, B, *batch.inputs.shape[1:])
+    y = jnp.asarray(batch.labels).reshape(K, B, *batch.labels.shape[1:])
+    base = jax.random.PRNGKey(5)
+    rngs = jnp.stack([jax.random.fold_in(base, i) for i in range(K)])
+
+    step = make_train_step(model, ds.lab_offsets, LossConfig(),
+                           donate=False, augment=aug)
+    s1 = state
+    per_losses = []
+    for i in range(K):
+        s1, m = step(s1, x[i], y[i], jax.random.fold_in(base, i))
+        per_losses.append(float(m['loss']))
+
+    chunk = make_chunked_train_step(model, ds.lab_offsets, LossConfig(), K,
+                                    donate=False, augment=aug)
+    s2, ms = chunk(state, x, y, rngs)
+    np.testing.assert_allclose(np.asarray(ms['loss']), per_losses, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
