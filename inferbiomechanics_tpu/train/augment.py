@@ -100,6 +100,12 @@ def _dof_signs(dof_names: Sequence[str], lateral_axis: int,
     trans_flip = axes[lateral_axis]
     # revolute-joint axis table (joint name -> unit axis), when available
     axis_of = {}
+    # ball/free joints with ORDERED non-canonical rotation axes (e.g.
+    # Rajagopal hips rotate z, x, y — data/osim.py round 4): the per-DOF
+    # sign comes from the axis PAIR under the mirror, exactly like
+    # revolute DOFs, one axis per coordinate. Canonical (rot_axes None)
+    # joints keep the euler-XYZ letter rule below (identical result).
+    ball_axes_of = {}
     if joints is not None:
         for j in joints:
             if getattr(j, 'type', None) == 'revolute':
@@ -107,6 +113,12 @@ def _dof_signs(dof_names: Sequence[str], lateral_axis: int,
                 n = np.linalg.norm(a)
                 if n > 0:
                     axis_of[j.name] = a / n
+            elif (getattr(j, 'type', None) in ('ball', 'free')
+                    and getattr(j, 'rot_axes', None) is not None):
+                aa = np.asarray(j.rot_axes, np.float64)
+                norms = np.linalg.norm(aa, axis=1, keepdims=True)
+                if (norms > 0).all():
+                    ball_axes_of[j.name] = aa / norms
 
     signs = np.ones(len(dof_names), np.float32)
     approximate: List[str] = []
@@ -115,18 +127,37 @@ def _dof_signs(dof_names: Sequence[str], lateral_axis: int,
     for i, name in enumerate(dof_names):
         toks = name.split('_')
         last = toks[-1]
+        def _paired_axis_sign(jname: str, k: int) -> bool:
+            """Sign from the k-th ordered rotation axis of the joint and
+            its left-right partner (itself when unpaired, e.g. the
+            root): mirrored rotation about a is rotation about -Ma."""
+            a_r = ball_axes_of.get(jname)
+            a_l = ball_axes_of.get(_swap_lr(jname), a_r)
+            if a_r is None:
+                a_r = a_l
+            if a_r is None or a_l is None:
+                return False
+            dot = float(np.dot(a_l[k], -(m_diag * a_r[k])))
+            if abs(abs(dot) - 1.0) < 0.05:
+                signs[i] = float(np.sign(dot))
+            else:
+                approximate.append(name)
+            return True
+
         if len(toks) >= 2 and toks[-2] == 'rot' and last in axes:
-            # free-joint euler rotation component
-            if last in rot_flip:
-                signs[i] = -1.0
+            # free-joint rotation component
+            if not _paired_axis_sign('_'.join(toks[:-2]), axes.index(last)):
+                if last in rot_flip:             # canonical euler-XYZ
+                    signs[i] = -1.0
         elif last == f't{trans_flip}':
             signs[i] = -1.0                      # lateral translation
         elif last in ('tx', 'ty', 'tz'):
             pass                                 # non-lateral translation
         elif last in axes and len(toks) >= 2:
-            # ball-joint euler component (e.g. hip_r_x)
-            if last in rot_flip:
-                signs[i] = -1.0
+            # ball-joint rotation component (e.g. hip_r_x = coordinate 0)
+            if not _paired_axis_sign('_'.join(toks[:-1]), axes.index(last)):
+                if last in rot_flip:             # canonical euler-XYZ
+                    signs[i] = -1.0
         elif name in axis_of or _swap_lr(name) in axis_of:
             # revolute DOF: sign from the axis pair under the mirror
             a_r = axis_of.get(name)

@@ -141,7 +141,11 @@ def run_segmented_epoch(plan: StreamingPlan, batch_size: int, state,
             idx = host_rng.permutation(seg.win_base)
             n_steps = idx.shape[0] // batch_size
             idx = idx[:n_steps * batch_size].reshape(n_steps, batch_size)
-            feats = jnp.asarray(feats_np).astype(feature_dtype)
+            # cast on HOST so the transfer ships feature_dtype bytes —
+            # jnp.asarray(f32).astype(bf16) uploads the full f32 matrix
+            # and casts on device, paying 2x the (often tunnel-bound)
+            # transfer for nothing (round-4 probe_chunked finding)
+            feats = jnp.asarray(feats_np.astype(feature_dtype, copy=False))
             labs = jnp.asarray(labs_np)
             state, metrics = seg_fn(state, feats, labs,
                                     jnp.asarray(idx, jnp.int32),

@@ -1082,7 +1082,12 @@ def run_sweep(config: Config, train_ds: WindowDataset,
             elif device_data is not None:
                 state, metrics = step(state, batch, step_rng, lrs_now)
             else:
-                state, metrics = step(state, batch.inputs, batch.labels,
+                # --host-upload-dtype bf16: inputs ship at half the bytes
+                # (free for bf16-compute models — train/loop.py)
+                bi = (np.asarray(batch.inputs).astype(jnp.bfloat16)
+                      if config.host_upload_dtype == 'bf16'
+                      else batch.inputs)
+                state, metrics = step(state, bi, batch.labels,
                                       step_rng, lrs_now)
             last_train = metrics
             windows_seen += config.batch_size * k

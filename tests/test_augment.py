@@ -350,3 +350,33 @@ def test_mirror_spec_involution_property_random_skeletons():
             assert (perm[perm] == np.arange(len(perm))).all(), trial
             assert np.allclose(sign[perm] * sign, 1.0), trial
             assert np.all(np.abs(sign) == 1.0), trial
+
+
+def test_ball_joint_ordered_axes_mirror_signs():
+    """Rajagopal-convention hips (ordered z,x,y rotation axes with the
+    LEFT side's adduction/rotation axes negated so both sides read
+    'toward midline positive') must mirror with sign +1 on ALL three hip
+    coordinates — the euler-XYZ letter rule would wrongly flip two of
+    them (round-4 osim fidelity interaction)."""
+    from inferbiomechanics_tpu.data.b3d import JointSpec
+    from inferbiomechanics_tpu.train.augment import _dof_signs
+
+    zxy_r = [[0, 0, 1], [1, 0, 0], [0, 1, 0]]
+    zxy_l = [[0, 0, 1], [-1, 0, 0], [0, -1, 0]]
+    joints = [
+        JointSpec('hip_r', 'ball', 0, 1, [0, 0, 0], rot_axes=zxy_r),
+        JointSpec('hip_l', 'ball', 0, 2, [0, 0, 0], rot_axes=zxy_l),
+    ]
+    names = ['hip_r_x', 'hip_r_y', 'hip_r_z', 'hip_l_x', 'hip_l_y',
+             'hip_l_z']
+    signs, approx = _dof_signs(names, lateral_axis=2, joints=joints)
+    np.testing.assert_array_equal(signs, np.ones(6, np.float32))
+    assert approx == []
+
+    # canonical (rot_axes None) keeps the legacy euler-XYZ rule: x and y
+    # components flip under a z-mirror
+    joints_c = [JointSpec('hip_r', 'ball', 0, 1, [0, 0, 0]),
+                JointSpec('hip_l', 'ball', 0, 2, [0, 0, 0])]
+    signs_c, _ = _dof_signs(names, lateral_axis=2, joints=joints_c)
+    np.testing.assert_array_equal(signs_c,
+                                  [-1, -1, 1, -1, -1, 1])

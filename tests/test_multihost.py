@@ -166,12 +166,38 @@ sweep_param_sums = [float(np.sum([np.asarray(x).sum() for x in
                                       slice_config(sw, i).params)]))
                     for i in range(4)]
 
+# 2-D (config, data) SWEEP mesh across processes (round 4): configs
+# shard the 'config' axis (one mesh row per process here), pod-sharded
+# trial blocks shard 'data' WITHIN each row; the replicated-metric pin
+# makes the per-config losses readable on every process.
+from inferbiomechanics_tpu.parallel import make_sweep_mesh
+from inferbiomechanics_tpu.train.sweep import make_sweep_sharded_train_step
+smesh2 = make_sweep_mesh(2)
+assert dict(smesh2.shape) == {'config': 2, 'data': 2}
+sdata2 = ShardedDeviceData(ds, smesh2)
+sw2 = init_sweep_states(model, tx_u, jnp.asarray(sample.inputs), [0, 1])
+sw2 = shard_sweep_state(sw2, smesh2)
+sw2_step = make_sweep_sharded_train_step(model, tx_u, sdata2, LossConfig(),
+                                         [1e-3, 3e-4], batch_size=8,
+                                         donate=False, mesh=smesh2)
+sw2_losses = []
+for kk in range(2):
+    sw2, sm2 = sw2_step(sw2, jax.random.PRNGKey(50 + kk))
+    sw2_losses.append([float(v) for v in np.asarray(sm2['loss'])])
+sw2 = gather_replicated(sw2, smesh2)
+sweep2d_param_sums = [float(np.sum([np.asarray(x).sum() for x in
+                                    jax.tree_util.tree_leaves(
+                                        slice_config(sw2, i).params)]))
+                      for i in range(2)]
+
 print(json.dumps({'proc': proc_id, 'losses': losses, 'param_sum': psum,
                   'device_pair': device_pair, 'dp_losses': dp_losses,
                   'dp_param_sum': dp_param_sum, 'sharded': sharded,
                   'owned_trials': sorted(_feat_calls),
                   'sweep_losses': sw_losses,
-                  'sweep_param_sums': sweep_param_sums}))
+                  'sweep_param_sums': sweep_param_sums,
+                  'sweep2d_losses': sw2_losses,
+                  'sweep2d_param_sums': sweep2d_param_sums}))
 '''
 
 
@@ -230,3 +256,11 @@ def test_two_process_distributed_training(tmp_path):
     np.testing.assert_allclose(r0['sweep_param_sums'],
                                r1['sweep_param_sums'], rtol=1e-6)
     assert len(set(np.round(r0['sweep_param_sums'], 6))) == 4  # distinct configs
+    # 2-D (config, data) sweep mesh: identical replicated per-config
+    # losses on both processes, finite, distinct configs after gather
+    np.testing.assert_allclose(r0['sweep2d_losses'], r1['sweep2d_losses'],
+                               rtol=1e-6)
+    assert np.isfinite(np.asarray(r0['sweep2d_losses'])).all()
+    np.testing.assert_allclose(r0['sweep2d_param_sums'],
+                               r1['sweep2d_param_sums'], rtol=1e-6)
+    assert len(set(np.round(r0['sweep2d_param_sums'], 6))) == 2
