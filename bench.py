@@ -66,7 +66,11 @@ if os.environ.get('IB_PLATFORM'):
 
 WINDOW, STRIDE, NUM_DOFS, RH, NB = 50, 5, 23, 10, 2
 TPU_BATCH = 4096
-STEPS_PER_PROGRAM = 32    # train steps fused per dispatch in the epoch tier
+STEPS_PER_PROGRAM = 256   # train steps fused per dispatch in the epoch tier
+# (round 4: 32 left ~2-7 ms of per-program overhead un-amortized — the
+# same program at 1024 steps/dispatch measured 17.5M w/s vs the 10.3-11.2M
+# tier-2 captures; 256 amortizes it while keeping compile small and each
+# best-of-3 timing group under half a second — probe_batch_scaling.py)
 TORCH_BATCH = 64          # reference default (train.py:56-57)
 
 

@@ -69,6 +69,12 @@ class AnalyzeCommand:
                                  '(dirs or .ckpt files, e.g. a seed sweep\'s '
                                  'outputs) — quantifies what ensembling '
                                  'buys on the dev metrics')
+        parser.add_argument('--tta-mirror', action='store_true',
+                            help='Mirror test-time augmentation: average '
+                                 'each prediction with the un-mirrored '
+                                 'prediction of the sagittally-mirrored '
+                                 'window (one extra forward in the same '
+                                 'compiled program)')
         parser.add_argument('--bootstrap', type=int, default=0,
                             help='Resample the per-window rows N times and '
                                  'print 95%% confidence intervals on the '
@@ -243,6 +249,20 @@ class AnalyzeCommand:
                     print('evaluating int8-quantized forward')
                 else:
                     eval_fn = make_eval_step(model, ds.lab_offsets, lc)
+
+            if getattr(args, 'tta_mirror', False):
+                if eval_fn is None:
+                    raise SystemExit('--tta-mirror supports the standard '
+                                     'learned-model eval path (not '
+                                     'analytical/diffusion/ensemble/'
+                                     'quantized)')
+                from inferbiomechanics_tpu.train.augment import (
+                    make_tta_eval_step, spec_from_dataset,
+                )
+                spec = spec_from_dataset(
+                    ds, lateral_axis=config.mirror_lateral_axis)
+                eval_fn = make_tta_eval_step(model, ds.lab_offsets, lc, spec)
+                print('mirror test-time augmentation enabled')
 
             csv_path = os.path.join(checkpoint_dir, f'{split}_analysis.csv')
             os.makedirs(checkpoint_dir, exist_ok=True)

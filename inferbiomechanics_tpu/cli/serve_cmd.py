@@ -50,6 +50,12 @@ class ServeCommand:
                                  'and return their mean; "spread": true '
                                  'also returns the across-sample std as an '
                                  'aleatoric-uncertainty signal')
+        parser.add_argument('--tta-mirror', action='store_true',
+                            help='Mirror test-time augmentation: each '
+                                 'prediction is averaged with the '
+                                 'un-mirrored prediction of the sagittally '
+                                 'mirrored window (one extra forward in '
+                                 'the same compiled program)')
         parser.add_argument('--warmup', action='store_true',
                             help='Compile every batch bucket before '
                                  'accepting requests (no first-request '
@@ -106,7 +112,8 @@ class ServeCommand:
                                    sample_steps=args.sample_steps,
                                    quantize=args.quantize,
                                    use_ema=args.use_ema,
-                                   diffusion_samples=args.diffusion_samples)
+                                   diffusion_samples=args.diffusion_samples,
+                                   tta_mirror=args.tta_mirror)
         if args.warmup:
             service.warmup()
         service.start_reload_poller(args.reload_poll_sec)

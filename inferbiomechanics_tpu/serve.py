@@ -167,7 +167,8 @@ class InferenceService:
                  sample_steps: int = 50,
                  quantize: Optional[str] = None,
                  use_ema: bool = False,
-                 diffusion_samples: int = 1):
+                 diffusion_samples: int = 1,
+                 tta_mirror: bool = False):
         """``ensemble``: optional list of checkpoint dirs or ``.ckpt``
         files (e.g. the per-config checkpoints a seed sweep wrote). All
         members run as ONE vmapped forward per request — the same
@@ -359,6 +360,32 @@ class InferenceService:
                 if has_bs:
                     variables['batch_stats'] = bstats
                 return self.model.apply(variables, x, train=False)
+
+        self.tta_mirror = bool(tta_mirror)
+        if self.tta_mirror:
+            # mirror test-time augmentation (train/augment.py): average
+            # the prediction with the un-mirrored prediction of the
+            # mirrored window — one extra forward inside the same
+            # compiled program
+            if self.is_diffusion or self.members or self.quantize:
+                raise ValueError('--tta-mirror serves the single '
+                                 'learned-model path (not diffusion, '
+                                 'ensembles, or int8)')
+            from inferbiomechanics_tpu.train.augment import (
+                mirror_outputs, spec_from_dataset,
+            )
+            tta_spec = spec_from_dataset(
+                dataset, lateral_axis=getattr(config, 'mirror_lateral_axis',
+                                              2))
+            lab_offsets = dataset.lab_offsets
+            base_fwd = fwd
+
+            def fwd(params, bstats, x):
+                o1 = base_fwd(params, bstats, x)
+                o2 = mirror_outputs(tta_spec, lab_offsets,
+                                    base_fwd(params, bstats,
+                                             tta_spec.mirror_inputs(x)))
+                return {k: (o1[k] + o2[k]) * 0.5 for k in o1}
 
         if self.members:
             has_bs = bool(self._bs_stack)

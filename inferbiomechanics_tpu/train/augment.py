@@ -415,3 +415,59 @@ def maybe_augment(augment: Optional[Augmenter], inputs, labels, rng):
         return inputs, labels
     import jax
     return augment(inputs, labels, jax.random.fold_in(rng, 0xA06))
+
+
+# ---------------------------------------------------------------------------
+# Test-time augmentation (round 4, beyond parity): mirror-averaged
+# predictions. Human gait is sagittally symmetric in distribution, so
+# averaging f(x) with unmirror(f(mirror(x))) cancels the model's
+# left/right asymmetry noise at inference — near-free (one extra
+# forward inside the same compiled program).
+# ---------------------------------------------------------------------------
+
+
+def mirror_outputs(spec: MirrorSpec, lab_offsets, outputs: dict) -> dict:
+    """(Un)mirror a model-output dict through the packed-label mirror.
+
+    Each output key's channels map onto the SAME key's channels under
+    the mirror (left/right contact-body swap stays within each group),
+    so packing the dict into the label layout, applying the involution,
+    and re-slicing is exact. Missing keys (models without aux heads)
+    contribute zeros that never leave their own channel groups.
+    """
+    import jax.numpy as jnp
+    ref = next(iter(outputs.values()))
+    width = len(spec.lab_perm)
+    packed = jnp.zeros((*ref.shape[:-1], width), ref.dtype)
+    for k, v in outputs.items():
+        o, w = lab_offsets[k]
+        packed = packed.at[..., o:o + w].set(v)
+    m = spec.mirror_labels(packed)
+    return {k: m[..., lab_offsets[k][0]:lab_offsets[k][0] + lab_offsets[k][1]]
+            for k in outputs}
+
+
+def make_tta_eval_step(model, lab_offsets, loss_config, spec: MirrorSpec):
+    """``eval(state, x, y) -> (outputs, metrics)`` with mirror TTA:
+    outputs = (f(x) + unmirror(f(mirror(x)))) / 2, scored with the
+    standard metrics — a drop-in for train.step.make_eval_step."""
+    import jax
+    import jax.numpy as jnp
+
+    from inferbiomechanics_tpu.data.dataset import unpack
+    from inferbiomechanics_tpu.loss.evaluator import loss_and_metrics
+
+    def tta_eval(state, x, y):
+        variables = {'params': state.params}
+        if state.batch_stats:
+            variables['batch_stats'] = state.batch_stats
+        o1 = model.apply(variables, x, train=False)
+        o2 = model.apply(variables, spec.mirror_inputs(x), train=False)
+        o2 = mirror_outputs(spec, lab_offsets, o2)
+        outputs = {k: (o1[k] + o2[k]) * jnp.asarray(0.5, o1[k].dtype)
+                   for k in o1}
+        _, metrics = loss_and_metrics(outputs, unpack(y, lab_offsets),
+                                      loss_config)
+        return outputs, metrics
+
+    return jax.jit(tta_eval)

@@ -380,3 +380,58 @@ def test_ball_joint_ordered_axes_mirror_signs():
     signs_c, _ = _dof_signs(names, lateral_axis=2, joints=joints_c)
     np.testing.assert_array_equal(signs_c,
                                   [-1, -1, 1, -1, -1, 1])
+
+
+def test_mirror_outputs_involution_and_tta_math(ds, spec):
+    """mirror_outputs is an involution on model-output dicts, and the
+    TTA eval equals the manual half-sum of the plain and mirrored
+    forwards (round 4, analyze/serve --tta-mirror)."""
+    import jax
+    import jax.numpy as jnp
+    from inferbiomechanics_tpu.loss import LossConfig
+    from inferbiomechanics_tpu.models.feedforward import FeedForwardBaseline
+    from inferbiomechanics_tpu.train import create_train_state, make_optimizer
+    from inferbiomechanics_tpu.train.augment import (
+        make_tta_eval_step, mirror_outputs)
+
+    # f32 compute: the assertions are exact-math properties (involution,
+    # half-sum, equivariance) — bf16 in/out-of-jit fusion noise would
+    # only blur them
+    model = FeedForwardBaseline(num_dofs=ds.num_dofs,
+                                num_contact_bodies=ds.num_contact_bodies,
+                                history_len=10, stride=2,
+                                root_history_len=ds.root_history_len,
+                                output_data_format='all_frames',
+                                hidden_dims=(16,),
+                                compute_dtype=jnp.float32)
+    b = ds.gather(np.arange(8))
+    x = jnp.asarray(b.inputs)
+    y = jnp.asarray(b.labels)
+    state = create_train_state(model, jax.random.PRNGKey(0), x,
+                               make_optimizer('adam', 1e-3))
+
+    o = model.apply({'params': state.params}, x, train=False)
+    o2 = mirror_outputs(spec, ds.lab_offsets,
+                        mirror_outputs(spec, ds.lab_offsets, o))
+    for k in o:
+        np.testing.assert_allclose(np.asarray(o2[k]), np.asarray(o[k]),
+                                   atol=1e-6)
+
+    tta = make_tta_eval_step(model, ds.lab_offsets, LossConfig(), spec)
+    outputs, metrics = tta(state, x, y)
+    om = model.apply({'params': state.params}, spec.mirror_inputs(x),
+                     train=False)
+    om = mirror_outputs(spec, ds.lab_offsets, om)
+    for k in outputs:
+        np.testing.assert_allclose(
+            np.asarray(outputs[k]),
+            0.5 * (np.asarray(o[k]) + np.asarray(om[k])), atol=1e-5)
+    assert np.isfinite(float(metrics['loss']))
+
+    # equivariance: predicting the mirrored window gives the mirrored
+    # prediction (the defining property of the TTA-symmetrized model)
+    out_m, _ = tta(state, spec.mirror_inputs(x), y)
+    back = mirror_outputs(spec, ds.lab_offsets, out_m)
+    for k in outputs:
+        np.testing.assert_allclose(np.asarray(back[k]),
+                                   np.asarray(outputs[k]), atol=1e-5)

@@ -611,3 +611,36 @@ def test_warmup_compiles_all_buckets(service):
     out = service.predict_packed(np.asarray(b.inputs))
     k = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
     assert out[k].shape[0] == 3
+
+
+def test_tta_mirror_service(service, tmp_path_factory):
+    """serve --tta-mirror: the service prediction equals the half-sum of
+    the plain and mirror-unmirrored forwards, and hot reload still works
+    (params ride as jit arguments)."""
+    from inferbiomechanics_tpu.train.augment import (
+        mirror_outputs, spec_from_dataset)
+    cfg = Config()
+    cfg.model_type = 'feedforward'
+    cfg.window_size, cfg.stride = 20, 5
+    ckpt_dir = service._checkpoint_dir
+    svc = InferenceService(cfg, ckpt_dir, service.ds,
+                           max_batch=64, tta_mirror=True)
+    b = service.ds.gather(np.arange(8))
+    x = np.asarray(b.inputs, np.float32)
+    out = svc.predict_packed(x)
+    plain = InferenceService(cfg, ckpt_dir, service.ds, max_batch=64)
+    o1 = plain.predict_packed(x)
+    spec = spec_from_dataset(service.ds)
+    o2 = plain.predict_packed(np.asarray(spec.mirror_inputs(x)))
+    o2 = mirror_outputs(spec, service.ds.lab_offsets,
+                        {k: jnp.asarray(v) for k, v in o2.items()})
+    for k in o1:
+        np.testing.assert_allclose(
+            np.asarray(out[k]),
+            0.5 * (np.asarray(o1[k]) + np.asarray(o2[k])),
+            atol=2e-3)   # bf16 fusion noise between the fused/unfused programs
+
+    # incompatible modes fail fast
+    with pytest.raises(ValueError):
+        InferenceService(cfg, ckpt_dir, service.ds,
+                         max_batch=64, tta_mirror=True, quantize='int8')
