@@ -100,6 +100,15 @@ class Config:
     # inputs are cast on device anyway); labels always ship f32 because
     # the loss consumes them at f32.
     host_upload_dtype: str = 'f32'
+    # device-resident tier: K train steps per dispatch (one lax.scan
+    # program consuming a [K, B] index block — same index bytes as K
+    # per-step dispatches, in one transfer, with the per-dispatch
+    # overhead amortized by K; numerics bitwise-identical). DEFAULT ON:
+    # this is the flagship path's throughput lever (~0.2M -> 17.5M w/s
+    # on the dev runtime). 1 restores per-step dispatch (finer-grained
+    # mid-epoch checkpoints/logging). Multi-process runs and
+    # --grad-allreduce-dtype fall back to per-step automatically.
+    device_chunk_steps: int = 64
 
     # beyond parity: on-device training-data augmentation
     # (train/augment.py — compiled into the train step on every tier;
@@ -262,6 +271,12 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Optional[Config]
                              'once, and run a K-step on-device scan per '
                              'dispatch (amortizes upload + launch costs; '
                              'identical numerics). 1 = per-batch dispatch')
+    parser.add_argument('--device-chunk-steps', type=int,
+                        default=d.device_chunk_steps,
+                        help='Device-resident tier: K train steps per '
+                             'dispatch (one scan program per [K, B] index '
+                             'block; identical numerics, ~K x less dispatch '
+                             'overhead). 1 = per-step dispatch')
     parser.add_argument('--host-upload-dtype', type=str,
                         default=d.host_upload_dtype,
                         choices=('f32', 'bf16'),
@@ -424,6 +439,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         'grad_allreduce_dtype': 'grad_allreduce_dtype',
         'host_chunk_steps': 'host_chunk_steps',
         'host_upload_dtype': 'host_upload_dtype',
+        'device_chunk_steps': 'device_chunk_steps',
         'init_style': 'init_style',
         'keep_best': 'keep_best',
         'early_stop_patience': 'early_stop_patience',

@@ -317,6 +317,39 @@ def make_device_train_step(model, data: DeviceResidentData,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_device_chunked_step(model, data: DeviceResidentData,
+                             loss_config: LossConfig,
+                             chunk_steps: int,
+                             donate: bool = True,
+                             grad_accum: int = 1,
+                             batch_shard=None,
+                             augment=None) -> Callable:
+    """Chunked device-tier dispatch: ``chunk(state, idx [K,B], rngs [K])
+    -> (state, stacked per-step metrics)``.
+
+    The per-step device tier pays one program dispatch + one [B] index
+    upload per batch — ~2-7 ms of overhead per ~0.23 ms of compute on
+    the dev runtime (probe_batch_scaling.py), the difference between
+    ~0.2M and 17.5M windows/s. Scanning K steps per dispatch ships the
+    SAME index bytes in one transfer and amortizes the dispatch by K,
+    with numerics bitwise-identical to K ``make_device_train_step``
+    calls (same step body, same per-step RNG keys)."""
+    per_step = make_device_train_step(model, data, loss_config,
+                                      donate=False, grad_accum=grad_accum,
+                                      batch_shard=batch_shard,
+                                      augment=augment)
+
+    def chunk(state: TrainState, idx_kb: jax.Array, rngs: jax.Array):
+        def body(s, xs):
+            idx, r = xs
+            return per_step(s, idx, r)
+
+        return jax.lax.scan(body, state, (idx_kb, rngs))
+
+    del chunk_steps  # shape comes from the [K, B] index array itself
+    return jax.jit(chunk, donate_argnums=(0,) if donate else ())
+
+
 def make_device_epoch_step(model, data: DeviceResidentData,
                            loss_config: LossConfig,
                            batch_size: int,

@@ -280,6 +280,8 @@ def train(config: Config,
                       + train_ds.labels_all.nbytes)
     device_data = None
     device_step = None
+    device_chunked_step = None
+    dev_chunk_k = 1
     device_eval = None
     streaming_epoch = None
     # pod-sharded residency: trials split across the mesh's data axis so
@@ -348,6 +350,30 @@ def train(config: Config,
                                              grad_allreduce_dtype=lowp_allreduce,
                                              mesh=mesh,
                                              augment=augmenter)
+        # chunked dispatch (--device-chunk-steps, default ON): K steps
+        # per scan program — the per-step path spends ~2-7 ms of
+        # dispatch overhead per ~0.2-0.4 ms step (BENCH_NOTES round 4).
+        # Numerics bitwise-identical; remainder/resume batches fall back
+        # to device_step. Multi-process and bf16-allreduce stay per-step.
+        dev_chunk_k = max(1, int(config.device_chunk_steps))
+        # clamp to the epoch length: a chunk larger than the epoch would
+        # never fill and silently fall back to per-step dispatch
+        steps_per_epoch = max(1, (len(train_ds) // jax.process_count())
+                              // config.batch_size)
+        dev_chunk_k = min(dev_chunk_k, steps_per_epoch)
+        if dev_chunk_k > 1 and lowp_allreduce is None \
+                and jax.process_count() == 1:
+            from inferbiomechanics_tpu.train.device_data import (
+                make_device_chunked_step,
+            )
+            device_chunked_step = make_device_chunked_step(
+                model, device_data, lc, dev_chunk_k,
+                grad_accum=config.grad_accum_steps,
+                batch_shard=sharding, augment=augmenter)
+            logger.info('device chunked dispatch: %d steps/program',
+                        dev_chunk_k)
+        else:
+            dev_chunk_k = 1
         logger.info('device-resident data: %.0f MB in HBM%s',
                     device_data.hbm_bytes / 1e6,
                     ' (windows packed)' if pack else '')
@@ -403,6 +429,10 @@ def train(config: Config,
     # chunked host dispatch (--host-chunk-steps K): K batches per upload
     # + one K-step scan per dispatch on the host-loader tier
     chunk_k = max(1, int(config.host_chunk_steps))
+    # clamp to the epoch length (a bigger chunk never fills -> silent
+    # per-step fallback)
+    chunk_k = min(chunk_k, max(1, (len(train_ds) // jax.process_count())
+                               // config.batch_size))
     chunked_step = None
     if chunk_k > 1 and pp == 1 and not use_device_data \
             and streaming_epoch is None:
@@ -575,7 +605,10 @@ def train(config: Config,
         # rules), which could overstate throughput arbitrarily.
         t_compute = time.time()
         last_metrics = None
-        if chunked_step is not None:
+        active_chunked = (device_chunked_step if use_device_data
+                          else chunked_step)
+        active_chunk_k = dev_chunk_k if use_device_data else chunk_k
+        if active_chunked is not None:
             import itertools
 
             def _log_ckpt_boundaries(first_idx: int, last_idx: int,
@@ -599,9 +632,28 @@ def train(config: Config,
                         // config.checkpoint_every_batches):
                     write_checkpoint(epoch, last_idx)
 
+            # metric accumulation is DEFERRED by one chunk: per-row
+            # device slices would issue K x n_metrics tiny ops per chunk
+            # (measured SLOWER than per-step dispatch on the tunnel), and
+            # an immediate device_get would serialize chunk N+1 behind
+            # chunk N; fetching the PREVIOUS chunk's stacked metrics
+            # after dispatching the current one keeps one transfer per
+            # chunk with full overlap.
+            pending = None    # (first_idx, last_idx, ms_device, n_rows)
+
+            def _drain(p):
+                nonlocal last_metrics
+                f_idx, l_idx, ms_d, n_rows = p
+                ms_np = jax.device_get(ms_d)
+                for k_i in range(n_rows):
+                    train_eval(None, None, None, precomputed_metrics={
+                        k: v[k_i] for k, v in ms_np.items()})
+                last_metrics = {k: v[-1] for k, v in ms_np.items()}
+                _log_ckpt_boundaries(f_idx, l_idx, last_metrics)
+
             it = iter(batch_iter)
             while True:
-                raw = list(itertools.islice(it, chunk_k))
+                raw = list(itertools.islice(it, active_chunk_k))
                 if not raw:
                     break
                 hit_cap = (max_batches_per_epoch is not None
@@ -616,44 +668,57 @@ def train(config: Config,
                         break
                     continue
                 first_idx, last_idx = group[0][0], group[-1][0]
-                if len(group) == chunk_k:
-                    # per-batch ASYNC device_put (keeps the upload/compute
-                    # overlap per-step dispatch gets for free) + one
-                    # on-device stack; host-side np.stack + one giant
-                    # synchronous upload measured SLOWER than per-step on
-                    # the tunnel (scripts/probe_chunked.py)
-                    xs = jnp.stack([jax.device_put(_upcast(b.inputs))
-                                    for _, b in group])
-                    ys = jnp.stack([jax.device_put(b.labels)
-                                    for _, b in group])
+                if len(group) == active_chunk_k:
                     rngs = jnp.stack([
                         jax.random.fold_in(rng, epoch * 1_000_000 + i)
                         for i, _ in group])
-                    state, ms = chunked_step(state, xs, ys, rngs)
-                    # lazy per-step rows — NO device_get here: a per-chunk
-                    # host sync would serialize chunk N+1's uploads behind
-                    # chunk N's compute (the overlap this path exists for);
-                    # the evaluator converts at report time like the
-                    # per-step path
-                    for k_i in range(chunk_k):
-                        train_eval(None, None, None, precomputed_metrics={
-                            k: v[k_i] for k, v in ms.items()})
-                    last_metrics = {k: v[-1] for k, v in ms.items()}
+                    if use_device_data:
+                        # payloads are [B] index arrays (already on
+                        # device); the K-step scan gathers each batch
+                        # from the resident dataset in-program
+                        idx_kb = jnp.stack([p for _, p in group])
+                        state, ms = active_chunked(state, idx_kb, rngs)
+                    else:
+                        # per-batch ASYNC device_put (keeps the
+                        # upload/compute overlap per-step dispatch gets
+                        # for free) + one on-device stack; host-side
+                        # np.stack + one giant synchronous upload
+                        # measured SLOWER than per-step on the tunnel
+                        # (scripts/probe_chunked.py)
+                        xs = jnp.stack([jax.device_put(_upcast(b.inputs))
+                                        for _, b in group])
+                        ys = jnp.stack([jax.device_put(b.labels)
+                                        for _, b in group])
+                        state, ms = active_chunked(state, xs, ys, rngs)
+                    if pending is not None:
+                        _drain(pending)
+                    pending = (first_idx, last_idx, ms, active_chunk_k)
                 else:
                     # remainder (epoch tail / resume prefix): the K-step
-                    # program's shape can't serve it — per-step fallback
-                    for batch_idx, batch in group:
+                    # program's shape can't serve it — per-step fallback.
+                    # Drain first: evaluator rows must stay in step order.
+                    if pending is not None:
+                        _drain(pending)
+                        pending = None
+                    for batch_idx, payload in group:
                         step_rng = jax.random.fold_in(
                             rng, epoch * 1_000_000 + batch_idx)
-                        state, metrics = train_step(
-                            state, _upcast(batch.inputs), batch.labels,
-                            step_rng)
+                        if use_device_data:
+                            state, metrics = device_step(state, payload,
+                                                         step_rng)
+                        else:
+                            state, metrics = train_step(
+                                state, _upcast(payload.inputs),
+                                payload.labels, step_rng)
                         train_eval(None, None, None,
                                    precomputed_metrics=metrics)
                         last_metrics = metrics
+                    _log_ckpt_boundaries(first_idx, last_idx, last_metrics)
                 windows_seen += len(group) * config.batch_size
-                _log_ckpt_boundaries(first_idx, last_idx, last_metrics)
                 if stop_requested['flag'] and last_idx >= 1:
+                    if pending is not None:
+                        _drain(pending)
+                        pending = None
                     write_checkpoint(epoch, last_idx)
                     logger.info('preemption checkpoint written: epoch %d '
                                 'batch %d', epoch, last_idx)
@@ -661,6 +726,8 @@ def train(config: Config,
                     break
                 if hit_cap:
                     break
+            if pending is not None:
+                _drain(pending)
             batch_iter = ()   # consumed; skip the per-step loop below
         for batch_idx, batch in batch_iter:
             if max_batches_per_epoch is not None and batch_idx >= max_batches_per_epoch:

@@ -500,3 +500,73 @@ def test_bf16_allreduce_host_step_matches(ds):
         ua = np.asarray(pa - p0)
         ub = np.asarray(pb - p0)
         assert np.abs(ua - ub).max() <= 0.02 * max(np.abs(ua).max(), 1e-12)
+
+
+def test_device_chunked_step_matches_per_step(ds):
+    """--device-chunk-steps: a K-step scan over [K, B] index blocks
+    reproduces K per-step dispatches (same step body, same RNG keys) —
+    the flagship tier's dispatch-amortization lever (round 4)."""
+    from inferbiomechanics_tpu.train.device_data import (
+        make_device_chunked_step,
+    )
+    data = DeviceResidentData(ds, feature_dtype=jnp.float32)
+    model = get_model('feedforward', num_dofs=ds.num_dofs,
+                      num_contact_bodies=ds.num_contact_bodies,
+                      history_len=20, stride=5,
+                      root_history_len=ds.root_history_len,
+                      hidden_dims=(16,))
+    state, _b = _state(ds, model)
+    K, B = 4, 8
+    rng_np = np.random.default_rng(0)
+    idx = rng_np.integers(0, len(ds), (K, B)).astype(np.int32)
+    base = jax.random.PRNGKey(9)
+    rngs = jnp.stack([jax.random.fold_in(base, i) for i in range(K)])
+
+    step = make_device_train_step(model, data, LossConfig(), donate=False)
+    s1 = state
+    losses = []
+    for i in range(K):
+        s1, m = step(s1, jnp.asarray(idx[i]), jax.random.fold_in(base, i))
+        losses.append(float(m['loss']))
+
+    chunk = make_device_chunked_step(model, data, LossConfig(), K,
+                                     donate=False)
+    s2, ms = chunk(state, jnp.asarray(idx), rngs)
+    np.testing.assert_allclose(np.asarray(ms['loss']), losses, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_train_loop_device_chunked_matches_per_step(ds, tmp_path):
+    """Full train loop, device-resident tier: --device-chunk-steps 2
+    reproduces per-step dispatch (same host permutation, same RNG folds),
+    including the remainder fallback (5 steps/epoch, K=2)."""
+    import jax
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.train import load_latest_checkpoint
+    from inferbiomechanics_tpu.train.loop import build_model_for_dataset, train
+
+    params = {}
+    results = {}
+    for chunk in (1, 2):
+        ckpt = str(tmp_path / f'devchunk{chunk}')
+        cfg = Config(window_size=20, stride=5, model_type='feedforward',
+                     checkpoint_dir=ckpt, epochs=2, batch_size=16,
+                     opt_type='adam', learning_rate=1e-3, device_data='on',
+                     checkpoint_every_batches=1000, log_every_batches=1000,
+                     hidden_dims=[16], seed=11, device_chunk_steps=chunk)
+        results[chunk] = train(cfg, ds, ds, max_batches_per_epoch=5)
+        model = build_model_for_dataset(cfg, ds)
+        sample = ds.gather(np.arange(4))
+        st = create_train_state(model, jax.random.PRNGKey(0),
+                                jnp.asarray(sample.inputs),
+                                make_optimizer('adam', 1e-3))
+        st, e, b = load_latest_checkpoint(st, ckpt)
+        assert (e, b) == (1, 0)
+        params[chunk] = jax.tree_util.tree_leaves(st.params)
+    for a, b in zip(params[1], params[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+    assert results[1].windows_seen == results[2].windows_seen
