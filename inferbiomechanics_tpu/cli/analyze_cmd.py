@@ -218,9 +218,14 @@ class AnalyzeCommand:
                 from inferbiomechanics_tpu.serve import InferenceService
                 svc = InferenceService(config, checkpoint_dir, ds,
                                        max_batch=max(config.batch_size, 1),
-                                       ensemble=args.ensemble)
+                                       ensemble=args.ensemble,
+                                       tta_mirror=getattr(args, 'tta_mirror',
+                                                          False))
                 print(f'ensemble of {len(svc.members)}: '
                       + ', '.join(m['path'] for m in svc.members))
+                if svc.tta_mirror:
+                    print('mirror test-time augmentation enabled '
+                          '(per ensemble member)')
                 predict = lambda x, _s: svc.predict_packed(np.asarray(x))
                 eval_fn = None
             else:
@@ -250,12 +255,12 @@ class AnalyzeCommand:
                 else:
                     eval_fn = make_eval_step(model, ds.lab_offsets, lc)
 
-            if getattr(args, 'tta_mirror', False):
+            if getattr(args, 'tta_mirror', False) and not getattr(
+                    args, 'ensemble', None):
                 if eval_fn is None:
-                    raise SystemExit('--tta-mirror supports the standard '
-                                     'learned-model eval path (not '
-                                     'analytical/diffusion/ensemble/'
-                                     'quantized)')
+                    raise SystemExit('--tta-mirror supports the learned-'
+                                     'model eval paths (not '
+                                     'analytical/diffusion/quantized)')
                 from inferbiomechanics_tpu.train.augment import (
                     make_tta_eval_step, spec_from_dataset,
                 )

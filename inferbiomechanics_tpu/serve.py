@@ -362,15 +362,17 @@ class InferenceService:
                 return self.model.apply(variables, x, train=False)
 
         self.tta_mirror = bool(tta_mirror)
+        tta_wrap = None
         if self.tta_mirror:
             # mirror test-time augmentation (train/augment.py): average
             # the prediction with the un-mirrored prediction of the
             # mirrored window — one extra forward inside the same
-            # compiled program
-            if self.is_diffusion or self.members or self.quantize:
-                raise ValueError('--tta-mirror serves the single '
-                                 'learned-model path (not diffusion, '
-                                 'ensembles, or int8)')
+            # compiled program. Composes with ensembles (each member is
+            # symmetrized before the across-member mean/std).
+            if self.is_diffusion or self.quantize:
+                raise ValueError('--tta-mirror serves the learned-model '
+                                 'paths (single model or ensemble; not '
+                                 'diffusion or int8)')
             from inferbiomechanics_tpu.train.augment import (
                 mirror_outputs, spec_from_dataset,
             )
@@ -378,27 +380,36 @@ class InferenceService:
                 dataset, lateral_axis=getattr(config, 'mirror_lateral_axis',
                                               2))
             lab_offsets = dataset.lab_offsets
-            base_fwd = fwd
 
-            def fwd(params, bstats, x):
-                o1 = base_fwd(params, bstats, x)
-                o2 = mirror_outputs(tta_spec, lab_offsets,
-                                    base_fwd(params, bstats,
-                                             tta_spec.mirror_inputs(x)))
-                return {k: (o1[k] + o2[k]) * 0.5 for k in o1}
+            def tta_wrap(base):
+                # base(*head, x) -> output dict; x is always last
+                def wrapped(*a):
+                    o1 = base(*a)
+                    o2 = mirror_outputs(
+                        tta_spec, lab_offsets,
+                        base(*a[:-1], tta_spec.mirror_inputs(a[-1])))
+                    return {k: (o1[k] + o2[k]) * 0.5 for k in o1}
+                return wrapped
+
+            if not self.members:
+                fwd = tta_wrap(fwd)
 
         if self.members:
             has_bs = bool(self._bs_stack)
 
-            def fwd_ens(params_stack, bs_stack, x):
-                def one(p, bs):
-                    variables = {'params': p}
-                    if has_bs:
-                        variables['batch_stats'] = bs
-                    return self.model.apply(variables, x, train=False)
+            def one(p, bs, x):
+                variables = {'params': p}
+                if has_bs:
+                    variables['batch_stats'] = bs
+                return self.model.apply(variables, x, train=False)
 
-                outs = jax.vmap(one, in_axes=(0, 0 if has_bs else None))(
-                    params_stack, bs_stack if has_bs else None)
+            if tta_wrap is not None:
+                one = tta_wrap(one)
+
+            def fwd_ens(params_stack, bs_stack, x):
+                outs = jax.vmap(one, in_axes=(0, 0 if has_bs else None,
+                                              None))(
+                    params_stack, bs_stack if has_bs else None, x)
                 mean = jax.tree_util.tree_map(lambda o: o.mean(0), outs)
                 spread = jax.tree_util.tree_map(lambda o: o.std(0), outs)
                 return mean, spread

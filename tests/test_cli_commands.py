@@ -192,6 +192,16 @@ def test_analyze_ensemble(workspace, tmp_path):
                    os.path.join(str(ckpt2), 'feedforward')])
     assert 'ensemble of 2' in out.stdout
     assert 'final report' in out.stdout
+    # TTA composes with the ensemble (each member symmetrized before
+    # the across-member mean)
+    out = run_cmd(['analyze', '--dataset-home', workspace['data'],
+                   '--checkpoint-dir', workspace['ckpt'], '--no-wandb',
+                   '--batch-size', '8', '--short', '--tta-mirror',
+                   '--ensemble',
+                   os.path.join(workspace['ckpt'], 'feedforward'),
+                   os.path.join(str(ckpt2), 'feedforward')])
+    assert 'mirror test-time augmentation enabled' in out.stdout
+    assert 'final report' in out.stdout
 
 
 def test_doctor(workspace):

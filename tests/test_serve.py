@@ -644,3 +644,31 @@ def test_tta_mirror_service(service, tmp_path_factory):
     with pytest.raises(ValueError):
         InferenceService(cfg, ckpt_dir, service.ds,
                          max_batch=64, tta_mirror=True, quantize='int8')
+
+
+def test_tta_mirror_composes_with_ensemble(ensemble_service):
+    """serve --ensemble --tta-mirror: each member is symmetrized before
+    the across-member mean, so the ensemble+TTA mean equals the average
+    of the per-member single-model TTA predictions."""
+    ds = ensemble_service.ds
+    cfg = ensemble_service.config
+    dirs = ensemble_service._member_dirs
+    svc = InferenceService(cfg, dirs[0], ds, max_batch=64,
+                           ensemble=dirs, tta_mirror=True)
+    x = np.asarray(ds.gather(np.arange(4)).inputs, np.float32)
+    out, spread = svc.predict_packed(x, with_spread=True)
+
+    singles = [InferenceService(cfg, d, ds, max_batch=64,
+                                tta_mirror=True).predict_packed(x)
+               for d in dirs]
+    key = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    np.testing.assert_allclose(
+        np.asarray(out[key]),
+        (np.asarray(singles[0][key]) + np.asarray(singles[1][key])) / 2,
+        rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(spread[key]),
+        np.abs(np.asarray(singles[0][key])
+               - np.asarray(singles[1][key])) / 2,
+        rtol=2e-3, atol=2e-3)
+    assert float(np.max(np.asarray(spread[key]))) > 0
