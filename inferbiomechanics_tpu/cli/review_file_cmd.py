@@ -118,6 +118,11 @@ class ReviewFileCommand:
         parser.add_argument('--out-csv', type=str, default=None,
                             help='Review-state CSV (default: <file>.review.csv)')
         parser.add_argument('--threshold-ratio', type=float, default=3.0)
+        parser.add_argument('--tta-mirror', action='store_true',
+                            help='Mirror test-time augmentation: '
+                                 'average each prediction with the '
+                                 'un-mirrored prediction of the '
+                                 'sagittally mirrored window')
         parser.add_argument('--live', action='store_true',
                             help='Serve the segment-review GUI loop on '
                                  'port 8080 (space/e/a transport, n: next '
@@ -136,7 +141,8 @@ class ReviewFileCommand:
                            stride=config.stride, skip_loading_skeletons=True)
         checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
                                       config.model_type)
-        predictor = Predictor(config, checkpoint_dir, ds)
+        predictor = Predictor(config, checkpoint_dir, ds,
+                              tta_mirror=args.tta_mirror)
         out_csv = args.out_csv or (args.file + '.review.csv')
 
         existing = {}

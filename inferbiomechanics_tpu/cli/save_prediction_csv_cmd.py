@@ -35,6 +35,11 @@ class SavePredictionCsvCommand:
         parser.add_argument('--file', type=str, required=True)
         parser.add_argument('--trial', type=int, default=0)
         parser.add_argument('--out', type=str, default='predicted_forces.csv')
+        parser.add_argument('--tta-mirror', action='store_true',
+                            help='Mirror test-time augmentation: '
+                                 'average each prediction with the '
+                                 'un-mirrored prediction of the '
+                                 'sagittally mirrored window')
         add_config_flags(parser)
 
     def run(self, args: argparse.Namespace) -> bool:
@@ -45,7 +50,8 @@ class SavePredictionCsvCommand:
                            stride=config.stride, skip_loading_skeletons=True)
         checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
                                       config.model_type)
-        predictor = Predictor(config, checkpoint_dir, ds)
+        predictor = Predictor(config, checkpoint_dir, ds,
+                              tta_mirror=args.tta_mirror)
         pred = predictor.predict_trial(0, args.trial)
         if pred is None:
             print(f'trial {args.trial}: no valid windows')

@@ -41,6 +41,11 @@ class VisualizeCommand:
                                  'serving the live viewer')
         parser.add_argument('--live', action='store_true',
                             help=argparse.SUPPRESS)  # legacy: live is now the default
+        parser.add_argument('--tta-mirror', action='store_true',
+                            help='Mirror test-time augmentation: '
+                                 'average each prediction with the '
+                                 'un-mirrored prediction of the '
+                                 'sagittally mirrored window')
         parser.add_argument('--port', type=int, default=8888)
         parser.add_argument('--host', type=str, default='127.0.0.1',
                             help='Bind address (default loopback; use '
@@ -59,7 +64,8 @@ class VisualizeCommand:
         if config.model_type != 'analytical':
             checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
                                           config.model_type)
-            predictor = Predictor(config, checkpoint_dir, ds)
+            predictor = Predictor(config, checkpoint_dir, ds,
+                                  tta_mirror=args.tta_mirror)
         # --out / --serve only make sense for the static export; honor
         # them rather than silently dropping them in the live default
         static = args.static or args.serve or args.out is not None

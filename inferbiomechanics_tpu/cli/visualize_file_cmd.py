@@ -128,6 +128,11 @@ class VisualizeFileCommand:
                                  '0.0.0.0 to allow remote access)')
         parser.add_argument('--no-model', action='store_true',
                             help='Skip model predictions (labels only)')
+        parser.add_argument('--tta-mirror', action='store_true',
+                            help='Mirror test-time augmentation: '
+                                 'average each prediction with the '
+                                 'un-mirrored prediction of the '
+                                 'sagittally mirrored window')
         add_config_flags(parser)
 
     def run(self, args: argparse.Namespace) -> bool:
@@ -140,7 +145,8 @@ class VisualizeFileCommand:
         if not args.no_model and config.model_type != 'analytical':
             checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
                                           config.model_type)
-            predictor = Predictor(config, checkpoint_dir, ds)
+            predictor = Predictor(config, checkpoint_dir, ds,
+                                  tta_mirror=args.tta_mirror)
             if predictor.epoch < 0:
                 print('WARNING: no checkpoint found; predictions come from '
                       'an untrained model')

@@ -41,7 +41,7 @@ class Predictor:
     """Loads a checkpointed model and predicts whole trials at once."""
 
     def __init__(self, config: Config, checkpoint_dir: str,
-                 dataset: WindowDataset):
+                 dataset: WindowDataset, tta_mirror: bool = False):
         self.config = config
         self.ds = dataset
         self.model = build_model_for_dataset(config, dataset)
@@ -72,14 +72,33 @@ class Predictor:
                     'with d_model a multiple of 128')
                 use_fused = False
 
-        def fwd(params, x, y_packed):
+        # mirror test-time augmentation: symmetrize every prediction by
+        # averaging with the un-mirrored prediction of the sagittally
+        # mirrored window (same mechanics as analyze/serve --tta-mirror)
+        tta_spec = None
+        if tta_mirror:
+            from inferbiomechanics_tpu.train.augment import (
+                mirror_outputs, spec_from_dataset,
+            )
+            tta_spec = spec_from_dataset(
+                dataset, lateral_axis=getattr(config, 'mirror_lateral_axis',
+                                              2))
+
+        def model_fwd(params, x):
             if use_fused:
-                out = fused_transformer_forward(self.model, params, x)
-            else:
-                variables = {'params': params}
-                if batch_stats:
-                    variables['batch_stats'] = batch_stats
-                out = self.model.apply(variables, x, train=False)
+                return fused_transformer_forward(self.model, params, x)
+            variables = {'params': params}
+            if batch_stats:
+                variables['batch_stats'] = batch_stats
+            return self.model.apply(variables, x, train=False)
+
+        def fwd(params, x, y_packed):
+            out = model_fwd(params, x)
+            if tta_spec is not None:
+                o2 = mirror_outputs(tta_spec, self.ds.lab_offsets,
+                                    model_fwd(params,
+                                              tta_spec.mirror_inputs(x)))
+                out = {k: (out[k] + o2[k]) * 0.5 for k in out}
             labels = self.ds.unpack_labels(y_packed)
             # per-window loss: vmap the loss core over the batch dim
             def one(o, l):

@@ -82,6 +82,38 @@ def test_predictor_trial_predictions(data_dir):
     assert ((share > 0.3) | (mags == 0)).all()
 
 
+def test_predictor_tta_mirror(data_dir):
+    """Predictor(tta_mirror=True) outputs equal the half-sum of the plain
+    prediction and the un-mirrored prediction of the mirrored window —
+    the same semantics as analyze/serve --tta-mirror, now on the
+    visualize-file/save-prediction-csv/review-file path."""
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.inference import Predictor
+    from inferbiomechanics_tpu.train.augment import (
+        mirror_outputs, spec_from_dataset,
+    )
+    import jax.numpy as jnp
+    ds = WindowDataset(os.path.join(data_dir, 'dev'), window_size=20, stride=5,
+                       skip_loading_skeletons=True)
+    cfg = Config(window_size=20, stride=5, model_type='feedforward')
+    plain = Predictor(cfg, '/nonexistent_ckpts', ds)
+    tta = Predictor(cfg, '/nonexistent_ckpts', ds, tta_mirror=True)
+    idx = np.arange(4)
+    o_tta, _, _ = tta.predict_windows(idx)
+
+    o1, _, _ = plain.predict_windows(idx)
+    spec = spec_from_dataset(ds)
+    x = np.asarray(ds.gather(idx).inputs)
+    o2 = plain._fwd(plain.state.params,
+                    jnp.asarray(spec.mirror_inputs(jnp.asarray(x))),
+                    jnp.asarray(ds.gather(idx).labels))[0]
+    o2 = mirror_outputs(spec, ds.lab_offsets, o2)
+    for k in o1:
+        np.testing.assert_allclose(
+            np.asarray(o_tta[k]),
+            0.5 * (np.asarray(o1[k]) + np.asarray(o2[k])), atol=2e-3)
+
+
 def test_viewer_payload_and_export(data_dir, tmp_path):
     from inferbiomechanics_tpu.cli.visualize_file_cmd import build_viz_payload
     from inferbiomechanics_tpu.viz.viewer import export_html
