@@ -72,18 +72,6 @@ class Predictor:
                     'with d_model a multiple of 128')
                 use_fused = False
 
-        # mirror test-time augmentation: symmetrize every prediction by
-        # averaging with the un-mirrored prediction of the sagittally
-        # mirrored window (same mechanics as analyze/serve --tta-mirror)
-        tta_spec = None
-        if tta_mirror:
-            from inferbiomechanics_tpu.train.augment import (
-                mirror_outputs, spec_from_dataset,
-            )
-            tta_spec = spec_from_dataset(
-                dataset, lateral_axis=getattr(config, 'mirror_lateral_axis',
-                                              2))
-
         def model_fwd(params, x):
             if use_fused:
                 return fused_transformer_forward(self.model, params, x)
@@ -92,13 +80,21 @@ class Predictor:
                 variables['batch_stats'] = batch_stats
             return self.model.apply(variables, x, train=False)
 
+        # mirror test-time augmentation: symmetrize every prediction by
+        # averaging with the un-mirrored prediction of the sagittally
+        # mirrored window (same mechanics as analyze/serve --tta-mirror)
+        if tta_mirror:
+            from inferbiomechanics_tpu.train.augment import (
+                spec_from_dataset, tta_average,
+            )
+            model_fwd = tta_average(
+                spec_from_dataset(dataset,
+                                  lateral_axis=getattr(
+                                      config, 'mirror_lateral_axis', 2)),
+                dataset.lab_offsets, model_fwd)
+
         def fwd(params, x, y_packed):
             out = model_fwd(params, x)
-            if tta_spec is not None:
-                o2 = mirror_outputs(tta_spec, self.ds.lab_offsets,
-                                    model_fwd(params,
-                                              tta_spec.mirror_inputs(x)))
-                out = {k: (out[k] + o2[k]) * 0.5 for k in out}
             labels = self.ds.unpack_labels(y_packed)
             # per-window loss: vmap the loss core over the batch dim
             def one(o, l):

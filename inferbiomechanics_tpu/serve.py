@@ -374,7 +374,7 @@ class InferenceService:
                                  'paths (single model or ensemble; not '
                                  'diffusion or int8)')
             from inferbiomechanics_tpu.train.augment import (
-                mirror_outputs, spec_from_dataset,
+                spec_from_dataset, tta_average,
             )
             tta_spec = spec_from_dataset(
                 dataset, lateral_axis=getattr(config, 'mirror_lateral_axis',
@@ -383,13 +383,7 @@ class InferenceService:
 
             def tta_wrap(base):
                 # base(*head, x) -> output dict; x is always last
-                def wrapped(*a):
-                    o1 = base(*a)
-                    o2 = mirror_outputs(
-                        tta_spec, lab_offsets,
-                        base(*a[:-1], tta_spec.mirror_inputs(a[-1])))
-                    return {k: (o1[k] + o2[k]) * 0.5 for k in o1}
-                return wrapped
+                return tta_average(tta_spec, lab_offsets, base)
 
             if not self.members:
                 fwd = tta_wrap(fwd)

@@ -132,11 +132,19 @@ def _dof_signs(dof_names: Sequence[str], lateral_axis: int,
             its left-right partner (itself when unpaired, e.g. the
             root): mirrored rotation about a is rotation about -Ma."""
             a_r = ball_axes_of.get(jname)
-            a_l = ball_axes_of.get(_swap_lr(jname), a_r)
-            if a_r is None:
-                a_r = a_l
-            if a_r is None or a_l is None:
+            a_l = ball_axes_of.get(_swap_lr(jname))
+            if a_r is None and a_l is None:
                 return False
+            # osim.py drops rot_axes that are exactly canonical x,y,z,
+            # so a one-sided entry means the OTHER side rotates about
+            # the canonical axes — default the missing side to those,
+            # never to a copy of the present side (e.g. a left joint
+            # negating its y/z axes against a canonical right joint
+            # would get every sign inverted).
+            if a_r is None:
+                a_r = np.eye(3)[:len(a_l)]
+            if a_l is None:
+                a_l = np.eye(3)[:len(a_r)]
             dot = float(np.dot(a_l[k], -(m_diag * a_r[k])))
             if abs(abs(dot) - 1.0) < 0.05:
                 signs[i] = float(np.sign(dot))
@@ -447,25 +455,42 @@ def mirror_outputs(spec: MirrorSpec, lab_offsets, outputs: dict) -> dict:
             for k in outputs}
 
 
+def tta_average(spec: MirrorSpec, lab_offsets, forward_fn):
+    """Symmetrize a forward whose model input is its LAST positional
+    argument: returns g(*args) = (f(..., x) + unmirror(f(..., mirror(x))))
+    / 2. The single definition of the TTA math — analyze's eval step,
+    the serving forwards (single-model and per-ensemble-member), and the
+    Predictor all wrap through here."""
+    import jax.numpy as jnp
+
+    def symmetrized(*args):
+        o1 = forward_fn(*args)
+        o2 = mirror_outputs(
+            spec, lab_offsets,
+            forward_fn(*args[:-1], spec.mirror_inputs(args[-1])))
+        return {k: (o1[k] + o2[k]) * jnp.asarray(0.5, o1[k].dtype)
+                for k in o1}
+
+    return symmetrized
+
+
 def make_tta_eval_step(model, lab_offsets, loss_config, spec: MirrorSpec):
     """``eval(state, x, y) -> (outputs, metrics)`` with mirror TTA:
     outputs = (f(x) + unmirror(f(mirror(x)))) / 2, scored with the
     standard metrics — a drop-in for train.step.make_eval_step."""
     import jax
-    import jax.numpy as jnp
 
     from inferbiomechanics_tpu.data.dataset import unpack
     from inferbiomechanics_tpu.loss.evaluator import loss_and_metrics
 
     def tta_eval(state, x, y):
-        variables = {'params': state.params}
-        if state.batch_stats:
-            variables['batch_stats'] = state.batch_stats
-        o1 = model.apply(variables, x, train=False)
-        o2 = model.apply(variables, spec.mirror_inputs(x), train=False)
-        o2 = mirror_outputs(spec, lab_offsets, o2)
-        outputs = {k: (o1[k] + o2[k]) * jnp.asarray(0.5, o1[k].dtype)
-                   for k in o1}
+        def fwd(xx):
+            variables = {'params': state.params}
+            if state.batch_stats:
+                variables['batch_stats'] = state.batch_stats
+            return model.apply(variables, xx, train=False)
+
+        outputs = tta_average(spec, lab_offsets, fwd)(x)
         _, metrics = loss_and_metrics(outputs, unpack(y, lab_offsets),
                                       loss_config)
         return outputs, metrics

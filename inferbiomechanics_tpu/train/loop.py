@@ -611,6 +611,12 @@ def train(config: Config,
         if active_chunked is not None:
             import itertools
 
+            def _crosses_ckpt(first_idx: int, last_idx: int) -> bool:
+                return (last_idx > 0
+                        and last_idx // config.checkpoint_every_batches
+                        > max(first_idx - 1, 0)
+                        // config.checkpoint_every_batches)
+
             def _log_ckpt_boundaries(first_idx: int, last_idx: int,
                                      metrics) -> None:
                 """Fire the per-batch log/checkpoint cadences once per
@@ -626,10 +632,7 @@ def train(config: Config,
                                            'batch': last_idx})
                     logger.info('epoch %d batch %d loss %.6f', epoch,
                                 last_idx, loss)
-                if (last_idx > 0
-                        and last_idx // config.checkpoint_every_batches
-                        > max(first_idx - 1, 0)
-                        // config.checkpoint_every_batches):
+                if _crosses_ckpt(first_idx, last_idx):
                     write_checkpoint(epoch, last_idx)
 
             # metric accumulation is DEFERRED by one chunk: per-row
@@ -668,6 +671,19 @@ def train(config: Config,
                         break
                     continue
                 first_idx, last_idx = group[0][0], group[-1][0]
+                if pending is not None and _crosses_ckpt(pending[0],
+                                                         pending[1]):
+                    # the pending chunk writes a mid-epoch checkpoint:
+                    # drain it NOW, while `state` is still exactly the
+                    # post-chunk state its batch label names. Deferring
+                    # past the next dispatch would save a state one
+                    # chunk AHEAD of the label (the chunked step donates
+                    # its input state, so the old buffers can't be
+                    # snapshotted later), and a resume would re-apply
+                    # that chunk's updates. Checkpoint boundaries are
+                    # rare, so the lost overlap is negligible.
+                    _drain(pending)
+                    pending = None
                 if len(group) == active_chunk_k:
                     rngs = jnp.stack([
                         jax.random.fold_in(rng, epoch * 1_000_000 + i)

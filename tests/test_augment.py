@@ -381,6 +381,19 @@ def test_ball_joint_ordered_axes_mirror_signs():
     np.testing.assert_array_equal(signs_c,
                                   [-1, -1, 1, -1, -1, 1])
 
+    # ONE-SIDED non-canonical pair: osim.py drops exactly-canonical
+    # rot_axes, so a right joint rotating about x,y,z against a left
+    # joint negating y/z arrives with only the left entry. The missing
+    # side must default to the CANONICAL axes — copying the present side
+    # would invert the y sign (regression, round-4 review).
+    neg_l = [[1, 0, 0], [0, -1, 0], [0, 0, -1]]
+    joints_o = [JointSpec('hip_r', 'ball', 0, 1, [0, 0, 0]),
+                JointSpec('hip_l', 'ball', 0, 2, [0, 0, 0],
+                          rot_axes=neg_l)]
+    signs_o, approx_o = _dof_signs(names, lateral_axis=2, joints=joints_o)
+    np.testing.assert_array_equal(signs_o, [-1, 1, -1, -1, 1, -1])
+    assert approx_o == []
+
 
 def test_mirror_outputs_involution_and_tta_math(ds, spec):
     """mirror_outputs is an involution on model-output dicts, and the

@@ -570,3 +570,52 @@ def test_train_loop_device_chunked_matches_per_step(ds, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
     assert results[1].windows_seen == results[2].windows_seen
+
+
+def test_device_chunked_midepoch_checkpoint_resumes_exactly(ds, tmp_path):
+    """A mid-epoch checkpoint written from inside chunked dispatch must
+    hold the state of exactly the batches its label names: resuming from
+    it and replaying the rest of the epoch reproduces the uninterrupted
+    run bitwise. Regression: the deferred metric drain used to write the
+    checkpoint AFTER the next chunk was dispatched, so the saved state
+    was one chunk ahead and the resume double-applied that chunk."""
+    import os
+    import jax
+    from inferbiomechanics_tpu.config import Config
+    from inferbiomechanics_tpu.train import load_latest_checkpoint
+    from inferbiomechanics_tpu.train.loop import build_model_for_dataset, train
+
+    def cfg_for(d):
+        return Config(window_size=20, stride=5, model_type='feedforward',
+                      checkpoint_dir=d, epochs=1, batch_size=16,
+                      opt_type='adam', learning_rate=1e-3, device_data='on',
+                      checkpoint_every_batches=2, log_every_batches=1000,
+                      hidden_dims=[16], seed=13, device_chunk_steps=2)
+
+    def final_params(d):
+        model = build_model_for_dataset(cfg_for(d), ds)
+        sample = ds.gather(np.arange(4))
+        st = create_train_state(model, jax.random.PRNGKey(0),
+                                jnp.asarray(sample.inputs),
+                                make_optimizer('adam', 1e-3))
+        st, _, _ = load_latest_checkpoint(st, d)
+        return jax.tree_util.tree_leaves(st.params)
+
+    d_full = str(tmp_path / 'full')
+    train(cfg_for(d_full), ds, ds, max_batches_per_epoch=6)
+
+    # same run, then rewind to the mid-epoch checkpoint at (0, 3) —
+    # chunks (0,1)(2,3)(4,5) with every=2 checkpoint at batch 3 and 5 —
+    # and resume the rest of the epoch
+    d_res = str(tmp_path / 'resumed')
+    train(cfg_for(d_res), ds, ds, max_batches_per_epoch=6)
+    kept = 'epoch_0_batch_3.ckpt'
+    names = sorted(os.listdir(d_res))
+    assert kept in names, names
+    for n in names:
+        if n != kept and n.endswith('.ckpt'):
+            os.remove(os.path.join(d_res, n))
+    train(cfg_for(d_res), ds, ds, max_batches_per_epoch=6)
+
+    for a, b in zip(final_params(d_full), final_params(d_res)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
