@@ -43,6 +43,11 @@ from inferbiomechanics_tpu.models.common import (
 _XAVIER_RELU = nn.initializers.variance_scaling(
     scale=2.0, mode='fan_avg', distribution='truncated_normal')
 
+# torch nn.Linear default (kaiming_uniform a=sqrt(5) == U(+-1/sqrt(fan_in)))
+# for the final head, which the reference's initialize() never reaches
+_TORCH_KERNEL_INIT = nn.initializers.variance_scaling(
+    1.0 / 3.0, 'fan_in', 'uniform')
+
 
 def _band_selector(T: int, k: int) -> np.ndarray:
     """[k, T, T] 0/1 constant: S[d, t, u] == 1 iff output frame u's d-th
@@ -130,7 +135,13 @@ class Groundlink(nn.Module):
             x = nn.elu(x)
         x = nn.Dropout(self.fc_dropout, deterministic=not train)(x)
         per_frame = output_head_size(self.num_contact_bodies, 1)
-        x = nn.Dense(per_frame, use_bias=False, kernel_init=_XAVIER_RELU,
+        # the reference's initialize() (Groundlink.py:79-105) zips each
+        # layer with its FOLLOWING activation, so the final un-activated
+        # Linear keeps torch's default kaiming-uniform init — xavier-relu
+        # here made the init output scale ~3x larger and cost ~2x dev
+        # CoP/COM-acc error over the first training epochs (PARITY_RMSE.md)
+        x = nn.Dense(per_frame, use_bias=False,
+                     kernel_init=_TORCH_KERNEL_INIT,
                      dtype=self.compute_dtype)(x)
         x = x.astype(jnp.float32)
         return slice_output_heads(x, self.num_contact_bodies, x.shape[1])

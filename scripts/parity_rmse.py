@@ -32,6 +32,16 @@ init (torch kaiming-uniform vs flax lecun-normal), rmsprop decay
 
 Run on CPU:  IB_PLATFORM=cpu python scripts/parity_rmse.py \
                  --epochs 10 --seeds 0 1 2 --out /tmp/parity_rmse.json
+
+``--model groundlink`` runs the same study on the reference's GroundLink
+CNN (src/models/Groundlink.py:19-107: cnn_features [C,128,128,256,256],
+kernel 7 replicate-padded Conv1d + ELU, fc_depth 3 with dropout 0.2,
+final Linear(256,30,bias=False), xavier-normal relu-gain init on every
+layer followed by an activation — the final un-activated Linear keeps
+torch's default init — output_data_format 'all_frames', the train.py
+default). Dropout makes both sides stochastic beyond init, so parity is
+judged across seeds, not per-seed.
+
 Results are summarized in PARITY_RMSE.md and BASELINE.json "measured".
 """
 
@@ -109,37 +119,88 @@ def batch_schedule(n: int, seed: int, epochs: int) -> list:
 # Torch side (reference-shaped, written fresh)
 # ---------------------------------------------------------------------------
 
-def run_torch(x_tr, y_tr, x_dev, lab_dev, sl, seed, epochs, schedule):
+def _torch_groundlink(c_in: int):
+    """Reference-shaped GroundLink (Groundlink.py:19-107), written fresh:
+    [Dropout(0), replicate-pad Conv1d(k=7), ELU] x 4 over channels
+    [c_in,128,128,256,256], then [Dropout(.2), Linear(256,256), ELU] x 2
+    + Dropout(.2) + Linear(256,30,bias=False). Xavier-normal with relu
+    gain on every layer followed by an activation (the reference's
+    initialize() walks (layer, next) pairs, so the final Linear keeps
+    torch's default init)."""
+    import torch
+
+    feats = [c_in, 128, 128, 256, 256]
+    cnn = []
+    for ci, co in zip(feats[:-1], feats[1:]):
+        conv = torch.nn.Conv1d(ci, co, 7, padding=3,
+                               padding_mode='replicate')
+        torch.nn.init.xavier_normal_(
+            conv.weight, torch.nn.init.calculate_gain('relu'))
+        torch.nn.init.zeros_(conv.bias)
+        cnn += [torch.nn.Dropout(0.0), conv, torch.nn.ELU()]
+    fc = []
+    for _ in range(2):
+        lin = torch.nn.Linear(256, 256)
+        torch.nn.init.xavier_normal_(
+            lin.weight, torch.nn.init.calculate_gain('relu'))
+        torch.nn.init.zeros_(lin.bias)
+        fc += [torch.nn.Dropout(0.2), lin, torch.nn.ELU()]
+    fc += [torch.nn.Dropout(0.2), torch.nn.Linear(256, 30, bias=False)]
+    return torch.nn.Sequential(*cnn), torch.nn.Sequential(*fc)
+
+
+def run_torch(x_tr, y_tr, x_dev, lab_dev, sl, seed, epochs, schedule,
+              model_type='feedforward'):
     import torch
 
     torch.manual_seed(seed)
     n, t, c = x_tr.shape
-    layers, d = [], t * c
-    for h in HIDDEN:
-        layers += [torch.nn.Linear(d, h), torch.nn.Sigmoid()]
-        d = h
-    layers.append(torch.nn.Linear(d, 30))
-    model = torch.nn.Sequential(*layers)
-    opt = torch.optim.RMSprop(model.parameters(), lr=LR)
+    if model_type == 'groundlink':
+        cnn, fc = _torch_groundlink(c)
 
-    xt = torch.from_numpy(np.ascontiguousarray(x_tr.reshape(n, t * c)))
+        def forward(xb):             # [B,T,C] -> [B,T,30] (all_frames)
+            h = cnn(xb.transpose(-2, -1))
+            return fc(h.transpose(-2, -1))
+
+        params = list(cnn.parameters()) + list(fc.parameters())
+        modules = [cnn, fc]
+        xt = torch.from_numpy(np.ascontiguousarray(x_tr))
+        xd_np = x_dev
+    else:
+        layers, d = [], t * c
+        for h in HIDDEN:
+            layers += [torch.nn.Linear(d, h), torch.nn.Sigmoid()]
+            d = h
+        layers.append(torch.nn.Linear(d, 30))
+        model = torch.nn.Sequential(*layers)
+        forward = model
+        params = list(model.parameters())
+        modules = [model]
+        xt = torch.from_numpy(np.ascontiguousarray(x_tr.reshape(n, t * c)))
+        xd_np = x_dev.reshape(x_dev.shape[0], t * c)
+    opt = torch.optim.RMSprop(params, lr=LR)
+
     yt = {k: torch.from_numpy(np.ascontiguousarray(y_tr[..., o:o + w]))
           for k, (o, w) in sl.items()}
 
-    def heads(out):  # [B,30] -> dict of [B,1,w] (ref FFN forward :116-120)
-        return {'cops': out[:, 0:6].reshape(-1, 1, 6),
-                'forces': out[:, 6:12].reshape(-1, 1, 6),
-                'torques': out[:, 12:18].reshape(-1, 1, 6),
-                'wrenches': out[:, 18:30].reshape(-1, 1, 12)}
+    def heads(out):
+        # ff: [B,30] -> [B,1,w] (ref FFN forward :116-120);
+        # groundlink: [B,T,30] -> [B,T,w] (ref Groundlink forward :151-157)
+        if out.ndim == 2:
+            out = out.reshape(out.shape[0], 1, 30)
+        return {'cops': out[..., 0:6], 'forces': out[..., 6:12],
+                'torques': out[..., 12:18], 'wrenches': out[..., 18:30]}
 
     def sq_mean_vec(o, l):  # ref get_squared_diff_mean_vector (:73-83)
         return ((o - l) ** 2).mean(dim=(0, 1))
 
     curve = []
     for ep in range(epochs):
+        for m in modules:
+            m.train()
         for idx in schedule[ep]:
             bi = torch.from_numpy(idx.astype(np.int64))
-            pred = heads(model(xt[bi]))
+            pred = heads(forward(xt[bi]))
             lab = {k: v[bi] for k, v in yt.items()}
             f_l = lab['forces']
             b, tt, cc = f_l.shape
@@ -155,11 +216,12 @@ def run_torch(x_tr, y_tr, x_dev, lab_dev, sl, seed, epochs, schedule):
             loss.backward()
             opt.step()
         with torch.no_grad():
+            for m in modules:
+                m.eval()
             outs = []
-            xd = torch.from_numpy(
-                np.ascontiguousarray(x_dev.reshape(x_dev.shape[0], t * c)))
+            xd = torch.from_numpy(np.ascontiguousarray(xd_np))
             for i in range(0, len(xd), 512):
-                outs.append(model(xd[i:i + 512]))
+                outs.append(forward(xd[i:i + 512]))
             pred = heads(torch.cat(outs))
         pred = {k: v.numpy() for k, v in pred.items()}
         curve.append(dev_metrics(pred, lab_dev))
@@ -170,7 +232,8 @@ def run_torch(x_tr, y_tr, x_dev, lab_dev, sl, seed, epochs, schedule):
 # JAX side (this framework's shipped training path)
 # ---------------------------------------------------------------------------
 
-def run_jax(ds, x_tr, y_tr, x_dev, lab_dev, sl, seed, epochs, schedule):
+def run_jax(ds, x_tr, y_tr, x_dev, lab_dev, sl, seed, epochs, schedule,
+            model_type='feedforward'):
     import jax
     import jax.numpy as jnp
     from inferbiomechanics_tpu.data import keys as K
@@ -179,11 +242,18 @@ def run_jax(ds, x_tr, y_tr, x_dev, lab_dev, sl, seed, epochs, schedule):
     from inferbiomechanics_tpu.train import (
         create_train_state, make_eval_step, make_optimizer, make_train_step)
 
-    model = get_model('feedforward', num_dofs=ds.num_dofs,
-                      num_contact_bodies=ds.num_contact_bodies,
-                      history_len=WINDOW, stride=STRIDE,
-                      root_history_len=ds.root_history_len,
-                      hidden_dims=list(HIDDEN), activation='sigmoid')
+    if model_type == 'groundlink':
+        model = get_model('groundlink', num_dofs=ds.num_dofs,
+                          num_contact_bodies=ds.num_contact_bodies,
+                          history_len=WINDOW, stride=STRIDE,
+                          root_history_len=ds.root_history_len,
+                          output_data_format='all_frames')
+    else:
+        model = get_model('feedforward', num_dofs=ds.num_dofs,
+                          num_contact_bodies=ds.num_contact_bodies,
+                          history_len=WINDOW, stride=STRIDE,
+                          root_history_len=ds.root_history_len,
+                          hidden_dims=list(HIDDEN), activation='sigmoid')
     cfg = LossConfig(predict_grf_components=tuple(range(6)),
                      predict_cop_components=tuple(range(6)),
                      predict_moment_components=tuple(range(6)),
@@ -234,6 +304,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--epochs', type=int, default=10)
     ap.add_argument('--seeds', type=int, nargs='+', default=[0, 1, 2])
+    ap.add_argument('--model', choices=('feedforward', 'groundlink'),
+                    default='feedforward')
     ap.add_argument('--out', default='/tmp/parity_rmse.json')
     ap.add_argument('--data', default='/tmp/ib_parity_data')
     args = ap.parse_args()
@@ -254,8 +326,11 @@ def main():
     if not os.path.exists(p):
         write_synthetic_subject(p, num_trials=2, trial_length=1500, seed=200)
 
-    ds_tr = WindowDataset(tr_dir, window_size=WINDOW, stride=STRIDE)
-    ds_dev = WindowDataset(dev_dir, window_size=WINDOW, stride=STRIDE)
+    fmt = 'all_frames' if args.model == 'groundlink' else 'last_frame'
+    ds_tr = WindowDataset(tr_dir, window_size=WINDOW, stride=STRIDE,
+                          output_data_format=fmt)
+    ds_dev = WindowDataset(dev_dir, window_size=WINDOW, stride=STRIDE,
+                           output_data_format=fmt)
     b_tr = ds_tr.gather(np.arange(len(ds_tr)))
     b_dev = ds_dev.gather(np.arange(len(ds_dev)))
     x_tr = np.asarray(b_tr.inputs, np.float32)
@@ -269,6 +344,7 @@ def main():
 
     results = {'config': {'window': WINDOW, 'stride': STRIDE, 'batch': BATCH,
                           'lr': LR, 'hidden': list(HIDDEN),
+                          'model': args.model,
                           'epochs': args.epochs, 'seeds': args.seeds,
                           'n_train': len(ds_tr), 'n_dev': len(ds_dev)},
                'torch': {}, 'jax': {}}
@@ -276,11 +352,13 @@ def main():
         schedule = batch_schedule(len(ds_tr), seed, args.epochs)
         t0 = time.time()
         results['torch'][str(seed)] = run_torch(
-            x_tr, y_tr, x_dev, lab_dev, sl, seed, args.epochs, schedule)
+            x_tr, y_tr, x_dev, lab_dev, sl, seed, args.epochs, schedule,
+            model_type=args.model)
         tt = time.time() - t0
         t0 = time.time()
         results['jax'][str(seed)] = run_jax(
-            ds_tr, x_tr, y_tr, x_dev, lab_dev, sl, seed, args.epochs, schedule)
+            ds_tr, x_tr, y_tr, x_dev, lab_dev, sl, seed, args.epochs, schedule,
+            model_type=args.model)
         tj = time.time() - t0
         ft = results['torch'][str(seed)][-1]
         fj = results['jax'][str(seed)][-1]
