@@ -308,6 +308,9 @@ def main():
                     default='feedforward')
     ap.add_argument('--out', default='/tmp/parity_rmse.json')
     ap.add_argument('--data', default='/tmp/ib_parity_data')
+    ap.add_argument('--trial-length', type=int, default=1500,
+                    help='frames per synthetic trial (small values make '
+                         'a fast smoke run; the study used 1500)')
     args = ap.parse_args()
 
     from inferbiomechanics_tpu.data.dataset import WindowDataset
@@ -320,11 +323,13 @@ def main():
     for i in range(2):
         p = os.path.join(tr_dir, f'train_s{i}.b3d')
         if not os.path.exists(p):
-            write_synthetic_subject(p, num_trials=2, trial_length=1500,
+            write_synthetic_subject(p, num_trials=2,
+                                    trial_length=args.trial_length,
                                     seed=100 + i)
     p = os.path.join(dev_dir, 'dev_s0.b3d')
     if not os.path.exists(p):
-        write_synthetic_subject(p, num_trials=2, trial_length=1500, seed=200)
+        write_synthetic_subject(p, num_trials=2,
+                                trial_length=args.trial_length, seed=200)
 
     fmt = 'all_frames' if args.model == 'groundlink' else 'last_frame'
     ds_tr = WindowDataset(tr_dir, window_size=WINDOW, stride=STRIDE,

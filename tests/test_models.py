@@ -99,6 +99,26 @@ def test_groundlink_replicate_padding_keeps_length():
     assert out[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME].shape[1] == W
 
 
+def test_groundlink_final_head_torch_default_init():
+    """The output head keeps torch's default Linear init U(+-1/sqrt(256)),
+    matching the reference's initialize(), which zips layers with their
+    FOLLOWING activation and so never reaches the final un-activated
+    Linear (Groundlink.py:79-105). Xavier-relu there made the init
+    output scale ~3.3x larger and cost ~1.7x early-epoch CoP/COM-acc
+    error (PARITY_RMSE.md)."""
+    model, variables, x = _build('groundlink', output_data_format='all_frames')
+    denses = [k for k in variables['params'] if k.startswith('Dense')]
+    final = np.asarray(
+        variables['params'][max(denses, key=lambda k: int(k.split('_')[-1]))]
+        ['kernel'], np.float32)
+    fan_in = final.shape[0]
+    bound = 1.0 / np.sqrt(fan_in)
+    assert np.abs(final).max() <= bound * 1.0001
+    # uniform: var = bound^2/3; xavier-relu would give 2*2/(fan_in+30),
+    # ~10x larger — assert we are on the uniform side
+    assert final.var() < 2 * bound ** 2 / 3
+
+
 def test_jit_forward():
     model, variables, x = _build('transformer')
     f = jax.jit(lambda v, x: model.apply(v, x, train=False))
