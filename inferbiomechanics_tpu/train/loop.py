@@ -611,11 +611,16 @@ def train(config: Config,
         if active_chunked is not None:
             import itertools
 
-            def _crosses_ckpt(first_idx: int, last_idx: int) -> bool:
+            def _crosses(first_idx: int, last_idx: int, every: int) -> bool:
+                """True when [first_idx, last_idx] crosses a multiple of
+                ``every`` (batch-0 never counts as a crossing)."""
                 return (last_idx > 0
-                        and last_idx // config.checkpoint_every_batches
-                        > max(first_idx - 1, 0)
-                        // config.checkpoint_every_batches)
+                        and last_idx // every
+                        > max(first_idx - 1, 0) // every)
+
+            def _crosses_ckpt(first_idx: int, last_idx: int) -> bool:
+                return _crosses(first_idx, last_idx,
+                                config.checkpoint_every_batches)
 
             def _log_ckpt_boundaries(first_idx: int, last_idx: int,
                                      metrics) -> None:
@@ -623,8 +628,9 @@ def train(config: Config,
                 crossed boundary (chunk granularity). The float() here is
                 the ONLY mid-epoch device sync — lazily, on boundaries,
                 like the per-step path."""
-                if (last_idx // config.log_every_batches
-                        > (first_idx - 1) // config.log_every_batches):
+                if (first_idx == 0
+                        or _crosses(first_idx, last_idx,
+                                    config.log_every_batches)):
                     loss = float(metrics['loss'])
                     if metric_logger is not None:
                         metric_logger.log({'train/loss': loss,

@@ -320,6 +320,26 @@ def main():
     dev_dir = os.path.join(args.data, 'dev')
     os.makedirs(tr_dir, exist_ok=True)
     os.makedirs(dev_dir, exist_ok=True)
+    # existing files are reused, so a stale --data written at a different
+    # --trial-length would silently change the study's data volume —
+    # refuse instead of training on the wrong corpus
+    marker = os.path.join(args.data, '.trial_length')
+    have_files = any(
+        os.path.exists(os.path.join(d, n))
+        for d, n in [(tr_dir, 'train_s0.b3d'), (dev_dir, 'dev_s0.b3d')])
+    if os.path.exists(marker):
+        prev = int(open(marker).read().strip())
+        if prev != args.trial_length:
+            raise SystemExit(
+                f'{args.data} holds trials of length {prev}, not '
+                f'{args.trial_length}; pass a fresh --data dir')
+    elif have_files:
+        raise SystemExit(
+            f'{args.data} holds subject files of unknown trial length '
+            f'(no .trial_length marker); pass a fresh --data dir')
+    else:
+        with open(marker, 'w') as f:
+            f.write(str(args.trial_length))
     for i in range(2):
         p = os.path.join(tr_dir, f'train_s{i}.b3d')
         if not os.path.exists(p):
@@ -351,7 +371,8 @@ def main():
                           'lr': LR, 'hidden': list(HIDDEN),
                           'model': args.model,
                           'epochs': args.epochs, 'seeds': args.seeds,
-                          'n_train': len(ds_tr), 'n_dev': len(ds_dev)},
+                          'n_train': len(ds_tr), 'n_dev': len(ds_dev),
+                          'trial_length': args.trial_length},
                'torch': {}, 'jax': {}}
     for seed in args.seeds:
         schedule = batch_schedule(len(ds_tr), seed, args.epochs)

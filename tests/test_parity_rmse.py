@@ -14,6 +14,8 @@ import sys
 import numpy as np
 import pytest
 
+torch = pytest.importorskip('torch')   # the study's anchor side
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, 'scripts', 'parity_rmse.py')
 
