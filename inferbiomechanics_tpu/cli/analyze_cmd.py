@@ -19,6 +19,7 @@ import argparse
 import csv
 import logging
 import os
+from dataclasses import replace
 
 import jax
 import numpy as np
@@ -75,6 +76,16 @@ class AnalyzeCommand:
                                  'prediction of the sagittally-mirrored '
                                  'window (one extra forward in the same '
                                  'compiled program)')
+        parser.add_argument('--diffusion-partial', type=float, default=None,
+                            help='Partial denoising: start each DDIM '
+                                 'chain at FRAC of the schedule from a '
+                                 'proposal model prediction instead of '
+                                 'pure noise (Falcon-style warm start; '
+                                 'needs --init-checkpoint)')
+        parser.add_argument('--init-checkpoint', type=str, default=None,
+                            help='Checkpoint dir of an ALL-FRAMES '
+                                 'feedforward proposal model used to '
+                                 'seed --diffusion-partial chains')
         parser.add_argument('--bootstrap', type=int, default=0,
                             help='Resample the per-window rows N times and '
                                  'print 95%% confidence intervals on the '
@@ -203,14 +214,57 @@ class AnalyzeCommand:
                         raise SystemExit(str(e))
                     state = state.replace(params=ema)
                     print('evaluating EMA parameters')
+                partial = getattr(args, 'diffusion_partial', None)
                 sampler = make_sampler(model, DDPMSchedule(config.diffusion_timesteps),
                                        num_steps=50,
                                        fused_inference=config.fused_inference,
-                                       guidance_scale=config.guidance_scale)
+                                       guidance_scale=config.guidance_scale,
+                                       partial_frac=partial)
                 if config.guidance_scale != 1.0:
                     print(f'classifier-free guidance scale '
                           f'{config.guidance_scale}')
-                predict = lambda x, _s: sampler(state.params, x, jax.random.PRNGKey(7))
+                if partial is not None:
+                    # partial denoising: seed every chain with an
+                    # all-frames feedforward proposal (models/diffusion.py
+                    # make_sampler partial_frac)
+                    if not getattr(args, 'init_checkpoint', None):
+                        raise SystemExit('--diffusion-partial needs '
+                                         '--init-checkpoint (an all-frames '
+                                         'feedforward proposal model)')
+                    from inferbiomechanics_tpu.models.diffusion import (
+                        diffusion_targets_from_outputs,
+                    )
+                    prop_model = build_model_for_dataset(
+                        replace(config, model_type='feedforward',
+                                output_data_format='all_frames'), ds)
+                    sample = ds.gather(
+                        np.arange(min(config.batch_size, len(ds))))
+                    prop_state = create_train_state(
+                        prop_model, jax.random.PRNGKey(0),
+                        jax.numpy.asarray(sample.inputs),
+                        make_optimizer(config.opt_type,
+                                       config.learning_rate))
+                    prop_state, pe, _pb = load_latest_checkpoint(
+                        prop_state, args.init_checkpoint)
+                    if pe < 0:
+                        raise SystemExit(f'--init-checkpoint: no checkpoint '
+                                         f'in {args.init_checkpoint}')
+                    prop_vars = {'params': prop_state.params}
+                    if prop_state.batch_stats:
+                        prop_vars['batch_stats'] = prop_state.batch_stats
+
+                    @jax.jit
+                    def _propose(x):
+                        return diffusion_targets_from_outputs(
+                            prop_model.apply(prop_vars, x, train=False))
+
+                    print(f'partial denoising from {args.init_checkpoint} '
+                          f'at frac {partial}')
+                    predict = lambda x, _s: sampler(
+                        state.params, x, jax.random.PRNGKey(7), _propose(x))
+                else:
+                    predict = lambda x, _s: sampler(state.params, x,
+                                                    jax.random.PRNGKey(7))
                 eval_fn = None
             elif getattr(args, 'ensemble', None):
                 # ensemble mean via the serving path's vmapped forward

@@ -132,6 +132,18 @@ def diffusion_targets_from_labels(packed_labels: jax.Array,
     return jnp.concatenate(parts, axis=-1)
 
 
+def diffusion_targets_from_outputs(outputs: Dict[str, jax.Array]) -> jax.Array:
+    """Model-output dict -> [B, T, target_channels] in head-slice order —
+    the proposal packing for partial-denoising warm starts (the inverse
+    of ``slice_output_heads`` restricted to the four GRF heads)."""
+    from inferbiomechanics_tpu.data.keys import OutputDataKeys as O
+    return jnp.concatenate([
+        outputs[O.GROUND_CONTACT_COPS_IN_ROOT_FRAME],
+        outputs[O.GROUND_CONTACT_FORCES_IN_ROOT_FRAME],
+        outputs[O.GROUND_CONTACT_TORQUES_IN_ROOT_FRAME],
+        outputs[O.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME]], axis=-1)
+
+
 def make_diffusion_train_step(model: DiffusionDenoiser,
                               lab_offsets: Dict[str, Tuple[int, int]],
                               schedule: Optional[DDPMSchedule] = None,
@@ -241,7 +253,8 @@ def make_sampler(model: DiffusionDenoiser,
                  num_steps: Optional[int] = None,
                  eta: float = 0.0,
                  fused_inference: bool = False,
-                 guidance_scale: float = 1.0):
+                 guidance_scale: float = 1.0,
+                 partial_frac: Optional[float] = None):
     """Build ``sample(params, cond_inputs, rng) -> outputs dict``.
 
     DDIM sampling over an evenly-spaced subset of the schedule
@@ -256,6 +269,16 @@ def make_sampler(model: DiffusionDenoiser,
     ``eps = eps_u + scale·(eps_c − eps_u)``. Meaningful on checkpoints
     trained with ``cond_dropout > 0``; scale 1 skips the extra forward
     entirely (bit-identical to the plain sampler).
+
+    ``partial_frac`` enables partial denoising (Falcon-style warm
+    start): the chain starts at ``t_start = partial_frac * (T_sched-1)``
+    from ``q_sample(init, t_start)`` instead of pure noise at the top of
+    the schedule, and the built ``sample`` takes a REQUIRED fourth
+    argument ``init`` — a [B, T, target_channels] proposal in the
+    diffusion target layout (e.g. a feedforward baseline's all-frames
+    prediction through ``diffusion_targets_from_outputs``). ``num_steps``
+    then spaces over the truncated range, so the denoiser runs
+    proportionally fewer launches for the same step density.
     """
     if fused_inference and model.attn_impl != 'vpu':
         raise ValueError('fused_inference consumes the vpu parameter tree; '
@@ -263,15 +286,32 @@ def make_sampler(model: DiffusionDenoiser,
                          f'attn_impl={model.attn_impl!r}')
     sched = schedule or DDPMSchedule(model.timesteps)
     n = num_steps or sched.timesteps
-    ts = np.linspace(sched.timesteps - 1, 0, n).round().astype(np.int32)
+    t_top = sched.timesteps - 1
+    if partial_frac is not None:
+        if not 0.0 < partial_frac <= 1.0:
+            raise ValueError(f'partial_frac must be in (0, 1], got '
+                             f'{partial_frac}')
+        t_top = max(1, int(round(partial_frac * (sched.timesteps - 1))))
+        # keep the full chain's step DENSITY over the truncated range:
+        # latency scales with partial_frac (raise num_steps to densify)
+        n = max(1, min(int(round(n * partial_frac)), t_top + 1))
+    ts = np.linspace(t_top, 0, n).round().astype(np.int32)
     ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
 
-    def sample(params, cond_inputs, rng):
+    def sample(params, cond_inputs, rng, init=None):
         cond = pack_inputs(cond_inputs)
         b, T = cond.shape[0], cond.shape[1]
         c_out = model.target_channels
         rng, rng0 = jax.random.split(rng)
-        x = jax.random.normal(rng0, (b, T, c_out), jnp.float32)
+        noise = jax.random.normal(rng0, (b, T, c_out), jnp.float32)
+        if partial_frac is not None:
+            if init is None:
+                raise ValueError('partial_frac sampling needs an init '
+                                 'proposal ([B, T, target_channels])')
+            x = sched.q_sample(init.astype(jnp.float32),
+                               jnp.full((b,), t_top, jnp.int32), noise)
+        else:
+            x = noise
 
         def body(carry, t_pair):
             x, rng = carry

@@ -103,6 +103,48 @@ def test_sampler_shapes_and_determinism(ds):
         atol=1e-6)
 
 
+def test_partial_denoising_warm_start(ds):
+    """Falcon-style partial denoising: seeding the chain with the TRUE
+    labels at a small partial_frac reproduces the labels far more
+    closely than a full chain from noise (the chain refines rather than
+    re-generates), runs proportionally fewer steps, and enforces its
+    init contract."""
+    import pytest
+    from inferbiomechanics_tpu.models.diffusion import (
+        diffusion_targets_from_labels, diffusion_targets_from_outputs,
+    )
+    model = _model(ds)
+    state, batch = _state(model, ds)
+    x = jnp.asarray(batch.inputs)
+    y = jnp.asarray(batch.labels)
+    truth = diffusion_targets_from_labels(y, ds.lab_offsets,
+                                          ds.num_contact_bodies)
+    full = make_sampler(model, DDPMSchedule(model.timesteps), num_steps=8)
+    part = make_sampler(model, DDPMSchedule(model.timesteps), num_steps=8,
+                        partial_frac=0.05)
+    key = jax.random.PRNGKey(0)
+    out_full = full(state.params, x, key)
+    out_part = part(state.params, x, key, truth)
+    t_full = diffusion_targets_from_outputs(out_full)
+    t_part = diffusion_targets_from_outputs(out_part)
+    err_full = float(jnp.abs(t_full - truth).mean())
+    err_part = float(jnp.abs(t_part - truth).mean())
+    assert np.isfinite(err_part)
+    assert err_part < 0.25 * err_full, (err_part, err_full)
+
+    # the packing helper really is slice_output_heads' inverse
+    from inferbiomechanics_tpu.models.common import slice_output_heads
+    rt = diffusion_targets_from_outputs(
+        slice_output_heads(truth, ds.num_contact_bodies, truth.shape[1]))
+    np.testing.assert_array_equal(np.asarray(rt), np.asarray(truth))
+
+    # contract: init is required, partial_frac validated
+    with pytest.raises(ValueError, match='init'):
+        part(state.params, x, key)
+    with pytest.raises(ValueError, match='partial_frac'):
+        make_sampler(model, DDPMSchedule(model.timesteps), partial_frac=1.5)
+
+
 def test_fused_denoiser_eps_matches_apply(ds):
     """fused_denoiser_eps consumes the vpu parameter tree and reproduces
     model.apply. Two checks: (a) the embedding/head wiring is EXACT —
