@@ -44,6 +44,18 @@ class ServeCommand:
                                  'forward (0 = off). Trades ~that much '
                                  'latency for near-flat throughput '
                                  'scaling with client count')
+        parser.add_argument('--diffusion-partial', type=float, default=None,
+                            help='Partial denoising: start each DDIM '
+                                 'chain at FRAC of the schedule from a '
+                                 'proposal model prediction (needs '
+                                 '--init-checkpoint); denoiser launches '
+                                 'scale with FRAC')
+        parser.add_argument('--init-checkpoint', type=str, default=None,
+                            help='Checkpoint dir of an ALL-FRAMES '
+                                 'feedforward proposal model seeding '
+                                 '--diffusion-partial chains (closure '
+                                 'constant: POST /reload swaps only the '
+                                 'denoiser)')
         parser.add_argument('--diffusion-samples', type=int, default=1,
                             help='Diffusion: draw K independent sampling '
                                  'chains per request (one vmapped program) '
@@ -113,7 +125,9 @@ class ServeCommand:
                                    quantize=args.quantize,
                                    use_ema=args.use_ema,
                                    diffusion_samples=args.diffusion_samples,
-                                   tta_mirror=args.tta_mirror)
+                                   tta_mirror=args.tta_mirror,
+                                   diffusion_partial=args.diffusion_partial,
+                                   init_checkpoint=args.init_checkpoint)
         if args.warmup:
             service.warmup()
         service.start_reload_poller(args.reload_poll_sec)

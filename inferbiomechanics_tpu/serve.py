@@ -168,7 +168,9 @@ class InferenceService:
                  quantize: Optional[str] = None,
                  use_ema: bool = False,
                  diffusion_samples: int = 1,
-                 tta_mirror: bool = False):
+                 tta_mirror: bool = False,
+                 diffusion_partial: Optional[float] = None,
+                 init_checkpoint: Optional[str] = None):
         """``ensemble``: optional list of checkpoint dirs or ``.ckpt``
         files (e.g. the per-config checkpoints a seed sweep wrote). All
         members run as ONE vmapped forward per request — the same
@@ -313,9 +315,46 @@ class InferenceService:
             # a /predict is a full DDIM sampling chain conditioned on the
             # request windows (one lax.scan program; models/diffusion.py)
             from inferbiomechanics_tpu.models.diffusion import make_sampler
+            self.diffusion_partial = diffusion_partial
             sampler = make_sampler(self.model, num_steps=self.sample_steps,
                                    fused_inference=use_fused,
-                                   guidance_scale=config.guidance_scale)
+                                   guidance_scale=config.guidance_scale,
+                                   partial_frac=diffusion_partial)
+            propose = None
+            if diffusion_partial is not None:
+                # Falcon-style warm start: chains begin at
+                # diffusion_partial of the schedule from an all-frames
+                # feedforward proposal — denoiser launches scale with the
+                # fraction. The proposal params are a closure constant:
+                # POST /reload swaps the DENOISER only.
+                from dataclasses import replace as _replace
+
+                from inferbiomechanics_tpu.models.diffusion import (
+                    diffusion_targets_from_outputs,
+                )
+                if not init_checkpoint:
+                    raise ValueError('--diffusion-partial needs '
+                                     '--init-checkpoint (an all-frames '
+                                     'feedforward proposal model)')
+                prop_model = build_model_for_dataset(
+                    _replace(config, model_type='feedforward',
+                             output_data_format='all_frames'), dataset)
+                prop_state = create_train_state(
+                    prop_model, jax.random.PRNGKey(0),
+                    jnp.asarray(sample.inputs),
+                    make_optimizer(config.opt_type, config.learning_rate))
+                prop_state, pe, _pb = load_latest_checkpoint(
+                    prop_state, init_checkpoint)
+                if pe < 0:
+                    raise ValueError(f'--init-checkpoint: no checkpoint '
+                                     f'in {init_checkpoint}')
+                prop_vars = {'params': prop_state.params}
+                if prop_state.batch_stats:
+                    prop_vars['batch_stats'] = prop_state.batch_stats
+
+                def propose(x):
+                    return diffusion_targets_from_outputs(
+                        prop_model.apply(prop_vars, x, train=False))
 
             if self.diffusion_samples > 1:
                 # aleatoric uncertainty: K independent sampling chains in
@@ -326,13 +365,16 @@ class InferenceService:
                                         self.diffusion_samples)
 
                 def fwd(params, bstats, x):
-                    outs = jax.vmap(lambda k: sampler(params, x, k))(keys)
+                    init = propose(x) if propose is not None else None
+                    outs = jax.vmap(lambda k: sampler(params, x, k, init))(
+                        keys)
                     mean = jax.tree_util.tree_map(lambda o: o.mean(0), outs)
                     spread = jax.tree_util.tree_map(lambda o: o.std(0), outs)
                     return mean, spread
             else:
                 def fwd(params, bstats, x):
-                    return sampler(params, x, jax.random.PRNGKey(0))
+                    init = propose(x) if propose is not None else None
+                    return sampler(params, x, jax.random.PRNGKey(0), init)
         elif self.quantize:
             # weights quantized ONCE here; the closure constants fold
             # into the compiled program as int8 tensors (ops/quant.py)

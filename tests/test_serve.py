@@ -407,6 +407,55 @@ def test_diffusion_service(service, tmp_path):
     np.testing.assert_allclose(out[k], out2[k], rtol=1e-6)
 
 
+def test_diffusion_partial_denoising_service(service, tmp_path):
+    """serve --diffusion-partial: chains warm-start from an all-frames
+    feedforward proposal; outputs stay finite and differ from the
+    full-chain service; missing --init-checkpoint fails fast."""
+    from inferbiomechanics_tpu.models import get_model
+    from inferbiomechanics_tpu.train import (
+        create_train_state, make_optimizer, save_checkpoint,
+    )
+    import jax
+
+    ds = service.ds
+    cfg = Config()
+    cfg.model_type = 'diffusion'
+    cfg.output_data_format = 'all_frames'
+    cfg.window_size, cfg.stride = 20, 5
+    cfg.d_model, cfg.num_layers, cfg.num_heads = 32, 1, 4
+
+    # all-frames feedforward proposal checkpoint
+    prop_cfg_model = get_model(
+        'feedforward', num_dofs=ds.num_dofs,
+        num_contact_bodies=ds.num_contact_bodies,
+        history_len=20, stride=5, root_history_len=ds.root_history_len,
+        output_data_format='all_frames', hidden_dims=list(cfg.hidden_dims))
+    sample = ds.gather(np.arange(4))
+    st = create_train_state(prop_cfg_model, jax.random.PRNGKey(3),
+                            jnp.asarray(sample.inputs),
+                            make_optimizer('adam', 1e-3))
+    prop_dir = str(tmp_path / 'prop')
+    save_checkpoint(prop_dir, st, 0, 0)
+
+    svc = InferenceService(cfg, str(tmp_path / 'noned'), ds,
+                           max_batch=8, sample_steps=4,
+                           diffusion_partial=0.5, init_checkpoint=prop_dir)
+    full = InferenceService(cfg, str(tmp_path / 'noned'), ds,
+                            max_batch=8, sample_steps=4)
+    x = np.asarray(ds.gather(np.arange(2)).inputs)
+    out = svc.predict_packed(x)
+    k = OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME
+    assert out[k].shape == (2, 4, 6)
+    assert np.isfinite(out[k]).all()
+    out_full = full.predict_packed(x)
+    assert float(np.abs(np.asarray(out[k])
+                        - np.asarray(out_full[k])).max()) > 0
+
+    with pytest.raises(ValueError, match='init-checkpoint'):
+        InferenceService(cfg, str(tmp_path / 'noned'), ds, max_batch=8,
+                         sample_steps=4, diffusion_partial=0.5)
+
+
 def test_diffusion_service_rejections(service, tmp_path):
     cfg = Config()
     cfg.model_type = 'diffusion'
