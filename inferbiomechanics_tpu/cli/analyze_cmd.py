@@ -19,7 +19,6 @@ import argparse
 import csv
 import logging
 import os
-from dataclasses import replace
 
 import jax
 import numpy as np
@@ -121,6 +120,17 @@ class AnalyzeCommand:
             raise SystemExit('analyze --quantize int8 currently supports '
                              'the feedforward family only (like serve '
                              'and export)')
+        if (getattr(args, 'diffusion_partial', None) is not None
+                and config.model_type != 'diffusion'):
+            raise SystemExit('analyze --diffusion-partial applies to '
+                             f'--model-type diffusion; --model-type '
+                             f'{config.model_type} would silently evaluate '
+                             'without the warm start')
+        if (getattr(args, 'init_checkpoint', None)
+                and getattr(args, 'diffusion_partial', None) is None):
+            raise SystemExit('analyze --init-checkpoint only does something '
+                             'with --diffusion-partial (it seeds the '
+                             'truncated DDIM chains)')
         checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
                                       config.model_type)
 
@@ -227,41 +237,27 @@ class AnalyzeCommand:
                     # partial denoising: seed every chain with an
                     # all-frames feedforward proposal (models/diffusion.py
                     # make_sampler partial_frac)
-                    if not getattr(args, 'init_checkpoint', None):
-                        raise SystemExit('--diffusion-partial needs '
-                                         '--init-checkpoint (an all-frames '
-                                         'feedforward proposal model)')
                     from inferbiomechanics_tpu.models.diffusion import (
-                        diffusion_targets_from_outputs,
+                        make_partial_proposal_fn,
                     )
-                    prop_model = build_model_for_dataset(
-                        replace(config, model_type='feedforward',
-                                output_data_format='all_frames'), ds)
-                    sample = ds.gather(
-                        np.arange(min(config.batch_size, len(ds))))
-                    prop_state = create_train_state(
-                        prop_model, jax.random.PRNGKey(0),
-                        jax.numpy.asarray(sample.inputs),
-                        make_optimizer(config.opt_type,
-                                       config.learning_rate))
-                    prop_state, pe, _pb = load_latest_checkpoint(
-                        prop_state, args.init_checkpoint)
-                    if pe < 0:
-                        raise SystemExit(f'--init-checkpoint: no checkpoint '
-                                         f'in {args.init_checkpoint}')
-                    prop_vars = {'params': prop_state.params}
-                    if prop_state.batch_stats:
-                        prop_vars['batch_stats'] = prop_state.batch_stats
+                    try:
+                        propose = make_partial_proposal_fn(
+                            config, ds, getattr(args, 'init_checkpoint',
+                                                None), sample_b.inputs)
+                    except ValueError as e:
+                        raise SystemExit(str(e))
 
+                    # ONE jitted program per batch: the proposal forward
+                    # fuses into the sampling chain (analyze defaults to
+                    # --batch-size 1, so per-launch tax dominates here)
                     @jax.jit
-                    def _propose(x):
-                        return diffusion_targets_from_outputs(
-                            prop_model.apply(prop_vars, x, train=False))
+                    def _predict_partial(x):
+                        return sampler(state.params, x,
+                                       jax.random.PRNGKey(7), propose(x))
 
                     print(f'partial denoising from {args.init_checkpoint} '
                           f'at frac {partial}')
-                    predict = lambda x, _s: sampler(
-                        state.params, x, jax.random.PRNGKey(7), _propose(x))
+                    predict = lambda x, _s: _predict_partial(x)
                 else:
                     predict = lambda x, _s: sampler(state.params, x,
                                                     jax.random.PRNGKey(7))

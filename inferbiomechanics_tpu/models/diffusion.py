@@ -144,6 +144,49 @@ def diffusion_targets_from_outputs(outputs: Dict[str, jax.Array]) -> jax.Array:
         outputs[O.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME]], axis=-1)
 
 
+def make_partial_proposal_fn(config, dataset, init_checkpoint,
+                             sample_inputs):
+    """Load the all-frames feedforward proposal model for partial
+    denoising and return ``propose(x) -> [B, T, target_channels]`` in
+    the diffusion target layout (``diffusion_targets_from_outputs``).
+
+    Shared by ``analyze --diffusion-partial`` and ``serve
+    --diffusion-partial`` so the loader logic (model build, checkpoint
+    restore, batch-stats plumbing) cannot drift between the two paths.
+    Raises ``ValueError`` if ``init_checkpoint`` is empty or holds no
+    checkpoint."""
+    from dataclasses import replace
+
+    # lazy: train.loop imports models.diffusion (avoid the cycle)
+    from inferbiomechanics_tpu.train import (
+        create_train_state, load_latest_checkpoint, make_optimizer,
+    )
+    from inferbiomechanics_tpu.train.loop import build_model_for_dataset
+
+    if not init_checkpoint:
+        raise ValueError('--diffusion-partial needs --init-checkpoint '
+                         '(an all-frames feedforward proposal model)')
+    prop_model = build_model_for_dataset(
+        replace(config, model_type='feedforward',
+                output_data_format='all_frames'), dataset)
+    prop_state = create_train_state(
+        prop_model, jax.random.PRNGKey(0), jnp.asarray(sample_inputs),
+        make_optimizer(config.opt_type, config.learning_rate))
+    prop_state, pe, _pb = load_latest_checkpoint(prop_state, init_checkpoint)
+    if pe < 0:
+        raise ValueError(f'--init-checkpoint: no checkpoint '
+                         f'in {init_checkpoint}')
+    prop_vars = {'params': prop_state.params}
+    if prop_state.batch_stats:
+        prop_vars['batch_stats'] = prop_state.batch_stats
+
+    def propose(x):
+        return diffusion_targets_from_outputs(
+            prop_model.apply(prop_vars, x, train=False))
+
+    return propose
+
+
 def make_diffusion_train_step(model: DiffusionDenoiser,
                               lab_offsets: Dict[str, Tuple[int, int]],
                               schedule: Optional[DDPMSchedule] = None,
@@ -308,6 +351,13 @@ def make_sampler(model: DiffusionDenoiser,
             if init is None:
                 raise ValueError('partial_frac sampling needs an init '
                                  'proposal ([B, T, target_channels])')
+            if tuple(init.shape) != (b, T, c_out):
+                # a [B, 1, C] last_frame proposal would otherwise
+                # silently broadcast across every frame in q_sample
+                raise ValueError(f'init proposal must be [B, T, '
+                                 f'target_channels] = {(b, T, c_out)}, '
+                                 f'got {tuple(init.shape)} (all-frames '
+                                 f'proposals only)')
             x = sched.q_sample(init.astype(jnp.float32),
                                jnp.full((b,), t_top, jnp.int32), noise)
         else:

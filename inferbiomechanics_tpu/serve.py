@@ -206,6 +206,13 @@ class InferenceService:
         if self.diffusion_samples > 1 and not self.is_diffusion:
             raise ValueError('--diffusion-samples applies to '
                              '--model-type diffusion')
+        if diffusion_partial is not None and not self.is_diffusion:
+            raise ValueError('--diffusion-partial applies to '
+                             '--model-type diffusion')
+        if init_checkpoint and diffusion_partial is None:
+            raise ValueError('--init-checkpoint only does something with '
+                             '--diffusion-partial (it seeds the truncated '
+                             'DDIM chains)')
         if self.is_diffusion:
             if ensemble:
                 raise ValueError('ensembles are not supported for diffusion '
@@ -327,34 +334,11 @@ class InferenceService:
                 # feedforward proposal — denoiser launches scale with the
                 # fraction. The proposal params are a closure constant:
                 # POST /reload swaps the DENOISER only.
-                from dataclasses import replace as _replace
-
                 from inferbiomechanics_tpu.models.diffusion import (
-                    diffusion_targets_from_outputs,
+                    make_partial_proposal_fn,
                 )
-                if not init_checkpoint:
-                    raise ValueError('--diffusion-partial needs '
-                                     '--init-checkpoint (an all-frames '
-                                     'feedforward proposal model)')
-                prop_model = build_model_for_dataset(
-                    _replace(config, model_type='feedforward',
-                             output_data_format='all_frames'), dataset)
-                prop_state = create_train_state(
-                    prop_model, jax.random.PRNGKey(0),
-                    jnp.asarray(sample.inputs),
-                    make_optimizer(config.opt_type, config.learning_rate))
-                prop_state, pe, _pb = load_latest_checkpoint(
-                    prop_state, init_checkpoint)
-                if pe < 0:
-                    raise ValueError(f'--init-checkpoint: no checkpoint '
-                                     f'in {init_checkpoint}')
-                prop_vars = {'params': prop_state.params}
-                if prop_state.batch_stats:
-                    prop_vars['batch_stats'] = prop_state.batch_stats
-
-                def propose(x):
-                    return diffusion_targets_from_outputs(
-                        prop_model.apply(prop_vars, x, train=False))
+                propose = make_partial_proposal_fn(
+                    config, dataset, init_checkpoint, sample.inputs)
 
             if self.diffusion_samples > 1:
                 # aleatoric uncertainty: K independent sampling chains in

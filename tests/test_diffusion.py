@@ -138,11 +138,14 @@ def test_partial_denoising_warm_start(ds):
         slice_output_heads(truth, ds.num_contact_bodies, truth.shape[1]))
     np.testing.assert_array_equal(np.asarray(rt), np.asarray(truth))
 
-    # contract: init is required, partial_frac validated
+    # contract: init is required, partial_frac validated, and a
+    # last_frame-shaped init must not silently broadcast across frames
     with pytest.raises(ValueError, match='init'):
         part(state.params, x, key)
     with pytest.raises(ValueError, match='partial_frac'):
         make_sampler(model, DDPMSchedule(model.timesteps), partial_frac=1.5)
+    with pytest.raises(ValueError, match='all-frames'):
+        part(state.params, x, key, truth[:, :1])
 
 
 def test_fused_denoiser_eps_matches_apply(ds):

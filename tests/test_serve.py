@@ -466,6 +466,16 @@ def test_diffusion_service_rejections(service, tmp_path):
     with pytest.raises(ValueError, match='soup'):
         InferenceService(cfg, str(tmp_path / 'x'), service.ds,
                          ensemble=['a', 'b'])
+    # partial-denoise flags fail fast instead of being silently ignored
+    ff = Config()
+    ff.window_size, ff.stride = 20, 5
+    with pytest.raises(ValueError, match='diffusion-partial'):
+        InferenceService(ff, str(tmp_path / 'x'), service.ds,
+                         diffusion_partial=0.5,
+                         init_checkpoint=str(tmp_path / 'p'))
+    with pytest.raises(ValueError, match='init-checkpoint'):
+        InferenceService(cfg, str(tmp_path / 'x'), service.ds,
+                         init_checkpoint=str(tmp_path / 'p'))
 
 
 def test_ensemble_with_dynamic_batching(ensemble_service, service):
