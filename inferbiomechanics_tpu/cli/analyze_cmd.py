@@ -133,6 +133,10 @@ class AnalyzeCommand:
                              'truncated DDIM chains)')
         checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
                                       config.model_type)
+        from inferbiomechanics_tpu.train.run_config import (
+            warn_on_architecture_mismatch,
+        )
+        warn_on_architecture_mismatch(config, checkpoint_dir, 'analyze')
 
         ml = MetricLogger(config=vars(args), enabled=not config.no_wandb)
         lc = loss_config_from(config)

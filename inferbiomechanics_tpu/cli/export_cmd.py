@@ -93,6 +93,10 @@ class ExportCommand:
         model = build_model_for_dataset(config, ds)
         checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),
                                       config.model_type)
+        from inferbiomechanics_tpu.train.run_config import (
+            warn_on_architecture_mismatch,
+        )
+        warn_on_architecture_mismatch(config, checkpoint_dir, 'export')
         sample = ds.gather(np.arange(min(4, len(ds))))
         x_sample = jnp.asarray(sample.inputs)
 

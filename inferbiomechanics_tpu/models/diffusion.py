@@ -154,7 +154,15 @@ def make_partial_proposal_fn(config, dataset, init_checkpoint,
     --diffusion-partial`` so the loader logic (model build, checkpoint
     restore, batch-stats plumbing) cannot drift between the two paths.
     Raises ``ValueError`` if ``init_checkpoint`` is empty or holds no
-    checkpoint."""
+    checkpoint.
+
+    When ``init_checkpoint`` holds a ``run_config.json`` sidecar
+    (written by every training run — train/run_config.py), the proposal
+    architecture comes FROM the sidecar: no re-spelling --hidden-dims /
+    --activation at analyze/serve time, and any all-frames regression
+    family (feedforward/groundlink/transformer) can propose. Without a
+    sidecar the legacy contract applies: a feedforward built from the
+    current CLI flags."""
     from dataclasses import replace
 
     # lazy: train.loop imports models.diffusion (avoid the cycle)
@@ -162,13 +170,38 @@ def make_partial_proposal_fn(config, dataset, init_checkpoint,
         create_train_state, load_latest_checkpoint, make_optimizer,
     )
     from inferbiomechanics_tpu.train.loop import build_model_for_dataset
+    from inferbiomechanics_tpu.train.run_config import (
+        apply_architecture, load_run_config,
+    )
 
     if not init_checkpoint:
         raise ValueError('--diffusion-partial needs --init-checkpoint '
                          '(an all-frames feedforward proposal model)')
-    prop_model = build_model_for_dataset(
-        replace(config, model_type='feedforward',
-                output_data_format='all_frames'), dataset)
+    prop_config = replace(config, model_type='feedforward',
+                          output_data_format='all_frames')
+    sidecar = load_run_config(init_checkpoint)
+    if sidecar is not None:
+        prop_config = apply_architecture(prop_config, sidecar)
+        if prop_config.output_data_format != 'all_frames':
+            raise ValueError(
+                f'--init-checkpoint {init_checkpoint} was trained as '
+                f'output_data_format='
+                f'{prop_config.output_data_format!r} (run_config.json); '
+                'partial denoising needs an all_frames proposal')
+        if prop_config.model_type == 'diffusion':
+            raise ValueError(
+                f'--init-checkpoint {init_checkpoint} holds a diffusion '
+                'model (run_config.json); the proposal must be a '
+                'regression model (feedforward/groundlink/transformer)')
+        if (prop_config.window_size != config.window_size
+                or prop_config.stride != config.stride):
+            raise ValueError(
+                f'--init-checkpoint {init_checkpoint} was trained on '
+                f'window/stride {prop_config.window_size}/'
+                f'{prop_config.stride} (run_config.json) but this run '
+                f'uses {config.window_size}/{config.stride} — the '
+                'proposal must see the same windows as the denoiser')
+    prop_model = build_model_for_dataset(prop_config, dataset)
     prop_state = create_train_state(
         prop_model, jax.random.PRNGKey(0), jnp.asarray(sample_inputs),
         make_optimizer(config.opt_type, config.learning_rate))

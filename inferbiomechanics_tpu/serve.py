@@ -267,6 +267,10 @@ class InferenceService:
                 stack, *[s.batch_stats for s in states])
                 if states[0].batch_stats else {})
         else:
+            from inferbiomechanics_tpu.train.run_config import (
+                warn_on_architecture_mismatch,
+            )
+            warn_on_architecture_mismatch(config, checkpoint_dir, 'serve')
             self.state, self.epoch, self.batch = load_latest_checkpoint(
                 self.state, checkpoint_dir)
             if self.epoch < 0:

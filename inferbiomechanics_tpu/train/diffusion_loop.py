@@ -99,6 +99,11 @@ def train_diffusion(config: Config,
                        opt_state=tx.init(variables['params']),
                        batch_stats={}, tx=tx, apply_fn=model.apply)
     logger.info('diffusion model: %d params', num_params(state))
+    if jax.process_index() == 0:
+        # provenance sidecar (train/run_config.py): analyze/serve warn on
+        # architecture drift; the partial-denoise proposal auto-configures
+        from inferbiomechanics_tpu.train.run_config import save_run_config
+        save_run_config(config.checkpoint_dir, config)
 
     warm_started = False
     if config.init_from_checkpoint:

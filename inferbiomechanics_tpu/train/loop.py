@@ -208,6 +208,11 @@ def train(config: Config,
     rng = jax.random.PRNGKey(config.seed)
     state = create_train_state(model, rng, jax.numpy.asarray(sample_inputs), tx)
     logger.info('model %s: %d params', config.model_type, num_params(state))
+    if jax.process_index() == 0:
+        # provenance sidecar: consumers auto-configure/validate against
+        # what this dir was actually trained as (train/run_config.py)
+        from inferbiomechanics_tpu.train.run_config import save_run_config
+        save_run_config(config.checkpoint_dir, config)
     if config.init_from_checkpoint:
         # transfer learning: params only, fresh optimizer, epoch 0.
         # Resume always wins — a warm start must not clobber an

@@ -1,0 +1,137 @@
+"""Run-config sidecar: a ``run_config.json`` written next to checkpoints.
+
+The reference saves bare ``state_dict`` files (train.py:270-278 — only
+tensors), so every consumer (analyze.py:31-47, the visualizers) must
+re-specify the architecture flags by hand, and a mismatch surfaces as
+an opaque ``size mismatch`` load error. Here training drops one JSON
+sidecar per checkpoint dir recording the full config, and consumers
+use it to (a) auto-configure auxiliary models — the partial-denoise
+proposal (`models/diffusion.py make_partial_proposal_fn`) rebuilds
+itself from the sidecar so ``--init-checkpoint`` needs no architecture
+re-spelling — and (b) warn, field by field, when CLI flags disagree
+with what the checkpoints were trained as (the root cause behind flax
+``ScopeParamShapeError`` at load time).
+
+The sidecar is advisory: every path works without one (dirs produced
+by older runs or by ``convert-checkpoint``), and explicit CLI flags
+always win for the MAIN model — only warnings are emitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+from typing import Dict, List, Optional
+
+from inferbiomechanics_tpu.config import Config
+
+logger = logging.getLogger(__name__)
+
+RUN_CONFIG_NAME = 'run_config.json'
+SCHEMA_VERSION = 1
+
+# Fields that determine the parameter-tree SHAPE of a checkpoint (what
+# build_model_for_dataset consumes). Data/optimizer/runtime knobs are
+# recorded in the sidecar too, but only these participate in
+# architecture auto-fill and mismatch warnings.
+ARCHITECTURE_FIELDS = (
+    'model_type', 'output_data_format', 'window_size', 'stride',
+    'hidden_dims', 'activation', 'init_style', 'dropout', 'dropout_prob',
+    'batchnorm', 'd_model', 'num_layers', 'num_heads', 'attn_impl',
+    'conv_impl', 'diffusion_timesteps',
+)
+
+
+def save_run_config(checkpoint_dir: str, config: Config) -> Optional[str]:
+    """Write ``run_config.json`` into ``checkpoint_dir`` (atomic rename).
+
+    Multi-process safe the same way checkpoints are: callers gate on
+    process 0. Returns the path, or None if the write failed (the
+    sidecar is provenance, never worth failing a training run over)."""
+    payload = dataclasses.asdict(config)
+    payload['schema_version'] = SCHEMA_VERSION
+    path = os.path.join(checkpoint_dir, RUN_CONFIG_NAME)
+    try:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = path + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(payload, f, indent=1, sort_keys=True, default=str)
+        os.replace(tmp, path)
+        return path
+    except OSError as e:
+        logger.warning('could not write %s: %s', path, e)
+        return None
+
+
+def load_run_config(checkpoint_dir: str) -> Optional[Dict]:
+    """Read the sidecar from a checkpoint dir (or a checkpoint FILE's
+    dir). Returns None when absent; warns and returns None when
+    unreadable/corrupt."""
+    d = checkpoint_dir
+    if d.endswith('.ckpt') or os.path.isfile(d):
+        d = os.path.dirname(d)
+    path = os.path.join(d, RUN_CONFIG_NAME)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            payload = json.load(f)
+    except (OSError, ValueError) as e:
+        logger.warning('unreadable run-config sidecar %s: %s', path, e)
+        return None
+    if not isinstance(payload, dict):
+        logger.warning('malformed run-config sidecar %s (not an object)',
+                       path)
+        return None
+    return payload
+
+
+def apply_architecture(config: Config, sidecar: Dict) -> Config:
+    """Return ``config`` with every ARCHITECTURE_FIELD present in the
+    sidecar replaced by the sidecar's value (the checkpoint knows its
+    own shape better than CLI defaults do)."""
+    updates = {}
+    for f in ARCHITECTURE_FIELDS:
+        if f in sidecar and sidecar[f] is not None:
+            updates[f] = sidecar[f]
+    if 'hidden_dims' in updates:
+        updates['hidden_dims'] = [int(h) for h in updates['hidden_dims']]
+    return dataclasses.replace(config, **updates)
+
+
+def architecture_mismatches(config: Config, sidecar: Dict) -> List[str]:
+    """Human-readable ``field: cli=X, checkpoint=Y`` lines for every
+    architecture field where the CLI config disagrees with the sidecar."""
+    out = []
+    for f in ARCHITECTURE_FIELDS:
+        if f not in sidecar:
+            continue
+        have, want = getattr(config, f), sidecar[f]
+        if f == 'hidden_dims':
+            have, want = [int(h) for h in have], [int(h) for h in want]
+        if have != want:
+            out.append(f'{f}: cli={have!r}, checkpoint={want!r}')
+    return out
+
+
+def warn_on_architecture_mismatch(config: Config, checkpoint_dir: str,
+                                  context: str = '') -> List[str]:
+    """Load the sidecar (if any) and WARN about CLI/checkpoint
+    architecture disagreements. Returns the mismatch lines (empty when
+    clean or no sidecar). Advisory only — explicit flags may be an
+    intentional override (e.g. --conv-impl swaps, --attn-impl serving),
+    and several architecture fields don't change the param tree."""
+    sidecar = load_run_config(checkpoint_dir)
+    if sidecar is None:
+        return []
+    lines = architecture_mismatches(config, sidecar)
+    if lines:
+        logger.warning(
+            'config does not match what %s was trained as%s — if loading '
+            'fails with a shape error, drop the conflicting flags (the '
+            'checkpoint dir records its own architecture):\n  %s',
+            checkpoint_dir, f' ({context})' if context else '',
+            '\n  '.join(lines))
+    return lines

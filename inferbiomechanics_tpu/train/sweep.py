@@ -1211,6 +1211,17 @@ def run_sweep(config: Config, train_ds: WindowDataset,
             # grid before config.epochs)
             pt.checkpoint_path = save_checkpoint(
                 sub, slice_config(state, i), max(0, last_epoch), 0)
+            if jax.process_index() == 0:
+                # provenance sidecar with THIS config's resolved axes
+                # (train/run_config.py) — consumers of a sweep artifact
+                # get the same auto-fill/warnings as a train run's
+                from dataclasses import replace as _replace
+                from inferbiomechanics_tpu.train.run_config import (
+                    save_run_config,
+                )
+                save_run_config(sub, _replace(config, learning_rate=lr,
+                                              seed=seed,
+                                              checkpoint_dir=sub))
             # best.ckpt is written at improvement time (possibly by an
             # earlier, preempted run of this same sweep)
             bpath = os.path.join(sub, 'best.ckpt')
