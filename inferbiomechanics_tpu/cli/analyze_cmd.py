@@ -45,6 +45,8 @@ class AnalyzeCommand:
                           predict_wrench_components=[],
                           batch_size=1)
         add_config_flags(parser, defaults)
+        from inferbiomechanics_tpu.train.run_config import add_run_config_flag
+        add_run_config_flag(parser)
         parser.add_argument('--plot-errors', action='store_true',
                             help='Write per-component GRF error PNGs '
                                  '(ref analyze=True path)')
@@ -102,7 +104,10 @@ class AnalyzeCommand:
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'analyze':
             return False
-        config = config_from_args(args)
+        from inferbiomechanics_tpu.train.run_config import (
+            use_run_config_if_requested,
+        )
+        config = use_run_config_if_requested(config_from_args(args), args)
         if getattr(args, 'ensemble', None) and config.model_type in (
                 'analytical', 'diffusion'):
             raise SystemExit(f'analyze --ensemble supports learned '

@@ -42,6 +42,8 @@ class ExportCommand:
             'export', help='Serialize a checkpointed model to a StableHLO '
                            'artifact (jax.export; symbolic batch dim)')
         add_config_flags(parser)
+        from inferbiomechanics_tpu.train.run_config import add_run_config_flag
+        add_run_config_flag(parser)
         parser.add_argument('--out', type=str, required=True,
                             help='Output artifact path (sidecar schema '
                                  'JSON written next to it)')
@@ -63,7 +65,10 @@ class ExportCommand:
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'export':
             return False
-        config = config_from_args(args)
+        from inferbiomechanics_tpu.train.run_config import (
+            use_run_config_if_requested,
+        )
+        config = use_run_config_if_requested(config_from_args(args), args)
         if config.model_type == 'analytical':
             raise SystemExit('export supports learned models; the '
                              'analytical baseline carries per-subject '

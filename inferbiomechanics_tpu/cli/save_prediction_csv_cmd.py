@@ -41,11 +41,16 @@ class SavePredictionCsvCommand:
                                  'un-mirrored prediction of the '
                                  'sagittally mirrored window')
         add_config_flags(parser)
+        from inferbiomechanics_tpu.train.run_config import add_run_config_flag
+        add_run_config_flag(parser)
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'save-prediction-csv':
             return False
-        config = config_from_args(args)
+        from inferbiomechanics_tpu.train.run_config import (
+            use_run_config_if_requested,
+        )
+        config = use_run_config_if_requested(config_from_args(args), args)
         ds = WindowDataset(args.file, window_size=config.window_size,
                            stride=config.stride, skip_loading_skeletons=True)
         checkpoint_dir = os.path.join(os.path.abspath(config.checkpoint_dir),

@@ -26,6 +26,8 @@ class ServeCommand:
             'serve', help='Serve checkpoint predictions over HTTP '
                           '(beyond-parity production path)')
         add_config_flags(parser)
+        from inferbiomechanics_tpu.train.run_config import add_run_config_flag
+        add_run_config_flag(parser)
         parser.add_argument('--port', type=int, default=8090)
         parser.add_argument('--host', type=str, default='127.0.0.1',
                             help='Bind address; 0.0.0.0 exposes the server '
@@ -99,7 +101,10 @@ class ServeCommand:
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'serve':
             return False
-        config = config_from_args(args)
+        from inferbiomechanics_tpu.train.run_config import (
+            use_run_config_if_requested,
+        )
+        config = use_run_config_if_requested(config_from_args(args), args)
         from inferbiomechanics_tpu.data.dataset import WindowDataset
         from inferbiomechanics_tpu.serve import InferenceService, serve
 

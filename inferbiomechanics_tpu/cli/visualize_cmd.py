@@ -51,11 +51,16 @@ class VisualizeCommand:
                             help='Bind address (default loopback; use '
                                  '0.0.0.0 to allow remote access)')
         add_config_flags(parser)
+        from inferbiomechanics_tpu.train.run_config import add_run_config_flag
+        add_run_config_flag(parser)
 
     def run(self, args: argparse.Namespace) -> bool:
         if args.command != 'visualize':
             return False
-        config = config_from_args(args)
+        from inferbiomechanics_tpu.train.run_config import (
+            use_run_config_if_requested,
+        )
+        config = use_run_config_if_requested(config_from_args(args), args)
         ds = WindowDataset(os.path.join(config.dataset_home, 'dev'),
                            window_size=config.window_size, stride=config.stride,
                            testing_with_short_dataset=config.short,

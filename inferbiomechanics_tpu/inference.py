@@ -49,6 +49,10 @@ class Predictor:
         self.state = create_train_state(
             self.model, jax.random.PRNGKey(0), jnp.asarray(sample.inputs),
             make_optimizer(config.opt_type, config.learning_rate))
+        from inferbiomechanics_tpu.train.run_config import (
+            warn_on_architecture_mismatch,
+        )
+        warn_on_architecture_mismatch(config, checkpoint_dir, 'predict')
         self.state, self.epoch, self.batch = load_latest_checkpoint(
             self.state, checkpoint_dir)
         lc = loss_config_from(config)

@@ -116,6 +116,39 @@ def architecture_mismatches(config: Config, sidecar: Dict) -> List[str]:
     return out
 
 
+def add_run_config_flag(parser) -> None:
+    """Register ``--use-run-config`` on a consumer subcommand."""
+    parser.add_argument(
+        '--use-run-config', action='store_true',
+        help='Take the model architecture from the checkpoint dir\'s '
+             'run_config.json (written by every training run) instead '
+             'of spelling --hidden-dims/--activation/... by hand; '
+             'explicit architecture flags are overridden')
+
+
+def use_run_config_if_requested(config: Config, args) -> Config:
+    """CLI hook for ``--use-run-config``: replace the config's
+    architecture fields with the checkpoint dir's sidecar values.
+    ``{checkpoint_dir}/{model_type}`` must hold a run_config.json (every
+    training run writes one); explicit architecture flags are
+    OVERRIDDEN — the point of the flag is to not spell them."""
+    if not getattr(args, 'use_run_config', False):
+        return config
+    d = os.path.join(os.path.abspath(config.checkpoint_dir),
+                     config.model_type)
+    sidecar = load_run_config(d)
+    if sidecar is None:
+        raise SystemExit(
+            f'--use-run-config: no {RUN_CONFIG_NAME} in {d} (written by '
+            'every training run; older dirs and convert-checkpoint '
+            'output need the architecture flags spelled out)')
+    cfg = apply_architecture(config, sidecar)
+    changed = architecture_mismatches(config, sidecar)
+    if changed:
+        logger.info('--use-run-config %s: %s', d, '; '.join(changed))
+    return cfg
+
+
 def warn_on_architecture_mismatch(config: Config, checkpoint_dir: str,
                                   context: str = '') -> List[str]:
     """Load the sidecar (if any) and WARN about CLI/checkpoint

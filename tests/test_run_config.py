@@ -207,3 +207,64 @@ def test_sweep_writes_per_config_sidecars(ds, tmp_path):
         assert sc['hidden_dims'] == [8]
     assert load_run_config(
         str(tmp_path / 'sw' / 'lr0.01_seed0'))['learning_rate'] == 1e-2
+
+
+class _Args:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def test_use_run_config_if_requested(tmp_path):
+    from inferbiomechanics_tpu.train.run_config import (
+        use_run_config_if_requested,
+    )
+    trained = _cfg(str(tmp_path / 'feedforward'), hidden_dims=[8],
+                   activation='relu', window_size=20)
+    save_run_config(str(tmp_path / 'feedforward'), trained)
+
+    cli = _cfg(str(tmp_path))   # checkpoint_dir root; subdir by model_type
+    # off: untouched
+    assert use_run_config_if_requested(
+        cli, _Args(use_run_config=False)).hidden_dims == [512, 512]
+    # on: architecture (incl. window geometry) from the sidecar
+    filled = use_run_config_if_requested(cli, _Args(use_run_config=True))
+    assert filled.hidden_dims == [8]
+    assert filled.activation == 'relu'
+    assert filled.window_size == 20
+    # on + no sidecar: clear SystemExit naming the dir
+    with pytest.raises(SystemExit, match='no run_config.json'):
+        use_run_config_if_requested(
+            _cfg(str(tmp_path / 'empty')), _Args(use_run_config=True))
+
+
+def test_cli_analyze_use_run_config(tmp_path):
+    """End-to-end: train with a NON-default architecture + window
+    geometry, then analyze with --use-run-config and zero architecture
+    flags (would die with a shape/window mismatch without the sidecar)."""
+    import subprocess
+    import sys
+    main = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'main.py')
+
+    def run_cmd(args):
+        env = dict(os.environ, IB_PLATFORM='cpu')
+        out = subprocess.run([sys.executable, main, *args],
+                             capture_output=True, text=True, env=env,
+                             timeout=420)
+        assert out.returncode == 0, f'{args[0]} failed:\n{out.stderr[-3000:]}'
+        return out
+
+    data = tmp_path / 'data'
+    for split in ('train', 'dev'):
+        os.makedirs(data / split)
+        write_synthetic_subject(str(data / split / 's0.b3d'), num_trials=1,
+                                trial_length=150, seed=0)
+    ckpt = tmp_path / 'ck'
+    run_cmd(['train', '--dataset-home', str(data), '--checkpoint-dir',
+             str(ckpt), '--no-wandb', '--epochs', '1', '--batch-size', '32',
+             '--history-len', '20', '--hidden-dims', '8',
+             '--activation', 'relu'])
+    out = run_cmd(['analyze', '--dataset-home', str(data),
+                   '--checkpoint-dir', str(ckpt), '--no-wandb',
+                   '--use-run-config'])
+    assert 'Force Avg Err' in out.stdout
