@@ -169,21 +169,38 @@ def convert_torch_checkpoint(pt_path: str, out_dir: str,
     sd = blob.get('model_state_dict', blob)
     sd = {k: v.detach().numpy() for k, v in sd.items()}
     stripped = _strip_ddp(sd)
+    sidecar_fields = {}
     if any(k.startswith('cnn.') for k in stripped):
         params = convert_groundlink_state_dict(sd)
+        sidecar_fields['model_type'] = 'groundlink'
     else:
         # output frames from the final Linear width (2 contact bodies)
         widths = [v.shape[0] for k, v in stripped.items()
                   if re.match(r'net\.\d+\.weight$', k) and v.ndim == 2]
         num_output_frames = widths[-1] // _PER_FRAME if widths else 1
         params = convert_state_dict(sd, num_output_frames)
+        sidecar_fields['model_type'] = 'feedforward'
+        sidecar_fields['hidden_dims'] = [int(w) for w in widths[:-1]]
+        sidecar_fields['batchnorm'] = any('running_mean' in k
+                                          for k in stripped)
+        if num_output_frames > 1:
+            # width 1 is ambiguous (last_frame, or all_frames with
+            # window == stride) — only record the unambiguous case
+            sidecar_fields['output_data_format'] = 'all_frames'
 
     import jax.numpy as jnp
     tx = make_optimizer(opt_type, learning_rate)
     state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
                        opt_state=tx.init(params), batch_stats={},
                        tx=tx, apply_fn=None)
-    return save_checkpoint(out_dir, state, epoch, batch, filename=filename)
+    out = save_checkpoint(out_dir, state, epoch, batch, filename=filename)
+    # partial provenance: the architecture a torch state dict reveals
+    # (train/run_config.py; consumers ignore fields not recorded)
+    from inferbiomechanics_tpu.train.run_config import (
+        save_partial_run_config,
+    )
+    save_partial_run_config(out_dir, sidecar_fields)
+    return out
 
 
 # -----------------------------------------------------------------------------

@@ -101,8 +101,17 @@ def train_diffusion(config: Config,
     logger.info('diffusion model: %d params', num_params(state))
     if jax.process_index() == 0:
         # provenance sidecar (train/run_config.py): analyze/serve warn on
-        # architecture drift; the partial-denoise proposal auto-configures
-        from inferbiomechanics_tpu.train.run_config import save_run_config
+        # architecture drift; the partial-denoise proposal auto-configures.
+        # On resume, warn against the previous run's sidecar first.
+        from inferbiomechanics_tpu.train.checkpoint import list_checkpoints
+        from inferbiomechanics_tpu.train.run_config import (
+            check_resume_architecture, save_run_config,
+            warn_on_architecture_mismatch,
+        )
+        if list_checkpoints(config.checkpoint_dir):
+            check_resume_architecture(config, config.checkpoint_dir)
+            warn_on_architecture_mismatch(config, config.checkpoint_dir,
+                                          'resume')
         save_run_config(config.checkpoint_dir, config)
 
     warm_started = False

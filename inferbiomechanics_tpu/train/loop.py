@@ -210,8 +210,17 @@ def train(config: Config,
     logger.info('model %s: %d params', config.model_type, num_params(state))
     if jax.process_index() == 0:
         # provenance sidecar: consumers auto-configure/validate against
-        # what this dir was actually trained as (train/run_config.py)
-        from inferbiomechanics_tpu.train.run_config import save_run_config
+        # what this dir was actually trained as (train/run_config.py).
+        # On resume, warn about architecture drift against the PREVIOUS
+        # run's sidecar before this run's config overwrites it.
+        from inferbiomechanics_tpu.train.run_config import (
+            check_resume_architecture, save_run_config,
+            warn_on_architecture_mismatch,
+        )
+        if list_checkpoints(config.checkpoint_dir):
+            check_resume_architecture(config, config.checkpoint_dir)
+            warn_on_architecture_mismatch(config, config.checkpoint_dir,
+                                          'resume')
         save_run_config(config.checkpoint_dir, config)
     if config.init_from_checkpoint:
         # transfer learning: params only, fresh optimizer, epoch 0.

@@ -43,6 +43,20 @@ ARCHITECTURE_FIELDS = (
     'conv_impl', 'diffusion_timesteps',
 )
 
+# The subset whose drift changes the parameter layout or window
+# geometry. Resuming training across one of these is NEVER right:
+# flax's from_state_dict restores by NAME and nn.Dense.apply takes its
+# width from the PARAM shape, so a drifted resume does not crash — it
+# silently keeps training the checkpoint's old architecture while the
+# logs claim the new flags. (The remaining ARCHITECTURE_FIELDS are
+# legitimately overridable mid-run: conv_impl/attn-serving swaps share
+# param layout, init_style/activation/dropout knobs carry no params.)
+SHAPE_CRITICAL_FIELDS = (
+    'model_type', 'output_data_format', 'window_size', 'stride',
+    'hidden_dims', 'batchnorm', 'd_model', 'num_layers', 'num_heads',
+    'attn_impl',   # vpu/flax/pallas store different param trees
+)
+
 
 def save_run_config(checkpoint_dir: str, config: Config) -> Optional[str]:
     """Write ``run_config.json`` into ``checkpoint_dir`` (atomic rename).
@@ -52,6 +66,29 @@ def save_run_config(checkpoint_dir: str, config: Config) -> Optional[str]:
     sidecar is provenance, never worth failing a training run over)."""
     payload = dataclasses.asdict(config)
     payload['schema_version'] = SCHEMA_VERSION
+    path = os.path.join(checkpoint_dir, RUN_CONFIG_NAME)
+    try:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = path + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(payload, f, indent=1, sort_keys=True, default=str)
+        os.replace(tmp, path)
+        return path
+    except OSError as e:
+        logger.warning('could not write %s: %s', path, e)
+        return None
+
+
+def save_partial_run_config(checkpoint_dir: str,
+                            fields: Dict) -> Optional[str]:
+    """Write a sidecar carrying only the given architecture fields —
+    used by convert-checkpoint, which can INFER some fields from a
+    torch state dict (model family, hidden dims, batchnorm) but not
+    others (activation, window geometry). Consumers treat missing
+    fields as unknown: no warning, no auto-fill."""
+    payload = {k: v for k, v in fields.items() if v is not None}
+    payload['schema_version'] = SCHEMA_VERSION
+    payload['partial'] = True
     path = os.path.join(checkpoint_dir, RUN_CONFIG_NAME)
     try:
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -146,7 +183,41 @@ def use_run_config_if_requested(config: Config, args) -> Config:
     changed = architecture_mismatches(config, sidecar)
     if changed:
         logger.info('--use-run-config %s: %s', d, '; '.join(changed))
+    if sidecar.get('partial'):
+        logger.info('--use-run-config: %s is a partial sidecar (inferred '
+                    'by convert-checkpoint) — fields it does not record '
+                    '(e.g. window geometry, activation) still come from '
+                    'your flags', d)
     return cfg
+
+
+def check_resume_architecture(config: Config, checkpoint_dir: str) -> None:
+    """Hard gate for train-resume: raise when the current flags drift
+    from the previous run's sidecar on a SHAPE_CRITICAL_FIELDS field
+    (see that constant for why a drifted resume is silent, not a
+    crash). Non-critical drift still warns via the caller."""
+    sidecar = load_run_config(checkpoint_dir)
+    if sidecar is None:
+        return
+    bad = []
+    for f in SHAPE_CRITICAL_FIELDS:
+        if f not in sidecar:
+            continue
+        have, want = getattr(config, f), sidecar[f]
+        if f == 'hidden_dims':
+            have, want = [int(h) for h in have], [int(h) for h in want]
+        if have != want:
+            bad.append(f'{f}: cli={have!r}, checkpoint={want!r}')
+    if bad:
+        raise ValueError(
+            f'cannot resume in {checkpoint_dir}: these flags change the '
+            'parameter layout or window geometry, so the run would '
+            'silently keep the checkpoint\'s old architecture —\n  '
+            + '\n  '.join(bad)
+            + '\nEither drop the conflicting flags (the previous run\'s '
+            'run_config.json records the trained values), or point '
+            '--checkpoint-dir at a fresh directory for the new '
+            'architecture.')
 
 
 def warn_on_architecture_mismatch(config: Config, checkpoint_dir: str,

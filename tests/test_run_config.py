@@ -268,3 +268,58 @@ def test_cli_analyze_use_run_config(tmp_path):
                    '--checkpoint-dir', str(ckpt), '--no-wandb',
                    '--use-run-config'])
     assert 'Force Avg Err' in out.stdout
+
+
+def test_resume_architecture_drift_is_an_error(ds, tmp_path, caplog):
+    """Resuming training with shape-critical flag drift HARD-FAILS:
+    flax restores params by name and Dense takes its width from the
+    param shape, so without the gate the run would silently keep
+    training the checkpoint's old architecture under the new flags."""
+    from inferbiomechanics_tpu.train.loop import train
+    d = str(tmp_path / 'r')
+    train(_cfg(d, hidden_dims=[8]), ds, None, max_batches_per_epoch=2)
+    with pytest.raises(ValueError, match='hidden_dims'):
+        train(_cfg(d, hidden_dims=[16]), ds, None, max_batches_per_epoch=2)
+    # non-critical drift (activation carries no params) only warns
+    with caplog.at_level(logging.WARNING):
+        train(_cfg(d, hidden_dims=[8], activation='relu'), ds, None,
+              max_batches_per_epoch=2)
+    assert 'activation' in caplog.text and 'resume' in caplog.text
+
+
+def test_convert_checkpoint_writes_partial_sidecar(tmp_path):
+    """convert-checkpoint infers what a torch state dict reveals
+    (family, hidden dims, batchnorm) into a partial sidecar; the
+    partial flag keeps consumers honest about unrecorded fields."""
+    torch = pytest.importorskip('torch')
+    from inferbiomechanics_tpu.train.run_config import (
+        apply_architecture, architecture_mismatches,
+    )
+    from inferbiomechanics_tpu.torch_compat import convert_torch_checkpoint
+
+    net = torch.nn.Sequential(
+        torch.nn.Linear(30, 8), torch.nn.Sigmoid(),
+        torch.nn.Linear(8, 4), torch.nn.Sigmoid(),
+        torch.nn.Linear(4, 30))   # 30 = _PER_FRAME * 1 output frame
+    model = torch.nn.Module()
+    model.net = net
+    pt = tmp_path / 'epoch_3_batch_0.pt'
+    torch.save({'model_state_dict': model.state_dict()}, str(pt))
+
+    out_dir = str(tmp_path / 'conv')
+    convert_torch_checkpoint(str(pt), out_dir)
+    sc = load_run_config(out_dir)
+    assert sc is not None and sc['partial'] is True
+    assert sc['model_type'] == 'feedforward'
+    assert sc['hidden_dims'] == [8, 4]
+    assert sc['batchnorm'] is False
+    assert 'activation' not in sc          # not inferable
+    assert 'output_data_format' not in sc  # 1 frame is ambiguous
+
+    # partial sidecars only auto-fill / warn on fields they record
+    cli = _cfg(out_dir)
+    filled = apply_architecture(cli, sc)
+    assert filled.hidden_dims == [8, 4]
+    assert filled.window_size == cli.window_size
+    assert all(not l.startswith('activation')
+               for l in architecture_mismatches(cli, sc))

@@ -228,7 +228,8 @@ def test_nonstandard_names_do_not_collide(ds, tmp_path):
         written.append(convert_torch_checkpoint(pt, out_dir))
     assert sorted(os.path.basename(w) for w in written) == \
         ['best.ckpt', 'final.ckpt']
-    assert len(os.listdir(out_dir)) == 2
+    assert sorted(os.listdir(out_dir)) == \
+        ['best.ckpt', 'final.ckpt', 'run_config.json']
     # stem-named conversions are NOT resume points (like --keep-best)
     from inferbiomechanics_tpu.train.checkpoint import list_checkpoints
     assert list_checkpoints(out_dir) == []
