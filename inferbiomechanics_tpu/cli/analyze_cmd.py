@@ -87,6 +87,15 @@ class AnalyzeCommand:
                             help='Checkpoint dir of an ALL-FRAMES '
                                  'feedforward proposal model used to '
                                  'seed --diffusion-partial chains')
+        parser.add_argument('--eval-chunk-steps', type=int, default=64,
+                            help='Evaluate K batches per device dispatch '
+                                 '(one lax.scan program; metrics drain in '
+                                 'one transfer). The reference dispatches '
+                                 'one forward per window at its fixed '
+                                 'batch_size=1. 1 = per-batch dispatch. '
+                                 'Ignored on the analytical/diffusion/'
+                                 'quantized/ensemble/--compute-report/'
+                                 '--plot-errors paths')
         parser.add_argument('--bootstrap', type=int, default=0,
                             help='Resample the per-window rows N times and '
                                  'print 95%% confidence intervals on the '
@@ -334,30 +343,24 @@ class AnalyzeCommand:
             groups = {}      # key -> [n, sum_loss, sum_force, sum_com_acc]
             n_boot = int(getattr(args, 'bootstrap', 0) or 0)
             boot_rows = []   # per-window [loss, force, com_acc] rows
+            # chunked eval (parity note: the reference fixes batch_size=1
+            # and dispatches one forward per window, analyze.py:112-240 —
+            # per-dispatch latency dominates; here K batches run as ONE
+            # lax.scan program and their metrics drain in one device_get,
+            # exactly the train-side --device-chunk-steps treatment)
+            eval_chunk = max(1, int(getattr(args, 'eval_chunk_steps', 1)
+                                    or 1))
+            use_chunks = (eval_chunk > 1 and eval_fn is not None
+                          and not config.compute_report
+                          and not getattr(args, 'plot_errors', False))
+
             with open(csv_path, 'a', newline='') as f:
                 writer = csv.writer(f)
-                for i, batch in enumerate(ds.batches(config.batch_size,
-                                                     shuffle=False, drop_last=False)):
-                    x = jax.numpy.asarray(batch.inputs)
-                    y = jax.numpy.asarray(batch.labels)
-                    if eval_fn is not None:
-                        outputs, metrics = eval_fn(state, x, y)
-                    else:
-                        outputs = predict(x, batch.subject_indices)
-                        if config.output_data_format != 'all_frames':
-                            # analytical predicts every window frame; compare
-                            # on the label frame(s) only
-                            outputs = {k: v[:, -1:, :] for k, v in outputs.items()}
-                        metrics = evaluator.compute_metrics(outputs, ds.unpack_labels(y))
-                    evaluator(x, outputs, ds.unpack_labels(y),
-                              batch.subject_indices,
-                              compute_report=config.compute_report,
-                              precomputed_metrics=metrics)
-                    if getattr(args, 'plot_errors', False) and i == 0:
-                        for p in evaluator.plot_errors(
-                                outputs, ds.unpack_labels(y),
-                                args.plot_path_root, tag=split):
-                            print(f'wrote {p}')
+
+                def emit_rows(i, batch, metrics):
+                    """Per-batch bookkeeping: CSV rows, bootstrap rows,
+                    group sums, progress reports. `metrics` may be device
+                    or host arrays."""
                     for b in range(batch.inputs.shape[0]):
                         s_idx = int(batch.subject_indices[b])
                         subj = os.path.basename(ds.subject_paths[s_idx])
@@ -386,6 +389,73 @@ class AnalyzeCommand:
                     if i > 0 and i % 1000 == 0:
                         print(f'[{split}] batch {i}:')
                         evaluator.print_report(reset=False, log_to_wandb=True)
+
+                if use_chunks:
+                    import jax.numpy as jnp
+                    from jax import lax
+
+                    @jax.jit
+                    def eval_chunk_fn(st, xs, ys):
+                        def body(carry, xy):
+                            _, m = eval_fn(st, xy[0], xy[1])
+                            return carry, m
+                        _, ms = lax.scan(body, None, (xs, ys))
+                        return ms
+
+                    pend = []   # [(i, batch)] — same-shape batches only
+
+                    def flush():
+                        if not pend:
+                            return
+                        xs = jnp.asarray(np.stack(
+                            [b.inputs for _, b in pend]))
+                        ys = jnp.asarray(np.stack(
+                            [b.labels for _, b in pend]))
+                        ms = jax.device_get(eval_chunk_fn(state, xs, ys))
+                        for k, (bi, b) in enumerate(pend):
+                            mk = {key: v[k] for key, v in ms.items()}
+                            evaluator(None, None, None,
+                                      precomputed_metrics=mk)
+                            emit_rows(bi, b, mk)
+                        pend.clear()
+
+                    for i, batch in enumerate(ds.batches(
+                            config.batch_size, shuffle=False,
+                            drop_last=False)):
+                        if pend and (batch.inputs.shape
+                                     != pend[0][1].inputs.shape):
+                            flush()   # the trailing short batch
+                        pend.append((i, batch))
+                        if len(pend) >= eval_chunk:
+                            flush()
+                    flush()
+                else:
+                    for i, batch in enumerate(ds.batches(
+                            config.batch_size, shuffle=False,
+                            drop_last=False)):
+                        x = jax.numpy.asarray(batch.inputs)
+                        y = jax.numpy.asarray(batch.labels)
+                        if eval_fn is not None:
+                            outputs, metrics = eval_fn(state, x, y)
+                        else:
+                            outputs = predict(x, batch.subject_indices)
+                            if config.output_data_format != 'all_frames':
+                                # analytical predicts every window frame;
+                                # compare on the label frame(s) only
+                                outputs = {k: v[:, -1:, :]
+                                           for k, v in outputs.items()}
+                            metrics = evaluator.compute_metrics(
+                                outputs, ds.unpack_labels(y))
+                        evaluator(x, outputs, ds.unpack_labels(y),
+                                  batch.subject_indices,
+                                  compute_report=config.compute_report,
+                                  precomputed_metrics=metrics)
+                        if getattr(args, 'plot_errors', False) and i == 0:
+                            for p in evaluator.plot_errors(
+                                    outputs, ds.unpack_labels(y),
+                                    args.plot_path_root, tag=split):
+                                print(f'wrote {p}')
+                        emit_rows(i, batch, metrics)
             print(f'[{split}] final report:')
             evaluator.print_report(log_to_wandb=True)
             print(f'wrote {csv_path}')

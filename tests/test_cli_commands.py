@@ -343,3 +343,30 @@ def test_sweep_sigterm_preemption_and_resume(tmp_path):
                     '--epochs', str(epoch + 2), '--batch-size', '16',
                     '--lrs', '1e-3', '1e-2', '--seeds', '0'], timeout=600)
     assert 'sweep resume: grid state restored' in out2.stdout + out2.stderr
+
+
+def test_analyze_chunked_eval_matches_per_batch(workspace, tmp_path):
+    """--eval-chunk-steps K (default 64) scans K batches per dispatch;
+    its per-window CSV rows must match per-batch dispatch, including
+    across the trailing short batch that gets its own chunk shape."""
+    base = ['analyze', '--dataset-home', workspace['data'],
+            '--checkpoint-dir', workspace['ckpt'], '--no-wandb',
+            '--short', '--batch-size', '4']
+    csv_path = os.path.join(workspace['ckpt'], 'feedforward',
+                            'dev_analysis.csv')
+
+    def rows_after(args):
+        if os.path.exists(csv_path):
+            os.remove(csv_path)
+        run_cmd(args)
+        return list(csv.reader(open(csv_path)))
+
+    per_batch = rows_after(base + ['--eval-chunk-steps', '1'])
+    chunked = rows_after(base + ['--eval-chunk-steps', '3'])
+    os.remove(csv_path)
+    assert len(per_batch) == len(chunked) > 1
+    for r1, r2 in zip(per_batch, chunked):
+        assert r1[:2] == r2[:2]
+        for v1, v2 in zip(r1[2:], r2[2:]):
+            assert abs(float(v1) - float(v2)) <= 1e-5 * max(
+                1.0, abs(float(v1))), (r1, r2)
