@@ -725,6 +725,9 @@ class InferenceService:
             'dynamic_batching': (None if self.batcher is None else
                                  {'wait_ms': self.batcher.wait_s * 1e3,
                                   'forwards': self.batcher.forwards}),
+            # provenance: what the served checkpoint dir was trained as
+            # (train/run_config.py sidecar; None for pre-sidecar dirs)
+            'run_config': _schema_run_config(self._checkpoint_dir),
         }
 
 
