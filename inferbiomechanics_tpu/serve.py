@@ -56,6 +56,22 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (int(n) - 1)).bit_length()
 
 
+def _schema_run_config(checkpoint_dir: Optional[str]) -> Optional[dict]:
+    """Provenance block for GET /schema: the run_config.json sidecar the
+    served checkpoint dir was trained with (train/run_config.py), or
+    None for pre-sidecar dirs / explicit checkpoint files with no
+    sidecar next to them. Never raises — serving metadata must not die
+    on a stale or hand-edited sidecar."""
+    if not checkpoint_dir:
+        return None
+    try:
+        from inferbiomechanics_tpu.train.run_config import load_run_config
+        return load_run_config(checkpoint_dir)
+    except Exception as e:  # sidecar is advisory provenance only
+        logger.warning('run-config sidecar unreadable for /schema: %s', e)
+        return None
+
+
 class _DynamicBatcher:
     """Coalesce concurrent /predict requests into one device forward.
 

@@ -77,6 +77,32 @@ def test_health_and_schema(base_url, service):
     assert s['num_input_channels'] == service.ds.num_input_channels
     assert {e['key'] for e in s['label_layout']} >= {
         OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME}
+    # provenance block always present; None for pre-sidecar dirs
+    assert 'run_config' in s and s['run_config'] is None
+
+
+def test_schema_surfaces_run_config_sidecar(tmp_path, service):
+    """A checkpoint dir trained with a run_config.json sidecar exposes it
+    through GET /schema as provenance (serve.py _schema_run_config)."""
+    from inferbiomechanics_tpu.train.run_config import save_run_config
+    ckpt = str(tmp_path / 'ckpt')
+    cfg = Config()
+    cfg.model_type = 'feedforward'
+    cfg.window_size, cfg.stride = 20, 5
+    cfg.hidden_dims = [32]
+    model = build_model_for_dataset(cfg, service.ds)
+    sample = service.ds.gather(np.arange(4))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(sample.inputs),
+                               make_optimizer('adam', 1e-3))
+    save_checkpoint(ckpt, state, 0, 0)
+    save_run_config(ckpt, cfg)
+    svc = InferenceService(cfg, ckpt, service.ds, max_batch=16)
+    rc = svc.schema()['run_config']
+    assert rc is not None
+    assert rc['model_type'] == 'feedforward'
+    assert [int(h) for h in rc['hidden_dims']] == [32]
+    assert rc['window_size'] == 20 and rc['stride'] == 5
 
 
 def test_predict_raw_windows(base_url, service):
