@@ -288,6 +288,9 @@ def collect_stats(subject_paths: List[str], short: bool = False,
         'dataset_n': {}, 'num_valid_subjs': 0,
         'freq_cutoffs': FREQ_CUTOFFS,
         'freq_rmse': {c: [] for c in FREQ_CUTOFFS},
+        # same accumulation keyed by motion class for
+        # err_vs_freq_by_motion.png (ref make_plots.py:1253-1260)
+        'freq_rmse_by_motion': {},
         'num_subjects': 0, 'num_trials': 0, 'total_frames': 0,
         'valid_frames': 0, 'total_hours': 0.0,
         'motion_class_hours': {c: 0.0 for c in MOTION_CLASSES},
@@ -398,12 +401,15 @@ def collect_stats(subject_paths: List[str], short: bool = False,
                 grf_acc = total_grf / mass
                 grf_acc = grf_acc + np.array([0.0, -GRAVITY_MAG, 0.0])[None, :]
                 if valid.sum() > 30:
+                    by_motion = stats['freq_rmse_by_motion'].setdefault(
+                        cls, {c: [] for c in FREQ_CUTOFFS})
                     for c in FREQ_CUTOFFS:
                         filt = _butter_lowpass(com_acc_kin, c, fs) if c > 0 \
                             else np.zeros_like(com_acc_kin)
                         err = filt[valid] - grf_acc[valid]
-                        stats['freq_rmse'][c].append(
-                            float(np.sqrt((err ** 2).mean())))
+                        rmse = float(np.sqrt((err ** 2).mean()))
+                        stats['freq_rmse'][c].append(rmse)
+                        by_motion[c].append(rmse)
 
             # motion-class hours for the activity chart (ref :91-162);
             # cls was computed at the top of the trial loop
@@ -614,6 +620,42 @@ def render_plots(stats: Dict, out_dir: str,
         plt.ylabel('hours')
         save('activity_bars.png')
 
+    # demographics broken down by biological sex (ref make_plots.py:
+    # 1157-1198 plot_demographics_by_sex_{histograms,boxplots}; sex codes
+    # male=0 female=1 unknown=2, ref :1164-1166)
+    sexes = np.asarray(stats.get('sexes', []))
+    ages = np.asarray(stats.get('ages', []), float)
+    bmis = np.asarray(stats.get('bmis', []), float)
+    if enabled('histograms') and sexes.size and ages.size == sexes.size:
+        sex_colors = ['#006BA4', '#FF800E', '#ABABAB']
+        sex_labels = ['male', 'female', 'unknown']
+        groups_ix = [np.where(sexes == code)[0] for code in (0, 1, 2)]
+        for data, unit, outname in [
+                (ages, 'age (years)', 'age_bysex_histo.png'),
+                (bmis, 'BMI (kg/m^2)', 'bmi_bysex_histo.png')]:
+            plt.figure(figsize=(5, 4))
+            datas = [data[ix] for ix in groups_ix]
+            plt.hist([d for d in datas], bins=6, color=sex_colors,
+                     label=sex_labels, edgecolor='black')
+            plt.ylabel('no. of subjects')
+            plt.xlabel(unit)
+            plt.legend()
+            save(outname)
+        # boxplots: male/female only, restricted to plausible age/BMI
+        # (ref :1180-1182: age > 0, BMI > 11)
+        valid = (ages > 0) & (bmis > 11)
+        m_ix = np.where(valid & (sexes == 0))[0]
+        f_ix = np.where(valid & (sexes == 1))[0]
+        if m_ix.size or f_ix.size:
+            for data, unit, outname in [
+                    (ages, 'age (years)', 'age_bysex_boxplot.png'),
+                    (bmis, 'BMI (kg/m^2)', 'bmi_bysex_boxplot.png')]:
+                plt.figure(figsize=(4, 4))
+                plt.boxplot([data[m_ix], data[f_ix]],
+                            tick_labels=['male', 'female'])
+                plt.ylabel(unit)
+                save(outname)
+
     dn = stats.get('dataset_n', {})
     if enabled('histograms') and dn:
         plt.figure(figsize=(6, 4))
@@ -668,6 +710,31 @@ def render_plots(stats: Dict, out_dir: str,
         plt.xlabel('cutoff (Hz)')
         plt.ylabel('RMSE (m/s^2)')
         save('err_vs_frequency.png')
+
+    # per-motion-class error-vs-frequency curves (ref make_plots.py:
+    # 1253-1260: sorted class names, class colors, 'unknown'/'bad'
+    # excluded) with the reference's optional std band (ref :1094-1096)
+    frm = stats.get('freq_rmse_by_motion', {})
+    classes = [c for c in sorted(frm)
+               if c not in ('unknown', 'bad')
+               and any(frm[c][k] for k in stats['freq_cutoffs'])]
+    if enabled('errvfreq') and classes:
+        plt.figure(figsize=(5, 4))
+        for cls in classes:
+            cuts = [c for c in stats['freq_cutoffs'] if frm[cls][c]]
+            means = np.array([float(np.mean(frm[cls][c])) for c in cuts])
+            color = CLASS_COLORS.get(cls, '#8a94a3')
+            plt.plot(cuts, means, marker='o', color=color, label=cls,
+                     linewidth=2)
+            stds = np.array([float(np.std(frm[cls][c])) for c in cuts])
+            if np.any(stds > 0):
+                plt.fill_between(cuts, means - stds, means + stds,
+                                 color=color, alpha=0.25)
+        plt.title('COM acc vs GRF/mass RMSE by cutoff, per motion class')
+        plt.xlabel('cutoff (Hz)')
+        plt.ylabel('RMSE (m/s^2)')
+        plt.legend(fontsize=7)
+        save('err_vs_freq_by_motion.png')
     return written
 
 

@@ -106,6 +106,13 @@ def test_make_plots_full_scatter_set(tmp_path):
     for name, *_ in SINGLE_PLOTS:
         assert f'scatter_{name}.png' in names, name
     assert 'scatter_jointcenters_vs_totgrf.png' in names
+    # by-sex demographics figures (ref make_plots.py:1157-1198) and the
+    # per-motion-class error-vs-frequency curve (ref :1253-1260)
+    for fig in ('age_bysex_histo.png', 'bmi_bysex_histo.png',
+                'age_bysex_boxplot.png', 'bmi_bysex_boxplot.png',
+                'err_vs_freq_by_motion.png'):
+        assert fig in names, fig
+    assert stats['freq_rmse_by_motion']   # keyed by motion class
 
 
 def test_make_plots_split_dataset_dedup(tmp_path):
