@@ -172,13 +172,21 @@ def train_diffusion(config: Config,
         from inferbiomechanics_tpu.train.streaming_data import (
             StreamingPlan, make_streaming_diffusion_epoch,
         )
+        if jax.process_count() > 1:
+            raise ValueError(
+                '--device-data stream is single-controller SPMD: the '
+                'per-process segment materialization has no cross-process '
+                'plan; on a multi-host pod use --device-data sharded')
         plan = StreamingPlan(train_ds, config.device_data_max_bytes)
         epoch_runner = make_streaming_diffusion_epoch(
             model, train_ds, plan, sched, config.batch_size,
             ema_decay=config.ema_decay, augment=augmenter,
-            cond_dropout=config.cond_dropout)
-        logger.info('diffusion streaming data: %d segments of %d rows',
-                    len(plan.segments), plan.rows_pad)
+            cond_dropout=config.cond_dropout,
+            batch_shard=sharding if int(mesh.shape['data']) > 1 else None)
+        logger.info('diffusion streaming data: %d segments of %d rows%s',
+                    len(plan.segments), plan.rows_pad,
+                    f', batch dp x{int(mesh.shape["data"])}'
+                    if int(mesh.shape['data']) > 1 else '')
     n_data_shards = int(mesh.shape['data'])
     if (epoch_runner is None and max_batches_per_epoch is None
             and len(train_ds) >= config.batch_size

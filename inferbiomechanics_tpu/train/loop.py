@@ -335,13 +335,23 @@ def train(config: Config,
         from inferbiomechanics_tpu.train.streaming_data import (
             StreamingPlan, make_streaming_epoch,
         )
+        if jax.process_count() > 1:
+            raise ValueError(
+                '--device-data stream is single-controller SPMD: the '
+                'per-process segment materialization has no cross-process '
+                'plan; on a multi-host pod use --device-data sharded')
         use_device_data = False
         plan = StreamingPlan(train_ds, config.device_data_max_bytes)
-        streaming_epoch = make_streaming_epoch(model, train_ds, plan, lc,
-                                               config.batch_size,
-                                               augment=augmenter)
-        logger.info('streaming data: %d segments of %d rows',
-                    len(plan.segments), plan.rows_pad)
+        streaming_epoch = make_streaming_epoch(
+            model, train_ds, plan, lc, config.batch_size,
+            augment=augmenter,
+            # streaming x dp (VERDICT r4 #5): gathered batch + grad
+            # all-reduce shard over the data axis, segments replicated
+            batch_shard=sharding if n_data_shards > 1 else None)
+        logger.info('streaming data: %d segments of %d rows%s',
+                    len(plan.segments), plan.rows_pad,
+                    f', batch dp x{n_data_shards}'
+                    if n_data_shards > 1 else '')
     if use_device_data:
         from inferbiomechanics_tpu.parallel.mesh import replicated
         from inferbiomechanics_tpu.train.device_data import (

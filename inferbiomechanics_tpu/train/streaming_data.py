@@ -159,14 +159,26 @@ def run_segmented_epoch(plan: StreamingPlan, batch_size: int, state,
 def make_streaming_epoch(model, ds: WindowDataset, plan: StreamingPlan,
                          loss_config: LossConfig, batch_size: int,
                          feature_dtype=jnp.bfloat16,
-                         augment=None) -> Callable:
+                         augment=None,
+                         batch_shard=None) -> Callable:
     """Build ``run_epoch(state, rng) -> (state, mean_metrics)``.
 
     One jit program per SEGMENT shape (shared across segments); per
     segment the host uploads the padded rows once and scans that
     segment's shuffled windows. While segment i trains, segment i+1
     materializes on a prefetch thread.
-    """
+
+    ``batch_shard``: optional ``NamedSharding`` (``parallel.
+    batch_sharding(mesh)``) composing this tier with data parallelism
+    (VERDICT r4 #5): the segment rows replicate across the data axis
+    (each segment already fits ONE device's HBM budget — streaming's
+    capacity story is unlimited dataset size through segmentation, not
+    per-segment sharding) while the gathered batch and therefore the
+    model compute/grad all-reduce shard across it. Batch composition is
+    IDENTICAL to the single-device tier, so losses reproduce exactly
+    (tests/test_streaming_dp.py). Single-controller SPMD only — the
+    per-process segment materialization has no cross-process plan
+    (train/loop.py rejects stream + multi-host)."""
     frames = ds.num_model_frames
     stride = ds.stride
     offs = jnp.arange(frames, dtype=jnp.int32) * stride
@@ -183,6 +195,8 @@ def make_streaming_epoch(model, ds: WindowDataset, plan: StreamingPlan,
             else:
                 bl = jnp.take(labs, rows, axis=0)
             from inferbiomechanics_tpu.train.augment import maybe_augment
+            from inferbiomechanics_tpu.train.device_data import _constrain
+            bi, bl = _constrain(batch_shard, bi, bl)
             bi, bl = maybe_augment(augment, bi, bl, sub)
             labels = unpack(bl, ds.lab_offsets)
 
@@ -204,6 +218,9 @@ def make_streaming_epoch(model, ds: WindowDataset, plan: StreamingPlan,
         return run_segmented_epoch(plan, batch_size, state, rng, seg_runner,
                                    feature_dtype)
 
+    # exposed so tests can lower the compiled program and assert the dp
+    # gradient all-reduce is really in the HLO (tests/test_streaming_dp.py)
+    run_epoch.seg_runner = seg_runner
     return run_epoch
 
 
@@ -213,11 +230,16 @@ def make_streaming_diffusion_epoch(model, ds: WindowDataset,
                                    ema_decay: float = 0.0,
                                    feature_dtype=jnp.bfloat16,
                                    augment=None,
-                                   cond_dropout: float = 0.0) -> Callable:
+                                   cond_dropout: float = 0.0,
+                                   batch_shard=None) -> Callable:
     """Out-of-core diffusion training: the ε-prediction step over
     streamed segments (same segment/prefetch mechanics as
     :func:`make_streaming_epoch`; step = the DDPM objective of
     ``device_data.py::make_device_diffusion_epoch_runner``).
+
+    ``batch_shard`` composes the tier with data parallelism exactly as
+    in :func:`make_streaming_epoch` (replicated segment rows, gathered
+    batch sharded over the data axis).
 
     ``ema_decay > 0`` threads the EMA tree through the scan — the
     signature becomes ``run(state, ema, rng) -> (state, ema, metrics)``
@@ -239,6 +261,8 @@ def make_streaming_diffusion_epoch(model, ds: WindowDataset,
         bl = jnp.take(labs, rows, axis=0)
         from inferbiomechanics_tpu.train.augment import maybe_augment
         from inferbiomechanics_tpu.models.diffusion import drop_conditioning
+        from inferbiomechanics_tpu.train.device_data import _constrain
+        bi, bl = _constrain(batch_shard, bi, bl)
         bi, bl = maybe_augment(augment, bi, bl, rng_t)
         bi = drop_conditioning(bi, rng_t, cond_dropout)
         x0 = diffusion_targets_from_labels(bl, ds.lab_offsets,
