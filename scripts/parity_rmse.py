@@ -248,6 +248,18 @@ def run_jax(ds, x_tr, y_tr, x_dev, lab_dev, sl, seed, epochs, schedule,
                           history_len=WINDOW, stride=STRIDE,
                           root_history_len=ds.root_history_len,
                           output_data_format='all_frames')
+    elif model_type == 'transformer':
+        # shipped defaults (models/__init__.py): d_model 256, 4 layers,
+        # 8 heads, vpu attention, aux tau/com-acc/contact heads on.
+        # No torch side exists for this family (the reference's
+        # TransformerBaseline is dead code, SURVEY.md §2.8) — it is
+        # anchored against the feedforward numbers by
+        # scripts/anchor_quality.py.
+        model = get_model('transformer', num_dofs=ds.num_dofs,
+                          num_contact_bodies=ds.num_contact_bodies,
+                          history_len=WINDOW, stride=STRIDE,
+                          root_history_len=ds.root_history_len,
+                          output_data_format='all_frames')
     else:
         model = get_model('feedforward', num_dofs=ds.num_dofs,
                           num_contact_bodies=ds.num_contact_bodies,
@@ -293,6 +305,68 @@ def run_jax(ds, x_tr, y_tr, x_dev, lab_dev, sl, seed, epochs, schedule,
 
 
 # ---------------------------------------------------------------------------
+# Study data (shared with scripts/anchor_quality.py so the transformer /
+# diffusion anchors score against the SAME split as the feedforward /
+# GroundLink head-to-heads)
+# ---------------------------------------------------------------------------
+
+def build_study_data(data_dir: str, trial_length: int, fmt: str):
+    """Build (or reuse) the study's synthetic split and return
+    ``(ds_tr, ds_dev, x_tr, y_tr, x_dev, lab_dev, sl)`` packed arrays.
+
+    Refuses a --data dir written at a different --trial-length (stale
+    files would silently change the corpus)."""
+    from inferbiomechanics_tpu.data.dataset import WindowDataset
+    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
+
+    tr_dir = os.path.join(data_dir, 'train')
+    dev_dir = os.path.join(data_dir, 'dev')
+    os.makedirs(tr_dir, exist_ok=True)
+    os.makedirs(dev_dir, exist_ok=True)
+    marker = os.path.join(data_dir, '.trial_length')
+    have_files = any(
+        os.path.exists(os.path.join(d, n))
+        for d, n in [(tr_dir, 'train_s0.b3d'), (dev_dir, 'dev_s0.b3d')])
+    if os.path.exists(marker):
+        prev = int(open(marker).read().strip())
+        if prev != trial_length:
+            raise SystemExit(
+                f'{data_dir} holds trials of length {prev}, not '
+                f'{trial_length}; pass a fresh --data dir')
+    elif have_files:
+        raise SystemExit(
+            f'{data_dir} holds subject files of unknown trial length '
+            f'(no .trial_length marker); pass a fresh --data dir')
+    else:
+        with open(marker, 'w') as f:
+            f.write(str(trial_length))
+    for i in range(2):
+        p = os.path.join(tr_dir, f'train_s{i}.b3d')
+        if not os.path.exists(p):
+            write_synthetic_subject(p, num_trials=2,
+                                    trial_length=trial_length,
+                                    seed=100 + i)
+    p = os.path.join(dev_dir, 'dev_s0.b3d')
+    if not os.path.exists(p):
+        write_synthetic_subject(p, num_trials=2,
+                                trial_length=trial_length, seed=200)
+
+    ds_tr = WindowDataset(tr_dir, window_size=WINDOW, stride=STRIDE,
+                          output_data_format=fmt)
+    ds_dev = WindowDataset(dev_dir, window_size=WINDOW, stride=STRIDE,
+                           output_data_format=fmt)
+    b_tr = ds_tr.gather(np.arange(len(ds_tr)))
+    b_dev = ds_dev.gather(np.arange(len(ds_dev)))
+    x_tr = np.asarray(b_tr.inputs, np.float32)
+    y_tr = np.asarray(b_tr.labels, np.float32)
+    x_dev = np.asarray(b_dev.inputs, np.float32)
+    y_dev = np.asarray(b_dev.labels, np.float32)
+    sl = label_slices(ds_tr.lab_offsets)
+    lab_dev = slice_labels(y_dev, sl)
+    return ds_tr, ds_dev, x_tr, y_tr, x_dev, lab_dev, sl
+
+
+# ---------------------------------------------------------------------------
 
 def main():
     # CPU venue by default: the reference trained on CPU SLURM partitions
@@ -313,57 +387,9 @@ def main():
                          'a fast smoke run; the study used 1500)')
     args = ap.parse_args()
 
-    from inferbiomechanics_tpu.data.dataset import WindowDataset
-    from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
-
-    tr_dir = os.path.join(args.data, 'train')
-    dev_dir = os.path.join(args.data, 'dev')
-    os.makedirs(tr_dir, exist_ok=True)
-    os.makedirs(dev_dir, exist_ok=True)
-    # existing files are reused, so a stale --data written at a different
-    # --trial-length would silently change the study's data volume —
-    # refuse instead of training on the wrong corpus
-    marker = os.path.join(args.data, '.trial_length')
-    have_files = any(
-        os.path.exists(os.path.join(d, n))
-        for d, n in [(tr_dir, 'train_s0.b3d'), (dev_dir, 'dev_s0.b3d')])
-    if os.path.exists(marker):
-        prev = int(open(marker).read().strip())
-        if prev != args.trial_length:
-            raise SystemExit(
-                f'{args.data} holds trials of length {prev}, not '
-                f'{args.trial_length}; pass a fresh --data dir')
-    elif have_files:
-        raise SystemExit(
-            f'{args.data} holds subject files of unknown trial length '
-            f'(no .trial_length marker); pass a fresh --data dir')
-    else:
-        with open(marker, 'w') as f:
-            f.write(str(args.trial_length))
-    for i in range(2):
-        p = os.path.join(tr_dir, f'train_s{i}.b3d')
-        if not os.path.exists(p):
-            write_synthetic_subject(p, num_trials=2,
-                                    trial_length=args.trial_length,
-                                    seed=100 + i)
-    p = os.path.join(dev_dir, 'dev_s0.b3d')
-    if not os.path.exists(p):
-        write_synthetic_subject(p, num_trials=2,
-                                trial_length=args.trial_length, seed=200)
-
     fmt = 'all_frames' if args.model == 'groundlink' else 'last_frame'
-    ds_tr = WindowDataset(tr_dir, window_size=WINDOW, stride=STRIDE,
-                          output_data_format=fmt)
-    ds_dev = WindowDataset(dev_dir, window_size=WINDOW, stride=STRIDE,
-                           output_data_format=fmt)
-    b_tr = ds_tr.gather(np.arange(len(ds_tr)))
-    b_dev = ds_dev.gather(np.arange(len(ds_dev)))
-    x_tr = np.asarray(b_tr.inputs, np.float32)
-    y_tr = np.asarray(b_tr.labels, np.float32)
-    x_dev = np.asarray(b_dev.inputs, np.float32)
-    y_dev = np.asarray(b_dev.labels, np.float32)
-    sl = label_slices(ds_tr.lab_offsets)
-    lab_dev = slice_labels(y_dev, sl)
+    ds_tr, ds_dev, x_tr, y_tr, x_dev, lab_dev, sl = build_study_data(
+        args.data, args.trial_length, fmt)
     print(f'train windows {len(ds_tr)}  dev windows {len(ds_dev)}  '
           f'input [{x_tr.shape[1]}x{x_tr.shape[2]}]', flush=True)
 
