@@ -350,9 +350,18 @@ class AnalyzeCommand:
             # exactly the train-side --device-chunk-steps treatment)
             eval_chunk = max(1, int(getattr(args, 'eval_chunk_steps', 1)
                                     or 1))
-            use_chunks = (eval_chunk > 1 and eval_fn is not None
-                          and not config.compute_report
+            # the analytical baseline chunks too (round 5): predict and
+            # the tau report both have traceable cores, so K batches of
+            # 12-joint FK + nested-jvp ID run as ONE scan program — the
+            # per-dispatch tax (~40-90 ms on the axon tunnel) dominated
+            # this path (scripts/probe_analytical_floor.py: 4x batch =
+            # +15% wall)
+            ana_chunks = (eval_chunk > 1 and config.model_type == 'analytical'
                           and not getattr(args, 'plot_errors', False))
+            use_chunks = ana_chunks or (
+                eval_chunk > 1 and eval_fn is not None
+                and not config.compute_report
+                and not getattr(args, 'plot_errors', False))
 
             with open(csv_path, 'a', newline='') as f:
                 writer = csv.writer(f)
@@ -394,13 +403,35 @@ class AnalyzeCommand:
                     import jax.numpy as jnp
                     from jax import lax
 
-                    @jax.jit
-                    def eval_chunk_fn(st, xs, ys):
-                        def body(carry, xy):
-                            _, m = eval_fn(st, xy[0], xy[1])
-                            return carry, m
-                        _, ms = lax.scan(body, None, (xs, ys))
-                        return ms
+                    if ana_chunks:
+                        last_frame = config.output_data_format != 'all_frames'
+                        do_tau = config.compute_report and tau_fn is not None
+
+                        @jax.jit
+                        def ana_chunk_fn(xs, ys, ss):
+                            def body(carry, xys):
+                                x, y, s = xys
+                                out = predict(x, s)
+                                if last_frame:
+                                    out = {k: v[:, -1:, :]
+                                           for k, v in out.items()}
+                                labels = ds.unpack_labels(y)
+                                m = dict(evaluator.compute_metrics(out,
+                                                                   labels))
+                                if do_tau:
+                                    m['tau_report'] = tau_fn.traceable(
+                                        x, out, labels, s)
+                                return carry, m
+                            _, ms = lax.scan(body, None, (xs, ys, ss))
+                            return ms
+                    else:
+                        @jax.jit
+                        def eval_chunk_fn(st, xs, ys):
+                            def body(carry, xy):
+                                _, m = eval_fn(st, xy[0], xy[1])
+                                return carry, m
+                            _, ms = lax.scan(body, None, (xs, ys))
+                            return ms
 
                     pend = []   # [(i, batch)] — same-shape batches only
 
@@ -411,9 +442,19 @@ class AnalyzeCommand:
                             [b.inputs for _, b in pend]))
                         ys = jnp.asarray(np.stack(
                             [b.labels for _, b in pend]))
-                        ms = jax.device_get(eval_chunk_fn(state, xs, ys))
+                        if ana_chunks:
+                            ss = jnp.asarray(np.stack(
+                                [np.asarray(b.subject_indices, np.int32)
+                                 for _, b in pend]))
+                            ms = jax.device_get(ana_chunk_fn(xs, ys, ss))
+                        else:
+                            ms = jax.device_get(eval_chunk_fn(state, xs, ys))
                         for k, (bi, b) in enumerate(pend):
                             mk = {key: v[k] for key, v in ms.items()}
+                            tau_v = mk.pop('tau_report', None)
+                            if tau_v is not None:
+                                evaluator.tau_reported_metrics.append(
+                                    float(tau_v))
                             evaluator(None, None, None,
                                       precomputed_metrics=mk)
                             emit_rows(bi, b, mk)

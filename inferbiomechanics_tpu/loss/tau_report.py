@@ -71,7 +71,13 @@ def make_tau_report_fn(ds: WindowDataset) -> Callable:
         batched = jax.jit(jax.vmap(
             lambda q, dq, ddq, w, t, m: one(q, dq, ddq, w, t, m, None)))
 
-    def tau_fn(packed_inputs, outputs, labels, batch_subject_indices=None) -> float:
+    masses_j = jnp.asarray(subject_masses)
+
+    def traceable(packed_inputs, outputs, labels,
+                  batch_subject_indices=None) -> jax.Array:
+        """Jit-safe core: returns the batch-mean tau metric as a traced
+        scalar (``batch_subject_indices`` may be a traced int array) —
+        used by analyze's chunked scan dispatch (cli/analyze_cmd.py)."""
         x = jnp.asarray(packed_inputs)
         q = x[:, -1, o_pos:o_pos + w_pos]
         dq = x[:, -1, o_vel:o_vel + w_pos]
@@ -80,16 +86,21 @@ def make_tau_report_fn(ds: WindowDataset) -> Callable:
             outputs[K.OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME])[:, -1, :]
         tau_label = jnp.asarray(labels[K.OutputDataKeys.TAU])[:, -1, :]
         if batch_subject_indices is not None:
-            sidx = np.asarray(batch_subject_indices)
-            mass = jnp.asarray(subject_masses[sidx])
+            sidx = jnp.asarray(batch_subject_indices)
+            mass = masses_j[sidx]
         else:
-            sidx = np.zeros((q.shape[0],), np.int64)
+            sidx = jnp.zeros((q.shape[0],), jnp.int32)
             mass = jnp.full((q.shape[0],), mean_mass, jnp.float32)
         if param_stack is not None:
-            arrs = {k: v[jnp.asarray(sidx)] for k, v in param_stack.items()}
+            arrs = {k: v[sidx] for k, v in param_stack.items()}
             vals = batched(q, dq, ddq, wrenches, tau_label, mass, arrs)
         else:
             vals = batched(q, dq, ddq, wrenches, tau_label, mass)
-        return float(jnp.mean(vals))
+        return jnp.mean(vals)
 
+    def tau_fn(packed_inputs, outputs, labels, batch_subject_indices=None) -> float:
+        return float(traceable(packed_inputs, outputs, labels,
+                               batch_subject_indices))
+
+    tau_fn.traceable = traceable
     return tau_fn

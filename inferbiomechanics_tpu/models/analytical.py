@@ -42,7 +42,8 @@ def analytical_forward(skel: CompiledSkeleton,
     Rs, ps = skel.fk(q)
     com_acc = skel.com_acceleration(q, dq, ddq) - GRAVITY  # ref :59
 
-    body_coms = skel.body_coms_world(q)
+    # body COMs from the FK above (body_coms_world(q) would re-run FK)
+    body_coms = ps + jnp.einsum('bij,bj->bi', Rs, skel.coms.astype(q.dtype))
     heights = ps[cbi, 1]
     contact = (heights < CONTACT_HEIGHT_THRESHOLD).astype(q.dtype)  # ref :62-68
     n_contact = contact.sum()
@@ -104,25 +105,35 @@ def make_analytical_fn(ds: WindowDataset):
     o_vel, _ = ds.in_offsets[K.InputDataKeys.VEL]
     o_acc, _ = ds.in_offsets[K.InputDataKeys.ACC]
 
+    # ONE flat vmap over B*T frames (reshaped back to [B,T,...] after):
+    # a single large batch axis instead of nested vmaps — bigger fused
+    # ops, and it sidesteps an XLA algebraic-simplifier RET_CHECK crash
+    # on doubly-vmapped 3x3 dot/transpose chains (observed jax 0.9.0 CPU)
     frame_fn = lambda q, dq, ddq: analytical_forward(skel, contact_indices, q, dq, ddq)
-    batched = jax.jit(jax.vmap(jax.vmap(frame_fn)))
+    batched_flat = jax.jit(jax.vmap(frame_fn))
 
-    def item_fn(q_t, dq_t, ddq_t, arrs):
+    def frame_ps(q, dq, ddq, arrs):
         sk = with_params(skel, arrs)
-        return jax.vmap(lambda a, b, c: analytical_forward(
-            sk, contact_indices, a, b, c))(q_t, dq_t, ddq_t)
+        return analytical_forward(sk, contact_indices, q, dq, ddq)
 
-    batched_ps = jax.jit(jax.vmap(item_fn))
+    batched_ps_flat = jax.jit(jax.vmap(frame_ps))
 
     def predict(packed_inputs, subject_indices=None) -> Dict[str, jax.Array]:
         x = jnp.asarray(packed_inputs)
-        q = x[..., o_pos:o_pos + w_pos]
-        dq = x[..., o_vel:o_vel + w_pos]
-        ddq = x[..., o_acc:o_acc + w_pos]
+        B, T = x.shape[0], x.shape[1]
+        q = x[..., o_pos:o_pos + w_pos].reshape(B * T, w_pos)
+        dq = x[..., o_vel:o_vel + w_pos].reshape(B * T, w_pos)
+        ddq = x[..., o_acc:o_acc + w_pos].reshape(B * T, w_pos)
         if param_stack is not None and subject_indices is not None:
-            sidx = jnp.asarray(np.asarray(subject_indices))
-            arrs = {k: v[sidx] for k, v in param_stack.items()}
-            return batched_ps(q, dq, ddq, arrs)
-        return batched(q, dq, ddq)
+            # jnp (not np) so traced subject indices work — analyze's
+            # chunked scan dispatch calls predict inside lax.scan
+            sidx = jnp.asarray(subject_indices)
+            # per-frame parameter rows: repeat each window's subject T x
+            fidx = jnp.repeat(sidx, T)
+            arrs = {k: v[fidx] for k, v in param_stack.items()}
+            out = batched_ps_flat(q, dq, ddq, arrs)
+        else:
+            out = batched_flat(q, dq, ddq)
+        return {k: v.reshape((B, T) + v.shape[1:]) for k, v in out.items()}
 
     return predict

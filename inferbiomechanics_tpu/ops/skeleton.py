@@ -123,6 +123,70 @@ class CompiledSkeleton:
         self.body_names = [b.name for b in spec.bodies]
         self.body_index = {b.name: i for i, b in enumerate(spec.bodies)}
 
+        # -- vectorized-FK schedule (round 5) ---------------------------
+        # Joints without coordinate couplings CAN evaluate as type-grouped
+        # batched rotation builders + a level-by-level chain composition
+        # (``_fk_vectorized``). MEASURED SLOWER on both venues
+        # (TPU same-day A/B: 130.4 vs 44.1 ms/batch(1024); CPU 2.6x —
+        # scripts/probe_fk_ab.py, BENCH_NOTES round 5): the level
+        # composition's gathers/scatters cost more than the unrolled
+        # straight-line 3x3 chains, which XLA fuses fully. The unrolled
+        # path stays the default; the vectorized kernel is kept as
+        # tested infrastructure (tests/test_skeleton.py).
+        self._fast_fk = False
+        self._can_vectorize = not any(self._couplings)
+        if self._can_vectorize:
+            joints = spec.joints
+            rev, eul, ordr, fix, free = [], [], [], [], []
+            for ji, j in enumerate(joints):
+                if j.type == 'revolute':
+                    rev.append(ji)
+                elif j.type in ('ball', 'free'):
+                    (ordr if self._noncanon_rot[ji] else eul).append(ji)
+                    if j.type == 'free':
+                        free.append(ji)
+                else:
+                    fix.append(ji)
+            self._vec_rev = np.asarray(rev, np.int32)
+            self._vec_eul = np.asarray(eul, np.int32)
+            self._vec_ord = np.asarray(ordr, np.int32)
+            self._vec_fix = np.asarray(fix, np.int32)
+            self._vec_free = [(ji, self.dof_offsets[ji]) for ji in free]
+            self._vec_rev_qoff = np.asarray(
+                [self.dof_offsets[ji] for ji in rev], np.int32)
+            self._vec_eul_qoff = np.asarray(
+                [[self.dof_offsets[ji] + k for k in range(3)]
+                 for ji in eul], np.int32).reshape(len(eul), 3)
+            self._vec_ord_qoff = np.asarray(
+                [[self.dof_offsets[ji] + k for k in range(3)]
+                 for ji in ordr], np.int32).reshape(len(ordr), 3)
+            # concat([rev, eul, ord, fix]) -> joint order
+            self._vec_perm = np.argsort(
+                np.concatenate([self._vec_rev, self._vec_eul,
+                                self._vec_ord, self._vec_fix])
+            ).astype(np.int32)
+            self._vec_any_pre = any(self._has_pre_rot)
+            self._vec_any_child = any(self._has_child_off)
+            # level schedule: joints grouped by tree depth; every level is
+            # one batched (gather-parent, matmul, scatter-child) step
+            depth = {}
+            for ji, j in enumerate(joints):
+                depth[j.child_body] = (0 if j.parent_body < 0
+                                       else depth[j.parent_body] + 1)
+            levels: Dict[int, List[int]] = {}
+            for ji, j in enumerate(joints):
+                levels.setdefault(depth[j.child_body], []).append(ji)
+            self._vec_levels = []
+            for d in sorted(levels):
+                jis = levels[d]
+                self._vec_levels.append((
+                    np.asarray(jis, np.int32),
+                    np.asarray([joints[ji].child_body for ji in jis],
+                               np.int32),
+                    np.asarray([joints[ji].parent_body for ji in jis],
+                               np.int32),
+                    d == 0))
+
     # -- joint-local transforms ------------------------------------------
 
     def _coupling_fn(self, entry, q_scalar):
@@ -202,6 +266,13 @@ class CompiledSkeleton:
 
     def fk(self, q: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """World transforms for every body: (R [nb,3,3], p [nb,3])."""
+        if self._fast_fk:
+            return self._fk_vectorized(q)
+        return self._fk_unrolled(q)
+
+    def _fk_unrolled(self, q: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Per-joint unroll — the general path (coordinate couplings
+        evaluate per-entry scalar functions that don't batch)."""
         Rs = [None] * self.num_bodies
         ps = [None] * self.num_bodies
         for ji, joint in enumerate(self.spec.joints):
@@ -213,6 +284,63 @@ class CompiledSkeleton:
             Rs[joint.child_body] = Rp @ Rj
             ps[joint.child_body] = pp + Rp @ tj
         return jnp.stack(Rs), jnp.stack(ps)
+
+    def _fk_vectorized(self, q: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Type-grouped batched joint rotations + level-wise composition.
+
+        Semantics identical to :meth:`_fk_unrolled` (pinned by
+        tests/test_skeleton.py::test_vectorized_fk_matches_unrolled);
+        per-subject parameter arrays (with_params) stay traced values —
+        only topology/type grouping is baked at trace time.
+        """
+        nj = self.num_joints
+        dt = q.dtype
+        parts = []
+        if self._vec_rev.size:
+            parts.append(axis_angle_to_matrix(
+                self.joint_axes[self._vec_rev].astype(dt),
+                q[self._vec_rev_qoff]))
+        if self._vec_eul.size:
+            parts.append(euler_xyz_to_matrix(q[self._vec_eul_qoff]))
+        if self._vec_ord.size:
+            axs = self.joint_rot_axes[self._vec_ord].astype(dt)  # [no,3,3]
+            ang = q[self._vec_ord_qoff]                          # [no,3]
+            R = axis_angle_to_matrix(axs[:, 0], ang[:, 0])
+            R = R @ axis_angle_to_matrix(axs[:, 1], ang[:, 1])
+            parts.append(R @ axis_angle_to_matrix(axs[:, 2], ang[:, 2]))
+        if self._vec_fix.size:
+            parts.append(jnp.broadcast_to(
+                jnp.eye(3, dtype=dt), (self._vec_fix.size, 3, 3)))
+        Rj = jnp.concatenate(parts)[self._vec_perm]              # [nj,3,3]
+        tj = jnp.zeros((nj, 3), dt)
+        for ji, off in self._vec_free:
+            tj = tj.at[ji].set(q[off + 3:off + 6])
+        # offset frames (zero angles/translations are exact identities,
+        # so they apply to ALL joints whenever ANY joint has one)
+        t = tj
+        if self._vec_any_child:
+            C = euler_xyz_to_matrix(self.child_orientations.astype(dt))
+            Rj = Rj @ jnp.swapaxes(C, -1, -2)
+            t = tj - jnp.einsum('jab,jb->ja', Rj,
+                                self.child_translations.astype(dt))
+        if self._vec_any_pre:
+            A = euler_xyz_to_matrix(self.joint_orientations.astype(dt))
+            Rj = A @ Rj
+            t = jnp.einsum('jab,jb->ja', A, t)
+        t_loc = self.joint_translations.astype(dt) + t
+        # chain composition: one batched gather/matmul/scatter per level
+        R = jnp.zeros((self.num_bodies, 3, 3), dt)
+        p = jnp.zeros((self.num_bodies, 3), dt)
+        for jis, childs, parents, is_root in self._vec_levels:
+            if is_root:
+                Rw, pw = Rj[jis], t_loc[jis]
+            else:
+                Rp, pp = R[parents], p[parents]
+                Rw = Rp @ Rj[jis]
+                pw = pp + jnp.einsum('jab,jb->ja', Rp, t_loc[jis])
+            R = R.at[childs].set(Rw)
+            p = p.at[childs].set(pw)
+        return R, p
 
     def joint_world_positions(self, q: jax.Array) -> jax.Array:
         """World position of every joint center [nj, 3] (parity:

@@ -370,3 +370,36 @@ def test_analyze_chunked_eval_matches_per_batch(workspace, tmp_path):
         for v1, v2 in zip(r1[2:], r2[2:]):
             assert abs(float(v1) - float(v2)) <= 1e-5 * max(
                 1.0, abs(float(v1))), (r1, r2)
+
+
+def test_analyze_analytical_chunked_matches_per_batch(workspace):
+    """The analytical baseline's chunked scan dispatch (round 5) must
+    reproduce per-batch dispatch exactly — per-window CSV rows AND the
+    inverse-dynamics tau report, whose traceable core runs inside the
+    scan (the per-dispatch tunnel tax dominated this path; see
+    scripts/probe_analytical_floor.py)."""
+    base = ['analyze', '--dataset-home', workspace['data'],
+            '--checkpoint-dir', workspace['ckpt'], '--no-wandb',
+            '--short', '--batch-size', '4', '--model-type', 'analytical',
+            '--compute-report']
+    csv_path = os.path.join(workspace['ckpt'], 'analytical',
+                            'dev_analysis.csv')
+
+    def run_variant(args):
+        if os.path.exists(csv_path):
+            os.remove(csv_path)
+        out = run_cmd(args)
+        text = out.stdout + out.stderr
+        tau = [ln for ln in text.splitlines() if 'Tau' in ln]
+        return list(csv.reader(open(csv_path))), tau
+
+    per_batch, tau1 = run_variant(base + ['--eval-chunk-steps', '1'])
+    chunked, tau2 = run_variant(base + ['--eval-chunk-steps', '3'])
+    os.remove(csv_path)
+    assert len(per_batch) == len(chunked) > 1
+    for r1, r2 in zip(per_batch, chunked):
+        assert r1[:2] == r2[:2]
+        for v1, v2 in zip(r1[2:], r2[2:]):
+            assert abs(float(v1) - float(v2)) <= 1e-4 * max(
+                1.0, abs(float(v1))), (r1, r2)
+    assert tau1 and tau2 and tau1 == tau2, (tau1, tau2)

@@ -405,3 +405,64 @@ def test_analytical_per_subject_skeletons(tmp_path):
     same_inputs = np.stack([batch.inputs[0], batch.inputs[0]])
     out2 = predict(same_inputs, subject_indices=np.array([0, 1]))
     assert not np.allclose(np.asarray(out2[key])[0], np.asarray(out2[key])[1])
+
+
+# ---- vectorized FK (round 5: batched joint groups + level composition) ----
+
+def _offset_frame_spec():
+    """Standard skeleton, perturbed with parent-offset orientations, a
+    child offset frame, and non-canonical ordered rotation axes on the
+    root/first ball joint — every structural branch of the fast path."""
+    import dataclasses
+    s = standard_skeleton()
+    joints = [dataclasses.replace(j) for j in s.joints]
+    joints[0] = dataclasses.replace(
+        joints[0], orientation=[0.1, -0.2, 0.3],
+        rot_axes=[[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    joints[2] = dataclasses.replace(
+        joints[2], orientation=[0.05, 0.0, -0.1],
+        child_translation=[0.02, -0.03, 0.01],
+        child_orientation=[-0.2, 0.1, 0.15])
+    joints[6] = dataclasses.replace(
+        joints[6],
+        rot_axes=[[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    return dataclasses.replace(s, joints=joints)
+
+
+@pytest.mark.parametrize('spec_fn', [standard_skeleton, _offset_frame_spec])
+def test_vectorized_fk_matches_unrolled(spec_fn):
+    sk = compile_skeleton(spec_fn())
+    assert sk._can_vectorize
+    for seed in range(3):
+        q, _, _ = _rand_state(sk, seed=seed)
+        q = q.astype(jnp.float32)
+        Rv, pv = sk._fk_vectorized(q)
+        Ru, pu = sk._fk_unrolled(q)
+        np.testing.assert_allclose(np.asarray(Rv), np.asarray(Ru),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pv), np.asarray(pu),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_vectorized_fk_jvp_matches_unrolled(skel):
+    """com_acceleration (nested jvp through fk) agrees across paths."""
+    q, dq, ddq = _rand_state(skel, seed=4)
+    import copy
+    fast = copy.copy(skel)
+    fast._fast_fk = True
+    fast_acc = fast.com_acceleration(q, dq, ddq)
+    slow_acc = skel.com_acceleration(q, dq, ddq)
+    np.testing.assert_allclose(np.asarray(fast_acc), np.asarray(slow_acc),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_coupled_skeleton_cannot_vectorize():
+    import dataclasses
+    s = standard_skeleton()
+    joints = [dataclasses.replace(j) for j in s.joints]
+    joints[2] = dataclasses.replace(
+        joints[2],
+        couplings=[{'kind': 'rotation', 'axis': [0.0, 0.0, 1.0],
+                    'fn': {'type': 'identity'}}])
+    sk = compile_skeleton(dataclasses.replace(s, joints=joints))
+    assert not sk._can_vectorize
