@@ -117,10 +117,36 @@ class DiffusionDenoiser(nn.Module):
 # Training + sampling
 # ---------------------------------------------------------------------------
 
+def target_scales(num_contact_bodies: int) -> jax.Array:
+    """Per-channel normalizers for the diffusion target space.
+
+    The DDPM noise schedule assumes ~unit-variance data; the raw
+    kg-normalized targets span two orders of magnitude across channels
+    (forces ~±20 N/kg, CoPs ~±1 m), so without normalization the
+    forward process barely corrupts the large channels at most
+    timesteps while drowning the small ones — mis-training the score
+    and making DDIM-from-noise converge pathologically slowly (found
+    during the round-5 quality anchor: dev force error fell 63 -> 50
+    N/kg over 10 epochs un-normalized). Fixed physical scales (not
+    dataset statistics) keep checkpoints free of data-coupled state.
+    Order matches :func:`diffusion_targets_from_labels`."""
+    per3 = lambda v: jnp.full((3,), v, jnp.float32)
+    one_body = [per3(0.5),                 # cops (m)
+                per3(10.0),                # forces (N/kg)
+                per3(5.0),                 # torques (Nm/kg)
+                ]
+    wrench_body = jnp.concatenate([per3(5.0), per3(10.0)])  # [n; f]
+    return jnp.concatenate(
+        [jnp.tile(v, num_contact_bodies) for v in one_body]
+        + [jnp.tile(wrench_body, num_contact_bodies)])
+
+
 def diffusion_targets_from_labels(packed_labels: jax.Array,
                                   lab_offsets: Dict[str, Tuple[int, int]],
                                   num_contact_bodies: int) -> jax.Array:
-    """[B, T, C_lab] -> [B, T, target_channels] in head-slice order."""
+    """[B, T, C_lab] -> [B, T, target_channels] in head-slice order,
+    NORMALIZED into the diffusion space (see :func:`target_scales`);
+    the sampler denormalizes at its exit."""
     from inferbiomechanics_tpu.data.keys import OutputDataKeys as O
     parts = []
     for key in (O.GROUND_CONTACT_COPS_IN_ROOT_FRAME,
@@ -129,19 +155,23 @@ def diffusion_targets_from_labels(packed_labels: jax.Array,
                 O.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME):
         o, w = lab_offsets[key]
         parts.append(packed_labels[..., o:o + w])
-    return jnp.concatenate(parts, axis=-1)
+    x = jnp.concatenate(parts, axis=-1)
+    return x / target_scales(num_contact_bodies).astype(x.dtype)
 
 
 def diffusion_targets_from_outputs(outputs: Dict[str, jax.Array]) -> jax.Array:
-    """Model-output dict -> [B, T, target_channels] in head-slice order —
-    the proposal packing for partial-denoising warm starts (the inverse
-    of ``slice_output_heads`` restricted to the four GRF heads)."""
+    """Model-output dict -> [B, T, target_channels] in head-slice order,
+    normalized into the diffusion space — the proposal packing for
+    partial-denoising warm starts (the inverse of
+    ``slice_output_heads`` restricted to the four GRF heads)."""
     from inferbiomechanics_tpu.data.keys import OutputDataKeys as O
-    return jnp.concatenate([
+    x = jnp.concatenate([
         outputs[O.GROUND_CONTACT_COPS_IN_ROOT_FRAME],
         outputs[O.GROUND_CONTACT_FORCES_IN_ROOT_FRAME],
         outputs[O.GROUND_CONTACT_TORQUES_IN_ROOT_FRAME],
         outputs[O.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME]], axis=-1)
+    nb = outputs[O.GROUND_CONTACT_COPS_IN_ROOT_FRAME].shape[-1] // 3
+    return x / target_scales(nb).astype(x.dtype)
 
 
 def make_partial_proposal_fn(config, dataset, init_checkpoint,
@@ -418,9 +448,10 @@ def make_sampler(model: DiffusionDenoiser,
             ab_t = sched.alpha_bars[t]
             ab_prev = jnp.where(t_prev >= 0, sched.alpha_bars[jnp.maximum(t_prev, 0)], 1.0)
             x0_pred = (x - jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(ab_t)
-            # keep x0 in the physical range of kg-normalized targets
-            # (forces ~ ±30 N/kg, CoPs ~ ±2 m) to stop early-step blowups
-            x0_pred = jnp.clip(x0_pred, -50.0, 50.0)
+            # the chain runs in the NORMALIZED target space (per-channel
+            # ~unit scale, target_scales); clip a few sigma out to stop
+            # early-step blowups
+            x0_pred = jnp.clip(x0_pred, -8.0, 8.0)
             sigma = eta * jnp.sqrt((1 - ab_prev) / (1 - ab_t)) * \
                 jnp.sqrt(1 - ab_t / ab_prev)
             dir_xt = jnp.sqrt(jnp.maximum(1 - ab_prev - sigma ** 2, 0.0)) * eps
@@ -432,6 +463,8 @@ def make_sampler(model: DiffusionDenoiser,
 
         (x, _), _ = jax.lax.scan(body, (x, rng),
                                  (jnp.asarray(ts), jnp.asarray(ts_prev)))
+        # leave the normalized diffusion space (target_scales)
+        x = x * target_scales(model.num_contact_bodies).astype(x.dtype)
         return slice_output_heads(x, model.num_contact_bodies, T)
 
     return jax.jit(sample)

@@ -230,8 +230,12 @@ def run_diffusion(ds, x_tr, y_tr, x_dev, lab_dev, seed, epochs, schedule,
     out['final'][f'ema_partial{PARTIAL_FRAC:g}'] = sample_metrics(
         be, x_dev, lab_dev, eval_rng, sampler_fn=part_sampler,
         init=init_full)
-    # the proposal itself, scored directly (context for the partial row)
-    pred = {k: init_full[..., o:o + w]
+    # the proposal itself, scored directly (context for the partial
+    # row); init_full is in the NORMALIZED diffusion space, so scale
+    # back to raw units for scoring
+    from inferbiomechanics_tpu.models.diffusion import target_scales
+    init_raw = init_full * np.asarray(target_scales(ds.num_contact_bodies))
+    pred = {k: init_raw[..., o:o + w]
             for k, (o, w) in _target_slices(ds).items()}
     out['final']['proposal_ff'] = P.dev_metrics(pred, lab_dev)
     return out

@@ -58,17 +58,23 @@ def test_schedule_monotone_alpha_bar():
 
 
 def test_targets_extraction(ds):
+    from inferbiomechanics_tpu.models.diffusion import target_scales
     batch = ds.gather(np.arange(4))
-    x0 = diffusion_targets_from_labels(jnp.asarray(batch.labels),
-                                       ds.lab_offsets, ds.num_contact_bodies)
-    assert x0.shape == (4, 4, 30)
+    x0_n = diffusion_targets_from_labels(jnp.asarray(batch.labels),
+                                         ds.lab_offsets, ds.num_contact_bodies)
+    assert x0_n.shape == (4, 4, 30)
+    # the diffusion space is per-channel normalized (unit-variance noise
+    # schedule); scaling back recovers the raw label slices exactly
+    x0 = x0_n * target_scales(ds.num_contact_bodies)
     labels = ds.unpack_labels(batch.labels)
     np.testing.assert_allclose(
         np.asarray(x0[..., :6]),
-        np.asarray(labels[OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME]))
+        np.asarray(labels[OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME]),
+        rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(x0[..., 6:12]),
-        np.asarray(labels[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]))
+        np.asarray(labels[OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME]),
+        rtol=1e-6, atol=1e-6)
 
 
 def test_train_step_reduces_eps_mse(ds):
@@ -132,11 +138,15 @@ def test_partial_denoising_warm_start(ds):
     assert np.isfinite(err_part)
     assert err_part < 0.25 * err_full, (err_part, err_full)
 
-    # the packing helper really is slice_output_heads' inverse
+    # the packing helper really is slice_output_heads' inverse ON THE
+    # RAW side: outputs (raw units) -> normalized diffusion space
     from inferbiomechanics_tpu.models.common import slice_output_heads
+    from inferbiomechanics_tpu.models.diffusion import target_scales
+    raw = truth * target_scales(ds.num_contact_bodies)
     rt = diffusion_targets_from_outputs(
-        slice_output_heads(truth, ds.num_contact_bodies, truth.shape[1]))
-    np.testing.assert_array_equal(np.asarray(rt), np.asarray(truth))
+        slice_output_heads(raw, ds.num_contact_bodies, raw.shape[1]))
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(truth),
+                               rtol=1e-6, atol=1e-6)
 
     # contract: init is required, partial_frac validated, and a
     # last_frame-shaped init must not silently broadcast across frames
