@@ -8,6 +8,7 @@ from inferbiomechanics_tpu.cli.make_plots_cmd import (
     classify_motion, estimate_mass, stance_speed, _butter_lowpass,
 )
 from inferbiomechanics_tpu.cli.review_file_cmd import find_suspicious_segments
+import pytest
 
 
 def test_classify_motion_keywords():
@@ -87,6 +88,7 @@ def test_demographic_overrides():
                                        'male') == (25, 'male')
 
 
+@pytest.mark.slow
 def test_make_plots_full_scatter_set(tmp_path):
     """The complete ScatterPlots figure set renders (ref :560-616,907-985):
     13 per-DOF matrices + joint centers + 11 singles."""
@@ -160,6 +162,7 @@ def test_ref_classification_is_per_subject(tmp_path):
     assert 'unknown' not in hours
 
 
+@pytest.mark.slow
 def test_make_plots_raw_mode(tmp_path):
     """TrialRaw variant: kinematics-only, no tau figures (ref :1623-1733)."""
     from inferbiomechanics_tpu.cli.make_plots_cmd import (

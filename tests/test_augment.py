@@ -222,6 +222,7 @@ def test_device_tier_with_augmenter(ds, spec):
     assert np.isfinite(float(metrics['loss']))
 
 
+@pytest.mark.slow
 def test_diffusion_step_with_augmenter(ds, spec):
     """The diffusion ε-step augments the conditioning AND targets."""
     from inferbiomechanics_tpu.models.diffusion import (

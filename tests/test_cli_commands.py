@@ -131,6 +131,7 @@ def test_visualize_out_implies_static(workspace, tmp_path):
     assert os.path.exists(out_html)
 
 
+@pytest.mark.slow
 def test_train_sharded_device_data(tmp_path):
     """--device-data sharded: trials split across the 8-device CPU mesh
     (train/sharded_data.py), full CLI train end-to-end."""
@@ -147,6 +148,7 @@ def test_train_sharded_device_data(tmp_path):
     assert (ckpt / 'feedforward').is_dir()
 
 
+@pytest.mark.slow
 def test_train_sharded_lazy_features(tmp_path):
     """--no-materialize-features + --device-data sharded: the host-RAM-
     scaling combination — features stay on disk and the sharded tier
@@ -178,6 +180,7 @@ def test_train_from_pickled_blocks(workspace):
     assert 'Training done' in out.stdout
 
 
+@pytest.mark.slow
 def test_analyze_ensemble(workspace, tmp_path):
     """analyze --ensemble evaluates the vmapped mean of two checkpoints."""
     ckpt2 = tmp_path / 'ck2'
@@ -213,6 +216,7 @@ def test_doctor(workspace):
     assert 'DOCTOR: healthy' in out.stdout
 
 
+@pytest.mark.slow
 def test_sigterm_preemption_checkpoint(tmp_path):
     """SIGTERM mid-training writes a mid-epoch checkpoint and exits 0;
     the same command resumes from it (TPU-preemption safety)."""
@@ -253,6 +257,7 @@ def test_sigterm_preemption_checkpoint(tmp_path):
     assert 'Training done' in out2.stdout
 
 
+@pytest.mark.slow
 def test_train_grad_accum(workspace, tmp_path):
     """--grad-accum-steps trains end-to-end (beyond parity: effective
     batches past activation-memory fit); indivisible splits fail fast."""
@@ -305,6 +310,7 @@ def test_analyze_bootstrap_cis(workspace):
         assert lo <= mid <= hi
 
 
+@pytest.mark.slow
 def test_sweep_sigterm_preemption_and_resume(tmp_path):
     """SIGTERM mid-sweep saves the stacked grid state at the epoch
     boundary and exits 0; rerunning the same sweep resumes it."""
@@ -345,6 +351,7 @@ def test_sweep_sigterm_preemption_and_resume(tmp_path):
     assert 'sweep resume: grid state restored' in out2.stdout + out2.stderr
 
 
+@pytest.mark.slow
 def test_analyze_chunked_eval_matches_per_batch(workspace, tmp_path):
     """--eval-chunk-steps K (default 64) scans K batches per dispatch;
     its per-window CSV rows must match per-batch dispatch, including
@@ -372,6 +379,7 @@ def test_analyze_chunked_eval_matches_per_batch(workspace, tmp_path):
                 1.0, abs(float(v1))), (r1, r2)
 
 
+@pytest.mark.slow
 def test_analyze_analytical_chunked_matches_per_batch(workspace):
     """The analytical baseline's chunked scan dispatch (round 5) must
     reproduce per-batch dispatch exactly — per-window CSV rows AND the
@@ -390,7 +398,8 @@ def test_analyze_analytical_chunked_matches_per_batch(workspace):
             os.remove(csv_path)
         out = run_cmd(args)
         text = out.stdout + out.stderr
-        tau = [ln for ln in text.splitlines() if 'Tau' in ln]
+        tau = [ln.strip() for ln in text.splitlines()
+               if 'Inverse Dynamics' in ln]
         return list(csv.reader(open(csv_path))), tau
 
     per_batch, tau1 = run_variant(base + ['--eval-chunk-steps', '1'])

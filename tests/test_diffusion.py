@@ -77,6 +77,7 @@ def test_targets_extraction(ds):
         rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_reduces_eps_mse(ds):
     model = _model(ds)
     state, batch = _state(model, ds)
@@ -317,6 +318,7 @@ def test_ema_update_math():
     np.testing.assert_allclose(np.asarray(ema['w']), want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_diffusion_train_writes_and_uses_ema(tmp_path):
     """train --ema-decay writes ema_params into checkpoints; the EMA tree
     differs from the raw params (it lags them); analyze --use-ema swaps
@@ -376,6 +378,7 @@ def test_diffusion_train_writes_and_uses_ema(tmp_path):
     assert 'ema_params' in (out.stderr + out.stdout)
 
 
+@pytest.mark.slow
 def test_diffusion_host_path_ema(tmp_path):
     """EMA also updates on the host loader path (max_batches_per_epoch
     forces it off the device epoch runner)."""
@@ -404,6 +407,7 @@ def test_diffusion_host_path_ema(tmp_path):
     assert any(not np.array_equal(a, b) for a, b in zip(flat_p, flat_e))
 
 
+@pytest.mark.slow
 def test_diffusion_sigterm_preemption(tmp_path):
     """SIGTERM during diffusion training checkpoints (with EMA) and
     exits 0; resume continues at the next epoch."""
@@ -497,6 +501,7 @@ def test_drop_conditioning_edges(ds):
         assert np.array_equal(h[b], xn[b]) or (h[b] == 0).all()
 
 
+@pytest.mark.slow
 def test_cond_dropout_step_trains_and_differs(ds):
     model = _model(ds)
     state, batch = _state(model, ds)

@@ -27,6 +27,7 @@ def run_cmd(args, timeout=420):
     return out
 
 
+@pytest.mark.slow
 def test_reference_user_walkthrough(tmp_path):
     from inferbiomechanics_tpu.data.synthetic import (
         write_synthetic_legacy_subject,

@@ -201,6 +201,7 @@ print(json.dumps({'proc': proc_id, 'losses': losses, 'param_sum': psum,
 '''
 
 
+@pytest.mark.slow
 def test_two_process_distributed_training(tmp_path):
     from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
     data_dir = str(tmp_path / 'data')

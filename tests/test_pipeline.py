@@ -225,6 +225,7 @@ def _train_cfg(tmp_path, tag, **kw):
     return Config(**base)
 
 
+@pytest.mark.slow
 def test_train_loop_pipeline_end_to_end(ds, tmp_path):
     """--pipeline-parallel 2: the loop trains, dev-evals through the
     canonical view, and writes CANONICAL checkpoints that the plain

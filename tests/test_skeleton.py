@@ -227,6 +227,7 @@ def test_analytical_batched_predict(tmp_path):
         out[OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME])).all()
 
 
+@pytest.mark.slow
 def test_tau_report_hook(tmp_path):
     from inferbiomechanics_tpu.data.dataset import WindowDataset
     from inferbiomechanics_tpu.data.synthetic import write_synthetic_subject
@@ -245,6 +246,7 @@ def test_tau_report_hook(tmp_path):
     assert np.isfinite(err) and err >= 0.0
 
 
+@pytest.mark.slow
 def test_tau_report_uses_per_item_mass(tmp_path):
     """Items from subjects with different masses get different tau scaling.
 
@@ -278,6 +280,7 @@ def test_tau_report_uses_per_item_mass(tmp_path):
     np.testing.assert_allclose(light, 2.0 * heavy, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_tau_report_per_subject_skeletons(tmp_path):
     """Multi-subject datasets with SCALED skeletons (same topology,
     different masses/COMs) run ID with each item's own skeleton via the

@@ -112,6 +112,7 @@ def test_streaming_dp_hlo_has_all_reduce(ds):
         'all-reduce')
 
 
+@pytest.mark.slow
 def test_streaming_diffusion_dp_finite(tmp_path):
     """Diffusion streaming x dp: the eps-prediction segment runner
     trains finite with the gathered batch sharded over the data axis

@@ -214,6 +214,7 @@ def test_shard_configs_preserves_results(dataset):
     np.testing.assert_allclose(plain, sharded, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_run_sweep_diffusion(dataset, tmp_path):
     """The diffusion family sweeps too: eps-MSE steps, fixed-noise dev
     comparator, ranked results."""
@@ -547,6 +548,7 @@ def test_sweep_streaming_diffusion_tier(tmp_path):
     assert result.windows_per_sec > 0
 
 
+@pytest.mark.slow
 def test_sweep_diffusion_cond_dropout_reaches_the_step(dataset, tmp_path):
     """--cond-dropout changes the sweep's diffusion training stream (it
     previously went silently unwired in the sweep family)."""
