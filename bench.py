@@ -399,12 +399,18 @@ def main():
                     f'{" (micro)" if box.get("host_chunked_micro") else ""}:'
                     f' {box["host_chunked"]:.0f} w/s ({time.time()-t:.0f}s)')
         except Exception as e:
+            # record WHY the fallback fires: a probe error on a healthy
+            # tunnel is a different trend signal than a degraded link
+            box['host_chunked_error'] = f'{type(e).__name__}: {e}'
             log(f'[bench] host-chunked tier failed: {e}')
         if not box.get('host_chunked'):
             box['host_chunked'] = LAST_GOOD_HOST_CHUNKED
             box['host_chunked_stale'] = True
-            log(f'[bench] host-chunked tier unmeasurable (tunnel {mbps} '
-                f'MB/s); reporting last good {LAST_GOOD_HOST_CHUNKED:.0f} '
+            reason = (box.get('host_chunked_error')
+                      or f'tunnel degraded ({mbps} MB/s)')
+            box['host_chunked_stale_reason'] = reason
+            log(f'[bench] host-chunked tier unmeasured ({reason}); '
+                f'reporting last good {LAST_GOOD_HOST_CHUNKED:.0f} '
                 f'w/s as stale')
         try:
             box['stage'] = 'tier2_epoch'
@@ -465,6 +471,9 @@ def main():
         result['host_chunked_windows_per_sec'] = round(box['host_chunked'], 1)
         if box.get('host_chunked_micro'):
             result['host_chunked_micro_probe'] = True
+        if box.get('host_chunked_stale_reason'):
+            result['host_chunked_stale_reason'] = \
+                box['host_chunked_stale_reason']
         if box.get('host_chunked_stale'):
             # last-known-good, NOT measured this run (tunnel too degraded)
             result['host_chunked_stale'] = True

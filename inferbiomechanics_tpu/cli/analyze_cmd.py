@@ -93,9 +93,12 @@ class AnalyzeCommand:
                                  'one transfer). The reference dispatches '
                                  'one forward per window at its fixed '
                                  'batch_size=1. 1 = per-batch dispatch. '
-                                 'Ignored on the analytical/diffusion/'
-                                 'quantized/ensemble/--compute-report/'
-                                 '--plot-errors paths')
+                                 'Applies to the learned-model eval path '
+                                 'and to --model-type analytical (where '
+                                 'it also chunks the --compute-report '
+                                 'tau core); ignored on the diffusion/'
+                                 'quantized/ensemble/--plot-errors paths '
+                                 'and on learned --compute-report')
         parser.add_argument('--bootstrap', type=int, default=0,
                             help='Resample the per-window rows N times and '
                                  'print 95%% confidence intervals on the '
@@ -243,11 +246,16 @@ class AnalyzeCommand:
                     state = state.replace(params=ema)
                     print('evaluating EMA parameters')
                 partial = getattr(args, 'diffusion_partial', None)
+                from inferbiomechanics_tpu.models.diffusion import (
+                    checkpoint_target_space,
+                )
+                tspace = checkpoint_target_space(checkpoint_dir)
                 sampler = make_sampler(model, DDPMSchedule(config.diffusion_timesteps),
                                        num_steps=50,
                                        fused_inference=config.fused_inference,
                                        guidance_scale=config.guidance_scale,
-                                       partial_frac=partial)
+                                       partial_frac=partial,
+                                       target_space=tspace)
                 if config.guidance_scale != 1.0:
                     print(f'classifier-free guidance scale '
                           f'{config.guidance_scale}')
@@ -261,7 +269,8 @@ class AnalyzeCommand:
                     try:
                         propose = make_partial_proposal_fn(
                             config, ds, getattr(args, 'init_checkpoint',
-                                                None), sample_b.inputs)
+                                                None), sample_b.inputs,
+                            target_space=tspace)
                     except ValueError as e:
                         raise SystemExit(str(e))
 

@@ -143,9 +143,13 @@ class ExportCommand:
                 raise SystemExit('export --quantize int8 supports the '
                                  'feedforward family only')
         if is_diffusion:
-            from inferbiomechanics_tpu.models.diffusion import make_sampler
+            from inferbiomechanics_tpu.models.diffusion import (
+                checkpoint_target_space, make_sampler,
+            )
             sampler = make_sampler(model, num_steps=args.sample_steps,
-                                    guidance_scale=config.guidance_scale)
+                                   guidance_scale=config.guidance_scale,
+                                   target_space=checkpoint_target_space(
+                                       checkpoint_dir))
 
             # Seed travels as a runtime argument so one artifact serves
             # both deterministic replay (same seed) and fresh draws.

@@ -86,6 +86,8 @@ def make_tau_report_fn(ds: WindowDataset) -> Callable:
             outputs[K.OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME])[:, -1, :]
         tau_label = jnp.asarray(labels[K.OutputDataKeys.TAU])[:, -1, :]
         if batch_subject_indices is not None:
+            # NB: traced gathers CLAMP out-of-range indices (XLA
+            # semantics); the host wrapper below validates eagerly
             sidx = jnp.asarray(batch_subject_indices)
             mass = masses_j[sidx]
         else:
@@ -99,6 +101,15 @@ def make_tau_report_fn(ds: WindowDataset) -> Callable:
         return jnp.mean(vals)
 
     def tau_fn(packed_inputs, outputs, labels, batch_subject_indices=None) -> float:
+        if batch_subject_indices is not None:
+            si = np.asarray(batch_subject_indices)
+            if si.size and (si.min() < 0 or si.max() >= len(subject_masses)):
+                # inside jit the gather would silently clamp to the last
+                # subject's mass/skeleton (dataset/checkpoint mismatch)
+                raise IndexError(
+                    f'batch_subject_indices out of range '
+                    f'[0, {len(subject_masses)}): '
+                    f'min {si.min()}, max {si.max()}')
         return float(traceable(packed_inputs, outputs, labels,
                                batch_subject_indices))
 

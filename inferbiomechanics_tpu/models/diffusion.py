@@ -15,6 +15,7 @@ cosine alpha-bar schedule is precomputed host-side into constants.
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -24,6 +25,8 @@ from flax import linen as nn
 
 from inferbiomechanics_tpu.models.common import ModelInput, pack_inputs, slice_output_heads
 from inferbiomechanics_tpu.models.transformer import EncoderBlock
+
+logger = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -159,23 +162,58 @@ def diffusion_targets_from_labels(packed_labels: jax.Array,
     return x / target_scales(num_contact_bodies).astype(x.dtype)
 
 
-def diffusion_targets_from_outputs(outputs: Dict[str, jax.Array]) -> jax.Array:
+def diffusion_targets_from_outputs(outputs: Dict[str, jax.Array],
+                                   target_space: str = 'normalized') -> jax.Array:
     """Model-output dict -> [B, T, target_channels] in head-slice order,
     normalized into the diffusion space — the proposal packing for
     partial-denoising warm starts (the inverse of
-    ``slice_output_heads`` restricted to the four GRF heads)."""
+    ``slice_output_heads`` restricted to the four GRF heads).
+    ``target_space='raw'`` skips the normalization, for denoisers
+    trained before the round-5 target normalization (see
+    :func:`checkpoint_target_space`)."""
     from inferbiomechanics_tpu.data.keys import OutputDataKeys as O
     x = jnp.concatenate([
         outputs[O.GROUND_CONTACT_COPS_IN_ROOT_FRAME],
         outputs[O.GROUND_CONTACT_FORCES_IN_ROOT_FRAME],
         outputs[O.GROUND_CONTACT_TORQUES_IN_ROOT_FRAME],
         outputs[O.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME]], axis=-1)
+    if target_space == 'raw':
+        return x
     nb = outputs[O.GROUND_CONTACT_COPS_IN_ROOT_FRAME].shape[-1] // 3
     return x / target_scales(nb).astype(x.dtype)
 
 
+def checkpoint_target_space(checkpoint_dir: str) -> str:
+    """Which space a diffusion checkpoint denoises in.
+
+    Denoisers trained at/after the round-5 target normalization operate
+    on ``target_scales``-normalized channels; their ``run_config.json``
+    sidecar carries ``diffusion_target_space: 'normalized'``. Older
+    checkpoints (no sidecar, or a sidecar without the key) were trained
+    on raw kg-normalized channels — sampling them through the
+    normalized exit would inflate forces ~10x silently, so consumers
+    must pass the returned value to :func:`make_sampler` /
+    :func:`make_partial_proposal_fn`."""
+    import json
+    import os
+    from inferbiomechanics_tpu.train.run_config import RUN_CONFIG_NAME
+    path = os.path.join(checkpoint_dir, RUN_CONFIG_NAME)
+    try:
+        with open(path) as f:
+            space = json.load(f).get('diffusion_target_space')
+    except (OSError, ValueError):
+        space = None
+    if space is None:
+        logger.warning(
+            '%s predates the normalized diffusion target space '
+            '(no diffusion_target_space in run_config.json); sampling '
+            'in the legacy raw space', checkpoint_dir)
+        return 'raw'
+    return space
+
+
 def make_partial_proposal_fn(config, dataset, init_checkpoint,
-                             sample_inputs):
+                             sample_inputs, target_space: str = 'normalized'):
     """Load the all-frames feedforward proposal model for partial
     denoising and return ``propose(x) -> [B, T, target_channels]`` in
     the diffusion target layout (``diffusion_targets_from_outputs``).
@@ -245,7 +283,8 @@ def make_partial_proposal_fn(config, dataset, init_checkpoint,
 
     def propose(x):
         return diffusion_targets_from_outputs(
-            prop_model.apply(prop_vars, x, train=False))
+            prop_model.apply(prop_vars, x, train=False),
+            target_space=target_space)
 
     return propose
 
@@ -360,7 +399,8 @@ def make_sampler(model: DiffusionDenoiser,
                  eta: float = 0.0,
                  fused_inference: bool = False,
                  guidance_scale: float = 1.0,
-                 partial_frac: Optional[float] = None):
+                 partial_frac: Optional[float] = None,
+                 target_space: str = 'normalized'):
     """Build ``sample(params, cond_inputs, rng) -> outputs dict``.
 
     DDIM sampling over an evenly-spaced subset of the schedule
@@ -385,11 +425,25 @@ def make_sampler(model: DiffusionDenoiser,
     prediction through ``diffusion_targets_from_outputs``). ``num_steps``
     then spaces over the truncated range, so the denoiser runs
     proportionally fewer launches for the same step density.
+
+    ``target_space``: the space the CHECKPOINT denoises in —
+    'normalized' (training default since round 5) or 'raw' for legacy
+    pre-normalization checkpoints (detect with
+    :func:`checkpoint_target_space`; a mismatch silently mis-scales
+    every output ~10x).
     """
     if fused_inference and model.attn_impl != 'vpu':
         raise ValueError('fused_inference consumes the vpu parameter tree; '
                          f'this denoiser was built with '
                          f'attn_impl={model.attn_impl!r}')
+    if target_space not in ('normalized', 'raw'):
+        raise ValueError(f'target_space must be normalized|raw, '
+                         f'got {target_space!r}')
+    normalized = target_space == 'normalized'
+    # raw: legacy pre-normalization checkpoints denoise kg-normalized
+    # channels directly (forces span ~±30 N/kg), so the x0 clamp stays
+    # in physical units and the exit multiply is skipped
+    x0_clip = 8.0 if normalized else 50.0
     sched = schedule or DDPMSchedule(model.timesteps)
     n = num_steps or sched.timesteps
     t_top = sched.timesteps - 1
@@ -448,10 +502,10 @@ def make_sampler(model: DiffusionDenoiser,
             ab_t = sched.alpha_bars[t]
             ab_prev = jnp.where(t_prev >= 0, sched.alpha_bars[jnp.maximum(t_prev, 0)], 1.0)
             x0_pred = (x - jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(ab_t)
-            # the chain runs in the NORMALIZED target space (per-channel
-            # ~unit scale, target_scales); clip a few sigma out to stop
-            # early-step blowups
-            x0_pred = jnp.clip(x0_pred, -8.0, 8.0)
+            # the chain runs in the checkpoint's target space (normalized
+            # per-channel ~unit scale, or legacy raw); clip a few sigma
+            # out to stop early-step blowups
+            x0_pred = jnp.clip(x0_pred, -x0_clip, x0_clip)
             sigma = eta * jnp.sqrt((1 - ab_prev) / (1 - ab_t)) * \
                 jnp.sqrt(1 - ab_t / ab_prev)
             dir_xt = jnp.sqrt(jnp.maximum(1 - ab_prev - sigma ** 2, 0.0)) * eps
@@ -463,8 +517,9 @@ def make_sampler(model: DiffusionDenoiser,
 
         (x, _), _ = jax.lax.scan(body, (x, rng),
                                  (jnp.asarray(ts), jnp.asarray(ts_prev)))
-        # leave the normalized diffusion space (target_scales)
-        x = x * target_scales(model.num_contact_bodies).astype(x.dtype)
+        if normalized:
+            # leave the normalized diffusion space (target_scales)
+            x = x * target_scales(model.num_contact_bodies).astype(x.dtype)
         return slice_output_heads(x, model.num_contact_bodies, T)
 
     return jax.jit(sample)

@@ -341,12 +341,16 @@ class InferenceService:
         if self.is_diffusion:
             # a /predict is a full DDIM sampling chain conditioned on the
             # request windows (one lax.scan program; models/diffusion.py)
-            from inferbiomechanics_tpu.models.diffusion import make_sampler
+            from inferbiomechanics_tpu.models.diffusion import (
+                checkpoint_target_space, make_sampler,
+            )
             self.diffusion_partial = diffusion_partial
+            tspace = checkpoint_target_space(self._checkpoint_dir)
             sampler = make_sampler(self.model, num_steps=self.sample_steps,
                                    fused_inference=use_fused,
                                    guidance_scale=config.guidance_scale,
-                                   partial_frac=diffusion_partial)
+                                   partial_frac=diffusion_partial,
+                                   target_space=tspace)
             propose = None
             if diffusion_partial is not None:
                 # Falcon-style warm start: chains begin at
@@ -358,7 +362,8 @@ class InferenceService:
                     make_partial_proposal_fn,
                 )
                 propose = make_partial_proposal_fn(
-                    config, dataset, init_checkpoint, sample.inputs)
+                    config, dataset, init_checkpoint, sample.inputs,
+                    target_space=tspace)
 
             if self.diffusion_samples > 1:
                 # aleatoric uncertainty: K independent sampling chains in

@@ -66,6 +66,10 @@ def save_run_config(checkpoint_dir: str, config: Config) -> Optional[str]:
     sidecar is provenance, never worth failing a training run over)."""
     payload = dataclasses.asdict(config)
     payload['schema_version'] = SCHEMA_VERSION
+    # which space models/diffusion.py trains denoisers in under THIS
+    # code version; checkpoint_target_space reads it back so samplers
+    # don't denormalize legacy raw-space checkpoints (key absent = raw)
+    payload['diffusion_target_space'] = 'normalized'
     path = os.path.join(checkpoint_dir, RUN_CONFIG_NAME)
     try:
         os.makedirs(checkpoint_dir, exist_ok=True)

@@ -245,8 +245,9 @@ def _target_slices(ds):
     """Head-slice order of diffusion_targets_from_labels: cops, forces,
     torques, wrenches — offsets within the packed target tensor."""
     sl, off = {}, 0
-    from inferbiomechanics_tpu.data import keys as K
-    widths = {'cops': 6, 'forces': 6, 'torques': 6, 'wrenches': 12}
+    nb = ds.num_contact_bodies
+    widths = {'cops': 3 * nb, 'forces': 3 * nb, 'torques': 3 * nb,
+              'wrenches': 6 * nb}
     for name in ('cops', 'forces', 'torques', 'wrenches'):
         sl[name] = (off, widths[name])
         off += widths[name]

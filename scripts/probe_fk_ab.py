@@ -15,6 +15,9 @@ import time
 import numpy as np
 
 import jax
+
+if os.environ.get('IB_PLATFORM'):   # same pin as main.py (axon plugins
+    jax.config.update('jax_platforms', os.environ['IB_PLATFORM'])
 import jax.numpy as jnp
 
 BATCH = int(os.environ.get('IB_PROBE_BATCH', '1024'))
@@ -51,10 +54,10 @@ def main():
         orig_compile = A.compile_skeleton
 
         def patched(spec, _fast=fast, _orig=orig_compile):
-            sk = _orig(spec)
-            if not _fast:
-                sk = copy.copy(sk)
-                sk._fast_fk = False
+            sk = copy.copy(_orig(spec))
+            if _fast and not sk._can_vectorize:
+                raise SystemExit('skeleton has couplings: no vectorized path')
+            sk._fast_fk = _fast
             return sk
 
         A.compile_skeleton = patched

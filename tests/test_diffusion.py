@@ -77,6 +77,67 @@ def test_targets_extraction(ds):
         rtol=1e-6, atol=1e-6)
 
 
+def test_legacy_raw_target_space_sampler(ds, tmp_path):
+    """Checkpoints trained before the round-5 target normalization
+    denoise raw kg-normalized channels; `checkpoint_target_space`
+    detects them from the sidecar (key absent = raw) and
+    `make_sampler(target_space='raw')` must skip the exit multiply —
+    otherwise every legacy prediction silently inflates ~10x."""
+    import json
+    import os
+    from inferbiomechanics_tpu.models.diffusion import (
+        checkpoint_target_space, target_scales,
+    )
+    from inferbiomechanics_tpu.train.run_config import (
+        RUN_CONFIG_NAME, save_run_config,
+    )
+    from inferbiomechanics_tpu.config import Config
+
+    # sidecar detection: current trainings mark themselves normalized;
+    # pre-round-5 sidecars (no key) and sidecar-less dirs read as raw
+    new_dir = tmp_path / 'new'
+    save_run_config(str(new_dir), Config(model_type='diffusion'))
+    assert checkpoint_target_space(str(new_dir)) == 'normalized'
+    old_dir = tmp_path / 'old'
+    os.makedirs(old_dir)
+    payload = json.load(open(new_dir / RUN_CONFIG_NAME))
+    del payload['diffusion_target_space']
+    json.dump(payload, open(old_dir / RUN_CONFIG_NAME, 'w'))
+    assert checkpoint_target_space(str(old_dir)) == 'raw'
+    assert checkpoint_target_space(str(tmp_path / 'none')) == 'raw'
+
+    # raw sampler == normalized sampler without the exit denormalize.
+    # Warm-start low in the schedule (partial_frac) so x0_pred stays
+    # small and the spaces' different clip bounds never bind — then the
+    # chains are identical and outputs differ by exactly target_scales.
+    model = _model(ds)
+    state, batch = _state(model, ds)
+    x = jnp.asarray(batch.inputs)
+    init = 0.1 * jax.random.normal(jax.random.PRNGKey(3),
+                                   (8, 4, model.target_channels))
+    norm = make_sampler(model, DDPMSchedule(model.timesteps), num_steps=4,
+                        partial_frac=0.1)
+    raw = make_sampler(model, DDPMSchedule(model.timesteps), num_steps=4,
+                       partial_frac=0.1, target_space='raw')
+    o_n = norm(state.params, x, jax.random.PRNGKey(0), init)
+    o_r = raw(state.params, x, jax.random.PRNGKey(0), init)
+    scales = np.asarray(target_scales(ds.num_contact_bodies))
+    packed_n = np.concatenate([np.asarray(o_n[k]) for k in (
+        OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME,
+        OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME,
+        OutputDataKeys.GROUND_CONTACT_TORQUES_IN_ROOT_FRAME,
+        OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME)], axis=-1)
+    packed_r = np.concatenate([np.asarray(o_r[k]) for k in (
+        OutputDataKeys.GROUND_CONTACT_COPS_IN_ROOT_FRAME,
+        OutputDataKeys.GROUND_CONTACT_FORCES_IN_ROOT_FRAME,
+        OutputDataKeys.GROUND_CONTACT_TORQUES_IN_ROOT_FRAME,
+        OutputDataKeys.GROUND_CONTACT_WRENCHES_IN_ROOT_FRAME)], axis=-1)
+    np.testing.assert_allclose(packed_r * scales, packed_n,
+                               rtol=1e-4, atol=1e-4)
+    with pytest.raises(ValueError):
+        make_sampler(model, target_space='physical')
+
+
 @pytest.mark.slow
 def test_train_step_reduces_eps_mse(ds):
     model = _model(ds)
